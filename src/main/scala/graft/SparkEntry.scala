@@ -1,13 +1,650 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dna, VariantF, Zygosity}
+import graft.operators._
+import graft.streaming.EventRates
+
+/** Driver contract: one `queries` entry per SURVEY.md §2 operator, plus a
+  * DuckDB-equivalent SQL oracle for everything ANSI-SQL can express.
+  *
+  * Genomic-domain operators run on deterministic column derivations of the
+  * synthetic tables (see SURVEY.md §3), so Spark and DuckDB compute the
+  * same rows from the same parquet.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared deterministic derivations (Spark side) ----
+
+  /** A/C/G/T from an integer expression (mod 4). */
+  private def baseOf(c: Column): Column =
+    when(c % 4 === 0, "A").when(c % 4 === 1, "C")
+      .when(c % 4 === 2, "G").otherwise("T")
+
+  /** SQL twin of [[baseOf]]. */
+  private def baseOfSql(e: String): String =
+    s"CASE $e % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'C' WHEN 2 THEN 'G' ELSE 'T' END"
+
+  /** Synthetic variant rows derived from lineitem (chr, pos, ref/var nuc). */
+  private def liVariants(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      (col("l_orderkey") % 5).cast("long").as("chr"),
+      ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000).cast("long").as("pos"),
+      baseOf(col("l_partkey")).as("ref_nuc"),
+      baseOf(col("l_suppkey")).as("var_nuc"),
+      col("l_linenumber"), col("l_orderkey"))
+
+  private val liVariantsSql =
+    "SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr, " +
+      "CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT) AS pos, " +
+      s"${baseOfSql("l_partkey")} AS ref_nuc, " +
+      s"${baseOfSql("l_suppkey")} AS var_nuc, " +
+      "l_linenumber, l_orderkey FROM lineitem"
+
+  /** Synthetic gene/exon intervals derived from part. */
+  private def partGenes(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey").as("gene_id"),
+      (col("p_partkey") % 5).cast("long").as("chr"),
+      ((col("p_partkey") * 137) % 100000).cast("long").as("gstart"))
+      .withColumn("gstop",
+        col("gstart") + 50 + (col("gene_id") * 97) % 2000)
+
+  private val partGenesSql =
+    "SELECT p_partkey AS gene_id, CAST(p_partkey % 5 AS BIGINT) AS chr, " +
+      "CAST((p_partkey*137) % 100000 AS BIGINT) AS gstart, " +
+      "CAST((p_partkey*137) % 100000 + 50 + (p_partkey*97) % 2000 AS BIGINT) AS gstop " +
+      "FROM part"
+
+  /** Normalized text (SQL twin of Dedup.normText; 'g' = global replace). */
+  private val normTextSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Deterministic DNA string from a document's md5. */
+  private def docDna: Column =
+    translate(md5(col("text")), "0123456789abcdef", "ACGTACGTACGTACGT")
+  private val docDnaSql =
+    "translate(md5(text), '0123456789abcdef', 'ACGTACGTACGTACGT')"
+
+  // ---- driver contract ----
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q1_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q2_group_counts" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
+    "q3_join_filter_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      o.filter(col("o_totalprice") > 1000)
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    "q4_topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total_price"))
+    }),
+
+    "q5_semi_join" -> ((s, dir) => {
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 5000)
+        .select("o_custkey")
+      val c = Tables.customer(s, dir)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    "q6_anti_join" -> ((s, dir) => {
+      val p = Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+        .select("o_custkey")
+      val c = Tables.customer(s, dir)
+      c.join(p, c("c_custkey") === p("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    "q7_merge_upsert" -> ((s, dir) => {
+      val v = liVariants(s, dir)
+      val existing = v.filter(col("l_linenumber") <= 3)
+        .groupBy("chr", "pos", "ref_nuc", "var_nuc")
+        .agg(min(col("l_orderkey") * 8 + col("l_linenumber")).as("variant_id"))
+      val incoming = v.filter(col("l_linenumber") >= 3)
+      VariantMerge.classify(incoming, existing,
+          Seq("chr", "pos", "ref_nuc", "var_nuc"), "variant_id")
+        .groupBy("merge_action").agg(count(lit(1)).as("n"))
+    }),
+
+    "q8_window_fixup" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey")
+      Tables.lineitem(s, dir)
+        .withColumn("n_alleles", count(lit(1)).over(w))
+        .withColumn("mismatch",
+          when(col("l_linenumber") =!= col("n_alleles"), 1).otherwise(0))
+        .groupBy("n_alleles")
+        .agg(count(lit(1)).as("n_rows"), sum("mismatch").cast("long").as("n_fixed"))
+    }),
+
+    "q9_range_join_genic" -> ((s, dir) => {
+      val points = liVariants(s, dir).select("chr", "pos")
+      val genes = partGenes(s, dir)
+      RangeJoin.joined(points, genes, "pos", "gstart", "gstop",
+          keys = Seq("chr"), binWidth = 4096)
+        .groupBy("chr")
+        .agg(count(lit(1)).as("n_hits"), countDistinct("pos").as("n_pos"))
+    }),
+
+    "q10_zygosity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_linenumber").cast("long").as("a"),
+        col("l_quantity").cast("long").as("c"),
+        (col("l_partkey") % 20).cast("long").as("g"),
+        (col("l_suppkey") % 15).cast("long").as("t"),
+        baseOf(col("l_orderkey")).as("ref_nuc"),
+        baseOf(col("l_partkey")).as("var_nuc"),
+        when(col("l_orderkey") % 23 === 21, "X")
+          .when(col("l_orderkey") % 23 === 22, "Y")
+          .otherwise((col("l_orderkey") % 23 + 1).cast("string")).as("chr"),
+        when(col("l_returnflag") === "R", "M").otherwise("F").as("gender"))
+      val total = col("a") + col("c") + col("g") + col("t")
+      val vr = Zygosity.varReads(col("var_nuc"), col("a"), col("c"), col("g"), col("t"))
+      val pct = Zygosity.percentF(vr, total)
+      li.select(
+          Zygosity.status(pct, col("gender"), col("chr")).as("zygosity_status"),
+          Zygosity.refAlleleCalled(col("ref_nuc"), col("a"), col("c"), col("g"), col("t"))
+            .as("zygosity_ref_allele"),
+          Zygosity.possibleError(pct).as("zygosity_possible_error"),
+          Zygosity.numAlleles(col("a"), col("c"), col("g"), col("t"))
+            .cast("long").as("num_alleles"),
+          Zygosity.percentRead(vr, total).as("percent_read"))
+        .groupBy("zygosity_status", "zygosity_ref_allele",
+          "zygosity_possible_error", "num_alleles")
+        .agg(count(lit(1)).as("n"), sum("percent_read").cast("long").as("sum_pct"))
+    }),
+
+    "q11_variant_type" -> ((s, dir) => {
+      val refSeq = when(col("l_partkey") % 4 === 0, "").when(col("l_partkey") % 4 === 1, "A")
+        .when(col("l_partkey") % 4 === 2, "AC").otherwise("ACGT")
+      val varSeq = when(col("l_suppkey") % 4 === 0, "").when(col("l_suppkey") % 4 === 1, "G")
+        .when(col("l_suppkey") % 4 === 2, "GT").otherwise("GTCA")
+      Tables.lineitem(s, dir)
+        .select(((col("l_orderkey") * 31 + col("l_linenumber")) % 100000)
+            .cast("long").as("start_pos"),
+          refSeq.as("ref_seq"), varSeq.as("var_seq"))
+        .select(VariantF.variantType(col("ref_seq"), col("var_seq")).as("variant_type"),
+          (VariantF.endPos(col("start_pos"), col("ref_seq"), col("var_seq"))
+            - col("start_pos")).cast("long").as("span"))
+        .groupBy("variant_type")
+        .agg(count(lit(1)).as("n"), sum("span").cast("long").as("sum_span"))
+    }),
+
+    "q12_quality_score" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("rd"),
+          (col("l_partkey") % 120).cast("long").as("td"))
+        .select(VariantF.qualityScore(col("rd"), col("td")).as("quality_score"))
+        .groupBy("quality_score").agg(count(lit(1)).as("n"))
+    }),
+
+    "q13_dbsnp_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(when(col("doc_id") % 3 === 0, "")
+          .otherwise(concat(lit("rs"), col("doc_id").cast("string"))).as("rs_id"))
+        .select(VariantF.dbSnpClass(col("rs_id")).as("dbsnp_class"))
+        .groupBy("dbsnp_class").agg(count(lit(1)).as("n"))
+    }),
+
+    "q14_conservation_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 4).as("avg_score"),
+          round(min("value"), 4).as("min_score"),
+          round(max("value"), 4).as("max_score"))
+    }),
+
+    "q15_transcript_features" -> ((s, dir) => {
+      val points = liVariants(s, dir).select("chr", "pos")
+      val exons = partGenes(s, dir)
+        .select(col("chr"), col("gstart"), col("gstop"),
+          (col("gstart") - 10).as("wstart"), (col("gstop") + 10).as("wstop"))
+      RangeJoin.joined(points, exons, "pos", "wstart", "wstop",
+          keys = Seq("chr"), binWidth = 4096)
+        .filter(abs(col("pos") - col("gstart")) <= 10 ||
+          abs(col("pos") - col("gstop")) <= 10)
+        .groupBy("chr").agg(count(lit(1)).as("n_near_splice"))
+    }),
+
+    "q16_translate_dna" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), docDna.as("dna"))
+        .withColumn("protein", Dna.translateDna(col("dna")))
+        .withColumn("protein_rc", Dna.translateDna(Dna.reverseComplement(col("dna"))))
+    }),
+
+    "q17_revcomp" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), docDna.as("dna"))
+        .withColumn("revcomp", Dna.reverseComplement(col("dna")))
+    }),
+
+    "q27_frameshift" -> ((s, dir) => {
+      val refSeq = when(col("l_partkey") % 4 === 0, "").when(col("l_partkey") % 4 === 1, "A")
+        .when(col("l_partkey") % 4 === 2, "AC").otherwise("ACGT")
+      val varSeq = when(col("l_suppkey") % 4 === 0, "").when(col("l_suppkey") % 4 === 1, "G")
+        .when(col("l_suppkey") % 4 === 2, "GT").otherwise("GTCA")
+      Tables.lineitem(s, dir)
+        .select(refSeq.as("ref_seq"), varSeq.as("var_seq"))
+        .select(VariantF.variantType(col("ref_seq"), col("var_seq")).as("variant_type"),
+          VariantF.isFrameShift(col("ref_seq"), col("var_seq")).as("frame_shift"))
+        .groupBy("variant_type", "frame_shift").agg(count(lit(1)).as("n"))
+    }),
+
+    "vcf_parse" -> ((s, dir) => {
+      import s.implicits._
+      // synthesize VCF lines from lineitem, then run the real parser
+      val lines = Tables.lineitem(s, dir).select(concat_ws("\t",
+        (col("l_orderkey") % 5 + 1).cast("string"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000).cast("string"),
+        lit("."),
+        baseOf(col("l_partkey")),
+        baseOf(col("l_partkey") + 1),
+        lit("100"), lit("PASS"), lit("."), lit("GT:AD:DP"),
+        concat(lit("0/1:"), (col("l_quantity").cast("long") % 40).cast("string"),
+          lit(","), col("l_linenumber").cast("string"), lit(":"),
+          ((col("l_quantity").cast("long") % 40) + col("l_linenumber")).cast("string")),
+        when(col("l_orderkey") % 7 === 0, "./.")
+          .otherwise(concat(lit("1/1:0,"), (col("l_suppkey") % 9).cast("string"),
+            lit(":"), (col("l_suppkey") % 9).cast("string"))))
+        .as("line")).as[String]
+      VcfParser.parse(lines, Seq("STRAIN_A", "STRAIN_B"))
+        .groupBy("strain", "chr")
+        .agg(count(lit(1)).as("n_variants"),
+          sum("read_depth").cast("long").as("sum_read_depth"),
+          sum("allele_depth").cast("long").as("sum_allele_depth"))
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(md5(Dedup.normText(col("text"))).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+        .groupBy("n_docs").agg(count(lit(1)).as("n_groups"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          blockCol = concat(col("lang"), lit("|"),
+            floor(col("n_chars") / 100).cast("long").cast("string")),
+          n = 3, minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"), col("n_inter").cast("long"),
+          col("n_a").cast("long"), col("n_b").cast("long"), col("jaccard"))
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 16, shingleLen = 3)
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    "ann_lsh_bucketed" -> ((s, dir) => {
+      Similarity.lshBuckets(Tables.embeddings(s, dir), "vec_id", "embedding",
+          numPlanes = 8)
+        .select(col("vec_id"), col("bucket"))
+    }),
+
+    "text_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("punct_ratio"), col("stop_ratio"), col("quality"))
+    }),
+
+    "text_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.approxBpeTokens(col("text")).cast("long").as("n_bpe"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    "multimodal_meta" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id")).toDF()
+    }),
+
+    "stream_event_rates" -> ((s, dir) => {
+      EventRates.windowedBatch(Tables.events(s, dir))
+    }),
+  )
+
+  // ---- DuckDB oracles ----
+
+  def oracleSql: Map[String, String] = {
+    val langScore: Map[String, String] = TextAnalysis.markers.map { case (lang, ws) =>
+      lang -> ws.map(w =>
+        s"CAST(floor((length(t) - length(regexp_replace(t, '\\b$w\\b', '', 'g'))) / ${w.length}) AS INT)")
+        .mkString(" + ")
+    }
+
+    Map(
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+          |round(sum(l_extendedprice),2) AS sum_base_price,
+          |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+          |round(avg(l_quantity),4) AS avg_qty, count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q2_group_counts" ->
+        """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+          |count(*) AS n, round(sum(value),2) AS sum_value
+          |FROM events GROUP BY event_type, user_id % 10""".stripMargin,
+
+      "q3_join_filter_agg" ->
+        """SELECT r_name, n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE o_totalprice > 1000 GROUP BY r_name, n_name""".stripMargin,
+
+      "q4_topn_per_group" ->
+        """SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice,2) AS total_price
+          |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+          |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+      "q5_semi_join" ->
+        """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |  AND o_totalprice > 5000)
+          |GROUP BY c_mktsegment""".stripMargin,
+
+      "q6_anti_join" ->
+        """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |  AND o_orderstatus = 'P')
+          |GROUP BY c_mktsegment""".stripMargin,
+
+      "q7_merge_upsert" ->
+        s"""WITH v AS ($liVariantsSql),
+           |existing AS (SELECT chr, pos, ref_nuc, var_nuc,
+           |  MIN(l_orderkey*8 + l_linenumber) AS variant_id
+           |  FROM v WHERE l_linenumber <= 3 GROUP BY chr, pos, ref_nuc, var_nuc),
+           |incoming AS (SELECT * FROM v WHERE l_linenumber >= 3)
+           |SELECT merge_action, count(*) AS n FROM (
+           |  SELECT CASE WHEN e.variant_id IS NOT NULL THEN 'already_in_rgd'
+           |    ELSE 'insert' END AS merge_action
+           |  FROM incoming i LEFT JOIN existing e USING (chr, pos, ref_nuc, var_nuc))
+           |GROUP BY merge_action""".stripMargin,
+
+      "q8_window_fixup" ->
+        """SELECT n_alleles, count(*) AS n_rows, CAST(sum(mismatch) AS BIGINT) AS n_fixed
+          |FROM (SELECT count(*) OVER (PARTITION BY l_orderkey) AS n_alleles,
+          |  CASE WHEN l_linenumber <> count(*) OVER (PARTITION BY l_orderkey)
+          |    THEN 1 ELSE 0 END AS mismatch FROM lineitem)
+          |GROUP BY n_alleles""".stripMargin,
+
+      "q9_range_join_genic" ->
+        s"""WITH p AS (SELECT chr, pos FROM ($liVariantsSql)),
+           |g AS ($partGenesSql)
+           |SELECT p.chr, count(*) AS n_hits, count(DISTINCT pos) AS n_pos
+           |FROM p JOIN g ON p.chr = g.chr AND p.pos BETWEEN g.gstart AND g.gstop
+           |GROUP BY p.chr""".stripMargin,
+
+      "q10_zygosity" ->
+        s"""WITH li AS (SELECT CAST(l_linenumber AS BIGINT) AS a,
+           |  CAST(l_quantity AS BIGINT) AS c,
+           |  CAST(l_partkey % 20 AS BIGINT) AS g,
+           |  CAST(l_suppkey % 15 AS BIGINT) AS t,
+           |  ${baseOfSql("l_orderkey")} AS ref_nuc,
+           |  ${baseOfSql("l_partkey")} AS var_nuc,
+           |  CASE WHEN l_orderkey % 23 = 21 THEN 'X' WHEN l_orderkey % 23 = 22 THEN 'Y'
+           |    ELSE CAST(l_orderkey % 23 + 1 AS VARCHAR) END AS chr,
+           |  CASE WHEN l_returnflag = 'R' THEN 'M' ELSE 'F' END AS gender
+           |  FROM lineitem),
+           |z AS (SELECT *, a + c + g + t AS total,
+           |  CASE var_nuc WHEN 'A' THEN a WHEN 'C' THEN c WHEN 'G' THEN g ELSE t END AS vr
+           |  FROM li),
+           |zz AS (SELECT *,
+           |  CASE WHEN total > 0 THEN CAST(vr AS DOUBLE) * 100 / CAST(total AS DOUBLE)
+           |    ELSE 0 END AS pct FROM z)
+           |SELECT
+           |  CASE WHEN gender = 'M' AND chr IN ('X','Y') THEN
+           |    CASE WHEN pct = 100 THEN 'hemizygous'
+           |      WHEN pct >= 85 THEN 'probably hemizygous'
+           |      ELSE 'possibly hemizygous' END
+           |  ELSE
+           |    CASE WHEN pct = 100 THEN 'homozygous'
+           |      WHEN pct >= 85 THEN 'possibly homozygous'
+           |      ELSE 'heterozygous' END END AS zygosity_status,
+           |  CASE WHEN (CASE ref_nuc WHEN 'A' THEN a WHEN 'C' THEN c
+           |    WHEN 'G' THEN g ELSE t END) > 0 THEN 'Y' ELSE 'N' END AS zygosity_ref_allele,
+           |  CASE WHEN pct <= 15 THEN 'Y' ELSE 'N' END AS zygosity_possible_error,
+           |  CAST((CASE WHEN a > 0 THEN 1 ELSE 0 END) + (CASE WHEN c > 0 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN g > 0 THEN 1 ELSE 0 END) + (CASE WHEN t > 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS num_alleles,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(floor(pct + 0.5) AS BIGINT)) AS BIGINT) AS sum_pct
+           |FROM zz
+           |GROUP BY zygosity_status, zygosity_ref_allele, zygosity_possible_error, num_alleles""".stripMargin,
+
+      "q11_variant_type" ->
+        """WITH v AS (SELECT
+          |  CAST((l_orderkey*31 + l_linenumber) % 100000 AS BIGINT) AS start_pos,
+          |  CASE l_partkey % 4 WHEN 0 THEN '' WHEN 1 THEN 'A' WHEN 2 THEN 'AC'
+          |    ELSE 'ACGT' END AS ref_seq,
+          |  CASE l_suppkey % 4 WHEN 0 THEN '' WHEN 1 THEN 'G' WHEN 2 THEN 'GT'
+          |    ELSE 'GTCA' END AS var_seq
+          |  FROM lineitem),
+          |t AS (SELECT
+          |  CASE WHEN length(ref_seq) = 0 THEN 'insertion'
+          |    WHEN length(var_seq) = 0 THEN 'deletion' ELSE 'snv' END AS variant_type,
+          |  CAST(CASE WHEN length(ref_seq) > 0 AND length(var_seq) > 0 THEN start_pos + 1
+          |    WHEN length(ref_seq) = 0 THEN start_pos
+          |    ELSE start_pos + length(ref_seq) END - start_pos AS BIGINT) AS span
+          |  FROM v)
+          |SELECT variant_type, count(*) AS n, CAST(sum(span) AS BIGINT) AS sum_span
+          |FROM t GROUP BY variant_type""".stripMargin,
+
+      "q12_quality_score" ->
+        """SELECT quality_score, count(*) AS n FROM (
+          |  SELECT CASE WHEN td > 0
+          |    THEN CAST(floor((100*rd + floor(td/2)) / td) AS BIGINT)
+          |    ELSE 0 END AS quality_score
+          |  FROM (SELECT CAST(l_quantity AS BIGINT) AS rd,
+          |    CAST(l_partkey % 120 AS BIGINT) AS td FROM lineitem))
+          |GROUP BY quality_score""".stripMargin,
+
+      "q13_dbsnp_split" ->
+        """SELECT dbsnp_class, count(*) AS n FROM (
+          |  SELECT CASE WHEN rs_id IS NOT NULL AND length(rs_id) > 0 THEN 'dbsnp'
+          |    ELSE 'novel' END AS dbsnp_class
+          |  FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN ''
+          |    ELSE 'rs' || CAST(doc_id AS VARCHAR) END AS rs_id FROM documents))
+          |GROUP BY dbsnp_class""".stripMargin,
+
+      "q14_conservation_agg" ->
+        """SELECT CAST(user_id % 100 AS BIGINT) AS bucket, count(*) AS n,
+          |round(avg(value),4) AS avg_score, round(min(value),4) AS min_score,
+          |round(max(value),4) AS max_score
+          |FROM events GROUP BY user_id % 100""".stripMargin,
+
+      "q15_transcript_features" ->
+        s"""WITH p AS (SELECT chr, pos FROM ($liVariantsSql)),
+           |g AS ($partGenesSql)
+           |SELECT p.chr, count(*) AS n_near_splice
+           |FROM p JOIN g ON p.chr = g.chr
+           |  AND (abs(p.pos - g.gstart) <= 10 OR abs(p.pos - g.gstop) <= 10)
+           |GROUP BY p.chr""".stripMargin,
+
+      "q17_revcomp" ->
+        s"""SELECT doc_id, $docDnaSql AS dna,
+           |reverse(translate($docDnaSql, 'ACGT', 'TGCA')) AS revcomp
+           |FROM documents""".stripMargin,
+
+      "q27_frameshift" ->
+        """WITH v AS (SELECT
+          |  CASE l_partkey % 4 WHEN 0 THEN '' WHEN 1 THEN 'A' WHEN 2 THEN 'AC'
+          |    ELSE 'ACGT' END AS ref_seq,
+          |  CASE l_suppkey % 4 WHEN 0 THEN '' WHEN 1 THEN 'G' WHEN 2 THEN 'GT'
+          |    ELSE 'GTCA' END AS var_seq
+          |  FROM lineitem)
+          |SELECT CASE WHEN length(ref_seq) = 0 THEN 'insertion'
+          |    WHEN length(var_seq) = 0 THEN 'deletion' ELSE 'snv' END AS variant_type,
+          |  CASE WHEN abs(length(ref_seq) - length(var_seq)) % 3 <> 0 THEN 'T'
+          |    ELSE 'F' END AS frame_shift,
+          |  count(*) AS n
+          |FROM v GROUP BY 1, 2""".stripMargin,
+
+      "dedup_exact" ->
+        s"""SELECT n_docs, count(*) AS n_groups FROM (
+           |  SELECT md5($normTextSql) AS fp, count(*) AS n_docs
+           |  FROM documents GROUP BY 1)
+           |GROUP BY n_docs""".stripMargin,
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  lang || '|' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+           |  $normTextSql AS t FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, block, substr(t, CAST(i AS INT), 3) AS sh
+           |  FROM (SELECT doc_id, block, t, unnest(generate_series(1, length(t)-2)) AS i
+           |    FROM t WHERE length(t) >= 3)),
+           |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.block = b.block AND a.sh = b.sh
+           |    AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+           |SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           |JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2""".stripMargin,
+
+      "ann_cosine_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings),
+          |s AS (SELECT query_id, corpus_id,
+          |  round(CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) > 0
+          |    THEN list_dot_product(qv,cv) /
+          |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+          |    ELSE 0 END, 6) AS cos_sim
+          |  FROM q, c WHERE corpus_id <> query_id)
+          |SELECT query_id, corpus_id, cos_sim, rank FROM (
+          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank FROM s)
+          |WHERE rank <= 5""".stripMargin,
+
+      "text_lang_id" -> {
+        val caseChain = langScore.toSeq.sortBy(_._1)
+          .map { case (lang, _) => s"WHEN top > 0 AND s_$lang = top THEN '$lang'" }
+          .mkString(" ")
+        val scoreCols = langScore.toSeq.sortBy(_._1)
+          .map { case (lang, e) => s"($e) AS s_$lang" }.mkString(", ")
+        val greatestExpr = langScore.keys.toSeq.sorted.map("s_" + _).mkString(", ")
+        s"""SELECT lang, lang_pred, count(*) AS n FROM (
+           |  SELECT lang, CASE $caseChain ELSE 'und' END AS lang_pred FROM (
+           |    SELECT *, greatest($greatestExpr) AS top FROM (
+           |      SELECT lang, $scoreCols FROM (
+           |        SELECT lang, $normTextSql AS t FROM documents))))
+           |GROUP BY lang, lang_pred""".stripMargin
+      },
+
+      "text_quality" -> {
+        s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  round(punct_ratio, 4) AS punct_ratio, round(stop_ratio, 4) AS stop_ratio,
+           |  round(CASE WHEN n_tokens = 0 THEN 0
+           |    ELSE greatest(0.0, least(100.0,
+           |      100.0 - punct_ratio * 200.0 + least(stop_ratio * 100.0, 10.0)
+           |      - (CASE WHEN mean_tok_len > 12.0 THEN (mean_tok_len - 12.0) * 5.0 ELSE 0 END)
+           |      - (CASE WHEN n_chars < 20 THEN 50.0 ELSE 0 END))) END, 2) AS quality
+           |FROM (SELECT doc_id, n_chars, n_tokens,
+           |  CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0 END AS punct_ratio,
+           |  CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE) / n_tokens ELSE 0 END AS stop_ratio,
+           |  CASE WHEN n_tokens > 0 THEN CAST(len_nospace AS DOUBLE) / n_tokens ELSE 0 END AS mean_tok_len
+           |  FROM (SELECT doc_id, length(t) AS n_chars,
+           |    CASE WHEN length(t) = 0 THEN 0 ELSE array_length(string_split(t, ' ')) END AS n_tokens,
+           |    length(t) - length(regexp_replace(t, '[[:punct:]]', '', 'g')) AS punct,
+           |    ${TextAnalysis.markers("en").map(w =>
+                s"CAST(floor((length(t) - length(regexp_replace(t, '\\b$w\\b', '', 'g'))) / ${w.length}) AS INT)")
+                .mkString(" + ")} AS stop,
+           |    length(regexp_replace(t, ' ', '', 'g')) AS len_nospace
+           |    FROM (SELECT doc_id, $normTextSql AS t FROM documents)))""".stripMargin
+      },
+
+      "text_token_count" ->
+        s"""SELECT doc_id,
+           |  CAST(CASE WHEN length(t) = 0 THEN 0
+           |    ELSE array_length(string_split(t, ' ')) END AS BIGINT) AS n_tokens,
+           |  CAST(greatest(
+           |    CASE WHEN length(t) = 0 THEN 0 ELSE array_length(string_split(t, ' ')) END,
+           |    CAST(ceil(length(t) / 4.0) AS BIGINT)) AS BIGINT) AS n_bpe
+           |FROM (SELECT doc_id, $normTextSql AS t FROM documents)""".stripMargin,
+
+      "text_fingerprint" ->
+        s"SELECT doc_id, md5($normTextSql) AS fingerprint FROM documents",
+
+      "stream_event_rates" ->
+        """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS window_epoch, event_type,
+          |count(*) AS n_events, round(sum(value),2) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
+    )
+  }
 }

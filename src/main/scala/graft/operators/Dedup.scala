@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for large text corpora. Every variant is built
+  * from combiner-friendly groupBys (map-side partial aggregation) and
+  * bounded per-document explode factors, so each scales linearly with the
+  * corpus and shuffles only hashes/ids — never the full text.
+  *
+  * Hash choice: md5 throughout, because the DuckDB oracle must reproduce
+  * the exact values; md5 is deterministic and available in both engines.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed, lowercased text — the canonical form every
+    * dedup variant keys on. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact duplicate groups: rows sharing md5(normalized text).
+    * Returns (fingerprint, n_docs, min_doc_id) for groups with n>1. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(normText(col(textCol))).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count("*").as("n_docs"), min(col(idCol)).as("min_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Character n-gram shingles of the normalized text (distinct). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = normText(text)
+    val starts = when(length(t) >= n, sequence(lit(1), length(t) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(starts, i => t.substr(i, lit(n))))
+  }
+
+  /** MinHash signature: for each of `numHashes` hash families, the minimum
+    * md5(i || shingle) (as a hex-prefix long) over the document's
+    * shingles. Explode factor = #shingles, bounded by doc length. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 16, shingleLen: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("sh"))
+    val hashCols = (0 until numHashes).map { i =>
+      min(conv(substring(md5(concat(lit(i.toString), lit("|"), col("sh"))), 1, 14),
+        16, 10).cast("long")).as(s"h$i")
+    }
+    sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** LSH banding over the minhash signature: documents sharing any band
+    * hash become candidate near-dup pairs. Bands of `rowsPerBand` hashes
+    * are hashed together; the band bucket join only ever shuffles
+    * (band, bucket, id) triples. Returns candidate pairs (id_a < id_b). */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, rowsPerBand: Int = 4,
+                        shingleLen: Int = 3): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleLen)
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"h$i").cast("string"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", cols: _*)).as("bucket"))
+    }
+    val banded = sig
+      .select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 64-bit SimHash over word tokens: per-token md5 bits, weighted ±1 sum
+    * per bit position, sign → bit. Emitted with a hamming-radius bucket
+    * key (top 16 bits) for near-dup blocking at scale. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(normText(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("th", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    // ±1 per bit over 60 bits of the token hash
+    val bitVotes = (0 until 60).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val voted = toks.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 60).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col(idCol), sig.as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 44))
+  }
+
+  /** n-gram Jaccard similarity for candidate pairs (same-bucket blocking
+    * on a cheap key, then exact Jaccard on exploded shingles). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: Column, n: Int = 3,
+                        minJaccard: Double = 0.0): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), blockCol.as("block"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    val a = sh.select(col("block"), col("id").as("id_a"), col("sh"))
+    val b = sh.select(col("block"), col("id").as("id_b"), col("sh"))
+    val inter = a.join(b, Seq("block", "sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count("*").as("n_inter"))
+    val sizes = sh.groupBy(col("id")).agg(count("*").as("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+  }
+}

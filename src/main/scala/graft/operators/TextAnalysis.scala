@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for corpus curation: language ID, quality
+  * scoring, token counting, document fingerprinting. All pure Column
+  * expressions (codegen'd, shuffle-free) and reproducible in ANSI SQL for
+  * the oracle.
+  */
+object TextAnalysis {
+
+  import Dedup.normText
+
+  /** Count of occurrences of a literal word (surrounded by non-letters)
+    * via length difference — engine-portable. */
+  private def wordHits(t: Column, word: String): Column =
+    floor((length(t) - length(regexp_replace(t, s"\\b$word\\b", "")))
+      / word.length).cast("int")
+
+  /** Marker-word language scores. The marker sets are tiny n-gram/stopword
+    * heuristics (public fastText/langid-style approach reduced to SQL). */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "de", "que", "los"))
+
+  /** Best-scoring language label, "und" when nothing matches; ties break
+    * alphabetically (de < en < es < fr) so the oracle CASE chain can
+    * reproduce the choice exactly. */
+  def langId(text: Column): Column = {
+    val t = normText(text)
+    val byLang = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> ws.map(w => wordHits(t, w)).reduce(_ + _)
+    }
+    val top = greatest(byLang.map(_._2): _*)
+    byLang.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(top > 0 && s === top, lang).otherwise(acc)
+    }
+  }
+
+  /** Punctuation-density, stopword-ratio and length features + a blended
+    * [0,100] quality score. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val t = normText(text)
+    val nChars = length(t)
+    val nTokens = tokenCount(text)
+    val punct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val stop = markers("en").map(w => wordHits(t, w)).reduce(_ + _)
+    val punctRatio = when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0)
+    val stopRatio = when(nTokens > 0, stop.cast("double") / nTokens).otherwise(0.0)
+    val meanTokLen = when(nTokens > 0,
+      length(regexp_replace(t, " ", "")).cast("double") / nTokens).otherwise(0.0)
+    val score =
+      when(nTokens === 0, 0.0).otherwise(
+        greatest(lit(0.0), least(lit(100.0),
+          lit(100.0)
+            - punctRatio * 200.0
+            + least(stopRatio * 100.0, lit(10.0))
+            - when(meanTokLen > 12.0, (meanTokLen - 12.0) * 5.0).otherwise(0.0)
+            - when(nChars < 20, 50.0).otherwise(0.0))))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "punct_ratio" -> round(punctRatio, 4),
+      "stop_ratio" -> round(stopRatio, 4),
+      "quality" -> round(score, 2))
+  }
+
+  /** Whitespace tokens of the normalized text (empty string → 0). */
+  def tokenCount(text: Column): Column = {
+    val t = normText(text)
+    when(length(t) === 0, 0).otherwise(size(split(t, " ")))
+  }
+
+  /** BPE-ish subword count upper bound: words + intra-word transitions
+    * letter→digit etc., approximated as ceil(chars/4) blended with words
+    * (a common ~4-chars-per-token heuristic). */
+  def approxBpeTokens(text: Column): Column =
+    greatest(tokenCount(text), ceil(length(normText(text)) / 4).cast("int"))
+
+  /** Stable document fingerprint: md5 of normalized text. */
+  def fingerprint(text: Column): Column = md5(normText(text))
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-based re-expression of the reference's idempotent variant load
+  * (VariantLoad3.java:479-589 `saveVariants`): each incoming variant is
+  * matched against the already-loaded set on the natural key
+  * (chromosome, startPos, endPos, refNuc, varNuc, variantType); matches
+  * keep their existing id ("already in RGD", only per-sample detail is
+  * upserted), misses get ids and are inserted.
+  *
+  * The reference does this with a driver-side HashMap per chromosome. At
+  * scale it is a plain shuffled equi-join: both sides hash-partition on
+  * the natural key, no driver state, AQE splits skewed keys. When the
+  * loaded set is dim-sized Catalyst broadcasts it instead.
+  */
+object VariantMerge {
+
+  /** Classify incoming rows against existing rows.
+    *
+    * @param incoming batch of candidate variants
+    * @param existing already-loaded variants carrying `idCol`
+    * @param key      natural-key column names present in both
+    * @param idCol    id column in `existing`
+    * @return incoming columns + `existing_id` (null for new) +
+    *         `merge_action` ("insert" | "already_in_rgd")
+    */
+  def classify(incoming: DataFrame, existing: DataFrame,
+               key: Seq[String], idCol: String): DataFrame = {
+    val ex = existing
+      .select((key.map(col) :+ col(idCol).as("existing_id")): _*)
+      // the natural key is unique in the loaded set; enforce to keep the
+      // join 1:1 like the reference's first-match-wins loop
+      .dropDuplicates(key)
+    incoming
+      .join(ex, key, "left_outer")
+      .withColumn("merge_action",
+        when(col("existing_id").isNotNull, "already_in_rgd")
+          .otherwise("insert"))
+  }
+}

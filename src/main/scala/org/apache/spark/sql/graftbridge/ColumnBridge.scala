@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column <-> Expression converters
+  * (Spark 4 moved `Column.expr` behind `classic.ExpressionUtils`). Lives
+  * under `org.apache.spark.sql` solely to satisfy the access qualifier —
+  * the standard extension-library technique.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
