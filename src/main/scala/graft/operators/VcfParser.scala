@@ -89,7 +89,7 @@ object VcfParser {
 
     def countFor(nuc: String) = {
       val idx = array_position($"alleles", nuc).cast("int")
-      when(idx > 0, coalesce(element_at($"read_counts", idx), lit(0))).otherwise(0)
+      when(idx > 0, coalesce(try_element_at($"read_counts", idx), lit(0))).otherwise(0)
     }
 
     val exploded = base
@@ -101,7 +101,7 @@ object VcfParser {
       .withColumn("count_t", countFor("T"))
       .withColumn("allele_depth", {
         val idx = array_position($"alleles", $"var_nuc").cast("int")
-        when(idx > 0, coalesce(element_at($"read_counts", idx), lit(0))).otherwise(0)
+        when(idx > 0, coalesce(try_element_at($"read_counts", idx), lit(0))).otherwise(0)
       })
 
     exploded.select(outputColumns.map(col): _*)

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, RangeJoin, Similarity, VariantMerge}
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("binned range join equals naive theta join") {
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 500).map(i => (s"chr${rnd.nextInt(3)}", rnd.nextInt(10000).toLong))
+      .toDF("chr", "pos")
+    val intervals = (1 to 60).map { i =>
+      val s = rnd.nextInt(9000).toLong
+      (s"chr${rnd.nextInt(3)}", i.toLong, s, s + rnd.nextInt(800))
+    }.toDF("chr", "iv_id", "start", "stop")
+
+    val binned = RangeJoin.joined(points, intervals, "pos", "start", "stop",
+        keys = Seq("chr"), binWidth = 512)
+      .select("chr", "pos", "iv_id").as[(String, Long, Long)].collect().sorted
+
+    val naive = points.as("p").join(intervals.as("i"),
+        $"p.chr" === $"i.chr" && $"i.start" <= $"p.pos" && $"p.pos" <= $"i.stop")
+      .select($"p.chr", $"p.pos", $"i.iv_id").as[(String, Long, Long)].collect().sorted
+
+    assert(binned.nonEmpty && binned.toSeq == naive.toSeq)
+  }
+}
+
+class VariantMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("classify splits insert vs already-in-rgd like VariantLoad3") {
+    val existing = Seq(("1", 100L, "A", "C", 11L), ("1", 200L, "G", "T", 12L))
+      .toDF("chr", "pos", "ref_nuc", "var_nuc", "variant_id")
+    val incoming = Seq(
+      ("1", 100L, "A", "C"),  // match -> already_in_rgd, id 11
+      ("1", 100L, "A", "G"),  // different var -> insert
+      ("2", 100L, "A", "C"),  // different chr -> insert
+      ("1", 200L, "G", "T"))  // match -> already_in_rgd
+      .toDF("chr", "pos", "ref_nuc", "var_nuc")
+    val out = VariantMerge.classify(incoming, existing,
+        Seq("chr", "pos", "ref_nuc", "var_nuc"), "variant_id")
+      .select("chr", "pos", "var_nuc", "existing_id", "merge_action")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), r.getString(4))).toSet
+    assert(out == Set(
+      ("1", 100L, "C", Some(11L), "already_in_rgd"),
+      ("1", 100L, "G", None, "insert"),
+      ("2", 100L, "C", None, "insert"),
+      ("1", 200L, "T", Some(12L), "already_in_rgd")))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "  the   QUICK brown fox jumps over the lazy dog "), // normalizes to same
+    (3L, "The quick brown fox jumps over the lazy cat"),      // near dup
+    (4L, "Completely different content about spark engines"),
+    (5L, "zz")).toDF("doc_id", "text")
+
+  test("exact dedup finds normalized duplicates") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_docs") == 2 && groups(0).getAs[Long]("min_doc_id") == 1L)
+  }
+
+  test("minhash: identical docs share full signature, near dups share bands") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))  // exact dup must collide on every band
+    assert(!cands.contains((1L, 4L)) && !cands.contains((2L, 4L)))
+  }
+
+  test("simhash: near dups within small hamming distance, distinct docs far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)      // identical after normalization
+    assert(ham(sh(1L), sh(3L)) <= 12)     // near dup
+    assert(ham(sh(1L), sh(4L)) > 12)      // unrelated
+  }
+
+  test("ngram jaccard ranks near dup above unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = lit("all"), n = 3, minJaccard = 0.0)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(t => ((t._1, t._2), t._3)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.7 && pairs((1L, 3L)) < 1.0)
+    assert(pairs.getOrElse((1L, 4L), 0.0) < pairs((1L, 3L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f)),   // close to 0
+    (2L, Array(0f, 1f, 0f)),       // orthogonal to 0
+    (3L, Array(-1f, 0f, 0f)),      // opposite of 0
+    (4L, Array(1f, 0f, 0f)))       // identical to 0
+    .toDF("vec_id", "embedding")
+
+  test("cosine top-k ordering is correct") {
+    val q = vecs.filter($"vec_id" === 0L)
+    val top = Similarity.cosineTopK(vecs, q, "vec_id", "embedding", k = 4)
+      .orderBy("rank").select("corpus_id", "cos_sim")
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq(4L, 1L, 2L, 3L))
+    assert(top(0)._2 == 1.0)
+    assert(math.abs(top(1)._2 - 0.993884) < 1e-5)
+    assert(top(2)._2 == 0.0 && top(3)._2 == -1.0)
+  }
+
+  test("lsh buckets: identical vectors always collide, opposite never") {
+    val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", numPlanes = 8)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(4L))
+    assert(b(0L) != b(3L)) // all 8 sign bits flip for the negated vector
+  }
+}
