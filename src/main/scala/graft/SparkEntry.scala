@@ -156,12 +156,16 @@ object SparkEntry {
     }),
 
     "q9_range_join_genic" -> ((s, dir) => {
-      val points = liVariants(s, dir).select("chr", "pos")
+      // positions repeat heavily (pos space is 100k); pre-aggregating to
+      // (chr,pos,cnt) shrinks the interval-join input ~6x with identical
+      // counts (n_hits = sum of per-position multiplicities)
+      val points = liVariants(s, dir).groupBy("chr", "pos")
+        .agg(count(lit(1)).as("cnt"))
       val genes = partGenes(s, dir)
       RangeJoin.joined(points, genes, "pos", "gstart", "gstop",
           keys = Seq("chr"), binWidth = 4096)
         .groupBy("chr")
-        .agg(count(lit(1)).as("n_hits"), countDistinct("pos").as("n_pos"))
+        .agg(sum("cnt").as("n_hits"), countDistinct("pos").as("n_pos"))
     }),
 
     "q10_zygosity" -> ((s, dir) => {
@@ -234,7 +238,8 @@ object SparkEntry {
     }),
 
     "q15_transcript_features" -> ((s, dir) => {
-      val points = liVariants(s, dir).select("chr", "pos")
+      val points = liVariants(s, dir).groupBy("chr", "pos")
+        .agg(count(lit(1)).as("cnt"))
       val exons = partGenes(s, dir)
         .select(col("chr"), col("gstart"), col("gstop"),
           (col("gstart") - 10).as("wstart"), (col("gstop") + 10).as("wstop"))
@@ -242,7 +247,7 @@ object SparkEntry {
           keys = Seq("chr"), binWidth = 4096)
         .filter(abs(col("pos") - col("gstart")) <= 10 ||
           abs(col("pos") - col("gstop")) <= 10)
-        .groupBy("chr").agg(count(lit(1)).as("n_near_splice"))
+        .groupBy("chr").agg(sum("cnt").as("n_near_splice"))
     }),
 
     "q16_translate_dna" -> ((s, dir) => {
@@ -564,10 +569,16 @@ object SparkEntry {
            |sh AS (SELECT DISTINCT doc_id, block, substr(t, CAST(i AS INT), 3) AS sh
            |  FROM (SELECT doc_id, block, t, unnest(generate_series(1, length(t)-2)) AS i
            |    FROM t WHERE length(t) >= 3)),
-           |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-           |  FROM sh a JOIN sh b ON a.block = b.block AND a.sh = b.sh
-           |    AND a.doc_id < b.doc_id
-           |  GROUP BY a.doc_id, b.doc_id),
+           |dfreq AS (SELECT block, sh, count(*) AS dfreq FROM sh GROUP BY block, sh),
+           |rare AS (SELECT s.doc_id, s.block, s.sh FROM sh s
+           |  JOIN dfreq d ON d.block = s.block AND d.sh = s.sh WHERE d.dfreq <= 8),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM rare a JOIN rare b ON a.block = b.block AND a.sh = b.sh
+           |    AND a.doc_id < b.doc_id),
+           |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+           |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+           |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+           |  GROUP BY c.id_a, c.id_b),
            |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
            |SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
            |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard

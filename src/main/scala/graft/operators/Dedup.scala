@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Whitespace-collapsed, lowercased text — the canonical form every
-    * dedup variant keys on. */
+    * dedup variant keys on. Native kernel; value-identical to
+    * regexp_replace(lower(trim(text)), '\s+', ' '). */
   def normText(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+    graft.functions.TextKernels.normText(text)
 
   /** Exact duplicate groups: rows sharing md5(normalized text).
     * Returns (fingerprint, n_docs, min_doc_id) for groups with n>1. */
@@ -27,24 +28,23 @@ object Dedup {
       .agg(count("*").as("n_docs"), min(col(idCol)).as("min_doc_id"))
       .filter(col("n_docs") > 1)
 
-  /** Character n-gram shingles of the normalized text (distinct). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = normText(text)
-    val starts = when(length(t) >= n, sequence(lit(1), length(t) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(starts, i => t.substr(i, lit(n))))
-  }
+  /** Character n-gram shingles of the normalized text (distinct, first-
+    * occurrence order) via the codegen kernel in [[graft.functions.Shingles]]. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.Shingles.charShingles(normText(text), n)
 
   /** MinHash signature: for each of `numHashes` hash families, the minimum
-    * md5(i || shingle) (as a hex-prefix long) over the document's
-    * shingles. Explode factor = #shingles, bounded by doc length. */
+    * xxhash64(family, shingle) over the document's shingles. xxhash64 is
+    * Spark-native codegen (vs an md5+hex-parse per family — ~10x dearer);
+    * minhash needs no cross-engine reproducibility, only consistency.
+    * Explode factor = #shingles, bounded by doc length; the groupBy is
+    * map-side combined so only (id, 16 longs) rows shuffle. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 16, shingleLen: Int = 3): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("sh"))
     val hashCols = (0 until numHashes).map { i =>
-      min(conv(substring(md5(concat(lit(i.toString), lit("|"), col("sh"))), 1, 14),
-        16, 10).cast("long")).as(s"h$i")
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i")
     }
     sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
   }
@@ -59,10 +59,9 @@ object Dedup {
     val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleLen)
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"h$i").cast("string"))
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"),
-        md5(concat_ws(",", cols: _*)).as("bucket"))
+        xxhash64(cols: _*).as("bucket"))
     }
     val banded = sig
       .select(col(idCol), explode(array(bands: _*)).as("bb"))
@@ -94,17 +93,35 @@ object Dedup {
       .withColumn("bucket", shiftright(col("simhash"), 44))
   }
 
-  /** n-gram Jaccard similarity for candidate pairs (same-bucket blocking
-    * on a cheap key, then exact Jaccard on exploded shingles). */
+  /** n-gram Jaccard near-dup pairs.
+    *
+    * Candidate generation joins only on *rare* shingles (block document
+    * frequency ≤ `maxDf`): ubiquitous shingles ("the", " an") otherwise
+    * pair every doc with every doc in its block — O(block²) rows per
+    * common shingle, the classic shingle-join blowup. A rare shingle
+    * caps the fan-out at C(maxDf,2) pairs, while true near-dups still
+    * share plenty of discriminative shingles. Exact Jaccard is then
+    * computed only for the candidate pairs.
+    *
+    * (A pair sharing *only* ubiquitous shingles produces no candidate —
+    * by construction such a pair is not a near-dup.)
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: Column, n: Int = 3,
-                        minJaccard: Double = 0.0): DataFrame = {
+                        minJaccard: Double = 0.0,
+                        maxDf: Int = 8): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), blockCol.as("block"),
       explode(shingles(col(textCol), n)).as("sh"))
-    val a = sh.select(col("block"), col("id").as("id_a"), col("sh"))
-    val b = sh.select(col("block"), col("id").as("id_b"), col("sh"))
-    val inter = a.join(b, Seq("block", "sh"))
+    val dfreq = sh.groupBy("block", "sh").agg(count("*").as("dfreq"))
+    val rare = sh.join(dfreq.filter(col("dfreq") <= maxDf), Seq("block", "sh"))
+    val cand = rare.select(col("block"), col("sh"), col("id").as("id_a"))
+      .join(rare.select(col("block"), col("sh"), col("id").as("id_b")),
+        Seq("block", "sh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count("*").as("n_inter"))
     val sizes = sh.groupBy(col("id")).agg(count("*").as("n_sh"))
     inter

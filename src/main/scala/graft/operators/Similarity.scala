@@ -20,11 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double so the
-    * DuckDB oracle (double lists) reproduces the values. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + coalesce(x, lit(0.0)))
+  /** Dot product of two float-array columns, accumulated in double
+    * (left-to-right, so the DuckDB oracle reproduces the values) via the
+    * primitive kernel in [[graft.functions.Vec]]. */
+  def dot(a: Column, b: Column): Column = graft.functions.Vec.dotF(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -45,13 +44,19 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms once per row, not once per pair: cuts the higher-order-function
+    // evaluations per pair from 3 dot products to 1, with bit-identical
+    // results (dot/(|q|·|c|) in the same double ops).
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm")))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val nn = col("q_norm") * col("c_norm")
     val scored = c.crossJoin(q)
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(when(nn > 0, dot(col("q_vec"), col("c_vec")) / nn).otherwise(0.0), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -87,13 +92,17 @@ object Similarity {
               vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = lshBuckets(corpus, idCol, vecCol, numPlanes)
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), col("bucket"))
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), col("bucket"),
+        norm(col(vecCol)).as("c_norm"))
     val q = broadcast(lshBuckets(queries, idCol, vecCol, numPlanes)
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket")))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"),
+        norm(col(vecCol)).as("q_norm")))
+    val nn = col("q_norm") * col("c_norm")
     val scored = c.join(q, "bucket")
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(when(nn > 0, dot(col("q_vec"), col("c_vec")) / nn).otherwise(0.0), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -12,11 +12,12 @@ object TextAnalysis {
 
   import Dedup.normText
 
-  /** Count of occurrences of a literal word (surrounded by non-letters)
-    * via length difference — engine-portable. */
+  /** Count of \b-bounded occurrences of a literal word. Native kernel;
+    * value-identical to the engine-portable length-difference formula
+    * floor((len(t) - len(regexp_replace(t,'\bw\b','')))/len(w)) that the
+    * oracles use. */
   private def wordHits(t: Column, word: String): Column =
-    floor((length(t) - length(regexp_replace(t, s"\\b$word\\b", "")))
-      / word.length).cast("int")
+    graft.functions.TextKernels.countWord(t, word)
 
   /** Marker-word language scores. The marker sets are tiny n-gram/stopword
     * heuristics (public fastText/langid-style approach reduced to SQL). */

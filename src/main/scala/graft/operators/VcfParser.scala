@@ -25,8 +25,21 @@ object VcfParser {
     "count_a", "count_c", "count_g", "count_t", "total_depth",
     "hgvs_name", "rgd_id", "allele_count", "allele_depth", "read_depth")
 
+  /** One emitted common-format-2 row. */
+  case class Cf2Row(strain: String, chr: String, pos: Int, ref_nuc: String,
+                    var_nuc: String, rs_id: String, count_a: Int, count_c: Int,
+                    count_g: Int, count_t: Int, total_depth: Int,
+                    hgvs_name: Option[String], rgd_id: Option[Int],
+                    allele_count: Int, allele_depth: Int, read_depth: Int)
+
   /** Parse VCF text lines. `strainNames` are the sample columns from the
     * #CHROM header (column 10 onward); pass what `headerStrains` returns.
+    *
+    * Implemented as a single imperative pass per partition (the same shape
+    * as Spark's own text-format datasources): a first declarative draft
+    * re-evaluated the split/transform expression trees once per derived
+    * column after projection collapse — ~10x the work. One hand-rolled
+    * pass keeps the whole parse narrow, shuffle-free and allocation-light.
     *
     * @param processVariantsSameAsRef also emit alleles equal to the ref
     *        (default false, like the reference)
@@ -35,76 +48,90 @@ object VcfParser {
             processVariantsSameAsRef: Boolean = false): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
+    val strains = strainNames.toArray
+    val sameAsRef = processVariantsSameAsRef
+    lines.mapPartitions { it =>
+      it.flatMap(parseLine(_, strains, sameAsRef))
+    }.toDF().select(outputColumns.map(col): _*)
+  }
 
-    val strains = array(strainNames.zipWithIndex.map { case (s, i) =>
-      struct(lit(s).as("strain"), element_at($"v", i + 10).as("data"))
-    }: _*)
+  private def toIntOpt(s: String): Option[Int] =
+    try Some(s.toInt) catch { case _: NumberFormatException => None }
 
-    val base = lines.toDF("line")
-      .filter(!$"line".startsWith("#") && length($"line") > 0)
-      .withColumn("v", split($"line", "\t", -1))
-      // chromosome: strip leading "chr", keep 1-2 char names (ref behavior)
-      .withColumn("chr", regexp_replace(element_at($"v", 1), "^[Cc][Hh][Rr]", ""))
-      .filter(length($"chr").between(1, 2))
-      .withColumn("pos", element_at($"v", 2).cast("int"))
-      .withColumn("id", element_at($"v", 3))
-      .withColumn("ref_nuc", element_at($"v", 4))
-      .withColumn("alt", element_at($"v", 5))
-      // multi-allelic ALT lists are skipped by the reference converter
-      .filter(!$"alt".contains(","))
-      .withColumn("format", split(element_at($"v", 9), "[;:]"))
-      .withColumn("ad_idx", array_position($"format", "AD").cast("int"))
-      .withColumn("ad_idx",
-        when($"ad_idx" === 0, array_position($"format", "CLCAD2").cast("int"))
-          .otherwise($"ad_idx"))
-      .withColumn("dp_idx", array_position($"format", "DP").cast("int"))
-      .filter($"ad_idx" > 0 && $"dp_idx" > 0)
-      // rsId / RGDID:...;hgvs parsing (reference lines 201-217)
-      .withColumn("rgd_id",
-        when($"id".startsWith("RGDID:") && $"id".contains(";"),
-          regexp_extract($"id", "^RGDID:(\\d+);", 1).cast("int")))
-      .withColumn("hgvs_name",
-        when($"id".startsWith("RGDID:") && $"id".contains(";"),
-          regexp_extract($"id", "^RGDID:\\d+;(.*)$", 1)))
-      .withColumn("strain_data", explode(strains))
-      .select($"chr", $"pos", $"ref_nuc", $"alt", $"id".as("rs_id"),
-        $"ad_idx", $"dp_idx", $"rgd_id", $"hgvs_name",
-        $"strain_data.strain".as("strain"), $"strain_data.data".as("data"))
-      // genotype filter: "./.", ".", "0/0", "0" dropped (ref lines 377-391)
-      .withColumn("gt", substring(element_at(split($"data", ":"), 1), 1, 3))
-      .filter(!($"gt".isin("./.", ".", "0/0", "0")))
-      .withColumn("fields", split($"data", ":"))
-      .withColumn("ad_raw", element_at($"fields", $"ad_idx"))
-      .withColumn("read_counts",
-        when($"ad_raw" === ".", array(lit(0)))
-          .otherwise(transform(split($"ad_raw", ","), _.cast("int"))))
-      .withColumn("read_depth",
-        aggregate($"read_counts", lit(0), (acc, x) => acc + coalesce(x, lit(0))))
-      .withColumn("dp_raw", element_at($"fields", $"dp_idx"))
-      .withColumn("total_depth",
-        when($"dp_raw" === "." || $"dp_raw".isNull, 0).otherwise($"dp_raw".cast("int")))
-      // alleles = ref + alts, with per-allele read counts by position
-      .withColumn("alleles", concat(array($"ref_nuc"), split($"alt", ",")))
-      .withColumn("allele_count", size(split($"alt", ",")))
+  /** Reference behavior: VcfToCommonFormat2Converter.processLine /
+    * processStrain (lines 161-318). */
+  private[operators] def parseLine(line: String, strains: Array[String],
+                                   sameAsRef: Boolean): Iterator[Cf2Row] = {
+    if (line.isEmpty || line.charAt(0) == '#') return Iterator.empty
+    val v = line.split("\t", -1)
+    if (v.length < 10) return Iterator.empty
 
-    def countFor(nuc: String) = {
-      val idx = array_position($"alleles", nuc).cast("int")
-      when(idx > 0, coalesce(try_element_at($"read_counts", idx), lit(0))).otherwise(0)
+    // chromosome: strip a leading "chr", keep 1-2 char names
+    var chr = v(0)
+    if (chr.length >= 3 && chr.substring(0, 3).equalsIgnoreCase("chr"))
+      chr = chr.substring(3)
+    if (chr.isEmpty || chr.length > 2) return Iterator.empty
+
+    val pos = toIntOpt(v(1)).getOrElse(return Iterator.empty)
+    val id = v(2)
+    val refNuc = v(3)
+    val alt = v(4)
+    if (alt.contains(',')) return Iterator.empty // multi-allelic: skipped
+
+    val format = if (v(8).contains(";")) v(8).split(";") else v(8).split(":")
+    var adIdx = format.indexOf("AD")
+    if (adIdx < 0) adIdx = format.indexOf("CLCAD2")
+    val dpIdx = format.indexOf("DP")
+    if (adIdx < 0 || dpIdx < 0) return Iterator.empty
+
+    // ClinVar-style ID field: RGDID:<id>;<hgvs>
+    var rgdId: Option[Int] = None
+    var hgvs: Option[String] = None
+    if (id.startsWith("RGDID:")) {
+      val semi = id.indexOf(';')
+      if (semi > 0) {
+        rgdId = toIntOpt(id.substring(6, semi))
+        hgvs = Some(id.substring(semi + 1))
+      }
     }
 
-    val exploded = base
-      .withColumn("var_nuc", explode($"alleles"))
-      .filter(if (processVariantsSameAsRef) lit(true) else $"var_nuc" =!= $"ref_nuc")
-      .withColumn("count_a", countFor("A"))
-      .withColumn("count_c", countFor("C"))
-      .withColumn("count_g", countFor("G"))
-      .withColumn("count_t", countFor("T"))
-      .withColumn("allele_depth", {
-        val idx = array_position($"alleles", $"var_nuc").cast("int")
-        when(idx > 0, coalesce(try_element_at($"read_counts", idx), lit(0))).otherwise(0)
-      })
+    val alleles = Array(refNuc, alt)
+    val alleleCount = 1 // single ALT per line (multi-allelic skipped above)
 
-    exploded.select(outputColumns.map(col): _*)
+    val nStrains = math.min(strains.length, v.length - 9)
+    (0 until nStrains).iterator.flatMap { si =>
+      val data = v(9 + si)
+      val gt = if (data.length >= 3) data.substring(0, 3) else data
+      if (gt == "./." || gt == "." || gt == "0/0" || gt == "0") Iterator.empty
+      else {
+        val fields = data.split(":")
+        if (adIdx >= fields.length || dpIdx >= fields.length) Iterator.empty
+        else {
+          val adRaw = fields(adIdx)
+          val counts: Array[Int] =
+            if (adRaw == ".") Array(0)
+            else adRaw.split(",").map(s => toIntOpt(s).getOrElse(0))
+          var readDepth = 0
+          var i = 0
+          while (i < counts.length) { readDepth += counts(i); i += 1 }
+          val dpRaw = fields(dpIdx)
+          val totalDepth = if (dpRaw == ".") 0 else toIntOpt(dpRaw).getOrElse(0)
+
+          def countFor(nuc: String): Int = {
+            val ai = alleles.indexOf(nuc)
+            if (ai >= 0 && ai < counts.length) counts(ai) else 0
+          }
+
+          alleles.iterator
+            .filter(a => sameAsRef || a != refNuc)
+            .map { allele =>
+              Cf2Row(strains(si), chr, pos, refNuc, allele, id,
+                countFor("A"), countFor("C"), countFor("G"), countFor("T"),
+                totalDepth, hgvs, rgdId, alleleCount, countFor(allele), readDepth)
+            }
+        }
+      }
+    }
   }
 
   /** Strain names from the #CHROM header line (columns 10+). */
