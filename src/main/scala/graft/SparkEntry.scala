@@ -275,6 +275,38 @@ object SparkEntry {
         .groupBy("variant_type", "frame_shift").agg(count(lit(1)).as("n"))
     }),
 
+    "q18_vcf_format" -> ((s, dir) => {
+      val v = liVariants(s, dir)
+      v.select(VcfFormat.toVcfLine(
+          concat(lit("chr"), col("chr").cast("string")), col("pos"),
+          when(col("l_orderkey") % 3 === 0, concat(lit("rs"), col("l_orderkey").cast("string"))),
+          col("ref_nuc"), col("var_nuc")).as("line"))
+    }),
+
+    "q19_point_lookup" -> ((s, dir) => {
+      liVariants(s, dir)
+        .filter(col("chr") === 2 && col("pos").between(10000, 30000))
+        .select("chr", "pos", "ref_nuc", "var_nuc", "l_orderkey", "l_linenumber")
+    }),
+
+    "q20_sessionize" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      Sessionize.sessions(e, "user_id", expr("ts DIV 1000000000"),
+          col("event_id"), gapSec = 1800)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("sess_start"), col("sess_end"))
+    }),
+
+    "q21_iupac_expand" -> ((s, dir) => {
+      val codes = Seq("A", "C", "G", "T", "R", "Y", "M", "K", "S", "W", "N")
+      val code = element_at(
+        array(codes.map(lit): _*), (col("l_partkey") % 11 + 1).cast("int"))
+      Tables.lineitem(s, dir)
+        .select(code.as("code"))
+        .select(col("code"), VcfFormat.expandIupac(col("code")).as("allele"))
+        .groupBy("code", "allele").agg(count(lit(1)).as("n"))
+    }),
+
     "vcf_parse" -> ((s, dir) => {
       import s.implicits._
       // synthesize VCF lines from lineitem, then run the real parser
@@ -536,6 +568,45 @@ object SparkEntry {
            |FROM p JOIN g ON p.chr = g.chr
            |  AND (abs(p.pos - g.gstart) <= 10 OR abs(p.pos - g.gstop) <= 10)
            |GROUP BY p.chr""".stripMargin,
+
+      "q18_vcf_format" ->
+        s"""SELECT concat_ws(chr(9), 'chr' || CAST(chr AS VARCHAR),
+           |  CAST(pos AS VARCHAR),
+           |  CASE WHEN l_orderkey % 3 = 0 THEN 'rs' || CAST(l_orderkey AS VARCHAR)
+           |    ELSE '.' END,
+           |  ref_nuc, var_nuc, '.', 'PASS', '.') AS line
+           |FROM ($liVariantsSql)""".stripMargin,
+
+      "q19_point_lookup" ->
+        s"""SELECT chr, pos, ref_nuc, var_nuc, l_orderkey, l_linenumber
+           |FROM ($liVariantsSql)
+           |WHERE chr = 2 AND pos BETWEEN 10000 AND 30000""".stripMargin,
+
+      "q20_sessionize" ->
+        """WITH e AS (SELECT user_id, event_id,
+          |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+          |m AS (SELECT user_id, event_id, ts_sec,
+          |  CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+          |    OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800
+          |    THEN 1 ELSE 0 END AS new_s FROM e),
+          |s AS (SELECT user_id, ts_sec,
+          |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m)
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |  min(ts_sec) AS sess_start, max(ts_sec) AS sess_end
+          |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+      "q21_iupac_expand" ->
+        """WITH v AS (SELECT CASE CAST(l_partkey % 11 AS INT)
+          |  WHEN 0 THEN 'A' WHEN 1 THEN 'C' WHEN 2 THEN 'G' WHEN 3 THEN 'T'
+          |  WHEN 4 THEN 'R' WHEN 5 THEN 'Y' WHEN 6 THEN 'M' WHEN 7 THEN 'K'
+          |  WHEN 8 THEN 'S' WHEN 9 THEN 'W' ELSE 'N' END AS code FROM lineitem),
+          |x AS (SELECT code, unnest(string_split(CASE code
+          |  WHEN 'A' THEN 'A' WHEN 'C' THEN 'C' WHEN 'G' THEN 'G' WHEN 'T' THEN 'T'
+          |  WHEN 'R' THEN 'A,G' WHEN 'Y' THEN 'C,T' WHEN 'M' THEN 'A,C'
+          |  WHEN 'K' THEN 'G,T' WHEN 'S' THEN 'G,C' WHEN 'W' THEN 'A,T'
+          |  ELSE 'A,T,C,G' END, ',')) AS allele FROM v)
+          |SELECT code, allele, count(*) AS n FROM x GROUP BY code, allele""".stripMargin,
 
       "q17_revcomp" ->
         s"""SELECT doc_id, $docDnaSql AS dna,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** VCF production — the inverse of [[VcfParser]], covering the reference's
+  * converter family (convert/ClinVar2Vcf.java, DbSnp2Vcf.java,
+  * GwasCat2Vcf.java, Txt2Vcf.java): turn variant rows into 8-column VCF
+  * data lines. Pure string concatenation → codegen'd, shuffle-free, and
+  * writable with any text sink (at scale: `.write.text` partitioned by
+  * chromosome, one pass).
+  */
+object VcfFormat {
+
+  /** An 8-column VCF data line. Null rsId becomes ".", QUAL/FILTER/INFO
+    * default to "."/"PASS"/".". */
+  def toVcfLine(chr: Column, pos: Column, rsId: Column, ref: Column,
+                alt: Column, qual: Column = lit("."),
+                filter: Column = lit("PASS"),
+                info: Column = lit(".")): Column =
+    concat_ws("\t",
+      chr, pos.cast("string"),
+      when(rsId.isNull || length(rsId) === 0, ".").otherwise(rsId),
+      ref, alt, qual, filter, info)
+
+  /** IUPAC ambiguity code → the nucleotides it denotes
+    * (reference: convert/IUPAC.java; "Unknown" for codes outside the map,
+    * multi-char inputs pass through — indel sequences). */
+  def iupacNucleotides(code: Column): Column = {
+    val m = Seq(
+      "A" -> "A", "C" -> "C", "G" -> "G", "T" -> "T",
+      "R" -> "AG", "Y" -> "CT", "M" -> "AC", "K" -> "GT",
+      "S" -> "GC", "W" -> "AT", "H" -> "ACT", "B" -> "CGT",
+      "V" -> "ACG", "D" -> "AGT", "N" -> "ATCG")
+    val mapped = m.foldRight(lit("Unknown")) { case ((k, v), acc) =>
+      when(code === k, v).otherwise(acc)
+    }
+    when(length(code) > 1, code).otherwise(mapped)
+  }
+
+  /** Explode an IUPAC-coded allele into one row per concrete nucleotide. */
+  def expandIupac(code: Column): Column =
+    explode(transform(
+      sequence(lit(1), length(iupacNucleotides(code))),
+      i => iupacNucleotides(code).substr(i, lit(1))))
+}
