@@ -307,6 +307,38 @@ object SparkEntry {
         .groupBy("code", "allele").agg(count(lit(1)).as("n"))
     }),
 
+    "q22_snpeff_parse" -> ((s, dir) => {
+      val eff = when(col("l_orderkey") % 3 === 0, "missense_variant")
+        .when(col("l_orderkey") % 3 === 1, "synonymous_variant")
+        .otherwise("stop_gained")
+      val impact = when(col("l_orderkey") % 2 === 0, "MODERATE").otherwise("HIGH")
+      val gene = concat(lit("G"), (col("l_partkey") % 50).cast("string"))
+      val ann = concat(baseOf(col("l_suppkey")), lit("|"), eff, lit("|"),
+        impact, lit("|"), gene, lit("|ID"), (col("l_partkey") % 50).cast("string"),
+        lit("|transcript|T1|protein_coding|1|c.1A>G|p.K1E"))
+      val info = concat(lit("DP="), col("l_quantity").cast("long").cast("string"),
+        lit(";ANN="), ann,
+        when(col("l_linenumber") % 2 === 0,
+          concat(lit(","), baseOf(col("l_suppkey") + 1),
+            lit("|upstream_gene_variant|MODIFIER|"), gene,
+            lit("|ID|transcript|T2|protein_coding|||"))).otherwise(lit("")))
+      SnpEff.parseAnnotations(
+          Tables.lineitem(s, dir).select(info.as("info")), "info")
+        .groupBy("effect", "impact")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("gene_symbol").as("n_genes"))
+    }),
+
+    "q23_polyphen_prep" -> ((s, dir) => {
+      val protein = upper(md5(col("text")))
+      val pos = (col("doc_id") % 32 + 1).cast("int")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        pos.cast("long").as("aa_pos"),
+        Polyphen.refAa(protein, pos).as("ref_aa"),
+        Polyphen.aaWindow(protein, pos, flank = 5).as("aa_window"))
+    }),
+
     "vcf_parse" -> ((s, dir) => {
       import s.implicits._
       // synthesize VCF lines from lineitem, then run the real parser
@@ -612,6 +644,41 @@ object SparkEntry {
         s"""SELECT doc_id, $docDnaSql AS dna,
            |reverse(translate($docDnaSql, 'ACGT', 'TGCA')) AS revcomp
            |FROM documents""".stripMargin,
+
+      "q22_snpeff_parse" ->
+        s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           |  CASE WHEN l_orderkey % 3 = 0 THEN 'missense_variant'
+           |    WHEN l_orderkey % 3 = 1 THEN 'synonymous_variant'
+           |    ELSE 'stop_gained' END AS eff,
+           |  CASE WHEN l_orderkey % 2 = 0 THEN 'MODERATE' ELSE 'HIGH' END AS impact,
+           |  'G' || CAST(l_partkey % 50 AS VARCHAR) AS gene FROM lineitem),
+           |src AS (SELECT 'DP=' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || ';ANN='
+           |  || ${baseOfSql("l_suppkey")} || '|' || eff || '|' || impact || '|' || gene
+           |  || '|ID' || CAST(l_partkey % 50 AS VARCHAR)
+           |  || '|transcript|T1|protein_coding|1|c.1A>G|p.K1E'
+           |  || CASE WHEN l_linenumber % 2 = 0 THEN
+           |    ',' || ${baseOfSql("(l_suppkey + 1)")} ||
+           |    '|upstream_gene_variant|MODIFIER|' || gene || '|ID|transcript|T2|protein_coding|||'
+           |  ELSE '' END AS info FROM li),
+           |ann AS (SELECT unnest(string_split(regexp_extract(info, '(?:^|;)ANN=([^;]*)', 1), ','))
+           |  AS annotation FROM src WHERE length(regexp_extract(info, '(?:^|;)ANN=([^;]*)', 1)) > 0),
+           |parsed AS (SELECT
+           |  CASE WHEN length(split_part(annotation, '|', 2)) > 0
+           |    THEN split_part(annotation, '|', 2) END AS effect,
+           |  CASE WHEN length(split_part(annotation, '|', 3)) > 0
+           |    THEN split_part(annotation, '|', 3) END AS impact,
+           |  CASE WHEN length(split_part(annotation, '|', 4)) > 0
+           |    THEN split_part(annotation, '|', 4) END AS gene_symbol
+           |  FROM ann)
+           |SELECT effect, impact, count(*) AS n, count(DISTINCT gene_symbol) AS n_genes
+           |FROM parsed GROUP BY effect, impact""".stripMargin,
+
+      "q23_polyphen_prep" ->
+        """SELECT doc_id, CAST(doc_id % 32 + 1 AS BIGINT) AS aa_pos,
+          |substr(upper(md5(text)), CAST(doc_id % 32 + 1 AS INT), 1) AS ref_aa,
+          |substr(upper(md5(text)),
+          |  greatest(1, CAST(doc_id % 32 + 1 AS INT) - 5), 11) AS aa_window
+          |FROM documents""".stripMargin,
 
       "q27_frameshift" ->
         """WITH v AS (SELECT

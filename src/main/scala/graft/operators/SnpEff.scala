@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SnpEff VCF-INFO annotation parsing (SnpEffLoader.java:130-167): pull
+  * the `ANN=` entry out of the INFO field, split the comma-separated
+  * annotations, split each annotation on '|' into typed columns — fully
+  * declarative (regexp_extract + explode + split_part), codegen'd and
+  * shuffle-free.
+  */
+object SnpEff {
+
+  /** Fields of one SnpEff annotation, in ANN= order. */
+  val fields: Seq[String] = Seq(
+    "allele", "effect", "impact", "gene_symbol", "gene_id", "feature",
+    "feature_id", "bio_type", "rank", "hgvs_c", "hgvs_p")
+
+  /** The raw ANN= payload from an INFO string (null if absent). */
+  def annPayload(info: Column): Column = {
+    val x = regexp_extract(info, "(?:^|;)ANN=([^;]*)", 1)
+    when(length(x) > 0, x)
+  }
+
+  /** Explode a DataFrame's INFO column into one row per SnpEff
+    * annotation, with the first 11 typed fields as columns (empty
+    * fields → null, like the reference's nullIfEmpty). */
+  def parseAnnotations(df: DataFrame, infoCol: String): DataFrame = {
+    val withAnn = df
+      .withColumn("__ann", annPayload(col(infoCol)))
+      .filter(col("__ann").isNotNull)
+      .withColumn("annotation", explode(split(col("__ann"), ",")))
+      .drop("__ann")
+    fields.zipWithIndex.foldLeft(withAnn) { case (acc, (name, i)) =>
+      val v = split_part(col("annotation"), lit("|"), lit(i + 1))
+      acc.withColumn(name, when(length(v) > 0, v))
+    }
+  }
+}
