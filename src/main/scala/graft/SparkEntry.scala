@@ -339,6 +339,46 @@ object SparkEntry {
         Polyphen.aaWindow(protein, pos, flank = 5).as("aa_window"))
     }),
 
+    "q24_annotate_variants" -> ((s, dir) => {
+      // full VariantPostProcessing pipeline over synthetic gene models
+      val variants = liVariants(s, dir)
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("var_id"),
+          col("chr").cast("string").as("chr"), col("pos"),
+          col("ref_nuc"), col("var_nuc"))
+      val genes = partGenes(s, dir)
+        .select(col("gene_id"), col("chr").cast("string").as("chr"),
+          col("gstart"), col("gstop"))
+      val transcripts = partGenes(s, dir).select(
+        (col("gene_id") * 10).as("tr_id"), col("gene_id"),
+        when(col("gene_id") % 2 === 0, "+").otherwise("-").as("strand"),
+        (col("gene_id") % 17 === 0).as("non_coding"))
+      val nExons = (col("gene_id") % 3 + 1).cast("int")
+      val span = (col("gstop") - col("gstart")) ;
+      val exonLen = (span / nExons).cast("long")
+      val exons = partGenes(s, dir)
+        .select((col("gene_id") * 10).as("tr_id"), col("gene_id"),
+          col("gstart"), col("gstop"), nExons.as("n"), exonLen.as("elen"))
+        .withColumn("i", explode(sequence(lit(0), col("n") - 1)))
+        .select(col("tr_id"), lit("EXONS").as("ftype"),
+          (col("gstart") + col("i") * col("elen")).as("fstart"),
+          greatest(col("gstart") + col("i") * col("elen"),
+            col("gstart") + (col("i") + 1) * col("elen") - 5).as("fstop"))
+      val utrs = partGenes(s, dir).filter(col("gstop") - col("gstart") > 60)
+        .select((col("gene_id") * 10).as("tr_id"), col("gstart"), col("gstop"))
+        .select(col("tr_id"),
+          explode(array(
+            struct(lit("5UTRS").as("ftype"), col("gstart").as("fstart"),
+              (col("gstart") + 10).as("fstop")),
+            struct(lit("3UTRS").as("ftype"), (col("gstop") - 10).as("fstart"),
+              col("gstop").as("fstop")))).as("u"))
+        .select(col("tr_id"), col("u.ftype"), col("u.fstart"), col("u.fstop"))
+      val features = exons.unionByName(utrs)
+      TranscriptAnnotator.annotate(variants, genes, transcripts, features,
+          TranscriptAnnotator.HashGenome(), binWidth = 4096)
+        .groupBy("location", "near_splice_site", "syn_status", "triplet_error")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "vcf_parse" -> ((s, dir) => {
       import s.implicits._
       // synthesize VCF lines from lineitem, then run the real parser

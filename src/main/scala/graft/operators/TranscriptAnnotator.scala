@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.DnaOps
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference's core module — VariantPostProcessing.java:168-668 — as a
+  * composed Spark pipeline: map every variant onto every transcript of
+  * every gene whose range contains it, name the transcript location
+  * (EXON / INTRON / UTR / NON-CODING), flag near-splice-site variants,
+  * and for coding exonic SNVs rebuild the UTR-trimmed CDS, apply the
+  * variant, translate both strands and call the AA change + synonymous
+  * status.
+  *
+  * Spark shape vs the reference's: GeneCache/TranscriptCache HashMaps →
+  * joins (the gene containment via [[RangeJoin]]'s binned equi-join);
+  * per-variant cursor loop → one narrow pass after a per-(variant,
+  * transcript) aggregation; chromosome FASTA file reads → a pluggable
+  * [[GenomeSource]] evaluated inside the final distributed map (real
+  * deployments back it with a broadcast 2bit/FASTA index; tests use
+  * [[FixedGenome]]; the synthetic default [[HashGenome]] is
+  * deterministic).
+  */
+object TranscriptAnnotator {
+
+  /** 1-based inclusive genomic sequence access. */
+  trait GenomeSource extends Serializable {
+    def chunk(chr: String, start: Long, stopInclusive: Long): String
+  }
+
+  /** In-memory genome for tests / small references. */
+  case class FixedGenome(chrs: Map[String, String]) extends GenomeSource {
+    def chunk(chr: String, start: Long, stop: Long): String = {
+      val s = chrs.getOrElse(chr, "")
+      if (s.isEmpty) "" else s.substring(
+        math.max(0, (start - 1).toInt), math.min(s.length, stop.toInt))
+    }
+  }
+
+  /** Deterministic synthetic genome: base at (chr,pos) from a mixed hash. */
+  case class HashGenome() extends GenomeSource {
+    private val bases = "ACGT"
+    def chunk(chr: String, start: Long, stop: Long): String = {
+      val sb = new java.lang.StringBuilder((stop - start + 1).toInt)
+      var p = start
+      val ch = chr.hashCode.toLong
+      while (p <= stop) {
+        var h = p * 0x9E3779B97F4A7C15L + ch * 0xC2B2AE3D27D4EB4FL
+        h ^= h >>> 29; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 32
+        sb.append(bases.charAt((h & 3).toInt))
+        p += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** One (variant, transcript) pair ready for the CDS step. */
+  case class VarTr(
+      var_id: Long, chr: String, pos: Long, ref_nuc: String, var_nuc: String,
+      tr_id: Long, strand: String, non_coding: Boolean,
+      in_exon: Boolean, in_u3: Boolean, in_u5: Boolean, near_splice: Boolean,
+      exons: Seq[ExonIv])
+  case class ExonIv(start: Long, stop: Long)
+
+  /** Output row — the VARIANT_TRANSCRIPT analog. */
+  case class Annotated(
+      var_id: Long, tr_id: Long, location: String, near_splice_site: String,
+      syn_status: Option[String], ref_aa: Option[String],
+      var_aa: Option[String], aa_pos: Option[Int], triplet_error: String,
+      frame_shift: Option[String])
+
+  /** @param variants    var_id, chr, pos, ref_nuc, var_nuc (SNVs)
+    * @param genes       gene_id, chr, gstart, gstop
+    * @param transcripts tr_id, gene_id, strand ('+'/'-'), non_coding
+    * @param features    tr_id, ftype ('EXONS'|'3UTRS'|'5UTRS'), fstart, fstop
+    */
+  def annotate(variants: DataFrame, genes: DataFrame, transcripts: DataFrame,
+               features: DataFrame, genome: GenomeSource,
+               binWidth: Long = 1 << 20): Dataset[Annotated] = {
+    val spark = variants.sparkSession
+    import spark.implicits._
+
+    // variant ∈ gene range (binned equi-join), then fan out to transcripts
+    val vg = RangeJoin.joined(
+      variants.select("var_id", "chr", "pos", "ref_nuc", "var_nuc"),
+      genes.select("gene_id", "chr", "gstart", "gstop"),
+      "pos", "gstart", "gstop", keys = Seq("chr"), binWidth = binWidth)
+    val vt = vg.join(transcripts, "gene_id")
+      .select("var_id", "chr", "pos", "ref_nuc", "var_nuc",
+        "tr_id", "strand", "non_coding")
+
+    // exon ordering within each transcript (for the terminal-exon rules)
+    val w = Window.partitionBy("tr_id").orderBy("fstart")
+    val wAll = Window.partitionBy("tr_id")
+    val ex = features.filter(col("ftype") === "EXONS")
+      .withColumn("exon_idx", row_number().over(w))
+      .withColumn("n_exons", count(lit(1)).over(wAll))
+    // at most one UTR of each kind per transcript (reference assumption)
+    val utrs = features.filter(col("ftype").isin("3UTRS", "5UTRS"))
+      .groupBy("tr_id")
+      .agg(min(when(col("ftype") === "3UTRS", col("fstart"))).as("u3s"),
+        min(when(col("ftype") === "3UTRS", col("fstop"))).as("u3e"),
+        min(when(col("ftype") === "5UTRS", col("fstart"))).as("u5s"),
+        min(when(col("ftype") === "5UTRS", col("fstop"))).as("u5e"))
+
+    val vtf = vt.join(ex, "tr_id").join(utrs, Seq("tr_id"), "left")
+
+    // on '-' strand the 3' and 5' UTRs swap roles before exon trimming
+    // (VariantPostProcessing.java:405-412)
+    val minus = col("strand") === "-"
+    val e3s = when(minus, col("u5s")).otherwise(col("u3s"))
+    val e5e = when(minus, col("u3e")).otherwise(col("u5e"))
+
+    // handleUTRs (VariantPostProcessing.java:626-668): trim each exon
+    // against the 3'UTR tail and 5'UTR head; fully-covered exons drop
+    val afters3 =
+      when(e3s.isNull || col("fstop") < e3s, col("fstop"))
+        .when(col("fstart") < e3s, e3s - 1)
+        .otherwise(lit(null))
+    val after5s =
+      when(e5e.isNull || col("fstart") > e5e, col("fstart"))
+        .when(col("fstop") > e5e, e5e + 1)
+        .otherwise(lit(null))
+
+    // per-exon-row flags against the variant [pos, pos+1) (snv varStop)
+    val varStop = col("pos") + 1
+    val containsVar = col("fstart") <= col("pos") && col("fstop") >= varStop
+    val nearStart = col("exon_idx") =!= 1 &&
+      col("fstart") - 10 <= col("pos") && col("fstart") + 10 >= varStop
+    val nearStop = col("exon_idx") =!= col("n_exons") &&
+      col("fstop") - 10 <= col("pos") && col("fstop") + 10 >= varStop
+
+    val grouped = vtf
+      .withColumn("t_start", after5s)
+      .withColumn("t_stop", afters3)
+      .groupBy("var_id", "tr_id")
+      .agg(
+        first("chr").as("chr"), first("pos").as("pos"),
+        first("ref_nuc").as("ref_nuc"), first("var_nuc").as("var_nuc"),
+        first("strand").as("strand"), first("non_coding").as("non_coding"),
+        max(containsVar).as("in_exon"),
+        max(coalesce(col("u3s") <= col("pos") && col("u3e") >= varStop,
+          lit(false))).as("in_u3"),
+        max(coalesce(col("u5s") <= col("pos") && col("u5e") >= varStop,
+          lit(false))).as("in_u5"),
+        max(nearStart || nearStop).as("near_splice"),
+        sort_array(collect_list(when(
+          col("t_start").isNotNull && col("t_stop").isNotNull &&
+            col("t_start") <= col("t_stop"),
+          struct(col("t_start").as("start"), col("t_stop").as("stop")))))
+          .as("exons"))
+
+    val g = genome
+    grouped.as[VarTr].map(annotateOne(_, g))
+  }
+
+  /** The per-(variant, transcript) core — processTranscript +
+    * handleTranslatedProtein (VariantPostProcessing.java:402-624). */
+  private def annotateOne(v: VarTr, genome: GenomeSource): Annotated = {
+    val parts = Seq(
+      if (v.in_u3) Some("3UTRS") else None,
+      if (v.in_u5) Some("5UTRS") else None,
+      if (v.in_exon) Some("EXON") else None).flatten
+    val nearSplice = if (v.near_splice) "T" else "F"
+
+    def locationOnly(extra: Seq[String], tripletError: String = "F") = {
+      val loc = (parts ++ extra).mkString(",")
+      Annotated(v.var_id, v.tr_id, if (loc.isEmpty) "INTRON" else loc,
+        nearSplice, None, None, None, None, tripletError, None)
+    }
+
+    if (!v.in_exon) return locationOnly(Seq("INTRON"))
+    if (v.non_coding) return locationOnly(Seq("NON-CODING"))
+
+    // locate the containing trimmed exon: start <= pos && stop > varStop
+    // (strict, VariantPostProcessing.java:431), accumulating the relative
+    // position over the preceding kept exons
+    var relPos = 0L
+    var found = false
+    val varStop = v.pos + 1
+    val it = v.exons.iterator
+    while (it.hasNext && !found) {
+      val e = it.next()
+      if (e.start <= v.pos && e.stop > varStop) {
+        relPos += v.pos - (e.start - 1)
+        found = true
+      } else relPos += e.stop - e.start + 1
+    }
+    if (!found) return locationOnly(Nil)
+
+    var refDna = v.exons.map(e => genome.chunk(v.chr, e.start, e.stop))
+      .mkString.toLowerCase
+    val rp = relPos.toInt
+    var varDna = refDna.substring(0, rp - 1) + v.var_nuc.toLowerCase +
+      refDna.substring(rp)
+
+    var relP = rp
+    if (v.strand == "-") {
+      relP = refDna.length - relP + 1
+      refDna = DnaOps.reverseComplement(UTF8String.fromString(refDna))
+        .toString.toLowerCase
+      varDna = DnaOps.reverseComplement(UTF8String.fromString(varDna))
+        .toString.toLowerCase
+    }
+
+    val tripletError = if (refDna.length % 3 != 0) "T" else "F"
+    val refTrim = refDna.substring(0, refDna.length - refDna.length % 3)
+    val varTrim = varDna.substring(0, varDna.length - varDna.length % 3)
+    if (relP < 1) return locationOnly(Nil, tripletError)
+
+    val refAaSeq = DnaOps.translate(UTF8String.fromString(refTrim)).toString
+    val varAaSeq = DnaOps.translate(UTF8String.fromString(varTrim)).toString
+    val aaPos = 1 + (relP - 1) / 3
+    if (aaPos < 1 || aaPos > refAaSeq.length || aaPos > varAaSeq.length)
+      return locationOnly(Nil, tripletError)
+
+    val refAa = refAaSeq.substring(aaPos - 1, aaPos)
+    val varAa = varAaSeq.substring(aaPos - 1, aaPos)
+    val syn =
+      if (refAa == "X" || varAa == "X") "unassignable"
+      else if (refAa == varAa) "synonymous"
+      else "nonsynonymous"
+    val frameShift =
+      if (math.abs(refTrim.length - varTrim.length) % 3 != 0) "T" else "F"
+
+    Annotated(v.var_id, v.tr_id, parts.mkString(","), nearSplice,
+      Some(syn), Some(refAa), Some(varAa), Some(aaPos), tripletError,
+      Some(frameShift))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TranscriptAnnotator
+import graft.operators.TranscriptAnnotator.{Annotated, FixedGenome}
+
+/** Hand-derived expectations for the VariantPostProcessing pipeline.
+  *
+  * Genome chr1 = ATGGCCTAAGGGTTTCCC (1-based positions 1..18).
+  */
+class TranscriptAnnotatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val genome = FixedGenome(Map("1" -> "ATGGCCTAAGGGTTTCCC"))
+
+  private def run(variants: Seq[(Long, String, Long, String, String)],
+                  transcripts: Seq[(Long, Long, String, Boolean)],
+                  features: Seq[(Long, String, Long, Long)]): Map[(Long, Long), Annotated] = {
+    val v = variants.toDF("var_id", "chr", "pos", "ref_nuc", "var_nuc")
+    val g = Seq((1L, "1", 1L, 18L)).toDF("gene_id", "chr", "gstart", "gstop")
+    val t = transcripts.toDF("tr_id", "gene_id", "strand", "non_coding")
+    val f = features.toDF("tr_id", "ftype", "fstart", "fstop")
+    TranscriptAnnotator.annotate(v, g, t, f, genome, binWidth = 8)
+      .collect().map(a => (a.var_id, a.tr_id) -> a).toMap
+  }
+
+  test("plus-strand exonic SNV: GCC->GTC is A->V nonsynonymous at AA 2") {
+    val out = run(
+      variants = Seq((1L, "1", 5L, "C", "T")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "EXONS", 1L, 9L)))
+    val a = out((1L, 10L))
+    assert(a.location == "EXON" && a.syn_status.contains("nonsynonymous"))
+    assert(a.ref_aa.contains("A") && a.var_aa.contains("V") && a.aa_pos.contains(2))
+    assert(a.triplet_error == "F" && a.frame_shift.contains("F"))
+  }
+
+  test("second exon SNV accumulates relative position across exons") {
+    // CDS = chunk(1,6) + chunk(10,18) = ATGGCC GGGTTTCCC; pos 11 is relPos 8
+    // codon 3 GGG -> GAG = G -> E
+    val out = run(
+      variants = Seq((2L, "1", 11L, "G", "A")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "EXONS", 1L, 6L), (10L, "EXONS", 10L, 18L)))
+    val a = out((2L, 10L))
+    assert(a.syn_status.contains("nonsynonymous"))
+    assert(a.ref_aa.contains("G") && a.var_aa.contains("E") && a.aa_pos.contains(3))
+    // pos 11 is within 10bp of the second exon's start (10) -> near splice
+    assert(a.near_splice_site == "T")
+  }
+
+  test("minus strand: reverse complement + flipped relative position") {
+    // refDna revcomp(ATGGCCTAA) = TTAGGCCAT -> L,G,H; relPos 9-5+1=5 -> AA 2 G
+    // varDna ATGGTCTAA -> revcomp TTAGACCAT -> L,D,H -> G->D nonsynonymous
+    val out = run(
+      variants = Seq((3L, "1", 5L, "C", "T")),
+      transcripts = Seq((11L, 1L, "-", false)),
+      features = Seq((11L, "EXONS", 1L, 9L)))
+    val a = out((3L, 11L))
+    assert(a.ref_aa.contains("G") && a.var_aa.contains("D"))
+    assert(a.aa_pos.contains(2) && a.syn_status.contains("nonsynonymous"))
+  }
+
+  test("synonymous third-position change") {
+    // pos 6: GCC -> GCA, both A
+    val out = run(
+      variants = Seq((4L, "1", 6L, "C", "A")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "EXONS", 1L, 9L)))
+    assert(out((4L, 10L)).syn_status.contains("synonymous"))
+  }
+
+  test("intronic variant gets INTRON row with no AA call") {
+    val out = run(
+      variants = Seq((5L, "1", 8L, "A", "C")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "EXONS", 1L, 6L), (10L, "EXONS", 10L, 18L)))
+    val a = out((5L, 10L))
+    assert(a.location == "INTRON" && a.syn_status.isEmpty && a.ref_aa.isEmpty)
+  }
+
+  test("non-coding transcript short-circuits to NON-CODING") {
+    val out = run(
+      variants = Seq((6L, "1", 5L, "C", "T")),
+      transcripts = Seq((12L, 1L, "+", true)),
+      features = Seq((12L, "EXONS", 1L, 9L)))
+    assert(out((6L, 12L)).location == "EXON,NON-CODING")
+  }
+
+  test("variant in 5'UTR-trimmed region: UTR location, no AA call") {
+    val out = run(
+      variants = Seq((7L, "1", 2L, "T", "A")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "5UTRS", 1L, 3L), (10L, "EXONS", 1L, 9L)))
+    val a = out((7L, 10L))
+    assert(a.location == "5UTRS,EXON")
+    assert(a.syn_status.isEmpty)
+  }
+
+  test("triplet error flagged when CDS length not divisible by 3") {
+    val out = run(
+      variants = Seq((8L, "1", 5L, "C", "T")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "EXONS", 1L, 8L))) // 8 bases
+    val a = out((8L, 10L))
+    assert(a.triplet_error == "T")
+    assert(a.syn_status.contains("nonsynonymous")) // still callable at AA 2
+  }
+}
