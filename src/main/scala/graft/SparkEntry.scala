@@ -340,22 +340,40 @@ object SparkEntry {
     }),
 
     "q24_annotate_variants" -> ((s, dir) => {
-      // full VariantPostProcessing pipeline over synthetic gene models
+      // full VariantPostProcessing pipeline over synthetic gene models.
+      // Positions spread over a 10M space so gene density matches a real
+      // genome (~1-2 overlapping genes per position, not hundreds —
+      // q9/q15's dense intervals would make the variant×gene fan-out
+      // quadratic in coverage, which is a property of the data, not the
+      // plan).
+      // variant identity = (chr,pos,ref,var), like the reference's natural
+      // key (lineitem rows are not unique on (orderkey, linenumber) in the
+      // synthetic data, so a row-derived id would collide)
       val variants = liVariants(s, dir)
-        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("var_id"),
-          col("chr").cast("string").as("chr"), col("pos"),
+        .select(col("chr").cast("string").as("chr"),
+          ((col("l_orderkey") * 6151 + col("l_linenumber") * 131) % 10000000)
+            .cast("long").as("pos"),
           col("ref_nuc"), col("var_nuc"))
-      val genes = partGenes(s, dir)
+        .distinct()
+        .withColumn("var_id",
+          xxhash64(col("chr"), col("pos"), col("ref_nuc"), col("var_nuc")))
+      val sparseGenes = Tables.part(s, dir).select(
+        col("p_partkey").as("gene_id"),
+        (col("p_partkey") % 5).cast("long").as("chr"),
+        ((col("p_partkey") * 5137) % 10000000).cast("long").as("gstart"))
+        .withColumn("gstop",
+          col("gstart") + 50 + (col("gene_id") * 97) % 2000)
+      val genes = sparseGenes
         .select(col("gene_id"), col("chr").cast("string").as("chr"),
           col("gstart"), col("gstop"))
-      val transcripts = partGenes(s, dir).select(
+      val transcripts = sparseGenes.select(
         (col("gene_id") * 10).as("tr_id"), col("gene_id"),
         when(col("gene_id") % 2 === 0, "+").otherwise("-").as("strand"),
         (col("gene_id") % 17 === 0).as("non_coding"))
       val nExons = (col("gene_id") % 3 + 1).cast("int")
       val span = (col("gstop") - col("gstart")) ;
       val exonLen = (span / nExons).cast("long")
-      val exons = partGenes(s, dir)
+      val exons = sparseGenes
         .select((col("gene_id") * 10).as("tr_id"), col("gene_id"),
           col("gstart"), col("gstop"), nExons.as("n"), exonLen.as("elen"))
         .withColumn("i", explode(sequence(lit(0), col("n") - 1)))
@@ -363,7 +381,7 @@ object SparkEntry {
           (col("gstart") + col("i") * col("elen")).as("fstart"),
           greatest(col("gstart") + col("i") * col("elen"),
             col("gstart") + (col("i") + 1) * col("elen") - 5).as("fstop"))
-      val utrs = partGenes(s, dir).filter(col("gstop") - col("gstart") > 60)
+      val utrs = sparseGenes.filter(col("gstop") - col("gstart") > 60)
         .select((col("gene_id") * 10).as("tr_id"), col("gstart"), col("gstop"))
         .select(col("tr_id"),
           explode(array(

@@ -154,12 +154,20 @@ object TranscriptAnnotator {
           .as("exons"))
 
     val g = genome
-    grouped.as[VarTr].map(annotateOne(_, g))
+    // co-locate rows of the same transcript so the per-partition CDS cache
+    // rebuilds each transcript's reference sequence once, not per variant
+    grouped.repartition(col("tr_id")).as[VarTr].mapPartitions { it =>
+      val cdsCache = scala.collection.mutable.HashMap.empty[Long, String]
+      it.map(annotateOne(_, g, cdsCache))
+    }
   }
 
   /** The per-(variant, transcript) core — processTranscript +
-    * handleTranslatedProtein (VariantPostProcessing.java:402-624). */
-  private def annotateOne(v: VarTr, genome: GenomeSource): Annotated = {
+    * handleTranslatedProtein (VariantPostProcessing.java:402-624).
+    * `cdsCache` memoizes the reference CDS per transcript (the trimmed
+    * exon list is variant-independent). */
+  private def annotateOne(v: VarTr, genome: GenomeSource,
+      cdsCache: scala.collection.mutable.HashMap[Long, String]): Annotated = {
     val parts = Seq(
       if (v.in_u3) Some("3UTRS") else None,
       if (v.in_u5) Some("5UTRS") else None,
@@ -191,9 +199,17 @@ object TranscriptAnnotator {
     }
     if (!found) return locationOnly(Nil)
 
-    var refDna = v.exons.map(e => genome.chunk(v.chr, e.start, e.stop))
-      .mkString.toLowerCase
+    var refDna = cdsCache.getOrElseUpdate(v.tr_id,
+      v.exons.map(e => genome.chunk(v.chr, e.start, e.stop))
+        .mkString.toLowerCase)
     val rp = relPos.toInt
+    // invariant: relPos is bounded by the CDS length when var_id is unique
+    // per (chr,pos,ref,var); duplicate variant ids would merge two exon
+    // lists in the groupBy above and corrupt the relative position
+    if (rp < 1 || rp > refDna.length)
+      throw new IllegalStateException(
+        s"relPos $rp outside CDS (len ${refDna.length}) for variant " +
+          s"${v.var_id} on transcript ${v.tr_id} — are variant ids unique?")
     var varDna = refDna.substring(0, rp - 1) + v.var_nuc.toLowerCase +
       refDna.substring(rp)
 
