@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Par, VariantF, Zygosity}
+
+/** The reference's whole batch flow as one composed library call — what
+  * `run_converter.sh` → `run_varload.sh` → `run_varpostprocessing.sh`
+  * chain together: VCF text → common-format rows → typed, scored,
+  * zygosity-annotated variants → idempotent merge against the loaded set
+  * → transcript annotation.
+  *
+  * Every stage is the already-tested operator; this wires them with the
+  * reference's column semantics. All stages stay declarative, so Catalyst
+  * plans the whole flow end-to-end (scan-to-sink pushdown, shared
+  * shuffles); nothing materializes on the driver.
+  */
+object VariantPipeline {
+
+  case class Result(
+      /** distinct variants keyed by (chr,pos,ref,var,type) + derivations */
+      variants: DataFrame,
+      /** per (strain, variant) detail: depths, quality, zygosity family */
+      sampleDetail: DataFrame,
+      /** merge classification against the pre-loaded set */
+      merged: DataFrame,
+      /** VARIANT_TRANSCRIPT analog from the annotator */
+      annotated: Dataset[TranscriptAnnotator.Annotated])
+
+  /** @param lines      VCF text lines
+    * @param strains    sample columns of the VCF header
+    * @param genders    strain → "M"/"F" (reference reads it off SAMPLE)
+    * @param existing   already-loaded variants with natural key + variant_id
+    * @param genes/transcripts/features gene models (see TranscriptAnnotator)
+    * @param genome     reference sequence access
+    * @param parRegions pseudo-autosomal regions for zygosity
+    */
+  def run(lines: Dataset[String], strains: Seq[String],
+          genders: Map[String, String],
+          existing: DataFrame,
+          genes: DataFrame, transcripts: DataFrame, features: DataFrame,
+          genome: TranscriptAnnotator.GenomeSource,
+          parRegions: Seq[Par.Region] = Par.grch37): Result = {
+
+    val cf2 = VcfParser.parse(lines, strains)
+
+    val gender = genders.foldRight(lit("F")) { case ((s, g), acc) =>
+      when(col("strain") === s, g).otherwise(acc)
+    }
+
+    val isSnv = length(col("ref_nuc")) > 0 && length(col("var_nuc")) > 0
+    val totalDepth = VariantF.totalDepth(col("total_depth"), isSnv,
+      col("count_a"), col("count_c"), col("count_g"), col("count_t"),
+      col("read_depth"))
+    val varReads = Zygosity.varReads(col("var_nuc"),
+      col("count_a"), col("count_c"), col("count_g"), col("count_t"))
+    val totalReads = col("count_a") + col("count_c") + col("count_g") + col("count_t")
+    val pct = Zygosity.percentF(varReads, totalReads)
+    val inPar = Par.inPar(col("chr"), col("pos"), parRegions)
+
+    val scored = cf2
+      .withColumn("gender", gender)
+      .withColumn("variant_type", VariantF.variantType(col("ref_nuc"), col("var_nuc")))
+      .withColumn("end_pos", VariantF.endPos(col("pos"), col("ref_nuc"), col("var_nuc")))
+      .withColumn("quality_score", VariantF.qualityScore(col("read_depth"), totalDepth))
+      .withColumn("dbsnp_class", VariantF.dbSnpClass(
+        when(col("rs_id") === ".", "").otherwise(col("rs_id"))))
+      .withColumn("zygosity_status",
+        Zygosity.status(pct, col("gender"), col("chr"), inPar))
+      .withColumn("zygosity_percent_read", Zygosity.percentRead(varReads, totalReads))
+      .withColumn("zygosity_possible_error", Zygosity.possibleError(pct))
+      .withColumn("zygosity_num_allele", Zygosity.numAlleles(
+        col("count_a"), col("count_c"), col("count_g"), col("count_t")))
+      .withColumn("zygosity_ref_allele", Zygosity.refAlleleCalled(col("ref_nuc"),
+        col("count_a"), col("count_c"), col("count_g"), col("count_t")))
+      .withColumn("zygosity_in_pseudo",
+        Par.inPseudo(col("gender"), col("chr"), col("pos"), parRegions))
+      // reference drops variants called zero times (VariantLoad3.java:343-346)
+      .filter(varReads > 0 || !isSnv)
+
+    val key = Seq("chr", "pos", "end_pos", "ref_nuc", "var_nuc", "variant_type")
+    val variants = scored
+      .select((key.map(col) :+ col("dbsnp_class")): _*).distinct()
+      .withColumn("var_id", xxhash64(key.map(col): _*))
+
+    val sampleDetail = scored.select(
+      col("strain"), col("chr"), col("pos"), col("ref_nuc"), col("var_nuc"),
+      col("zygosity_status"), col("zygosity_percent_read"),
+      col("zygosity_possible_error"), col("zygosity_num_allele"),
+      col("zygosity_ref_allele"), col("zygosity_in_pseudo"),
+      varReads.as("variant_frequency"), col("read_depth"),
+      col("quality_score"))
+
+    val merged = VariantMerge.classify(variants, existing, key, "variant_id")
+
+    val annotated = TranscriptAnnotator.annotate(
+      variants.select("var_id", "chr", "pos", "ref_nuc", "var_nuc")
+        .filter(length(col("ref_nuc")) === 1 && length(col("var_nuc")) === 1),
+      genes, transcripts, features, genome)
+
+    Result(variants, sampleDetail, merged, annotated)
+  }
+}
