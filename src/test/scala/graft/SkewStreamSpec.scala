@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+import graft.streaming.StreamDedup
+
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    val rnd = new scala.util.Random(3)
+    // heavily skewed: 80% of rows share key 1
+    val large = (1 to 2000).map(i =>
+      (if (rnd.nextInt(5) < 4) 1L else rnd.nextInt(50).toLong, i.toLong))
+      .toDF("k", "payload")
+    val small = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "name")
+
+    val salted = SkewJoin.saltedJoin(large, small, Seq("k"), buckets = 8)
+      .select("k", "payload", "name").as[(Long, Long, String)].collect().sorted
+    val plain = large.join(small, "k")
+      .select("k", "payload", "name").as[(Long, Long, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq && plain.nonEmpty)
+  }
+
+  test("left join keeps unmatched rows") {
+    val large = Seq((1L, 10L), (99L, 20L)).toDF("k", "payload")
+    val small = Seq((1L, "one")).toDF("k", "name")
+    val out = SkewJoin.saltedJoin(large, small, Seq("k"), 4, "left")
+      .select("k", "name").as[(Long, Option[String])].collect().toSet
+    assert(out == Set((1L, Some("one")), (99L, None)))
+  }
+}
+
+class StreamDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming dedup drops same-fingerprint docs across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = StreamDedup.distinctDocs(
+      mem.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sd_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), "Hello  World"),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), "hello world"), // dup
+        (Timestamp.valueOf("2024-01-01 00:00:03"), "different"))
+      q.processAllAvailable()
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "HELLO   world")) // dup again
+      q.processAllAvailable()
+      val texts = spark.table("sd_out").select("text").as[String].collect().toSet
+      assert(texts.map(_.toLowerCase.replaceAll("\\s+", " ")) ==
+        Set("hello world", "different"))
+    } finally q.stop()
+  }
+}
