@@ -421,6 +421,29 @@ object SparkEntry {
           sum("allele_depth").cast("long").as("sum_allele_depth"))
     }),
 
+    "vcf8_parse" -> ((s, dir) => {
+      import s.implicits._
+      val multi = col("l_orderkey") % 4 === 0
+      val alt = when(multi,
+        concat(baseOf(col("l_partkey") + 1), lit(","), baseOf(col("l_partkey") + 2)))
+        .otherwise(baseOf(col("l_partkey") + 1))
+      val ac = when(multi,
+        concat((col("l_linenumber") + 2).cast("string"), lit(","),
+          (col("l_suppkey") % 5 + 1).cast("string")))
+        .otherwise((col("l_linenumber") + 2).cast("string"))
+      val lines = Tables.lineitem(s, dir).select(concat_ws("\t",
+        (col("l_orderkey") % 5 + 1).cast("string"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000).cast("string"),
+        lit("."), baseOf(col("l_partkey")), alt, lit("."), lit("."),
+        concat(lit("DP="), (col("l_quantity").cast("long") + 10).cast("string"),
+          lit(";AC="), ac)).as("line")).as[String]
+      VcfParser.parse8Col(lines)
+        .groupBy("chr")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("allele_depth").cast("long").as("sum_allele_depth"),
+          sum("count_a").cast("long").as("sum_count_a"))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(md5(Dedup.normText(col("text"))).as("fp"))

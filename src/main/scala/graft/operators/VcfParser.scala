@@ -134,6 +134,80 @@ object VcfParser {
     }
   }
 
+  /** Parse 8-column (sample-less) VCF — Vcf8ColToCommonFormat2Converter:
+    * depths come from the INFO field (DP total, AC per ALT allele), the
+    * reference allele's depth is imputed as DP − ΣAC when the ref is not
+    * among the alleles, and one row is emitted per non-ref allele
+    * (multi-allelic ALT lists allowed, unlike the sample'd format). */
+  def parse8Col(lines: Dataset[String],
+                processVariantsSameAsRef: Boolean = false): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val sameAsRef = processVariantsSameAsRef
+    lines.mapPartitions(_.flatMap(parse8ColLine(_, sameAsRef)))
+      .toDF().select(outputColumns.map(col): _*)
+  }
+
+  private[operators] def parse8ColLine(line: String,
+                                       sameAsRef: Boolean): Iterator[Cf2Row] = {
+    if (line.isEmpty || line.charAt(0) == '#') return Iterator.empty
+    val v = line.split("\t", -1)
+    if (v.length < 8) return Iterator.empty
+
+    var chr = v(0)
+    if (chr.length >= 3 && chr.substring(0, 3).equalsIgnoreCase("chr"))
+      chr = chr.substring(3)
+    if (chr.isEmpty || chr.length > 2) return Iterator.empty
+    val pos = toIntOpt(v(1)).getOrElse(return Iterator.empty)
+    val rsId = v(2)
+    val refNuc = v(3)
+
+    val info = v(7).split(";", -1).iterator
+      .map(f => (f, f.indexOf('=')))
+      .collect { case (f, eq) if eq > 0 => f.substring(0, eq) -> f.substring(eq + 1) }
+      .toMap
+    val totalDepth = info.get("DP").flatMap(toIntOpt).getOrElse(return Iterator.empty)
+
+    var alleles = v(4).split(",", -1)
+    var depths: Array[Int] = info.get("AC") match {
+      case Some(ac) => ac.split(",", -1).map(s => toIntOpt(s).getOrElse(0))
+      case None     => null
+    }
+    // impute the reference allele's depth when absent from ALT
+    if (depths != null && !alleles.contains(refNuc)) {
+      val refDepth = totalDepth - depths.sum
+      if (refDepth > 0) {
+        alleles = alleles :+ refNuc
+        depths = depths :+ refDepth
+      }
+    }
+    val alleleCount = v(4).split(",", -1).length
+
+    def depthOf(nuc: String): Int = {
+      val i = alleles.indexOf(nuc)
+      if (depths != null && i >= 0 && i < depths.length) depths(i) else 0
+    }
+
+    alleles.iterator.zipWithIndex
+      .filter { case (a, _) => sameAsRef || a != refNuc }
+      .map { case (allele, i) =>
+        val (ca, cc, cg, ct, ad) =
+          if (depths != null)
+            (depthOf("A"), depthOf("C"), depthOf("G"), depthOf("T"),
+              if (i < depths.length) depths(i) else 0)
+          else (
+            if (allele == "A") totalDepth else 0,
+            if (allele == "C") totalDepth else 0,
+            if (allele == "G") totalDepth else 0,
+            if (allele == "T") totalDepth else 0,
+            totalDepth)
+        Cf2Row("", chr, pos, refNuc, allele, rsId, ca, cc, cg, ct,
+          if (totalDepth > 0) totalDepth else 0, None, None,
+          if (depths == null) 1 else alleleCount, ad,
+          if (totalDepth > 0) totalDepth else 0)
+      }
+  }
+
   /** Strain names from the #CHROM header line (columns 10+). */
   def headerStrains(lines: Dataset[String]): Seq[String] = {
     val spark = lines.sparkSession
