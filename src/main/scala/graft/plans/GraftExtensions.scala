@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(session => RangeBinJoinRule(session))
     e.injectFunction((FunctionIdentifier("translate_dna"),
       info("translate_dna", "translate_dna(dna) - codon translation to amino acids"),
       (args: Seq[Expression]) => TranslateDna(args.head)))
