@@ -519,6 +519,19 @@ object SparkEntry {
     "stream_event_rates" -> ((s, dir) => {
       EventRates.windowedBatch(Tables.events(s, dir))
     }),
+
+    "sketch_stats" -> ((s, dir) => {
+      // sketch-based profiling: HLL distinct counts + approximate
+      // quantiles — constant memory per group at any scale (rows-only:
+      // sketch algorithms are engine-specific by design)
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct("user_id", rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
+            lit(10000)).as("value_quantiles"),
+          count(lit(1)).as("n"))
+    }),
   )
 
   // ---- DuckDB oracles ----
