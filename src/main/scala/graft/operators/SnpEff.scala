@@ -26,20 +26,11 @@ object SnpEff {
     * annotation, with the first 11 typed fields as columns (empty
     * fields → null, like the reference's nullIfEmpty).
     *
-    * Fields use split_part (a bounded partial scan each) rather than one
-    * shared split-to-array: the array column gets inlined into every
-    * consumer by projection collapse, and conditional branches are
-    * excluded from codegen subexpression elimination — measured 4x slower
-    * than the split_part form. */
-  def parseAnnotations(df: DataFrame, infoCol: String): DataFrame = {
-    val withAnn = df
-      .withColumn("__ann", annPayload(col(infoCol)))
-      .filter(col("__ann").isNotNull)
-      .withColumn("annotation", explode(split(col("__ann"), ",")))
-      .drop("__ann")
-    fields.zipWithIndex.foldLeft(withAnn) { case (acc, (name, i)) =>
-      val v = split_part(col("annotation"), lit("|"), lit(i + 1))
-      acc.withColumn(name, when(length(v) > 0, v))
-    }
-  }
+    * Uses the custom [[graft.functions.SnpEffAnnotations]] Generator —
+    * one imperative parse per row. (Two declarative drafts lost badly:
+    * per-field split_part rescans the annotation n times, and a shared
+    * split-to-array gets inlined into every consumer by projection
+    * collapse, with conditionals blocking subexpression elimination.) */
+  def parseAnnotations(df: DataFrame, infoCol: String): DataFrame =
+    df.select(col("*"), graft.functions.SnpEffGen.annotations(col(infoCol)))
 }
