@@ -38,9 +38,19 @@ object VcfFormat {
     when(length(code) > 1, code).otherwise(mapped)
   }
 
-  /** Explode an IUPAC-coded allele into one row per concrete nucleotide. */
-  def expandIupac(code: Column): Column =
-    explode(transform(
-      sequence(lit(1), length(iupacNucleotides(code))),
-      i => iupacNucleotides(code).substr(i, lit(1))))
+  /** Explode an IUPAC-coded allele into one row per concrete nucleotide.
+    * Comma-joined mapping + split stays inside codegen (a per-character
+    * `transform` is interpreted and re-evaluates the mapping per element);
+    * non-codes ("Unknown", indel sequences) stay one element. */
+  def expandIupac(code: Column): Column = {
+    val m = Seq(
+      "A" -> "A", "C" -> "C", "G" -> "G", "T" -> "T",
+      "R" -> "A,G", "Y" -> "C,T", "M" -> "A,C", "K" -> "G,T",
+      "S" -> "G,C", "W" -> "A,T", "H" -> "A,C,T", "B" -> "C,G,T",
+      "V" -> "A,C,G", "D" -> "A,G,T", "N" -> "A,T,C,G")
+    val mapped = m.foldRight(lit("Unknown")) { case ((k, v), acc) =>
+      when(code === k, v).otherwise(acc)
+    }
+    explode(split(when(length(code) > 1, code).otherwise(mapped), ","))
+  }
 }
