@@ -444,6 +444,19 @@ object SparkEntry {
           sum("count_a").cast("long").as("sum_count_a"))
     }),
 
+    "corpus_curate" -> ((s, dir) => {
+      val block = concat(col("lang"), lit("|"),
+        floor(col("n_chars") / 100).cast("long").cast("string"))
+      CorpusPipeline.stats(
+        CorpusPipeline.curate(Tables.documents(s, dir), "doc_id", "text", block))
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb, "vec_id", "embedding", k = 1, numPlanes = 8)
+        .select(col("query_id"), col("corpus_id").as("nearest_id"), col("cos_sim"))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(md5(Dedup.normText(col("text"))).as("fp"))
@@ -787,6 +800,66 @@ object SparkEntry {
           |    ELSE 'F' END AS frame_shift,
           |  count(*) AS n
           |FROM v GROUP BY 1, 2""".stripMargin,
+
+      "corpus_curate" -> {
+        val caseChain = langScore.toSeq.sortBy(_._1)
+          .map { case (lang, _) => s"WHEN top > 0 AND s_$lang = top THEN '$lang'" }
+          .mkString(" ")
+        val scoreCols = langScore.toSeq.sortBy(_._1)
+          .map { case (lang, e) => s"($e) AS s_$lang" }.mkString(", ")
+        val greatestExpr = langScore.keys.toSeq.sorted.map("s_" + _).mkString(", ")
+        val stopEn = TextAnalysis.markers("en").map(w =>
+          s"CAST(floor((length(t) - length(regexp_replace(t, '\\b$w\\b', '', 'g'))) / ${w.length}) AS INT)")
+          .mkString(" + ")
+        s"""WITH base AS (SELECT doc_id, lang, md5($normTextSql) AS fingerprint,
+           |    $normTextSql AS t FROM documents),
+           |keep AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM base GROUP BY fingerprint),
+           |dd AS (SELECT b.* FROM base b JOIN keep k
+           |  ON k.fingerprint = b.fingerprint AND k.doc_id = b.doc_id),
+           |feat AS (SELECT *, length(t) AS nc,
+           |  CASE WHEN length(t) = 0 THEN 0 ELSE array_length(string_split(t, ' ')) END AS n_tokens,
+           |  length(t) - length(regexp_replace(t, '[[:punct:]]', '', 'g')) AS punct,
+           |  $stopEn AS stop,
+           |  length(regexp_replace(t, ' ', '', 'g')) AS len_nospace FROM dd),
+           |rat AS (SELECT *,
+           |  CASE WHEN nc > 0 THEN CAST(punct AS DOUBLE) / nc ELSE 0 END AS punct_ratio,
+           |  CASE WHEN n_tokens > 0 THEN CAST(stop AS DOUBLE) / n_tokens ELSE 0 END AS stop_ratio,
+           |  CASE WHEN n_tokens > 0 THEN CAST(len_nospace AS DOUBLE) / n_tokens ELSE 0 END AS mean_tok_len
+           |  FROM feat),
+           |q AS (SELECT *, round(CASE WHEN n_tokens = 0 THEN 0
+           |  ELSE greatest(0.0, least(100.0,
+           |    100.0 - punct_ratio * 200.0 + least(stop_ratio * 100.0, 10.0)
+           |    - (CASE WHEN mean_tok_len > 12.0 THEN (mean_tok_len - 12.0) * 5.0 ELSE 0 END)
+           |    - (CASE WHEN nc < 20 THEN 50.0 ELSE 0 END))) END, 2) AS quality FROM rat),
+           |gated AS (SELECT * FROM q WHERE quality >= 30.0 AND n_tokens >= 5),
+           |lng AS (SELECT *, CASE $caseChain ELSE 'und' END AS lang_pred FROM (
+           |  SELECT *, greatest($greatestExpr) AS top FROM (
+           |    SELECT *, $scoreCols FROM gated))),
+           |sh AS (SELECT DISTINCT doc_id,
+           |    lang || '|' || CAST(CAST(floor(nc / 100) AS BIGINT) AS VARCHAR) AS block,
+           |    substr(t, CAST(i AS INT), 3) AS sh
+           |  FROM (SELECT doc_id, lang, nc, t, unnest(generate_series(1, length(t)-2)) AS i
+           |    FROM lng WHERE length(t) >= 3)),
+           |dfreq AS (SELECT block, sh, count(*) AS dfreq FROM sh GROUP BY block, sh),
+           |rare AS (SELECT s.doc_id, s.block, s.sh FROM sh s
+           |  JOIN dfreq d ON d.block = s.block AND d.sh = s.sh WHERE d.dfreq <= 8),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM rare a JOIN rare b ON a.block = b.block AND a.sh = b.sh
+           |    AND a.doc_id < b.doc_id),
+           |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+           |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+           |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+           |  GROUP BY c.id_a, c.id_b),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |losers AS (SELECT DISTINCT id_b AS doc_id FROM inter
+           |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6),
+           |kept AS (SELECT * FROM lng WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+           |SELECT lang_pred, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           |  round(avg(quality), 2) AS avg_quality
+           |FROM kept GROUP BY lang_pred""".stripMargin
+      },
 
       "dedup_exact" ->
         s"""SELECT n_docs, count(*) AS n_groups FROM (
