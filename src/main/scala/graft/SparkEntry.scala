@@ -452,8 +452,8 @@ object SparkEntry {
     }),
 
     "dedup_embedding" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb, emb, "vec_id", "embedding", k = 1, numPlanes = 8)
+      Similarity.lshNearestSelf(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 1, numPlanes = 8)
         .select(col("query_id"), col("corpus_id").as("nearest_id"), col("cos_sim"))
     }),
 

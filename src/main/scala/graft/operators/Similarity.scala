@@ -63,29 +63,65 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
-    * md5-derived value in [-0.5, 0.5). Reproducible in any engine. */
-  private def planeComponent(i: Int, j: Column): Column =
-    conv(substring(md5(concat(lit(s"p$i-"), j.cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0) - 0.5
+  /** Deterministic pseudo-random hyperplane component for (plane i, dim j)
+    * in [-0.5, 0.5): md5-derived, computed once on the driver — the plane
+    * matrix is constant, so it rides into the plan as array literals
+    * instead of per-row hash evaluations (8 planes x 64 dims of md5 per
+    * row dominated the bucketing cost). */
+  private def planeComponent(i: Int, j: Int): Float = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p$i-$j".getBytes("UTF-8"))
+    val bits = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (bits.toDouble / 4294967296.0 - 0.5).toFloat
+  }
 
-  /** Sign-LSH bucket id from `numPlanes` deterministic hyperplanes. */
-  def lshBucket(vec: Column, numPlanes: Int = 8): Column = {
+  private def planeVec(i: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim)(planeComponent(i, _))
+
+  /** Sign-LSH bucket id from `numPlanes` deterministic hyperplanes over
+    * `dim`-dimensional vectors. */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
     val bits = (0 until numPlanes).map { i =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeComponent(i, j)),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(vec, typedLit(planeVec(i, dim)))
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** Corpus annotated with its LSH bucket. */
+  /** Corpus annotated with its LSH bucket. `dim` defaults to the first
+    * row's vector length (tiny driver-side peek). */
   def lshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
-                 numPlanes: Int = 8): DataFrame =
+                 numPlanes: Int = 8, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).head().getInt(0)
     corpus.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+      lshBucket(col(vecCol), numPlanes, d).as("bucket"))
+  }
+
+  /** Self near-neighbor search over the whole corpus: same bucketed
+    * scoring as [[lshTopK]] but as a shuffled self-join on the bucket key
+    * (no broadcast — at corpus scale both sides hash-partition on the
+    * bucket, which is the only shape that survives a 100 TB self-ANN). */
+  def lshNearestSelf(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = lshBuckets(corpus, idCol, vecCol, numPlanes)
+      .withColumn("__norm", norm(col(vecCol)))
+    val a = b.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col("__norm").as("q_norm"), col("bucket"))
+    val c = b.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+      col("__norm").as("c_norm"), col("bucket"))
+    val nn = col("q_norm") * col("c_norm")
+    val scored = a.join(c, "bucket")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(when(nn > 0, dot(col("q_vec"), col("c_vec")) / nn).otherwise(0.0), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 
   /** Bucketed ANN: exact cosine only within matching buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
