@@ -39,4 +39,16 @@ object VariantMerge {
         when(col("existing_id").isNotNull, "already_in_rgd")
           .otherwise("insert"))
   }
+
+  /** Persist a variant set bucketed + sorted on its natural key. Repeated
+    * merges against a bucketed table skip the shuffle entirely (both
+    * sides arrive hash-partitioned on the key) — the steady-state layout
+    * for a 100 TB loaded-variants table that absorbs daily batches. */
+  def writeBucketed(df: DataFrame, table: String, key: Seq[String],
+                    buckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, key.head, key.tail: _*)
+      .sortBy(key.head, key.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
 }
