@@ -22,7 +22,7 @@ object SkewJoin {
   def saltedJoin(large: DataFrame, small: DataFrame, key: Seq[String],
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
-    val saltExpr = pmod(xxhash64(large.columns.map(col): _*), lit(buckets))
+    val saltExpr = pmod(xxhash64(large.columns.toSeq.map(col): _*), lit(buckets))
     val l = large.withColumn("__salt", saltExpr)
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))

@@ -18,7 +18,7 @@ import graft.functions.{CharShingles, CountWord, DotProductF, NormText,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", "", name, usage, "", "", "", "", "", "", "built-in")
 
   private def str(e: Expression): String = e match {
     case Literal(s: UTF8String, _) => s.toString
