@@ -263,6 +263,25 @@ object SparkEntry {
         .withColumn("revcomp", Dna.reverseComplement(col("dna")))
     }),
 
+    "q25_nearest_gene" -> ((s, dir) => {
+      // sparse (realistic-density) gene space, as in q24
+      val points = liVariants(s, dir)
+        .select(col("chr"),
+          ((col("l_orderkey") * 6151 + col("l_linenumber") * 131) % 10000000)
+            .cast("long").as("pos"))
+        .distinct()
+      val genes = Tables.part(s, dir).select(
+        col("p_partkey").as("gene_id"),
+        (col("p_partkey") % 5).cast("long").as("chr"),
+        ((col("p_partkey") * 5137) % 10000000).cast("long").as("gstart"))
+        .withColumn("gstop", col("gstart") + 50 + (col("gene_id") * 97) % 2000)
+      NearestFeature.nearest(points, genes, "pos", "gstart", "gstop",
+          "gene_id", Seq("chr"), maxDist = 5000, binWidth = 16384)
+        .groupBy("chr")
+        .agg(count(lit(1)).as("n_points"),
+          sum("distance").cast("long").as("sum_distance"))
+    }),
+
     "q27_frameshift" -> ((s, dir) => {
       val refSeq = when(col("l_partkey") % 4 === 0, "").when(col("l_partkey") % 4 === 1, "A")
         .when(col("l_partkey") % 4 === 2, "AC").otherwise("ACGT")
@@ -786,6 +805,23 @@ object SparkEntry {
           |substr(upper(md5(text)),
           |  greatest(1, CAST(doc_id % 32 + 1 AS INT) - 5), 11) AS aa_window
           |FROM documents""".stripMargin,
+
+      "q25_nearest_gene" ->
+        s"""WITH p AS (SELECT DISTINCT chr,
+           |  CAST((l_orderkey*6151 + l_linenumber*131) % 10000000 AS BIGINT) AS pos
+           |  FROM ($liVariantsSql)),
+           |g AS (SELECT p_partkey AS gene_id, CAST(p_partkey % 5 AS BIGINT) AS chr,
+           |  CAST((p_partkey*5137) % 10000000 AS BIGINT) AS gstart,
+           |  CAST((p_partkey*5137) % 10000000 + 50 + (p_partkey*97) % 2000 AS BIGINT) AS gstop
+           |  FROM part),
+           |cand AS (SELECT p.chr, p.pos, g.gene_id, g.gstart,
+           |  greatest(0, g.gstart - p.pos, p.pos - g.gstop) AS distance
+           |  FROM p JOIN g ON p.chr = g.chr
+           |    AND p.pos BETWEEN g.gstart - 5000 AND g.gstop + 5000),
+           |best AS (SELECT *, row_number() OVER (PARTITION BY chr, pos
+           |  ORDER BY distance, gstart, gene_id) AS rn FROM cand)
+           |SELECT chr, count(*) AS n_points, CAST(sum(distance) AS BIGINT) AS sum_distance
+           |FROM best WHERE rn = 1 GROUP BY chr""".stripMargin,
 
       "q27_frameshift" ->
         """WITH v AS (SELECT
