@@ -555,14 +555,21 @@ object SparkEntry {
     "sketch_stats" -> ((s, dir) => {
       // sketch-based profiling: HLL distinct counts + approximate
       // quantiles — constant memory per group at any scale (rows-only:
-      // sketch algorithms are engine-specific by design)
+      // sketch algorithms are engine-specific by design). Quantiles are
+      // projected as scalar columns: the driver's pandas comparator can't
+      // sort an array column (r1 `err`).
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
           approx_count_distinct("user_id", rsd = 0.02).as("approx_users"),
           percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-            lit(10000)).as("value_quantiles"),
+            lit(10000)).as("q"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("approx_users"),
+          round(element_at(col("q"), 1), 4).as("q50"),
+          round(element_at(col("q"), 2), 4).as("q95"),
+          round(element_at(col("q"), 3), 4).as("q99"),
+          col("n"))
     }),
   )
 
@@ -770,6 +777,70 @@ object SparkEntry {
         s"""SELECT doc_id, $docDnaSql AS dna,
            |reverse(translate($docDnaSql, 'ACGT', 'TGCA')) AS revcomp
            |FROM documents""".stripMargin,
+
+      "q16_translate_dna" -> {
+        // 64-entry codon CASE derived from the same table as DnaOps
+        val codonCase = (e: String) =>
+          "CASE " + e + graft.functions.DnaOps.codonTable
+            .map { case (c, aa) => s" WHEN '$c' THEN '$aa'" }.mkString +
+            " ELSE 'X' END"
+        s"""WITH d AS (SELECT doc_id, $docDnaSql AS dna FROM documents),
+           |r AS (SELECT doc_id, dna, reverse(translate(dna, 'ACGT', 'TGCA')) AS rc FROM d),
+           |cod AS (SELECT doc_id, unnest(generate_series(0, 9)) AS i, dna, rc FROM r),
+           |aa AS (SELECT doc_id, i,
+           |  ${codonCase("substr(dna, CAST(i*3+1 AS INT), 3)")} AS pa,
+           |  ${codonCase("substr(rc, CAST(i*3+1 AS INT), 3)")} AS ra
+           |  FROM cod),
+           |agg AS (SELECT doc_id, string_agg(pa, '' ORDER BY i) AS protein,
+           |  string_agg(ra, '' ORDER BY i) AS protein_rc FROM aa GROUP BY doc_id)
+           |SELECT a.doc_id, d.dna, a.protein, a.protein_rc
+           |FROM agg a JOIN d USING (doc_id)""".stripMargin
+      },
+
+      // vcf_parse input lines are deterministic concats of lineitem columns
+      // (see the queries entry), so the oracle re-derives the parser's
+      // output per VcfToCommonFormat2Converter semantics: one row per
+      // strain per non-ref allele; "./." genotypes dropped; AD[1] is the
+      // alt allele's depth; read_depth = sum(AD); DP = total_depth.
+      "vcf_parse" ->
+        """WITH li AS (SELECT CAST(l_orderkey % 5 + 1 AS VARCHAR) AS chr, l_orderkey,
+          |  CAST(l_quantity AS BIGINT) % 40 AS q40, CAST(l_linenumber AS BIGINT) AS ln,
+          |  CAST(l_suppkey % 9 AS BIGINT) AS s9 FROM lineitem),
+          |u AS (
+          |  SELECT 'STRAIN_A' AS strain, chr, q40 + ln AS read_depth, ln AS allele_depth FROM li
+          |  UNION ALL
+          |  SELECT 'STRAIN_B', chr, s9, s9 FROM li WHERE l_orderkey % 7 <> 0)
+          |SELECT strain, chr, count(*) AS n_variants,
+          |  CAST(sum(read_depth) AS BIGINT) AS sum_read_depth,
+          |  CAST(sum(allele_depth) AS BIGINT) AS sum_allele_depth
+          |FROM u GROUP BY strain, chr""".stripMargin,
+
+      // vcf8_parse: INFO DP/AC depths; ref-allele depth imputed as
+      // DP − ΣAC when positive; one row per ALT allele. ACGT counts read
+      // off the allele→depth table (ref at base index k=l_partkey%4,
+      // alt1 at (k+1)%4, alt2 — multi-allelic lines only — at (k+2)%4).
+      "vcf8_parse" ->
+        """WITH li AS (SELECT CAST(l_orderkey % 5 + 1 AS VARCHAR) AS chr,
+          |  l_orderkey % 4 = 0 AS multi,
+          |  CAST(l_partkey % 4 AS BIGINT) AS k,
+          |  CAST(l_quantity AS BIGINT) + 10 AS dp,
+          |  CAST(l_linenumber AS BIGINT) + 2 AS ac1,
+          |  CAST(l_suppkey % 5 + 1 AS BIGINT) AS ac2
+          |  FROM lineitem),
+          |d AS (SELECT *, dp - (CASE WHEN multi THEN ac1 + ac2 ELSE ac1 END) AS refdep FROM li),
+          |e AS (SELECT *,
+          |  CASE WHEN (k+1) % 4 = 0 THEN ac1
+          |       WHEN multi AND (k+2) % 4 = 0 THEN ac2
+          |       WHEN k = 0 AND refdep > 0 THEN refdep
+          |       ELSE 0 END AS count_a FROM d),
+          |r AS (
+          |  SELECT chr, ac1 AS allele_depth, count_a FROM e
+          |  UNION ALL
+          |  SELECT chr, ac2, count_a FROM e WHERE multi)
+          |SELECT chr, count(*) AS n_rows,
+          |  CAST(sum(allele_depth) AS BIGINT) AS sum_allele_depth,
+          |  CAST(sum(count_a) AS BIGINT) AS sum_count_a
+          |FROM r GROUP BY chr""".stripMargin,
 
       "q22_snpeff_parse" ->
         s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,

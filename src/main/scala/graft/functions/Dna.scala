@@ -41,13 +41,9 @@ object DnaOps {
     UTF8String.fromString(new String(out))
   }
 
-  // Codon table indexed by 16*b1 + 4*b2 + b3 with A=0,C=1,G=2,T=3.
-  private val AA: Array[Char] = {
-    val t = Array.fill(64)('X')
-    def set(codon: String, aa: Char): Unit = {
-      def idx(ch: Char) = ch match { case 'A' => 0; case 'C' => 1; case 'G' => 2; case 'T' => 3 }
-      t(16 * idx(codon.charAt(0)) + 4 * idx(codon.charAt(1)) + idx(codon.charAt(2))) = aa
-    }
+  /** The 64 standard codon→AA pairs ('*' = stop); public so SQL oracles
+    * can derive a CASE expression from the same source of truth. */
+  val codonTable: Seq[(String, Char)] = {
     val table = Seq(
       "TTT F", "TTC F", "TTA L", "TTG L", "CTT L", "CTC L", "CTA L", "CTG L",
       "ATT I", "ATC I", "ATA I", "ATG M", "GTT V", "GTC V", "GTA V", "GTG V",
@@ -57,7 +53,16 @@ object DnaOps {
       "AAT N", "AAC N", "AAA K", "AAG K", "GAT D", "GAC D", "GAA E", "GAG E",
       "TGT C", "TGC C", "TGA *", "TGG W", "CGT R", "CGC R", "CGA R", "CGG R",
       "AGT S", "AGC S", "AGA R", "AGG R", "GGT G", "GGC G", "GGA G", "GGG G")
-    table.foreach { e => set(e.substring(0, 3), e.charAt(4)) }
+    table.map(e => e.substring(0, 3) -> e.charAt(4))
+  }
+
+  // Codon table indexed by 16*b1 + 4*b2 + b3 with A=0,C=1,G=2,T=3.
+  private val AA: Array[Char] = {
+    val t = Array.fill(64)('X')
+    def idx(ch: Char) = ch match { case 'A' => 0; case 'C' => 1; case 'G' => 2; case 'T' => 3 }
+    codonTable.foreach { case (codon, aa) =>
+      t(16 * idx(codon.charAt(0)) + 4 * idx(codon.charAt(1)) + idx(codon.charAt(2))) = aa
+    }
     t
   }
 
