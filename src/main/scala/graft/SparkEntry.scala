@@ -410,10 +410,17 @@ object SparkEntry {
               col("gstop").as("fstop")))).as("u"))
         .select(col("tr_id"), col("u.ftype"), col("u.fstart"), col("u.fstop"))
       val features = exons.unionByName(utrs)
+      // full row-level output (not an aggregate): every (variant,
+      // transcript) annotation is hash-checked against the DuckDB twin,
+      // which rebuilds the identical Md5Genome in SQL
       TranscriptAnnotator.annotate(variants, genes, transcripts, features,
-          TranscriptAnnotator.HashGenome(), binWidth = 4096)
-        .groupBy("location", "near_splice_site", "syn_status", "triplet_error")
-        .agg(count(lit(1)).as("n"))
+          TranscriptAnnotator.Md5Genome(), binWidth = 4096)
+        .toDF()
+        .select(col("chr"), col("pos"), col("ref_nuc"), col("var_nuc"),
+          col("tr_id").cast("long").as("tr_id"), col("location"),
+          col("near_splice_site"), col("syn_status"), col("ref_aa"),
+          col("var_aa"), col("aa_pos").cast("long").as("aa_pos"),
+          col("triplet_error"), col("frame_shift"))
     }),
 
     "vcf_parse" -> ((s, dir) => {
@@ -576,6 +583,12 @@ object SparkEntry {
   // ---- DuckDB oracles ----
 
   def oracleSql: Map[String, String] = {
+    // 64-entry codon CASE derived from the same table as DnaOps
+    def codonCase(e: String): String =
+      "CASE " + e + graft.functions.DnaOps.codonTable
+        .map { case (c, aa) => s" WHEN '$c' THEN '$aa'" }.mkString +
+        " ELSE 'X' END"
+
     val langScore: Map[String, String] = TextAnalysis.markers.map { case (lang, ws) =>
       lang -> ws.map(w =>
         s"CAST(floor((length(t) - length(regexp_replace(t, '\\b$w\\b', '', 'g'))) / ${w.length}) AS INT)")
@@ -778,12 +791,7 @@ object SparkEntry {
            |reverse(translate($docDnaSql, 'ACGT', 'TGCA')) AS revcomp
            |FROM documents""".stripMargin,
 
-      "q16_translate_dna" -> {
-        // 64-entry codon CASE derived from the same table as DnaOps
-        val codonCase = (e: String) =>
-          "CASE " + e + graft.functions.DnaOps.codonTable
-            .map { case (c, aa) => s" WHEN '$c' THEN '$aa'" }.mkString +
-            " ELSE 'X' END"
+      "q16_translate_dna" ->
         s"""WITH d AS (SELECT doc_id, $docDnaSql AS dna FROM documents),
            |r AS (SELECT doc_id, dna, reverse(translate(dna, 'ACGT', 'TGCA')) AS rc FROM d),
            |cod AS (SELECT doc_id, unnest(generate_series(0, 9)) AS i, dna, rc FROM r),
@@ -794,8 +802,117 @@ object SparkEntry {
            |agg AS (SELECT doc_id, string_agg(pa, '' ORDER BY i) AS protein,
            |  string_agg(ra, '' ORDER BY i) AS protein_rc FROM aa GROUP BY doc_id)
            |SELECT a.doc_id, d.dna, a.protein, a.protein_rc
-           |FROM agg a JOIN d USING (doc_id)""".stripMargin
-      },
+           |FROM agg a JOIN d USING (doc_id)""".stripMargin,
+
+      // Full SQL twin of the VariantPostProcessing pipeline: same synthetic
+      // gene models, same Md5Genome (md5-nibble bases), UTR trimming,
+      // relative-position walk, strand-aware mutate+translate, and the
+      // INTRON / NON-CODING location rules — checked row-by-row.
+      "q24_annotate_variants" ->
+        s"""WITH vars AS (SELECT DISTINCT CAST(l_orderkey % 5 AS VARCHAR) AS chr,
+           |    CAST((l_orderkey*6151 + l_linenumber*131) % 10000000 AS BIGINT) AS pos,
+           |    ${baseOfSql("l_partkey")} AS ref_nuc, ${baseOfSql("l_suppkey")} AS var_nuc
+           |  FROM lineitem),
+           |trs AS (SELECT p_partkey AS gene_id, CAST(p_partkey % 5 AS VARCHAR) AS chr,
+           |    CAST((p_partkey*5137) % 10000000 AS BIGINT) AS gstart,
+           |    CAST((p_partkey*5137) % 10000000 + 50 + (p_partkey*97) % 2000 AS BIGINT) AS gstop,
+           |    CAST(p_partkey*10 AS BIGINT) AS tr_id,
+           |    CASE WHEN p_partkey % 2 = 0 THEN '+' ELSE '-' END AS strand,
+           |    p_partkey % 17 = 0 AS non_coding
+           |  FROM part),
+           |ex0 AS (SELECT tr_id, gstart + i*elen AS fstart,
+           |    greatest(gstart + i*elen, gstart + (i+1)*elen - 5) AS fstop
+           |  FROM (SELECT tr_id, gstart, gstop,
+           |      (gstop - gstart) // (gene_id % 3 + 1) AS elen,
+           |      unnest(generate_series(0, gene_id % 3)) AS i
+           |    FROM trs)),
+           |exi AS (SELECT tr_id, fstart, fstop,
+           |    row_number() OVER (PARTITION BY tr_id ORDER BY fstart) AS exon_idx,
+           |    count(*) OVER (PARTITION BY tr_id) AS n_exons FROM ex0),
+           |utr AS (SELECT tr_id, gstart AS u5s, gstart + 10 AS u5e,
+           |    gstop - 10 AS u3s, gstop AS u3e
+           |  FROM trs WHERE gstop - gstart > 60),
+           |vt AS (SELECT v.chr, v.pos, v.ref_nuc, v.var_nuc, t.tr_id, t.strand, t.non_coding
+           |  FROM vars v JOIN trs t ON v.chr = t.chr AND v.pos BETWEEN t.gstart AND t.gstop),
+           |fl AS (SELECT vt.chr, vt.pos, vt.ref_nuc, vt.var_nuc, vt.tr_id, vt.strand, vt.non_coding,
+           |    coalesce(bool_or(e.fstart <= vt.pos AND e.fstop >= vt.pos + 1), false) AS in_exon,
+           |    coalesce(bool_or((e.exon_idx <> 1 AND e.fstart - 10 <= vt.pos AND e.fstart + 10 >= vt.pos + 1)
+           |      OR (e.exon_idx <> e.n_exons AND e.fstop - 10 <= vt.pos AND e.fstop + 10 >= vt.pos + 1)), false) AS near_splice
+           |  FROM vt LEFT JOIN exi e ON e.tr_id = vt.tr_id
+           |  GROUP BY ALL),
+           |flu AS (SELECT f.*,
+           |    coalesce(u.u3s <= f.pos AND u.u3e >= f.pos + 1, false) AS in_u3,
+           |    coalesce(u.u5s <= f.pos AND u.u5e >= f.pos + 1, false) AS in_u5
+           |  FROM fl f LEFT JOIN utr u USING (tr_id)),
+           |tex AS (SELECT tr_id, t_start, t_stop FROM (
+           |    SELECT ei.tr_id,
+           |      CASE WHEN ei.e5e IS NULL OR ei.fstart > ei.e5e THEN ei.fstart
+           |           WHEN ei.fstop > ei.e5e THEN ei.e5e + 1 END AS t_start,
+           |      CASE WHEN ei.e3s IS NULL OR ei.fstop < ei.e3s THEN ei.fstop
+           |           WHEN ei.fstart < ei.e3s THEN ei.e3s - 1 END AS t_stop
+           |    FROM (SELECT e.tr_id, e.fstart, e.fstop,
+           |            CASE WHEN t.strand = '-' THEN u.u5s ELSE u.u3s END AS e3s,
+           |            CASE WHEN t.strand = '-' THEN u.u3e ELSE u.u5e END AS e5e
+           |          FROM exi e JOIN trs t USING (tr_id) LEFT JOIN utr u USING (tr_id)) ei)
+           |  WHERE t_start IS NOT NULL AND t_stop IS NOT NULL AND t_start <= t_stop),
+           |cont AS (SELECT f.*, x.t_start AS c_start
+           |  FROM flu f LEFT JOIN tex x ON x.tr_id = f.tr_id
+           |    AND x.t_start <= f.pos AND x.t_stop > f.pos + 1),
+           |cod AS (SELECT * FROM cont WHERE in_exon AND NOT non_coding AND c_start IS NOT NULL),
+           |rel AS (SELECT c.chr, c.pos, c.ref_nuc, c.var_nuc, c.tr_id, c.strand,
+           |    c.in_u3, c.in_u5, c.near_splice, c.c_start,
+           |    c.pos - (c.c_start - 1) + coalesce(sum(CASE WHEN x.t_start < c.c_start
+           |      THEN x.t_stop - x.t_start + 1 END), 0) AS rp
+           |  FROM cod c LEFT JOIN tex x ON x.tr_id = c.tr_id
+           |  GROUP BY c.chr, c.pos, c.ref_nuc, c.var_nuc, c.tr_id, c.strand,
+           |    c.in_u3, c.in_u5, c.near_splice, c.c_start),
+           |need AS (SELECT DISTINCT tr_id FROM cod),
+           |cdsp AS (SELECT tr_id, unnest(generate_series(t_start, t_stop)) AS p
+           |  FROM tex JOIN need USING (tr_id)),
+           |cdsb AS (SELECT c.tr_id, c.p,
+           |    translate(substr(md5(t.chr || ':' || CAST(c.p AS VARCHAR)), 1, 1),
+           |      '0123456789abcdef', 'ACGTACGTACGTACGT') AS b
+           |  FROM cdsp c JOIN trs t USING (tr_id)),
+           |cds AS (SELECT tr_id, string_agg(b, '' ORDER BY p) AS dna FROM cdsb GROUP BY tr_id),
+           |aa1 AS (SELECT r.*, length(d.dna) AS len,
+           |    CASE WHEN r.strand = '-' THEN length(d.dna) - r.rp + 1 ELSE r.rp END AS relp,
+           |    CASE WHEN r.strand = '-' THEN reverse(translate(d.dna, 'ACGT', 'TGCA')) ELSE d.dna END AS rdna,
+           |    CASE WHEN r.strand = '-' THEN reverse(translate(
+           |        substr(d.dna, 1, CAST(r.rp - 1 AS INT)) || r.var_nuc || substr(d.dna, CAST(r.rp + 1 AS INT)), 'ACGT', 'TGCA'))
+           |      ELSE substr(d.dna, 1, CAST(r.rp - 1 AS INT)) || r.var_nuc || substr(d.dna, CAST(r.rp + 1 AS INT)) END AS vdna
+           |  FROM rel r JOIN cds d USING (tr_id)),
+           |aa2 AS (SELECT *, CASE WHEN len % 3 <> 0 THEN 'T' ELSE 'F' END AS te,
+           |    1 + (relp - 1) // 3 AS ap, len // 3 AS n_aa FROM aa1),
+           |aa3 AS (SELECT *,
+           |    CASE WHEN ap >= 1 AND ap <= n_aa THEN
+           |      ${codonCase("substr(rdna, CAST((ap-1)*3+1 AS INT), 3)")} END AS ref_aa,
+           |    CASE WHEN ap >= 1 AND ap <= n_aa THEN
+           |      ${codonCase("substr(vdna, CAST((ap-1)*3+1 AS INT), 3)")} END AS var_aa
+           |  FROM aa2),
+           |out1 AS (SELECT chr, pos, ref_nuc, var_nuc, tr_id,
+           |    concat_ws(',', CASE WHEN in_u3 THEN '3UTRS' END,
+           |      CASE WHEN in_u5 THEN '5UTRS' END, 'EXON') AS location,
+           |    CASE WHEN near_splice THEN 'T' ELSE 'F' END AS near_splice_site,
+           |    CASE WHEN ref_aa IS NULL THEN NULL
+           |         WHEN ref_aa = 'X' OR var_aa = 'X' THEN 'unassignable'
+           |         WHEN ref_aa = var_aa THEN 'synonymous' ELSE 'nonsynonymous' END AS syn_status,
+           |    ref_aa, var_aa,
+           |    CASE WHEN ref_aa IS NOT NULL THEN CAST(ap AS BIGINT) END AS aa_pos,
+           |    te AS triplet_error,
+           |    CASE WHEN ref_aa IS NOT NULL THEN 'F' END AS frame_shift
+           |  FROM aa3),
+           |out2 AS (SELECT chr, pos, ref_nuc, var_nuc, tr_id,
+           |    concat_ws(',', CASE WHEN in_u3 THEN '3UTRS' END,
+           |      CASE WHEN in_u5 THEN '5UTRS' END,
+           |      CASE WHEN in_exon THEN 'EXON' END,
+           |      CASE WHEN NOT in_exon THEN 'INTRON' END,
+           |      CASE WHEN non_coding THEN 'NON-CODING' END) AS location,
+           |    CASE WHEN near_splice THEN 'T' ELSE 'F' END AS near_splice_site,
+           |    CAST(NULL AS VARCHAR) AS syn_status, CAST(NULL AS VARCHAR) AS ref_aa,
+           |    CAST(NULL AS VARCHAR) AS var_aa, CAST(NULL AS BIGINT) AS aa_pos,
+           |    'F' AS triplet_error, CAST(NULL AS VARCHAR) AS frame_shift
+           |  FROM cont WHERE NOT (in_exon AND NOT non_coding AND c_start IS NOT NULL))
+           |SELECT * FROM out1 UNION ALL SELECT * FROM out2""".stripMargin,
 
       // vcf_parse input lines are deterministic concats of lineitem columns
       // (see the queries entry), so the oracle re-derives the parser's

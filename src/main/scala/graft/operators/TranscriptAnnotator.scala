@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,18 +11,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * composed Spark pipeline: map every variant onto every transcript of
   * every gene whose range contains it, name the transcript location
   * (EXON / INTRON / UTR / NON-CODING), flag near-splice-site variants,
-  * and for coding exonic SNVs rebuild the UTR-trimmed CDS, apply the
-  * variant, translate both strands and call the AA change + synonymous
-  * status.
+  * and for coding exonic variants rebuild the UTR-trimmed CDS, apply the
+  * variant (SNV, insertion, deletion or MNV — the branch ladder at
+  * VariantPostProcessing.java:472-492), translate both strands and call
+  * the AA change, synonymous status and frameshift.
   *
   * Spark shape vs the reference's: GeneCache/TranscriptCache HashMaps →
   * joins (the gene containment via [[RangeJoin]]'s binned equi-join);
   * per-variant cursor loop → one narrow pass after a per-(variant,
   * transcript) aggregation; chromosome FASTA file reads → a pluggable
   * [[GenomeSource]] evaluated inside the final distributed map (real
-  * deployments back it with a broadcast 2bit/FASTA index; tests use
-  * [[FixedGenome]]; the synthetic default [[HashGenome]] is
-  * deterministic).
+  * deployments back it with a broadcast FASTA index, see
+  * [[graft.sources.FastaGenome]]; tests use [[FixedGenome]]; the
+  * synthetic default [[Md5Genome]] is deterministic AND reproducible in
+  * SQL, so the full pipeline has a DuckDB oracle).
   */
 object TranscriptAnnotator {
 
@@ -57,22 +59,64 @@ object TranscriptAnnotator {
     }
   }
 
+  /** md5-derived genome: the base at (chr,pos) is the first hex nibble of
+    * md5("chr:pos") mapped through "ACGTACGTACGTACGT" — i.e. exactly
+    * DuckDB's `translate(substr(md5(chr||':'||pos),1,1),
+    * '0123456789abcdef','ACGTACGTACGTACGT')`, so an external SQL engine
+    * can rebuild the identical genome and oracle-check the whole
+    * annotation pipeline. */
+  case class Md5Genome() extends GenomeSource {
+    private val bases = "ACGTACGTACGTACGT"
+    def chunk(chr: String, start: Long, stop: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder((stop - start + 1).toInt)
+      var p = start
+      while (p <= stop) {
+        val d = md.digest((chr + ":" + p).getBytes("UTF-8"))
+        sb.append(bases.charAt((d(0) >> 4) & 0xf))
+        p += 1
+      }
+      sb.toString
+    }
+  }
+
   /** One (variant, transcript) pair ready for the CDS step. */
   case class VarTr(
-      var_id: Long, chr: String, pos: Long, ref_nuc: String, var_nuc: String,
+      var_id: Long, chr: String, pos: Long, var_stop: Long,
+      ref_nuc: String, var_nuc: String,
       tr_id: Long, strand: String, non_coding: Boolean,
       in_exon: Boolean, in_u3: Boolean, in_u5: Boolean, near_splice: Boolean,
       exons: Seq[ExonIv])
   case class ExonIv(start: Long, stop: Long)
 
-  /** Output row — the VARIANT_TRANSCRIPT analog. */
+  /** Output row — the VARIANT_TRANSCRIPT analog (natural variant key
+    * carried through so results are joinable/verifiable without var_id). */
   case class Annotated(
-      var_id: Long, tr_id: Long, location: String, near_splice_site: String,
+      var_id: Long, chr: String, pos: Long, ref_nuc: String, var_nuc: String,
+      tr_id: Long, location: String, near_splice_site: String,
       syn_status: Option[String], ref_aa: Option[String],
       var_aa: Option[String], aa_pos: Option[Int], triplet_error: String,
       frame_shift: Option[String])
 
-  /** @param variants    var_id, chr, pos, ref_nuc, var_nuc (SNVs)
+  /** '-' and null normalize to the empty sequence (the reference uses
+    * both conventions for ins/del alleles). */
+  private def normSeq(s: String): String =
+    if (s == null || s == "-") "" else s
+
+  /** endPos semantics from VariantLoad3.java:299-315: snv/mnv → pos+1,
+    * insertion (empty ref) → pos, deletion (empty var) → pos+len(ref). */
+  private def varStopCol(pos: Column, refNuc: Column, varNuc: Column): Column = {
+    val refLen = when(refNuc.isNull || refNuc === "" || refNuc === "-", lit(0L))
+      .otherwise(length(refNuc).cast("long"))
+    val varLen = when(varNuc.isNull || varNuc === "" || varNuc === "-", lit(0L))
+      .otherwise(length(varNuc).cast("long"))
+    when(refLen > 0 && varLen > 0, pos + 1)
+      .when(refLen === 0, pos)
+      .otherwise(pos + refLen)
+  }
+
+  /** @param variants    var_id, chr, pos, ref_nuc, var_nuc ('' or '-' for
+    *                    the empty side of an ins/del)
     * @param genes       gene_id, chr, gstart, gstop
     * @param transcripts tr_id, gene_id, strand ('+'/'-'), non_coding
     * @param features    tr_id, ftype ('EXONS'|'3UTRS'|'5UTRS'), fstart, fstop
@@ -85,11 +129,13 @@ object TranscriptAnnotator {
 
     // variant ∈ gene range (binned equi-join), then fan out to transcripts
     val vg = RangeJoin.joined(
-      variants.select("var_id", "chr", "pos", "ref_nuc", "var_nuc"),
+      variants.select(col("var_id"), col("chr"), col("pos"),
+        col("ref_nuc"), col("var_nuc"),
+        varStopCol(col("pos"), col("ref_nuc"), col("var_nuc")).as("var_stop")),
       genes.select("gene_id", "chr", "gstart", "gstop"),
       "pos", "gstart", "gstop", keys = Seq("chr"), binWidth = binWidth)
     val vt = vg.join(transcripts, "gene_id")
-      .select("var_id", "chr", "pos", "ref_nuc", "var_nuc",
+      .select("var_id", "chr", "pos", "var_stop", "ref_nuc", "var_nuc",
         "tr_id", "strand", "non_coding")
 
     // exon ordering within each transcript (for the terminal-exon rules)
@@ -106,7 +152,10 @@ object TranscriptAnnotator {
         min(when(col("ftype") === "5UTRS", col("fstart"))).as("u5s"),
         min(when(col("ftype") === "5UTRS", col("fstop"))).as("u5e"))
 
-    val vtf = vt.join(ex, "tr_id").join(utrs, Seq("tr_id"), "left")
+    // LEFT join: a transcript with no EXONS features still yields a row
+    // (the reference emits an INTRON VARIANT_TRANSCRIPT for those —
+    // VariantPostProcessing.processChromosome "not found means INTRON")
+    val vtf = vt.join(ex, Seq("tr_id"), "left").join(utrs, Seq("tr_id"), "left")
 
     // on '-' strand the 3' and 5' UTRs swap roles before exon trimming
     // (VariantPostProcessing.java:405-412)
@@ -125,8 +174,8 @@ object TranscriptAnnotator {
         .when(col("fstop") > e5e, e5e + 1)
         .otherwise(lit(null))
 
-    // per-exon-row flags against the variant [pos, pos+1) (snv varStop)
-    val varStop = col("pos") + 1
+    // per-exon-row flags against the variant [pos, var_stop]
+    val varStop = col("var_stop")
     val containsVar = col("fstart") <= col("pos") && col("fstop") >= varStop
     val nearStart = col("exon_idx") =!= 1 &&
       col("fstart") - 10 <= col("pos") && col("fstart") + 10 >= varStop
@@ -139,14 +188,15 @@ object TranscriptAnnotator {
       .groupBy("var_id", "tr_id")
       .agg(
         first("chr").as("chr"), first("pos").as("pos"),
+        first("var_stop").as("var_stop"),
         first("ref_nuc").as("ref_nuc"), first("var_nuc").as("var_nuc"),
         first("strand").as("strand"), first("non_coding").as("non_coding"),
-        max(containsVar).as("in_exon"),
+        coalesce(max(containsVar), lit(false)).as("in_exon"),
         max(coalesce(col("u3s") <= col("pos") && col("u3e") >= varStop,
           lit(false))).as("in_u3"),
         max(coalesce(col("u5s") <= col("pos") && col("u5e") >= varStop,
           lit(false))).as("in_u5"),
-        max(nearStart || nearStop).as("near_splice"),
+        coalesce(max(nearStart || nearStop), lit(false)).as("near_splice"),
         sort_array(collect_list(when(
           col("t_start").isNotNull && col("t_stop").isNotNull &&
             col("t_start") <= col("t_stop"),
@@ -173,26 +223,30 @@ object TranscriptAnnotator {
       if (v.in_u5) Some("5UTRS") else None,
       if (v.in_exon) Some("EXON") else None).flatten
     val nearSplice = if (v.near_splice) "T" else "F"
+    // NON-CODING is appended whenever the transcript is non-coding,
+    // regardless of inExon (VariantPostProcessing.java:274-283)
+    val ncSuffix = if (v.non_coding) Seq("NON-CODING") else Nil
 
-    def locationOnly(extra: Seq[String], tripletError: String = "F") = {
-      val loc = (parts ++ extra).mkString(",")
-      Annotated(v.var_id, v.tr_id, if (loc.isEmpty) "INTRON" else loc,
-        nearSplice, None, None, None, None, tripletError, None)
-    }
+    def locationOnly(extra: Seq[String], tripletError: String = "F") =
+      Annotated(v.var_id, v.chr, v.pos, v.ref_nuc, v.var_nuc, v.tr_id,
+        (parts ++ extra).mkString(","), nearSplice,
+        None, None, None, None, tripletError, None)
 
-    if (!v.in_exon) return locationOnly(Seq("INTRON"))
-    if (v.non_coding) return locationOnly(Seq("NON-CODING"))
+    if (!v.in_exon) return locationOnly(Seq("INTRON") ++ ncSuffix)
+    if (v.non_coding) return locationOnly(ncSuffix)
+
+    val refSeq = normSeq(v.ref_nuc)
+    val varSeq = normSeq(v.var_nuc)
 
     // locate the containing trimmed exon: start <= pos && stop > varStop
     // (strict, VariantPostProcessing.java:431), accumulating the relative
     // position over the preceding kept exons
     var relPos = 0L
     var found = false
-    val varStop = v.pos + 1
     val it = v.exons.iterator
     while (it.hasNext && !found) {
       val e = it.next()
-      if (e.start <= v.pos && e.stop > varStop) {
+      if (e.start <= v.pos && e.stop > v.var_stop) {
         relPos += v.pos - (e.start - 1)
         found = true
       } else relPos += e.stop - e.start + 1
@@ -205,13 +259,33 @@ object TranscriptAnnotator {
     val rp = relPos.toInt
     // invariant: relPos is bounded by the CDS length when var_id is unique
     // per (chr,pos,ref,var); duplicate variant ids would merge two exon
-    // lists in the groupBy above and corrupt the relative position
+    // lists in the groupBy above and corrupt the relative position.
+    // Quarantine the row (one malformed gene model must not kill a
+    // 100 TB job) — counted downstream via location='ERROR'.
     if (rp < 1 || rp > refDna.length)
-      throw new IllegalStateException(
-        s"relPos $rp outside CDS (len ${refDna.length}) for variant " +
-          s"${v.var_id} on transcript ${v.tr_id} — are variant ids unique?")
-    var varDna = refDna.substring(0, rp - 1) + v.var_nuc.toLowerCase +
-      refDna.substring(rp)
+      return Annotated(v.var_id, v.chr, v.pos, v.ref_nuc, v.var_nuc, v.tr_id,
+        "ERROR", nearSplice, None, None, None, None, "T", None)
+
+    // apply the variant — the branch ladder of
+    // VariantPostProcessing.java:472-492 (deletion / insertion /
+    // anchored insertion / complex / snv)
+    val sb = new java.lang.StringBuilder(refDna)
+    if (varSeq.isEmpty) {
+      val delLen = math.max(1,
+        if (refSeq.nonEmpty) refSeq.length else v.var_nuc.count(_ == '-'))
+      sb.delete(rp - 1, math.min(sb.length, rp - 1 + delLen))
+    } else if (refSeq.isEmpty) {
+      sb.insert(rp - 1, varSeq.toLowerCase)
+    } else if (refSeq.length == 1 && varSeq.length > 1) {
+      sb.insert(rp, varSeq.substring(1).toLowerCase)
+    } else if (refSeq.length != 1 || varSeq.length != 1) {
+      val delLen = (v.var_stop - v.pos).toInt
+      sb.replace(rp - 1, math.min(sb.length, rp - 1 + delLen),
+        varSeq.toLowerCase)
+    } else {
+      sb.setCharAt(rp - 1, Character.toLowerCase(varSeq.charAt(0)))
+    }
+    var varDna = sb.toString
 
     var relP = rp
     if (v.strand == "-") {
@@ -242,7 +316,8 @@ object TranscriptAnnotator {
     val frameShift =
       if (math.abs(refTrim.length - varTrim.length) % 3 != 0) "T" else "F"
 
-    Annotated(v.var_id, v.tr_id, parts.mkString(","), nearSplice,
+    Annotated(v.var_id, v.chr, v.pos, v.ref_nuc, v.var_nuc, v.tr_id,
+      parts.mkString(","), nearSplice,
       Some(syn), Some(refAa), Some(varAa), Some(aaPos), tripletError,
       Some(frameShift))
   }

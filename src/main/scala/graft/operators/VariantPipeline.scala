@@ -94,9 +94,10 @@ object VariantPipeline {
 
     val merged = VariantMerge.classify(variants, existing, key, "variant_id")
 
+    // all variant shapes flow through: the annotator handles SNV, MNV,
+    // insertion and deletion (VariantPostProcessing.java:472-492 ladder)
     val annotated = TranscriptAnnotator.annotate(
-      variants.select("var_id", "chr", "pos", "ref_nuc", "var_nuc")
-        .filter(length(col("ref_nuc")) === 1 && length(col("var_nuc")) === 1),
+      variants.select("var_id", "chr", "pos", "ref_nuc", "var_nuc"),
       genes, transcripts, features, genome)
 
     Result(variants, sampleDetail, merged, annotated)

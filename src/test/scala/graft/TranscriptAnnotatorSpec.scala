@@ -99,6 +99,71 @@ class TranscriptAnnotatorSpec extends AnyFunSuite {
     assert(a.syn_status.isEmpty)
   }
 
+  test("transcript with no EXONS features still yields an INTRON row") {
+    // reference emits a VARIANT_TRANSCRIPT with location INTRON when no
+    // feature contains the variant (processChromosome "not found" branch)
+    val out = run(
+      variants = Seq((20L, "1", 5L, "C", "T")),
+      transcripts = Seq((13L, 1L, "+", false)),
+      features = Seq((99L, "EXONS", 1L, 9L))) // features of another transcript
+    assert(out((20L, 13L)).location == "INTRON")
+  }
+
+  test("intronic variant on non-coding transcript: INTRON,NON-CODING") {
+    // NON-CODING appends regardless of inExon (VariantPostProcessing:274-283)
+    val out = run(
+      variants = Seq((21L, "1", 8L, "A", "C")),
+      transcripts = Seq((12L, 1L, "+", true)),
+      features = Seq((12L, "EXONS", 1L, 6L), (12L, "EXONS", 10L, 18L)))
+    assert(out((21L, 12L)).location == "INTRON,NON-CODING")
+  }
+
+  test("deletion: CDS rebuilt without the deleted base, trimmed to codons") {
+    // ref C at pos 5 deleted: varDna ATGGCTAA -> trim ATGGCT -> M,A
+    // aaPos 2: ref GCC=A, var GCT=A -> synonymous (reference trim quirk:
+    // |9-6| = 3 -> frame_shift F, faithful to handleTranslatedProtein)
+    val out = run(
+      variants = Seq((22L, "1", 5L, "C", "")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "EXONS", 1L, 9L)))
+    val a = out((22L, 10L))
+    assert(a.ref_aa.contains("A") && a.var_aa.contains("A"))
+    assert(a.syn_status.contains("synonymous") && a.frame_shift.contains("F"))
+  }
+
+  test("insertion (empty ref): base inserted before relPos") {
+    // insert G before pos 5: varDna ATGGGCCTAA -> trim 9 -> M,G,L
+    // aaPos 2: ref A, var G -> nonsynonymous
+    val out = run(
+      variants = Seq((23L, "1", 5L, "", "G")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "EXONS", 1L, 9L)))
+    val a = out((23L, 10L))
+    assert(a.ref_aa.contains("A") && a.var_aa.contains("G"))
+    assert(a.syn_status.contains("nonsynonymous"))
+  }
+
+  test("VCF-style anchored insertion: suffix inserted after the anchor") {
+    // ref C -> var CG at pos 5: varDna ATGGCGCTAA -> trim ATGGCGCTA
+    // aaPos 2: GCC=A vs GCG=A -> synonymous
+    val out = run(
+      variants = Seq((24L, "1", 5L, "C", "CG")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "EXONS", 1L, 9L)))
+    val a = out((24L, 10L))
+    assert(a.ref_aa.contains("A") && a.var_aa.contains("A"))
+    assert(a.syn_status.contains("synonymous"))
+  }
+
+  test("Md5Genome matches the SQL definition") {
+    // translate(substr(md5('1:5'),1,1),'0123456789abcdef','ACGTACGTACGTACGT')
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("1:5".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = "ACGTACGTACGTACGT"("0123456789abcdef".indexOf(hex.charAt(0)))
+    assert(TranscriptAnnotator.Md5Genome().chunk("1", 5, 5) == expect.toString)
+  }
+
   test("triplet error flagged when CDS length not divisible by 3") {
     val out = run(
       variants = Seq((8L, "1", 5L, "C", "T")),
