@@ -423,6 +423,87 @@ object SparkEntry {
           col("triplet_error"), col("frame_shift"))
     }),
 
+    "q26_conservation_parse" -> ((s, dir) => {
+      import s.implicits._
+      // synthesize fixedStep wiggle text (deterministic per line index:
+      // spark.range partitions are ordered, so zipWithIndex sees id order),
+      // then run the real parser. Every 101st line declares a new block;
+      // every 6th block is an unmapped contig (skipped rows, advancing pos).
+      val n = Tables.lineitem(s, dir).count()
+      val b = expr("id DIV 101")
+      val lines = s.range(n).select(
+        when(col("id") % 101 === 0,
+          concat(lit("fixedStep chrom="),
+            when(b % 6 === 5, lit("scaffold_1"))
+              .otherwise(concat(lit("chr"), (b % 6).cast("string"))),
+            lit(" start="), ((b * 977) % 100000 + 1).cast("string"),
+            lit(" step="), (b % 3 + 1).cast("string")))
+          .otherwise(concat(((col("id") * 37) % 97).cast("string"), lit("."),
+            ((col("id") * 13) % 10).cast("string"))).as("line")).as[String]
+      Conservation.parseFixedStep(lines)
+    }),
+
+    "q28_polyphen_load" -> ((s, dir) => {
+      import s.implicits._
+      // synthesize Polyphen result TSV + the variant↔protein info table,
+      // then run the real parse + join-back. Rows with doc_id % 11 == 0
+      // arrive with swapped AA residues and must be skipped.
+      val aaAlpha = "ARNDCEQGHILKMFPSTWYV"
+      def aa(i: Column): Column =
+        element_at(array(aaAlpha.map(c => lit(c.toString)): _*),
+          (i % 20 + 1).cast("int"))
+      val docs = Tables.documents(s, dir)
+      val i1 = col("doc_id")
+      val i2 = col("doc_id") % 20 + col("doc_id") % 19 + 1
+      val swapped = col("doc_id") % 11 === 0
+      val protein = concat(lit("NP_"), col("doc_id").cast("string"))
+      val opos = (col("doc_id") % 50 + 1).cast("long")
+      val pred = when(col("doc_id") % 3 === 0, "benign")
+        .when(col("doc_id") % 3 === 1, "possibly damaging")
+        .otherwise("probably damaging")
+      val pclass = when(col("doc_id") % 4 === 0, "deleterious").otherwise("neutral")
+      val probText = concat(lit("0."),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+      val lines = docs.select(concat_ws("\t",
+        protein, opos.cast("string"), aa(i1), aa(i2), lit(""),
+        concat(lit("Q"), col("doc_id").cast("string")), lit(""),
+        when(swapped, aa(i2)).otherwise(aa(i1)),
+        when(swapped, aa(i1)).otherwise(aa(i2)),
+        lit(""), lit(""), pred, lit("alignment"), lit(""), pclass, probText)
+        .as("line")).as[String]
+      val info = docs.select(protein.as("protein_id"), opos.as("aa_pos"),
+        aa(i1).as("ref_aa"), aa(i2).as("var_aa"),
+        (col("doc_id") * 100).cast("long").as("variant_id"),
+        concat(lit("G"), (col("doc_id") % 50).cast("string")).as("gene_symbol"),
+        when(col("doc_id") % 2 === 0, "+").otherwise("-").as("strand"),
+        (col("doc_id") * 10 + 1).cast("long").as("transcript_rgd_id"))
+      Polyphen.loadPredictions(Polyphen.parseResults(lines), info)
+        .select(col("protein_id"), col("o_pos"), col("o_aa1"), col("o_aa2"),
+          col("uniprot_acc"), col("prediction"), col("based_on"),
+          col("pph2_class"), col("pph2_prob"), col("variant_id"),
+          col("gene_symbol"), col("strand"), col("transcript_rgd_id"))
+    }),
+
+    "q29_clinvar_vcf" -> ((s, dir) => {
+      // ClinVar→VCF converter over synthetic clinvar-shaped rows; rows
+      // with a non-ACGTN allele fail the reference QC and are dropped
+      val d = Tables.documents(s, dir)
+      val chr = (col("doc_id") % 20 + 1).cast("string")
+      val pos = (col("doc_id") * 131) % 1000000 + 1
+      val ref = when(col("doc_id") % 7 === 0, "-")
+        .when(col("doc_id") % 13 === 0, "ACZT")
+        .when(col("doc_id") % 5 === 0, "AC")
+        .otherwise(baseOf(col("doc_id")))
+      val vr = when(col("doc_id") % 9 === 0, "-")
+        .otherwise(baseOf(col("doc_id") * 3 + 1))
+      val name = concat(lit("G"), (col("doc_id") % 50).cast("string"),
+        lit(":c."), pos.cast("string"))
+      val rsId = when(col("doc_id") % 3 === 0,
+        concat(lit("rs"), col("doc_id").cast("string"))).otherwise(lit(""))
+      SourceConverters.clinVarToVcf(d, chr, pos, col("doc_id"), name,
+        ref, vr, rsId)
+    }),
+
     "vcf_parse" -> ((s, dir) => {
       import s.implicits._
       // synthesize VCF lines from lineitem, then run the real parser
@@ -913,6 +994,60 @@ object SparkEntry {
            |    'F' AS triplet_error, CAST(NULL AS VARCHAR) AS frame_shift
            |  FROM cont WHERE NOT (in_exon AND NOT non_coding AND c_start IS NOT NULL))
            |SELECT * FROM out1 UNION ALL SELECT * FROM out2""".stripMargin,
+
+      "q26_conservation_parse" ->
+        """WITH n AS (SELECT count(*) AS cnt FROM lineitem),
+          |ids AS (SELECT unnest(generate_series(0, (SELECT cnt - 1 FROM n))) AS id),
+          |d AS (SELECT id, id // 101 AS b FROM ids WHERE id % 101 <> 0),
+          |x AS (SELECT b % 6 AS c, (b*977) % 100000 + 1 AS st, b % 3 + 1 AS sp,
+          |  id - b*101 - 1 AS k, id FROM d)
+          |SELECT CAST(c AS VARCHAR) AS chr, CAST(st + k*sp AS BIGINT) AS pos,
+          |  CAST(CAST((id*37) % 97 AS VARCHAR) || '.' ||
+          |    CAST((id*13) % 10 AS VARCHAR) AS DOUBLE) AS score
+          |FROM x WHERE c <> 5""".stripMargin,
+
+      "q28_polyphen_load" ->
+        """WITH a AS (SELECT doc_id,
+          |  'NP_' || CAST(doc_id AS VARCHAR) AS protein_id,
+          |  CAST(doc_id % 50 + 1 AS BIGINT) AS o_pos,
+          |  substr('ARNDCEQGHILKMFPSTWYV', CAST(doc_id % 20 + 1 AS INT), 1) AS o_aa1,
+          |  substr('ARNDCEQGHILKMFPSTWYV',
+          |    CAST((doc_id % 20 + doc_id % 19 + 1) % 20 + 1 AS INT), 1) AS o_aa2
+          |  FROM documents WHERE doc_id % 11 <> 0)
+          |SELECT protein_id, o_pos, o_aa1, o_aa2,
+          |  'Q' || CAST(doc_id AS VARCHAR) AS uniprot_acc,
+          |  CASE doc_id % 3 WHEN 0 THEN 'benign' WHEN 1 THEN 'possibly damaging'
+          |    ELSE 'probably damaging' END AS prediction,
+          |  'alignment' AS based_on,
+          |  CASE WHEN doc_id % 4 = 0 THEN 'deleterious' ELSE 'neutral' END AS pph2_class,
+          |  CAST('0.' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS DOUBLE) AS pph2_prob,
+          |  CAST(doc_id * 100 AS BIGINT) AS variant_id,
+          |  'G' || CAST(doc_id % 50 AS VARCHAR) AS gene_symbol,
+          |  CASE WHEN doc_id % 2 = 0 THEN '+' ELSE '-' END AS strand,
+          |  CAST(doc_id * 10 + 1 AS BIGINT) AS transcript_rgd_id
+          |FROM a""".stripMargin,
+
+      "q29_clinvar_vcf" ->
+        s"""WITH v AS (SELECT doc_id,
+           |  CAST(doc_id % 20 + 1 AS VARCHAR) AS chr,
+           |  (doc_id * 131) % 1000000 + 1 AS pos,
+           |  CASE WHEN doc_id % 7 = 0 THEN '-' WHEN doc_id % 13 = 0 THEN 'ACZT'
+           |    WHEN doc_id % 5 = 0 THEN 'AC'
+           |    ELSE ${baseOfSql("doc_id")} END AS ref,
+           |  CASE WHEN doc_id % 9 = 0 THEN '-'
+           |    ELSE ${baseOfSql("(doc_id*3+1)")} END AS vr,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'rs' || CAST(doc_id AS VARCHAR)
+           |    ELSE '' END AS rs
+           |  FROM documents)
+           |SELECT concat_ws(chr(9), chr, CAST(pos AS VARCHAR),
+           |  'RGDID:' || CAST(doc_id AS VARCHAR) || ';G' ||
+           |    CAST(doc_id % 50 AS VARCHAR) || ':c.' || CAST(pos AS VARCHAR),
+           |  ref, vr, 'PASS', 'VALIDATED=1',
+           |  CASE WHEN length(rs) > 0 THEN 'DB:' || rs ELSE '' END,
+           |  'GT;AD;DP', '0/1:8,1:9') AS line
+           |FROM v
+           |WHERE (ref = '-' OR regexp_matches(ref, '^[ACGTN]+$$'))
+           |  AND (vr = '-' OR regexp_matches(vr, '^[ACGTN]+$$'))""".stripMargin,
 
       // vcf_parse input lines are deterministic concats of lineitem columns
       // (see the queries entry), so the oracle re-derives the parser's

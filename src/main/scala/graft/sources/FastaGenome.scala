@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.operators.TranscriptAnnotator.GenomeSource
+
+/** FASTA-backed [[GenomeSource]] — the reference reads per-chromosome
+  * `chr<N>.fa.gz` files through a memory-mapped `.nuc` cache
+  * (ChrFastaFile.java:20-104: concatenate non-header non-empty lines).
+  *
+  * Spark shape: parse the FASTA once, broadcast the chromosome map, and
+  * let every executor slice locally — the distributed analog of the
+  * reference's one mmap per JVM. Suitable for references that fit in
+  * executor memory (a mammalian genome is ~3 GB — fine on cluster-sized
+  * executors; a 2bit-packed variant would quarter that if needed).
+  */
+object FastaGenome {
+
+  /** Parse FASTA text into chromosome → sequence. Header names take the
+    * first word after '>' and drop a leading "chr" (the reference's file
+    * naming tolerates chr/Chr/ch/c prefixes — ChrFastaFile.java:49). */
+  def parse(lines: Iterator[String]): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, java.lang.StringBuilder]
+    var cur: java.lang.StringBuilder = null
+    lines.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty) {
+        if (line.charAt(0) == '>') {
+          var name = line.substring(1).split("\\s+")(0)
+          if (name.length > 3 && name.substring(0, 3).equalsIgnoreCase("chr"))
+            name = name.substring(3)
+          cur = new java.lang.StringBuilder
+          out(name) = cur
+        } else if (cur != null) cur.append(line)
+      }
+    }
+    out.iterator.map { case (k, v) => k -> v.toString }.toMap
+  }
+
+  /** Driver-side load + broadcast. FASTA files are header-delimited, so
+    * the per-chromosome grouping must see lines in order — this collects
+    * the (bounded, genome-sized) text once, like the reference's one-time
+    * `.nuc` conversion. */
+  def fromLines(spark: SparkSession, lines: Dataset[String]): BroadcastGenome =
+    BroadcastGenome(spark.sparkContext.broadcast(
+      parse(lines.toLocalIterator().asScala)))
+
+  def fromText(spark: SparkSession, text: String): BroadcastGenome =
+    BroadcastGenome(spark.sparkContext.broadcast(
+      parse(text.linesIterator)))
+
+  private implicit class IterAsScala[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  /** 1-based inclusive slicing over the broadcast map. */
+  case class BroadcastGenome(bc: Broadcast[Map[String, String]])
+      extends GenomeSource {
+    def chunk(chr: String, start: Long, stop: Long): String = {
+      val s = bc.value.getOrElse(chr, "")
+      if (s.isEmpty) ""
+      else s.substring(math.max(0, (start - 1).toInt),
+        math.min(s.length, stop.toInt))
+    }
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Conservation, Polyphen, SourceConverters, TranscriptAnnotator}
+import graft.sources.FastaGenome
+
+/** Specs for the round-2 source/converter operators: fixedStep wiggle,
+  * Polyphen result load-back, source→VCF converters, FASTA genome. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Conservation.parseFixedStep ----
+
+  test("wiggle: blocks, steps, chr-prefix strip and contig skip") {
+    val lines = Seq(
+      "fixedStep chrom=chr1 start=100 step=1",
+      "0.5", "0.25",
+      "fixedStep chrom=scaffold_77 start=9 step=1",
+      "0.9",                                    // unmapped contig: skipped
+      "fixedStep chrom=2 start=50 step=5",
+      "1.0", "2.0", "3.0").toDS()
+    val out = Conservation.parseFixedStep(lines).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      ("1", 100L, 0.5), ("1", 101L, 0.25),
+      ("2", 50L, 1.0), ("2", 55L, 2.0), ("2", 60L, 3.0)))
+  }
+
+  test("wiggle: default step is 1 when the attribute is missing") {
+    val lines = Seq("fixedStep chrom=chr3 start=7", "0.1", "0.2").toDS()
+    val out = Conservation.parseFixedStep(lines).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("3", 7L), ("3", 8L)))
+  }
+
+  // ---- Polyphen.parseResults / loadPredictions ----
+
+  private def resultLine(prot: String, pos: Int, oa1: String, oa2: String,
+                         a1: String, a2: String, pred: String): String =
+    Seq(prot, pos.toString, oa1, oa2, "", s"Q-$prot", "", a1, a2,
+      "", "", pred, "alignment", "", "neutral", "0.42").mkString("\t")
+
+  test("polyphen: header dropped, swapped-AA records skipped, fields parsed") {
+    val lines = Seq(
+      "#o_acc\to_pos\to_aa1\to_aa2",
+      resultLine("NP_1", 7, "D", "N", "D", "N", "benign"),
+      resultLine("NP_2", 9, "K", "E", "E", "K", "benign") // swapped → skip
+    ).toDS()
+    val out = Polyphen.parseResults(lines).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("protein_id") == "NP_1")
+    assert(r.getAs[Long]("o_pos") == 7L)
+    assert(r.getAs[String]("prediction") == "benign")
+    assert(r.getAs[Double]("pph2_prob") == 0.42)
+  }
+
+  test("polyphen: join-back on (protein, pos, ref, var)") {
+    val results = Polyphen.parseResults(Seq(
+      resultLine("NP_1", 7, "D", "N", "D", "N", "benign"),
+      resultLine("NP_9", 1, "A", "V", "A", "V", "benign") // no info row
+    ).toDS())
+    val info = Seq(("NP_1", 7L, "D", "N", 1234L, "Fam83h"))
+      .toDF("protein_id", "aa_pos", "ref_aa", "var_aa", "variant_id", "gene_symbol")
+    val out = Polyphen.loadPredictions(results, info).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("variant_id") == 1234L)
+    assert(out.head.getAs[String]("gene_symbol") == "Fam83h")
+  }
+
+  // ---- SourceConverters ----
+
+  test("clinvar line layout matches ClinVar2Vcf.writeVcfLine") {
+    val df = Seq((12, 7135L, 628932L, "FAM83H:c.749C>T", "C", "T", "rs12345"))
+      .toDF("chr", "pos", "rgd", "name", "ref", "vr", "rs")
+    val line = SourceConverters.clinVarToVcf(df, col("chr").cast("string"),
+      col("pos"), col("rgd"), col("name"), col("ref"), col("vr"), col("rs"))
+      .as[String].head()
+    assert(line ==
+      "12\t7135\tRGDID:628932;FAM83H:c.749C>T\tC\tT\tPASS\tVALIDATED=1\tDB:rs12345\tGT;AD;DP\t0/1:8,1:9")
+  }
+
+  test("allele QC: non-ACGTN dropped, '-' placeholder kept") {
+    val df = Seq(
+      (1, 10L, 1L, "n", "C", "T", ""),   // ok
+      (1, 11L, 2L, "n", "CZ", "T", ""),  // bad ref char
+      (1, 12L, 3L, "n", "-", "ACGT", ""),// ins: ok
+      (1, 13L, 4L, "n", "", "T", "")     // empty ref: dropped
+    ).toDF("chr", "pos", "rgd", "name", "ref", "vr", "rs")
+    val out = SourceConverters.clinVarToVcf(df, col("chr").cast("string"),
+      col("pos"), col("rgd"), col("name"), col("ref"), col("vr"), col("rs"))
+      .as[String].collect()
+    assert(out.length == 2)
+  }
+
+  test("dbsnp line: snp name id, empty info") {
+    val df = Seq((5, 999L, "rs777", "G", "A")).toDF("chr", "pos", "nm", "ref", "vr")
+    val line = SourceConverters.dbSnpToVcf(df, col("chr").cast("string"),
+      col("pos"), col("nm"), col("ref"), col("vr")).as[String].head()
+    assert(line == "5\t999\trs777\tG\tA\tPASS\tVALIDATED=1\t\tGT;AD;DP\t0/1:8,1:9")
+  }
+
+  // ---- FastaGenome ----
+
+  test("fasta parse: headers, chr-prefix strip, multi-line concat") {
+    val g = FastaGenome.parse(Iterator(
+      ">chr1 Homo sapiens", "ACGT", "TTAA", "", ">MT", "GGCC"))
+    assert(g == Map("1" -> "ACGTTTAA", "MT" -> "GGCC"))
+  }
+
+  test("fasta-backed genome drives the annotator like FixedGenome") {
+    val fa = FastaGenome.fromText(spark, ">chr1\nATGGCCTAAGGGTTTCCC")
+    assert(fa.chunk("1", 4, 6) == "GCC")
+    val v = Seq((1L, "1", 5L, "C", "T")).toDF("var_id", "chr", "pos", "ref_nuc", "var_nuc")
+    val g = Seq((1L, "1", 1L, 18L)).toDF("gene_id", "chr", "gstart", "gstop")
+    val t = Seq((10L, 1L, "+", false)).toDF("tr_id", "gene_id", "strand", "non_coding")
+    val f = Seq((10L, "EXONS", 1L, 9L)).toDF("tr_id", "ftype", "fstart", "fstop")
+    val a = TranscriptAnnotator.annotate(v, g, t, f, fa, binWidth = 8)
+      .collect().head
+    assert(a.ref_aa.contains("A") && a.var_aa.contains("V"))
+  }
+}
