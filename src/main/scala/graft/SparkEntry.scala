@@ -559,8 +559,10 @@ object SparkEntry {
     }),
 
     "dedup_embedding" -> ((s, dir) => {
-      Similarity.lshNearestSelf(Tables.embeddings(s, dir), "vec_id",
-          "embedding", k = 1, numPlanes = 8)
+      // banded multi-table LSH (4×16 planes): bounded buckets, candidate
+      // dedup before the single exact-scoring pass — the 100 TB shape
+      Similarity.lshNearestSelfBanded(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 1, dim = 64)
         .select(col("query_id"), col("corpus_id").as("nearest_id"), col("cos_sim"))
     }),
 
@@ -600,7 +602,7 @@ object SparkEntry {
 
     "ann_lsh_bucketed" -> ((s, dir) => {
       Similarity.lshBuckets(Tables.embeddings(s, dir), "vec_id", "embedding",
-          numPlanes = 8)
+          numPlanes = 8, dim = 64)
         .select(col("vec_id"), col("bucket"))
     }),
 

@@ -89,24 +89,23 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Corpus annotated with its LSH bucket. `dim` defaults to the first
-    * row's vector length (tiny driver-side peek). */
+  /** Corpus annotated with its LSH bucket. `dim` is the vector
+    * dimensionality — an argument, never inferred via a driver-side
+    * `.head()` (a Spark job in the hot path). */
   def lshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
-                 numPlanes: Int = 8, dim: Int = -1): DataFrame = {
-    val d = if (dim > 0) dim
-      else corpus.select(size(col(vecCol))).head().getInt(0)
+                 numPlanes: Int, dim: Int): DataFrame =
     corpus.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), numPlanes, d).as("bucket"))
-  }
+      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
 
   /** Self near-neighbor search over the whole corpus: same bucketed
     * scoring as [[lshTopK]] but as a shuffled self-join on the bucket key
     * (no broadcast — at corpus scale both sides hash-partition on the
-    * bucket, which is the only shape that survives a 100 TB self-ANN). */
+    * bucket, which is the only shape that survives a 100 TB self-ANN).
+    * Single-table: prefer [[lshNearestSelfBanded]] at scale. */
   def lshNearestSelf(corpus: DataFrame, idCol: String, vecCol: String,
-                     k: Int, numPlanes: Int = 8): DataFrame = {
+                     k: Int, numPlanes: Int, dim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = lshBuckets(corpus, idCol, vecCol, numPlanes)
+    val b = lshBuckets(corpus, idCol, vecCol, numPlanes, dim)
       .withColumn("__norm", norm(col(vecCol)))
     val a = b.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       col("__norm").as("q_norm"), col("bucket"))
@@ -123,14 +122,72 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Banded multi-table sign-LSH self-ANN — the 100 TB shape.
+    *
+    * One 8-plane table gives 256 buckets: a self-join is O(n²/256),
+    * quadratic at corpus scale. Instead, `numTables` independent tables
+    * of `planesPerTable` planes each (default 4×16 → 65536 buckets per
+    * table) shrink each bucket to a sliver of the corpus; a true near-dup
+    * pair (cosine → 1) still collides in ≥1 table with probability
+    * 1-(1-p^16)^4 where p = 1-θ/π, so recall stays high exactly where a
+    * near-dup detector needs it. The per-table (table, bucket) equi-join
+    * hash-partitions both sides — no broadcast, no skew key. Buckets
+    * larger than `maxBucket` are dropped before the join (the all-zeros /
+    * degenerate-sign patterns — the analog of stop-shingle removal in the
+    * jaccard candidate generator), hard-bounding the join to
+    * O(maxBucket²) per bucket. Candidate pairs are deduped across tables
+    * before the (single) exact scoring pass.
+    */
+  def lshNearestSelfBanded(corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int, dim: Int, numTables: Int = 4,
+                           planesPerTable: Int = 16,
+                           maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-table bucket of vector v: sign bits of planes t*P .. t*P+P-1
+    def tableBucket(t: Int): Column =
+      (0 until planesPerTable).map { i =>
+        val proj = dot(col(vecCol), typedLit(planeVec(t * planesPerTable + i, dim)))
+        when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val tabled = corpus.select(
+      col(idCol).as("__id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("t"), tableBucket(t).as("bucket"))): _*)).as("tb"))
+      .select(col("__id"), col("tb.t"), col("tb.bucket"))
+    // drop degenerate mega-buckets: bounded candidate fan-out per bucket
+    val wB = Window.partitionBy("t", "bucket")
+    val bounded = tabled.withColumn("__bsz", count(lit(1)).over(wB))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    val a = bounded.select(col("__id").as("query_id"), col("t"), col("bucket"))
+    val b = bounded.select(col("__id").as("corpus_id"), col("t"), col("bucket"))
+    val cand = a.join(b, Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id").distinct()
+    // one exact scoring pass over the deduped candidates
+    val vecs = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__vec"),
+      norm(col(vecCol)).as("__norm"))
+    val scored = cand
+      .join(vecs, col("query_id") === col("__vid"))
+      .select(col("query_id"), col("corpus_id"),
+        col("__vec").as("q_vec"), col("__norm").as("q_norm"))
+      .join(vecs, col("corpus_id") === col("__vid"))
+      .select(col("query_id"), col("corpus_id"),
+        round(when(col("q_norm") * col("__norm") > 0,
+          dot(col("q_vec"), col("__vec")) / (col("q_norm") * col("__norm")))
+          .otherwise(0.0), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: exact cosine only within matching buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+              vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = lshBuckets(corpus, idCol, vecCol, numPlanes)
+    val c = lshBuckets(corpus, idCol, vecCol, numPlanes, dim)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"), col("bucket"),
         norm(col(vecCol)).as("c_norm"))
-    val q = broadcast(lshBuckets(queries, idCol, vecCol, numPlanes)
+    val q = broadcast(lshBuckets(queries, idCol, vecCol, numPlanes, dim)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"),
         norm(col(vecCol)).as("q_norm")))
     val nn = col("q_norm") * col("c_norm")

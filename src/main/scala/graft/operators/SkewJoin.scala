@@ -22,6 +22,12 @@ object SkewJoin {
   def saltedJoin(large: DataFrame, small: DataFrame, key: Seq[String],
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // the salting construction is only correct viewed from the large
+    // side: a right/full outer join would surface `buckets` duplicate
+    // unmatched rows per small-side row (one per salt replica)
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins from the large side, got $joinType")
     val saltExpr = pmod(xxhash64(large.columns.toSeq.map(col): _*), lit(buckets))
     val l = large.withColumn("__salt", saltExpr)
     val s = small.withColumn("__salt",

@@ -43,34 +43,59 @@ object VcfParser {
     *
     * @param processVariantsSameAsRef also emit alleles equal to the ref
     *        (default false, like the reference)
+    * @param processLinesWithMissingADDP keep lines whose FORMAT lacks
+    *        AD/DP, substituting depth 9 (the reference's `--ADDP` option,
+    *        VcfToCommonFormat2Converter.java:192-273); default false =
+    *        drop such lines
+    * @param accessionMap NC_* accession → chromosome name (the reference
+    *        resolves these from its MapDAO; pass the equivalent lookup)
     */
   def parse(lines: Dataset[String], strainNames: Seq[String],
-            processVariantsSameAsRef: Boolean = false): DataFrame = {
+            processVariantsSameAsRef: Boolean = false,
+            processLinesWithMissingADDP: Boolean = false,
+            accessionMap: Map[String, String] = Map.empty): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     val strains = strainNames.toArray
     val sameAsRef = processVariantsSameAsRef
+    val missingADDP = processLinesWithMissingADDP
+    val accMap = accessionMap
     lines.mapPartitions { it =>
-      it.flatMap(parseLine(_, strains, sameAsRef))
+      it.flatMap(parseLine(_, strains, sameAsRef, missingADDP, accMap))
     }.toDF().select(outputColumns.map(col): _*)
   }
 
   private def toIntOpt(s: String): Option[Int] =
     try Some(s.toInt) catch { case _: NumberFormatException => None }
 
+  /** Chromosome normalization — VcfToCommonFormat2Base.getChromosome:
+    * NC_* accessions resolve through the provided map; otherwise every
+    * "chr" and "c" substring is stripped (the reference's exact
+    * `replace` calls), names longer than 2 chars / containing 'r' /
+    * equal to "Un" are rejected, and "M" maps to "MT". */
+  private[graft] def normalizeChr(
+      raw: String, accessionMap: Map[String, String]): Option[String] = {
+    val impl =
+      if (raw.startsWith("NC_")) accessionMap.get(raw)
+      else {
+        val c = raw.replace("chr", "").replace("c", "")
+        if (c.isEmpty || c.length > 2 || c.contains("r") || c == "Un") None
+        else Some(c)
+      }
+    impl.map(c => if (c == "M") "MT" else c)
+  }
+
   /** Reference behavior: VcfToCommonFormat2Converter.processLine /
     * processStrain (lines 161-318). */
   private[operators] def parseLine(line: String, strains: Array[String],
-                                   sameAsRef: Boolean): Iterator[Cf2Row] = {
+                                   sameAsRef: Boolean,
+                                   missingADDP: Boolean = false,
+                                   accessionMap: Map[String, String] = Map.empty): Iterator[Cf2Row] = {
     if (line.isEmpty || line.charAt(0) == '#') return Iterator.empty
     val v = line.split("\t", -1)
     if (v.length < 10) return Iterator.empty
 
-    // chromosome: strip a leading "chr", keep 1-2 char names
-    var chr = v(0)
-    if (chr.length >= 3 && chr.substring(0, 3).equalsIgnoreCase("chr"))
-      chr = chr.substring(3)
-    if (chr.isEmpty || chr.length > 2) return Iterator.empty
+    val chr = normalizeChr(v(0), accessionMap).getOrElse(return Iterator.empty)
 
     val pos = toIntOpt(v(1)).getOrElse(return Iterator.empty)
     val id = v(2)
@@ -82,7 +107,7 @@ object VcfParser {
     var adIdx = format.indexOf("AD")
     if (adIdx < 0) adIdx = format.indexOf("CLCAD2")
     val dpIdx = format.indexOf("DP")
-    if (adIdx < 0 || dpIdx < 0) return Iterator.empty
+    if ((adIdx < 0 || dpIdx < 0) && !missingADDP) return Iterator.empty
 
     // ClinVar-style ID field: RGDID:<id>;<hgvs>
     var rgdId: Option[Int] = None
@@ -105,17 +130,28 @@ object VcfParser {
       if (gt == "./." || gt == "." || gt == "0/0" || gt == "0") Iterator.empty
       else {
         val fields = data.split(":")
-        if (adIdx >= fields.length || dpIdx >= fields.length) Iterator.empty
+        if ((adIdx >= fields.length && adIdx >= 0) ||
+            (dpIdx >= fields.length && dpIdx >= 0)) Iterator.empty
         else {
-          val adRaw = fields(adIdx)
+          // AD missing + --ADDP: substitute depth 9 for every allele slot
+          // (VcfToCommonFormat2Converter.java:254-258)
           val counts: Array[Int] =
-            if (adRaw == ".") Array(0)
-            else adRaw.split(",").map(s => toIntOpt(s).getOrElse(0))
+            if (adIdx < 0) Array.fill(8)(9)
+            else {
+              val adRaw = fields(adIdx)
+              if (adRaw == ".") Array(0)
+              else adRaw.split(",").map(s => toIntOpt(s).getOrElse(0))
+            }
           var readDepth = 0
           var i = 0
           while (i < counts.length) { readDepth += counts(i); i += 1 }
-          val dpRaw = fields(dpIdx)
-          val totalDepth = if (dpRaw == ".") 0 else toIntOpt(dpRaw).getOrElse(0)
+          if (adIdx < 0) readDepth = 9
+          val totalDepth =
+            if (dpIdx < 0) 9
+            else {
+              val dpRaw = fields(dpIdx)
+              if (dpRaw == ".") 0 else toIntOpt(dpRaw).getOrElse(0)
+            }
 
           def countFor(nuc: String): Int = {
             val ai = alleles.indexOf(nuc)
@@ -154,10 +190,7 @@ object VcfParser {
     val v = line.split("\t", -1)
     if (v.length < 8) return Iterator.empty
 
-    var chr = v(0)
-    if (chr.length >= 3 && chr.substring(0, 3).equalsIgnoreCase("chr"))
-      chr = chr.substring(3)
-    if (chr.isEmpty || chr.length > 2) return Iterator.empty
+    val chr = normalizeChr(v(0), Map.empty).getOrElse(return Iterator.empty)
     val pos = toIntOpt(v(1)).getOrElse(return Iterator.empty)
     val rsId = v(2)
     val refNuc = v(3)
@@ -208,7 +241,13 @@ object VcfParser {
       }
   }
 
-  /** Strain names from the #CHROM header line (columns 10+). */
+  /** Strain names from the #CHROM header line (columns 10+).
+    *
+    * Single-header assumption: when `lines` spans several VCF files this
+    * picks one arbitrary header and applies it positionally to every
+    * file's sample columns — like the reference, which converts one file
+    * per run. For multi-file loads with differing headers, parse per
+    * file (key by `input_file_name()`) or pass explicit strain names. */
   def headerStrains(lines: Dataset[String]): Seq[String] = {
     val spark = lines.sparkSession
     import spark.implicits._

@@ -1,15 +1,15 @@
 package graft.streaming
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twin of [[graft.operators.Sessionize]]: gap-based sessions
   * over an unbounded stream via `flatMapGroupsWithState` — per-user state
-  * is one small struct, emitted and cleared when the gap (or state
-  * timeout) closes the session. State size is O(active users), not
-  * O(events): the 100 TB-safe shape.
+  * is one small struct, emitted and cleared when the gap (or a processing
+  * -time state timeout) closes the session. State size is O(active
+  * users), not O(events): the 100 TB-safe shape. Without the timeout a
+  * user's final session would never flush and idle-user state would grow
+  * without bound.
   */
 object StatefulSessions {
 
@@ -24,15 +24,24 @@ object StatefulSessions {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update(gapSec))
+        GroupStateTimeout.ProcessingTimeTimeout)(update(gapSec))
   }
 
   /** Batch of events for one user → closed sessions; open session stays in
-    * state. Events inside one trigger are sorted locally (bounded by the
-    * trigger's data, not the stream). */
-  private[streaming] def update(gapSec: Long)(
+    * state with a `gapSec` processing-time timeout — when it fires (no
+    * events arrived within the gap) the session is emitted and the state
+    * evicted. Events inside one trigger are sorted locally (bounded by
+    * the trigger's data, not the stream). */
+  private[graft] def update(gapSec: Long)(
       userId: Long, it: Iterator[Event],
       state: GroupState[SessionState]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      // idle past the gap: flush the open session and evict the state
+      val out = state.getOption.map(s =>
+        ClosedSession(userId, s.start, s.end, s.n)).iterator
+      state.remove()
+      return out
+    }
     val sorted = it.toArray.sortBy(_.ts_sec)
     var cur = state.getOption
     val closed = Seq.newBuilder[ClosedSession]
@@ -48,8 +57,10 @@ object StatefulSessions {
       }
     }
     cur match {
-      case Some(s) => state.update(s)
-      case None    => state.remove()
+      case Some(s) =>
+        state.update(s)
+        state.setTimeoutDuration(gapSec * 1000)
+      case None => state.remove()
     }
     closed.result().iterator
   }

@@ -124,8 +124,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top(2)._2 == 0.0 && top(3)._2 == -1.0)
   }
 
+  test("banded lsh self-ANN: finds planted near-dup partners (recall vs brute force)") {
+    // 60 base vectors + a lightly-perturbed twin each; the twin's true
+    // nearest neighbor is its base (cos ≈ 0.9999). Banded 4×16 LSH must
+    // recover almost all pairs — the property that makes it a near-dup
+    // detector, with 65536-bucket tables instead of a quadratic self-join.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val rows = (0 until 60).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val twin = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, base), (i.toLong + 1000L, twin))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val nearest = Similarity.lshNearestSelfBanded(df, "vec_id", "embedding",
+        k = 1, dim = dim)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    val recalled = (0 until 60).count { i =>
+      nearest.get(i.toLong + 1000L).contains(i.toLong) &&
+        nearest.get(i.toLong).contains(i.toLong + 1000L)
+    }
+    assert(recalled >= 54, s"recall $recalled/60") // ≥90%
+  }
+
   test("lsh buckets: identical vectors always collide, opposite never") {
-    val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", numPlanes = 8)
+    val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", numPlanes = 8, dim = 3)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
     assert(b(0L) == b(4L))
     assert(b(0L) != b(3L)) // all 8 sign bits flip for the negated vector

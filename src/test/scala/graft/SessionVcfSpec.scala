@@ -36,12 +36,20 @@ class SessionizeSpec extends AnyFunSuite {
     val q = StatefulSessions.sessionize(mem.toDS(), gapSec = 1800)
       .writeStream.format("memory").queryName("sess_out")
       .outputMode(OutputMode.Append()).start()
+    // NB: with ProcessingTimeTimeout the engine legitimately keeps
+    // scheduling batches to evaluate pending timeouts, so
+    // processAllAvailable() never quiesces — poll the sink instead.
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("sess_out").count() < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+    }
     try {
       mem.addData(StatefulSessions.Event(1L, 1000L), StatefulSessions.Event(1L, 1500L))
-      q.processAllAvailable()
+      Thread.sleep(2000) // let the batch land
       assert(spark.table("sess_out").count() == 0) // session still open
       mem.addData(StatefulSessions.Event(1L, 5000L)) // gap > 1800 closes it
-      q.processAllAvailable()
+      awaitRows(1)
       val closed = spark.table("sess_out")
         .as[StatefulSessions.ClosedSession].collect().toSeq
       assert(closed == Seq(StatefulSessions.ClosedSession(1L, 1000L, 1500L, 2L)))

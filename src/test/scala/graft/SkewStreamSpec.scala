@@ -34,6 +34,48 @@ class SkewJoinSpec extends AnyFunSuite {
       .select("k", "name").as[(Long, Option[String])].collect().toSet
     assert(out == Set((1L, Some("one")), (99L, None)))
   }
+
+  test("outer joins from the small side are rejected") {
+    // the exploded small side would emit `buckets` duplicate unmatched rows
+    val large = Seq((1L, 10L)).toDF("k", "payload")
+    val small = Seq((1L, "one")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(large, small, Seq("k"), 4, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(large, small, Seq("k"), 4, "full")
+    }
+  }
+}
+
+class StatefulSessionsSpec extends AnyFunSuite {
+  import graft.streaming.StatefulSessions
+  import graft.streaming.StatefulSessions.{ClosedSession, Event, SessionState}
+  import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+  test("timeout flushes the open session and evicts state") {
+    val state = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.of(SessionState(10L, 20L, 3L)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = StatefulSessions.update(1800L)(7L, Iterator.empty, state).toSeq
+    assert(out == Seq(ClosedSession(7L, 10L, 20L, 3L)))
+    assert(state.isRemoved)
+  }
+
+  test("update registers a gap-length timeout on the open session") {
+    val state = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.empty[SessionState](),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      5000L, org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val out = StatefulSessions.update(1800L)(
+      7L, Iterator(Event(7L, 100L), Event(7L, 200L)), state).toSeq
+    assert(out.isEmpty) // session still open
+    assert(state.get == SessionState(100L, 200L, 2L))
+    assert(state.getTimeoutTimestampMs.isPresent) // eviction armed
+  }
 }
 
 class StreamDedupSpec extends AnyFunSuite {

@@ -67,4 +67,34 @@ class VcfParserSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).getInt(6) == 2 && out(0).getInt(7) == 6) // count_a, count_c
   }
+
+  test("chromosome normalization: chrM→MT, NC_ accessions, reject contigs") {
+    // VcfToCommonFormat2Base.getChromosome semantics
+    assert(VcfParser.normalizeChr("chrM", Map.empty).contains("MT"))
+    assert(VcfParser.normalizeChr("M", Map.empty).contains("MT"))
+    assert(VcfParser.normalizeChr("chrX", Map.empty).contains("X"))
+    assert(VcfParser.normalizeChr("c12", Map.empty).contains("12"))
+    assert(VcfParser.normalizeChr("Un", Map.empty).isEmpty)
+    assert(VcfParser.normalizeChr("scaffold_1", Map.empty).isEmpty)
+    assert(VcfParser.normalizeChr("NC_005100.4", Map.empty).isEmpty)
+    assert(VcfParser.normalizeChr("NC_005100.4",
+      Map("NC_005100.4" -> "2")).contains("2"))
+    assert(VcfParser.normalizeChr("NC_fake", Map("NC_fake" -> "M")).contains("MT"))
+  }
+
+  test("--ADDP option keeps lines with missing AD/DP, substituting depth 9") {
+    val lines = Seq(
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "5\t600\t.\tA\tC\t10\tPASS\t.\tGT:GQ\t0/1:99")
+    val dropped = VcfParser.parse(spark.createDataset(lines), Seq("S1")).collect()
+    assert(dropped.isEmpty)
+    val kept = VcfParser.parse(spark.createDataset(lines), Seq("S1"),
+      processLinesWithMissingADDP = true).collect()
+    assert(kept.length == 1)
+    val r = kept.head
+    // counts substitute 9 per allele slot; readDepth and totalDepth = 9
+    assert(r.getInt(6) == 9 && r.getInt(7) == 9)  // count_a, count_c
+    assert(r.getInt(10) == 9 && r.getInt(15) == 9) // total_depth, read_depth
+    assert(r.getInt(14) == 9)                      // allele_depth
+  }
 }
