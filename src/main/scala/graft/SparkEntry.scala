@@ -1252,6 +1252,55 @@ object SparkEntry {
            |JOIN sizes sb ON sb.doc_id = id_b
            |WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2""".stripMargin,
 
+      // minhash signature re-derived from the same md5 windows: families
+      // 0-7 = stride-3 8-hex windows of md5(sh), 8-15 of md5('x'||sh)
+      "dedup_minhash" -> {
+        val mins = (0 until 16).map { i =>
+          val d = if (i < 8) "d1" else "d2"
+          s"min(CAST('0x' || substr($d, ${(i % 8) * 3 + 1}, 8) AS BIGINT)) AS h$i"
+        }.mkString(",\n  ")
+        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS sh
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t)-2)) AS i
+           |    FROM t WHERE length(t) >= 3)),
+           |h AS (SELECT doc_id, sh, md5(sh) AS d1, md5('x' || sh) AS d2 FROM sh)
+           |SELECT doc_id,
+           |  $mins
+           |FROM h GROUP BY doc_id""".stripMargin
+      },
+
+      // simhash twin: same md5-derived 60-bit token hashes, ±1 bit votes,
+      // sign → bit, top-16-bit blocking key
+      "dedup_simhash" -> {
+        val votes = (0 until 60).map(i =>
+          s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(",\n  ")
+        val sig = (0 until 60).map(i =>
+          s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |tok AS (SELECT doc_id, tk FROM (
+           |  SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM t)
+           |  WHERE length(tk) > 0),
+           |th AS (SELECT doc_id,
+           |  CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS th FROM tok),
+           |v AS (SELECT doc_id,
+           |  $votes
+           |  FROM th GROUP BY doc_id),
+           |s AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v)
+           |SELECT doc_id, simhash, simhash >> 44 AS bucket FROM s""".stripMargin
+      },
+
+      // sign-LSH buckets: the 8 hyperplanes are driver-side constants,
+      // embedded as exact double literals; same dot products, same signs
+      "ann_lsh_bucketed" -> {
+        val planes = (0 until 8).map(i =>
+          Similarity.planeVec(i, 64).map(_.toDouble.toString).mkString("[", ", ", "]"))
+        val bits = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $p) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM embeddings"""
+      },
+
       "ann_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
           |  FROM embeddings WHERE vec_id % 50 = 0),

@@ -33,18 +33,27 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.Shingles.charShingles(normText(text), n)
 
-  /** MinHash signature: for each of `numHashes` hash families, the minimum
-    * xxhash64(family, shingle) over the document's shingles. xxhash64 is
-    * Spark-native codegen (vs an md5+hex-parse per family — ~10x dearer);
-    * minhash needs no cross-engine reproducibility, only consistency.
-    * Explode factor = #shingles, bounded by doc length; the groupBy is
-    * map-side combined so only (id, 16 longs) rows shuffle. */
+  /** MinHash signature: for each of `numHashes` (≤16) hash families, the
+    * minimum family-hash over the document's shingles. The families are
+    * disjoint 8-hex-char (32-bit) windows of two md5 digests per shingle
+    * — md5(sh) for families 0-7 and md5('x'||sh) for 8-15 — so only TWO
+    * md5 evaluations per shingle (not one per family) while every value
+    * stays exactly reproducible in any engine with md5 (the DuckDB
+    * oracle re-derives the identical signature). Explode factor =
+    * #shingles, bounded by doc length; the groupBy is map-side combined
+    * so only (id, 16 longs) rows shuffle. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 16, shingleLen: Int = 3): DataFrame = {
+    require(numHashes <= 16, "md5-window families support at most 16 hashes")
     val sh = docs
       .select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("sh"))
+      .withColumn("d1", md5(col("sh")))
+      .withColumn("d2", md5(concat(lit("x"), col("sh"))))
     val hashCols = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i")
+      val digest = if (i < 8) col("d1") else col("d2")
+      // stride-3 8-hex windows: 8 full 32-bit values per 32-char digest
+      min(conv(substring(digest, (i % 8) * 3 + 1, 8), 16, 10).cast("long"))
+        .as(s"h$i")
     }
     sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
   }

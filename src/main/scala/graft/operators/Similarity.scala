@@ -76,7 +76,7 @@ object Similarity {
     (bits.toDouble / 4294967296.0 - 0.5).toFloat
   }
 
-  private def planeVec(i: Int, dim: Int): Array[Float] =
+  private[graft] def planeVec(i: Int, dim: Int): Array[Float] =
     Array.tabulate(dim)(planeComponent(i, _))
 
   /** Sign-LSH bucket id from `numPlanes` deterministic hyperplanes over
