@@ -1301,6 +1301,37 @@ object SparkEntry {
         s"""SELECT vec_id, CAST($bits AS BIGINT) AS bucket FROM embeddings"""
       },
 
+      // banded LSH self-ANN twin: 4 tables × 16 planes as double literals,
+      // same mega-bucket drop, pair dedup, exact cosine, top-1
+      "dedup_embedding" -> {
+        def planeLit(i: Int) = Similarity.planeVec(i, 64)
+          .map(_.toDouble.toString).mkString("[", ", ", "]")
+        def bucketExpr(t: Int) = (0 until 16).map { i =>
+          s"(CASE WHEN list_dot_product(v, ${planeLit(t * 16 + i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        val tables = (0 until 4).map(t =>
+          s"SELECT vec_id, $t AS t, CAST(${bucketExpr(t)} AS BIGINT) AS bucket FROM b")
+          .mkString("\nUNION ALL ")
+        s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |tb AS ($tables),
+           |sz AS (SELECT t, bucket, count(*) AS n FROM tb GROUP BY t, bucket),
+           |tb2 AS (SELECT tb.vec_id, tb.t, tb.bucket FROM tb
+           |  JOIN sz USING (t, bucket) WHERE sz.n <= 1024),
+           |cand AS (SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS corpus_id
+           |  FROM tb2 a JOIN tb2 c ON a.t = c.t AND a.bucket = c.bucket
+           |    AND a.vec_id <> c.vec_id),
+           |s AS (SELECT query_id, corpus_id,
+           |  round(CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c2.v, c2.v)) > 0
+           |    THEN list_dot_product(q.v, c2.v) /
+           |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c2.v, c2.v)))
+           |    ELSE 0 END, 6) AS cos_sim
+           |  FROM cand JOIN b q ON q.vec_id = cand.query_id
+           |  JOIN b c2 ON c2.vec_id = cand.corpus_id)
+           |SELECT query_id, corpus_id AS nearest_id, cos_sim FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, corpus_id) AS rn FROM s) WHERE rn = 1""".stripMargin
+      },
+
       "ann_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
           |  FROM embeddings WHERE vec_id % 50 = 0),
