@@ -1222,6 +1222,19 @@ object SparkEntry {
            |FROM kept GROUP BY lang_pred""".stripMargin
       },
 
+      // real header-codec decode (BMP width/height, WAV rate/channels,
+      // opaque video → 0,0) re-derived from the payload formulas
+      "multimodal_meta" ->
+        """SELECT CAST(doc_id AS BIGINT) AS media_id,
+          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          |    ELSE 'video' END AS kind,
+          |  CAST(CASE doc_id % 3 WHEN 0 THEN 54 WHEN 1 THEN 44 ELSE 32 END AS INT) AS n_bytes,
+          |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 256
+          |    WHEN 1 THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END AS INT) AS width,
+          |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 256
+          |    WHEN 1 THEN 1 + doc_id % 2 ELSE 0 END AS INT) AS height
+          |FROM documents""".stripMargin,
+
       "dedup_exact" ->
         s"""SELECT n_docs, count(*) AS n_groups FROM (
            |  SELECT md5($normTextSql) AS fp, count(*) AS n_docs

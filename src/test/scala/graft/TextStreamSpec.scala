@@ -46,19 +46,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) <= 50.0) // short-text penalty
   }
 
-  test("multimodal stub plumbing produces deterministic features") {
-    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+  test("multimodal header codec recovers BMP and WAV metadata") {
+    val docs = Seq((3L, "a"), (4L, "b"), (5L, "c")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(
       Multimodal.syntheticMedia(docs, "doc_id")).collect()
-    assert(feats.length == 3)
-    assert(feats.forall(_.n_bytes == 128))
-    assert(feats.map(_.kind).toSet.subsetOf(Set("image", "audio", "video")))
-    val audio = feats.filter(_.kind == "audio")
-    assert(audio.forall(_.height == 1))
-    // determinism: same input -> same checksum
-    val again = Multimodal.extractFeatures(
-      Multimodal.syntheticMedia(docs, "doc_id")).collect()
-    assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+      .map(f => f.media_id -> f).toMap
+    // id 3 -> image: real BMP header, width 16+3, height 16+21
+    assert(feats(3L).kind == "image" && feats(3L).width == 19 &&
+      feats(3L).height == 37 && feats(3L).n_bytes == 54)
+    // id 4 -> audio: WAV, sampleRate 8000+4*1000, channels 1
+    assert(feats(4L).kind == "audio" && feats(4L).width == 12000 &&
+      feats(4L).height == 1 && feats(4L).n_bytes == 44)
+    // id 5 -> video: opaque payload, metadata unavailable
+    assert(feats(5L).kind == "video" && feats(5L).width == 0 &&
+      feats(5L).height == 0 && feats(5L).n_bytes == 32)
+  }
+
+  test("binaryFile source end-to-end: real files through the codec") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    java.nio.file.Files.write(dir.resolve("pic.bmp"),
+      Multimodal.MediaCodec.bmpBytes(640, 480))
+    java.nio.file.Files.write(dir.resolve("clip.wav"),
+      Multimodal.MediaCodec.wavBytes(44100, 2))
+    java.nio.file.Files.write(dir.resolve("movie.mp4"),
+      Array[Byte](0, 0, 0, 32, 'f', 't', 'y', 'p'))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.fromBinaryFiles(spark, dir.toString)).collect()
+      .map(f => f.kind -> f).toMap
+    assert(feats("image").width == 640 && feats("image").height == 480)
+    assert(feats("audio").width == 44100 && feats("audio").height == 2)
+    assert(feats("video").width == 0 && feats("video").height == 0)
   }
 }
 
