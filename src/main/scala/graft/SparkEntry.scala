@@ -504,6 +504,43 @@ object SparkEntry {
         ref, vr, rsId)
     }),
 
+    "q30_fixups" -> ((s, dir) => {
+      // the fixup family as one pass: recompute variant type, frameshift
+      // and genic status; classify each stored column as up-to-date vs
+      // needing update (stored columns deliberately corrupted for a
+      // deterministic fraction of rows)
+      val ref = when(col("l_partkey") % 5 === 0, "-")
+        .when(col("l_partkey") % 5 === 1, "A")
+        .when(col("l_partkey") % 5 === 2, "AC")
+        .when(col("l_partkey") % 5 === 3, "ACG").otherwise("ACGT")
+      val vr = when(col("l_suppkey") % 5 === 0, "-")
+        .when(col("l_suppkey") % 5 === 1, "G")
+        .when(col("l_suppkey") % 5 === 2, "GT")
+        .when(col("l_suppkey") % 5 === 3, "GTA").otherwise("GTAC")
+      val typeC = Fixups.variantTypeComputed(col("ref_seq"), col("var_seq"))
+      val fsC = Fixups.frameShiftComputed(col("ref_seq"), col("var_seq"))
+      val li = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 5).cast("long").as("chr"),
+          ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000)
+            .cast("long").as("pos"),
+          col("l_orderkey"), ref.as("ref_seq"), vr.as("var_seq"))
+        .withColumn("stored_type",
+          when(col("l_orderkey") % 7 === 0, "snv").otherwise(typeC))
+        .withColumn("stored_fs", when(col("l_orderkey") % 11 === 0,
+          when(fsC === "T", "F").otherwise("T")).otherwise(fsC))
+        .withColumn("stored_genic",
+          when(col("l_orderkey") % 2 === 0, "genic").otherwise("intergenic"))
+      Fixups.withGenicStatus(li, partGenes(s, dir), "pos", "gstart", "gstop",
+          Seq("chr"), binWidth = 4096)
+        .select(
+          Fixups.fixupAction(col("stored_type"), typeC).as("type_action"),
+          Fixups.fixupAction(col("stored_fs"), fsC).as("fs_action"),
+          Fixups.fixupAction(col("stored_genic"), col("genic_status_computed"))
+            .as("genic_action"))
+        .groupBy("type_action", "fs_action", "genic_action")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "vcf_parse" -> ((s, dir) => {
       import s.implicits._
       // synthesize VCF lines from lineitem, then run the real parser
@@ -1050,6 +1087,41 @@ object SparkEntry {
            |FROM v
            |WHERE (ref = '-' OR regexp_matches(ref, '^[ACGTN]+$$'))
            |  AND (vr = '-' OR regexp_matches(vr, '^[ACGTN]+$$'))""".stripMargin,
+
+      "q30_fixups" ->
+        s"""WITH li AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
+           |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT) AS pos,
+           |  l_orderkey,
+           |  CASE l_partkey % 5 WHEN 0 THEN '-' WHEN 1 THEN 'A' WHEN 2 THEN 'AC'
+           |    WHEN 3 THEN 'ACG' ELSE 'ACGT' END AS ref_seq,
+           |  CASE l_suppkey % 5 WHEN 0 THEN '-' WHEN 1 THEN 'G' WHEN 2 THEN 'GT'
+           |    WHEN 3 THEN 'GTA' ELSE 'GTAC' END AS var_seq
+           |  FROM lineitem),
+           |c AS (SELECT *,
+           |  CASE WHEN ref_seq LIKE '%-%' OR var_seq LIKE '%-%' THEN 'del'
+           |    WHEN length(ref_seq) < length(var_seq) THEN 'ins'
+           |    WHEN length(ref_seq) > length(var_seq) THEN 'del'
+           |    WHEN length(ref_seq) = 1 AND length(var_seq) = 1 THEN 'snv' END AS type_c,
+           |  CASE WHEN (CASE WHEN var_seq LIKE '%-%' THEN length(ref_seq)
+           |    WHEN ref_seq LIKE '%-%' THEN length(var_seq)
+           |    ELSE abs(length(ref_seq) - length(var_seq)) END) % 3 = 0
+           |    THEN 'F' ELSE 'T' END AS fs_c
+           |  FROM li),
+           |g AS ($partGenesSql),
+           |gs AS (SELECT c.*, CASE WHEN EXISTS (SELECT 1 FROM g WHERE g.chr = c.chr
+           |  AND c.pos BETWEEN g.gstart AND g.gstop) THEN 'genic'
+           |  ELSE 'intergenic' END AS genic_c FROM c),
+           |a AS (SELECT
+           |  CASE WHEN (CASE WHEN l_orderkey % 7 = 0 THEN 'snv' ELSE type_c END)
+           |    IS NOT DISTINCT FROM type_c THEN 'up_to_date' ELSE 'update' END AS type_action,
+           |  CASE WHEN (CASE WHEN l_orderkey % 11 = 0
+           |    THEN (CASE WHEN fs_c = 'T' THEN 'F' ELSE 'T' END) ELSE fs_c END) = fs_c
+           |    THEN 'up_to_date' ELSE 'update' END AS fs_action,
+           |  CASE WHEN (CASE WHEN l_orderkey % 2 = 0 THEN 'genic' ELSE 'intergenic' END) = genic_c
+           |    THEN 'up_to_date' ELSE 'update' END AS genic_action
+           |  FROM gs)
+           |SELECT type_action, fs_action, genic_action, count(*) AS n
+           |FROM a GROUP BY 1, 2, 3""".stripMargin,
 
       // vcf_parse input lines are deterministic concats of lineitem columns
       // (see the queries entry), so the oracle re-derives the parser's

@@ -50,4 +50,10 @@ object SourceConverters {
                  ref: Column, vr: Column): DataFrame =
     df.filter(alleleQc(ref, vr))
       .select(vcfLine(chr, pos, snpName, ref, vr, lit("")).as("line"))
+
+  /** GWAS Catalog mapping (GwasCat2Vcf.writeVcfLine:103-136) — column
+    * for column the dbSnp line with ID = the catalog's snps field. */
+  def gwasCatToVcf(df: DataFrame, chr: Column, pos: Column, snps: Column,
+                   ref: Column, vr: Column): DataFrame =
+    dbSnpToVcf(df, chr, pos, snps, ref, vr)
 }

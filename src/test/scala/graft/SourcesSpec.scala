@@ -103,6 +103,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(line == "5\t999\trs777\tG\tA\tPASS\tVALIDATED=1\t\tGT;AD;DP\t0/1:8,1:9")
   }
 
+  // ---- Fixups ----
+
+  test("fixup recomputes: type ladder, frameshift, genic status") {
+    import graft.operators.Fixups
+    val df = Seq(
+      ("A", "G", "snv", "F"),     // snv, no shift
+      ("AC", "-", "snv", "F"),    // dash → del; lenDiff 2 → T
+      ("A", "ACGT", "del", "T"),  // ins; lenDiff 3 → F
+      ("ACGT", "A", "del", "F")   // del; lenDiff 3 → F
+    ).toDF("ref", "vr", "stored_type", "stored_fs")
+    val out = df.select(
+      Fixups.variantTypeComputed(col("ref"), col("vr")).as("t"),
+      Fixups.frameShiftComputed(col("ref"), col("vr")).as("f"),
+      Fixups.fixupAction(col("stored_type"),
+        Fixups.variantTypeComputed(col("ref"), col("vr"))).as("ta"),
+      Fixups.fixupAction(col("stored_fs"),
+        Fixups.frameShiftComputed(col("ref"), col("vr"))).as("fa"))
+      .as[(String, String, String, String)].collect()
+    assert(out(0) == ("snv", "F", "up_to_date", "up_to_date"))
+    assert(out(1) == ("del", "T", "update", "update"))
+    assert(out(2) == ("ins", "F", "update", "update"))
+    assert(out(3) == ("del", "F", "up_to_date", "up_to_date"))
+  }
+
+  test("genic status: inside vs outside gene ranges") {
+    import graft.operators.Fixups
+    val v = Seq((1L, 100L), (1L, 900L)).toDF("chr", "pos")
+    val g = Seq((1L, 50L, 150L)).toDF("chr", "gstart", "gstop")
+    val out = Fixups.withGenicStatus(v, g, binWidth = 64)
+      .select("pos", "genic_status_computed").as[(Long, String)].collect().toMap
+    assert(out(100L) == "genic" && out(900L) == "intergenic")
+  }
+
   // ---- FastaGenome ----
 
   test("fasta parse: headers, chr-prefix strip, multi-line concat") {
