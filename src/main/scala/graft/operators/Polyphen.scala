@@ -24,6 +24,39 @@ object Polyphen {
   def fastaLines(seq: Column): Column =
     explode(split(regexp_replace(seq, "(.{70})", "$1\n"), "\n"))
 
+  /** Polyphen input generation — the submit half of the round trip
+    * (Polyphen.java:206-251). From nonsynonymous annotations joined with
+    * their full protein sequence, emit:
+    *  - `input_line`:  `PROTEIN_ACC_ID POS REF_AA VAR_AA` (space-separated)
+    *  - `info_line`:   variant_id, locus, protein, pos, ref, var, strand,
+    *    transcript (tab-separated — what [[loadPredictions]]' info table
+    *    serializes to)
+    *  - `fasta`:       `>PROTEIN_ACC_ID` + the 70-char-wrapped sequence
+    *
+    * Simple-protein QC (Polyphen.java:207-226): a stop codon in the
+    * middle of the protein at or before pos+10 disqualifies the record;
+    * a terminal stop, or one well past the variant, is fine.
+    *
+    * Expects columns: variant_id, tr_id, protein_id, aa_pos, ref_aa,
+    * var_aa, gene_symbol, strand, protein_seq. */
+  def inputRecords(ann: DataFrame): DataFrame = {
+    val stop0 = instr(col("protein_seq"), "*") - 1 // 0-based first '*', -1 if none
+    val midStop = stop0 >= 0 &&
+      stop0 < length(col("protein_seq")) - 1 &&
+      stop0 <= col("aa_pos") + 10
+    ann.filter(col("syn_status") === "nonsynonymous" && !midStop)
+      .select(
+        col("variant_id"), col("tr_id"), col("protein_id"), col("aa_pos"),
+        col("ref_aa"), col("var_aa"),
+        concat_ws(" ", col("protein_id"), col("aa_pos"), col("ref_aa"),
+          col("var_aa")).as("input_line"),
+        concat_ws("\t", col("variant_id"), col("gene_symbol"),
+          col("protein_id"), col("aa_pos"), col("ref_aa"), col("var_aa"),
+          col("strand"), col("tr_id")).as("info_line"),
+        concat(lit(">"), col("protein_id"), lit("\n"),
+          regexp_replace(col("protein_seq"), "(.{70})", "$1\n")).as("fasta"))
+  }
+
   /** Parse Polyphen prediction-result TSV lines — the load-back half of
     * the round trip (PolyphenLoader.java:104-188). Column indexes follow
     * the reference: 0 protein acc, 1 o_pos, 2 o_aa1, 3 o_aa2, 5 uniprot,

@@ -264,4 +264,36 @@ object VcfParser {
     val lines = spark.read.textFile(path)
     parse(lines, headerStrains(lines), processVariantsSameAsRef)
   }
+
+  /** Multi-file read with per-file headers: each file's #CHROM header
+    * binds its own sample columns, so VCFs with different strain sets
+    * load together correctly (the single-header `fromPath` applies one
+    * header to every file). The header set is tiny (one line per file) —
+    * collected once and broadcast; data lines never leave their
+    * partitions. */
+  def fromPathPerFile(spark: SparkSession, path: String,
+                      processVariantsSameAsRef: Boolean = false,
+                      processLinesWithMissingADDP: Boolean = false,
+                      accessionMap: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+      .select(col("value").as("line"),
+        input_file_name().as("file"))
+    val perFileStrains: Map[String, Array[String]] = lines
+      .filter(col("line").startsWith("#") && !col("line").startsWith("##"))
+      .as[(String, String)].collect()
+      .map { case (hdr, file) =>
+        file -> hdr.drop(1).split("\t", -1).drop(9)
+      }.toMap
+    val bc = spark.sparkContext.broadcast(perFileStrains)
+    val sameAsRef = processVariantsSameAsRef
+    val missingADDP = processLinesWithMissingADDP
+    val accMap = accessionMap
+    lines.as[(String, String)].mapPartitions { it =>
+      it.flatMap { case (line, file) =>
+        parseLine(line, bc.value.getOrElse(file, Array.empty),
+          sameAsRef, missingADDP, accMap)
+      }
+    }.toDF().select(outputColumns.map(col): _*)
+  }
 }

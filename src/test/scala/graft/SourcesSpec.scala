@@ -71,6 +71,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("gene_symbol") == "Fam83h")
   }
 
+  test("polyphen input generation: lines, info, fasta, mid-stop QC") {
+    val ann = Seq(
+      // clean nonsynonymous record
+      (1L, 10L, "NP_1", 5L, "A", "V", "Fam1", "+", "MKLAAVTWYRK", "nonsynonymous"),
+      // stop codon right after the variant → disqualified
+      (2L, 11L, "NP_2", 3L, "K", "E", "Fam2", "-", "MK*LAAVT", "nonsynonymous"),
+      // terminal stop only → fine
+      (3L, 12L, "NP_3", 2L, "L", "P", "Fam3", "+", "MLAAVT*", "nonsynonymous"),
+      // synonymous → not submitted
+      (4L, 13L, "NP_4", 2L, "L", "L", "Fam4", "+", "MLAAVT", "synonymous")
+    ).toDF("variant_id", "tr_id", "protein_id", "aa_pos", "ref_aa", "var_aa",
+      "gene_symbol", "strand", "protein_seq", "syn_status")
+    val out = Polyphen.inputRecords(ann).collect()
+      .map(r => r.getAs[Long]("variant_id") -> r).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L).getAs[String]("input_line") == "NP_1 5 A V")
+    assert(out(1L).getAs[String]("info_line") ==
+      "1\tFam1\tNP_1\t5\tA\tV\t+\t10")
+    assert(out(1L).getAs[String]("fasta") == ">NP_1\nMKLAAVTWYRK")
+  }
+
+  test("per-file VCF headers bind each file's own strains") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcf")
+    java.nio.file.Files.write(dir.resolve("a.vcf"), java.util.Arrays.asList(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSHR",
+      "1\t100\t.\tA\tG\t50\tPASS\t.\tGT:AD:DP\t0/1:7,3:10"))
+    java.nio.file.Files.write(dir.resolve("b.vcf"), java.util.Arrays.asList(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tBN\tF344",
+      "2\t200\t.\tC\tT\t99\tPASS\t.\tGT:AD:DP\t1/1:0,9:9\t0/1:4,4:8"))
+    val out = graft.operators.VcfParser.fromPathPerFile(spark, dir.toString)
+      .select("strain", "chr", "pos").as[(String, String, Int)].collect().toSet
+    assert(out == Set(("SHR", "1", 100), ("BN", "2", 200), ("F344", "2", 200)))
+  }
+
   // ---- SourceConverters ----
 
   test("clinvar line layout matches ClinVar2Vcf.writeVcfLine") {
