@@ -180,6 +180,92 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path.
+    *
+    * Train: deterministic local k-means (fixed seed rows, fixed Lloyd
+    * iteration count) over a bounded sample — IVF training is always
+    * sample-based, so the driver-side collect is capped by `maxSample`,
+    * not the corpus. Assign: every corpus vector maps to its nearest
+    * centroid with the (tiny) centroid matrix broadcast — one narrow
+    * pass, no shuffle. Query: each query probes its `nprobe` nearest
+    * centroids and scores exactly only within those inverted lists — an
+    * equi-join on centroid id, so the corpus partitioning by list id is
+    * reusable across query batches. Fan-out per query ≈
+    * nprobe/k of the corpus instead of all of it.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCentroids: Int = 16,
+              nprobe: Int = 2, iterations: Int = 5,
+              maxSample: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+
+    // ---- train: bounded sample -> local Lloyd iterations ----
+    val sample: Array[Array[Float]] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(maxSample)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    var centroids: Array[Array[Double]] =
+      sample.take(numCentroids).map(_.map(_.toDouble))
+    def nearestIdx(v: Array[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestIdx(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      it += 1
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    // ---- assign: narrow map, centroids broadcast ----
+    val assignList = udf { (v: Seq[Float]) => nearestIdx(v.toArray, bc.value) }
+    val lists = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"),
+      assignList(col(vecCol)).as("list_id"))
+
+    // ---- probe: nprobe nearest centroids per query ----
+    val probeLists = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      bc.value.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = arr(i) - bc.value(c)(i); d += t * t; i += 1 }
+        (d, c)
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+    }
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
+      explode(probeLists(col(vecCol))).as("list_id")))
+
+    val nn = col("q_norm") * col("c_norm")
+    val scored = lists.join(q, "list_id")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(when(nn > 0, dot(col("q_vec"), col("c_vec")) / nn).otherwise(0.0), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: exact cosine only within matching buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {

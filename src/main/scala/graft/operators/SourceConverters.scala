@@ -56,4 +56,71 @@ object SourceConverters {
   def gwasCatToVcf(df: DataFrame, chr: Column, pos: Column, snps: Column,
                    ref: Column, vr: Column): DataFrame =
     dbSnpToVcf(df, chr, pos, snps, ref, vr)
+
+  /** Multi-sample TXT → VCF (Txt2Vcf.java:85-204): per row, the ref base
+    * comes from the genome; the allele list is ref + each sample's
+    * distinct non-N/H call in first-seen order; rows whose calls all
+    * match the ref (or whose ref is 'N') are dropped. Sample columns:
+    * 'N' → `./.:0,0`; 'H' (homozygote) → `1/i` with depth 9 on the first
+    * ALT; otherwise `0/i` with depth 9 on the ref slot and the matching
+    * allele. Inconsistent calls (allele not in the list — impossible by
+    * construction here) would drop the row like the reference's
+    * "consistency problem" branch.
+    *
+    * `calls` is an array column of per-sample calls aligned with
+    * `sampleNames`. Runs as one narrow map with the genome evaluated
+    * in-executor (broadcast-backed sources slice locally).
+    */
+  def txtToVcf(df: DataFrame, chr: Column, pos: Column, calls: Column,
+               genome: graft.operators.TranscriptAnnotator.GenomeSource): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = genome
+    df.select(chr.cast("string").as("chr"), pos.cast("long").as("pos"),
+        calls.as("calls"))
+      .as[(String, Long, Seq[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (chrV, posV, callsV) =>
+          val ref = g.chunk(chrV, posV, posV).toUpperCase
+          if (ref.isEmpty || ref == "N") None
+          else {
+            val alleles = scala.collection.mutable.ArrayBuffer(ref)
+            callsV.foreach { a =>
+              if (a != "N" && a != "H" && !alleles.contains(a)) alleles += a
+            }
+            if (alleles.length <= 1) None
+            else {
+              val sb = new StringBuilder
+              sb.append(chrV).append('\t').append(posV).append("\t.\t")
+                .append(ref).append('\t')
+                .append(alleles.tail.mkString(","))
+                .append("\tPASS\tVALIDATED=1\t\tGT;AD")
+              var ok = true
+              callsV.foreach { a =>
+                if (ok) {
+                  if (a == "N") sb.append("\t./.:0,0")
+                  else {
+                    val target = if (a == "H") alleles(1) else a
+                    val gtBase = if (a == "H") "1/" else "0/"
+                    val idx = alleles.indexOf(target)
+                    if (idx < 0 || (a == "H" && idx == 0)) ok = false
+                    else {
+                      val depths = new StringBuilder(
+                        if (a == "H") ":0" else ":9")
+                      var i = 1
+                      while (i < alleles.length) {
+                        depths.append(if (alleles(i) == target) ",9" else ",0")
+                        i += 1
+                      }
+                      sb.append('\t').append(gtBase).append(idx).append(depths)
+                    }
+                  }
+                }
+              }
+              if (ok) Some(sb.toString) else None
+            }
+          }
+        }
+      }.toDF("line")
+  }
 }

@@ -36,19 +36,15 @@ object VariantPipeline {
     * @param genome     reference sequence access
     * @param parRegions pseudo-autosomal regions for zygosity
     */
-  def run(lines: Dataset[String], strains: Seq[String],
-          genders: Map[String, String],
-          existing: DataFrame,
-          genes: DataFrame, transcripts: DataFrame, features: DataFrame,
-          genome: TranscriptAnnotator.GenomeSource,
-          parRegions: Seq[Par.Region] = Par.grch37): Result = {
-
-    val cf2 = VcfParser.parse(lines, strains)
-
+  /** The VariantLoad3 scoring stage over common-format rows: typing,
+    * end-pos, quality, dbSnp class, the zygosity column family. All
+    * narrow column expressions — stateless, so the same call works on a
+    * Structured Streaming frame (see [[graft.streaming.StreamVcf]]). */
+  def score(cf2: DataFrame, genders: Map[String, String],
+            parRegions: Seq[Par.Region] = Par.grch37): DataFrame = {
     val gender = genders.foldRight(lit("F")) { case ((s, g), acc) =>
       when(col("strain") === s, g).otherwise(acc)
     }
-
     val isSnv = length(col("ref_nuc")) > 0 && length(col("var_nuc")) > 0
     val totalDepth = VariantF.totalDepth(col("total_depth"), isSnv,
       col("count_a"), col("count_c"), col("count_g"), col("count_t"),
@@ -59,7 +55,7 @@ object VariantPipeline {
     val pct = Zygosity.percentF(varReads, totalReads)
     val inPar = Par.inPar(col("chr"), col("pos"), parRegions)
 
-    val scored = cf2
+    cf2
       .withColumn("gender", gender)
       .withColumn("variant_type", VariantF.variantType(col("ref_nuc"), col("var_nuc")))
       .withColumn("end_pos", VariantF.endPos(col("pos"), col("ref_nuc"), col("var_nuc")))
@@ -76,8 +72,20 @@ object VariantPipeline {
         col("count_a"), col("count_c"), col("count_g"), col("count_t")))
       .withColumn("zygosity_in_pseudo",
         Par.inPseudo(col("gender"), col("chr"), col("pos"), parRegions))
+      .withColumn("variant_frequency", varReads)
       // reference drops variants called zero times (VariantLoad3.java:343-346)
       .filter(varReads > 0 || !isSnv)
+  }
+
+  def run(lines: Dataset[String], strains: Seq[String],
+          genders: Map[String, String],
+          existing: DataFrame,
+          genes: DataFrame, transcripts: DataFrame, features: DataFrame,
+          genome: TranscriptAnnotator.GenomeSource,
+          parRegions: Seq[Par.Region] = Par.grch37): Result = {
+
+    val cf2 = VcfParser.parse(lines, strains)
+    val scored = score(cf2, genders, parRegions)
 
     val key = Seq("chr", "pos", "end_pos", "ref_nuc", "var_nuc", "variant_type")
     val variants = scored
@@ -89,7 +97,7 @@ object VariantPipeline {
       col("zygosity_status"), col("zygosity_percent_read"),
       col("zygosity_possible_error"), col("zygosity_num_allele"),
       col("zygosity_ref_allele"), col("zygosity_in_pseudo"),
-      varReads.as("variant_frequency"), col("read_depth"),
+      col("variant_frequency"), col("read_depth"),
       col("quality_score"))
 
     val merged = VariantMerge.classify(variants, existing, key, "variant_id")

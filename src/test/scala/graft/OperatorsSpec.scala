@@ -147,6 +147,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalled >= 54, s"recall $recalled/60") // ≥90%
   }
 
+  test("ivf top-k recalls brute-force neighbors on clustered data") {
+    // 4 well-separated clusters; IVF with 4 centroids + nprobe 2 must
+    // reproduce the brute-force top-1 for nearly every query
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val bases = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat * 5f))
+    val rows = (0 until 120).map { i =>
+      val b = bases(i % 4)
+      (i.toLong, b.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 20)
+    val brute = Similarity.cosineTopK(df, queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(df, queries, "vec_id", "embedding", k = 1,
+        numCentroids = 4, nprobe = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    val agree = brute.keys.count(q => ivf.get(q) == brute.get(q))
+    assert(agree >= 18, s"ivf/brute agreement $agree/20")
+  }
+
   test("lsh buckets: identical vectors always collide, opposite never") {
     val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", numPlanes = 8, dim = 3)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap

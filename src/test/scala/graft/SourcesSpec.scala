@@ -172,6 +172,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(out(100L) == "genic" && out(900L) == "intergenic")
   }
 
+  test("txt2vcf: allele collection, H/N calls, same-as-ref drop") {
+    import graft.operators.{SourceConverters, TranscriptAnnotator}
+    val genome = TranscriptAnnotator.FixedGenome(Map("13" -> "GATC"))
+    val rows = Seq(
+      ("13", 2L, Seq("A", "T", "N", "H")), // ref A; alleles A,T; H→first alt T
+      ("13", 1L, Seq("G", "G", "G", "G")), // all same as ref → dropped
+      ("13", 3L, Seq("T", "T", "T", "T"))  // ref T... all ref → dropped
+    ).toDF("chr", "pos", "calls")
+    val out = SourceConverters.txtToVcf(rows, col("chr"), col("pos"),
+      col("calls"), genome).as[String].collect()
+    assert(out.length == 1)
+    assert(out.head ==
+      "13\t2\t.\tA\tT\tPASS\tVALIDATED=1\t\tGT;AD\t0/0:9,0\t0/1:9,9\t./.:0,0\t1/1:0,9")
+  }
+
+  test("streaming vcf ingest: parse + score over MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamVcf
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = StreamVcf.scored(mem.toDS(), Seq("SHR"), Map("SHR" -> "M"))
+      .select("strain", "chr", "pos", "variant_type", "quality_score",
+        "zygosity_status")
+    val q = out.writeStream.format("memory").queryName("vcf_scored")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSHR",
+        "1\t100\trs1\tA\tG\t50\tPASS\t.\tGT:AD:DP\t1/1:0,10:10")
+      q.processAllAvailable()
+      val rows = spark.table("vcf_scored")
+        .as[(String, String, Int, String, Long, String)].collect().toSeq
+      assert(rows == Seq(("SHR", "1", 100, "snv", 100L, "homozygous")))
+    } finally q.stop()
+  }
+
   // ---- FastaGenome ----
 
   test("fasta parse: headers, chr-prefix strip, multi-line concat") {
