@@ -504,6 +504,25 @@ object SparkEntry {
         ref, vr, rsId)
     }),
 
+    "q31_sample_query" -> ((s, dir) => {
+      // VariantSampleQuery surface: multi-predicate detail query by
+      // sample set + chr + position range + quality floor
+      val li = Tables.lineitem(s, dir).select(
+        concat(lit("S"), (col("l_suppkey") % 4).cast("string")).as("sample"),
+        (col("l_orderkey") % 5).cast("long").as("chr"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000)
+          .cast("long").as("pos"),
+        baseOf(col("l_partkey")).as("ref_nuc"),
+        baseOf(col("l_suppkey")).as("var_nuc"),
+        col("l_quantity").cast("long").as("rd"),
+        (col("l_partkey") % 120).cast("long").as("td"))
+      li.select(col("sample"), col("chr"), col("pos"), col("ref_nuc"),
+          col("var_nuc"),
+          VariantF.qualityScore(col("rd"), col("td")).as("quality_score"))
+        .filter(col("sample").isin("S1", "S2") && col("chr") === 3 &&
+          col("pos").between(20000, 60000) && col("quality_score") >= 50)
+    }),
+
     "q30_fixups" -> ((s, dir) => {
       // the fixup family as one pass: recompute variant type, frameshift
       // and genic status; classify each stored column as up-to-date vs
@@ -1087,6 +1106,23 @@ object SparkEntry {
            |FROM v
            |WHERE (ref = '-' OR regexp_matches(ref, '^[ACGTN]+$$'))
            |  AND (vr = '-' OR regexp_matches(vr, '^[ACGTN]+$$'))""".stripMargin,
+
+      "q31_sample_query" ->
+        s"""WITH li AS (SELECT 'S' || CAST(l_suppkey % 4 AS VARCHAR) AS sample,
+           |  CAST(l_orderkey % 5 AS BIGINT) AS chr,
+           |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT) AS pos,
+           |  ${baseOfSql("l_partkey")} AS ref_nuc,
+           |  ${baseOfSql("l_suppkey")} AS var_nuc,
+           |  CAST(l_quantity AS BIGINT) AS rd,
+           |  CAST(l_partkey % 120 AS BIGINT) AS td FROM lineitem)
+           |SELECT sample, chr, pos, ref_nuc, var_nuc,
+           |  CASE WHEN td > 0 THEN CAST(floor((100*rd + floor(td/2)) / td) AS BIGINT)
+           |    ELSE 0 END AS quality_score
+           |FROM li
+           |WHERE sample IN ('S1', 'S2') AND chr = 3
+           |  AND pos BETWEEN 20000 AND 60000
+           |  AND (CASE WHEN td > 0 THEN CAST(floor((100*rd + floor(td/2)) / td) AS BIGINT)
+           |    ELSE 0 END) >= 50""".stripMargin,
 
       "q30_fixups" ->
         s"""WITH li AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,

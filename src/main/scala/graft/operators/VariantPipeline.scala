@@ -52,7 +52,13 @@ object VariantPipeline {
     val varReads = Zygosity.varReads(col("var_nuc"),
       col("count_a"), col("count_c"), col("count_g"), col("count_t"))
     val totalReads = col("count_a") + col("count_c") + col("count_g") + col("count_t")
-    val pct = Zygosity.percentF(varReads, totalReads)
+    // SNVs: percent from the called allele's ACGT read counts; indels:
+    // the reference's "parameter tweaking" path takes alleleDepth /
+    // readDepth instead (VariantLoad3.java:317-331)
+    val pct = when(isSnv, Zygosity.percentF(varReads, totalReads))
+      .otherwise(Zygosity.percentF(col("allele_depth"), col("read_depth")))
+    val pctReads = when(isSnv, Zygosity.percentRead(varReads, totalReads))
+      .otherwise(Zygosity.percentRead(col("allele_depth"), col("read_depth")))
     val inPar = Par.inPar(col("chr"), col("pos"), parRegions)
 
     cf2
@@ -64,17 +70,22 @@ object VariantPipeline {
         when(col("rs_id") === ".", "").otherwise(col("rs_id"))))
       .withColumn("zygosity_status",
         Zygosity.status(pct, col("gender"), col("chr"), inPar))
-      .withColumn("zygosity_percent_read", Zygosity.percentRead(varReads, totalReads))
+      .withColumn("zygosity_percent_read", pctReads)
       .withColumn("zygosity_possible_error", Zygosity.possibleError(pct))
       .withColumn("zygosity_num_allele", Zygosity.numAlleles(
         col("count_a"), col("count_c"), col("count_g"), col("count_t")))
-      .withColumn("zygosity_ref_allele", Zygosity.refAlleleCalled(col("ref_nuc"),
-        col("count_a"), col("count_c"), col("count_g"), col("count_t")))
+      // indels carry a ref-allele flag only for a single-base ref
+      // (VariantLoad3.java:323-338); SNVs always
+      .withColumn("zygosity_ref_allele",
+        when(isSnv || length(col("ref_nuc")) === 1,
+          Zygosity.refAlleleCalled(col("ref_nuc"),
+            col("count_a"), col("count_c"), col("count_g"), col("count_t"))))
       .withColumn("zygosity_in_pseudo",
         Par.inPseudo(col("gender"), col("chr"), col("pos"), parRegions))
       .withColumn("variant_frequency", varReads)
-      // reference drops variants called zero times (VariantLoad3.java:343-346)
-      .filter(varReads > 0 || !isSnv)
+      // reference drops variants whose zygosity score is zero: varReads
+      // for SNVs, alleleDepth for indels (VariantLoad3.java:339-346)
+      .filter((isSnv && varReads > 0) || (!isSnv && col("allele_depth") > 0))
   }
 
   def run(lines: Dataset[String], strains: Seq[String],

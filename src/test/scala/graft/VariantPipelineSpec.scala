@@ -81,4 +81,31 @@ class VariantPipelineSpec extends AnyFunSuite {
     val ann = r.annotated.collect().map(a => a.syn_status.get).sorted
     assert(ann.toSeq == Seq("nonsynonymous", "synonymous"))
   }
+
+  test("indel zygosity uses alleleDepth/readDepth (VariantLoad3 tweak)") {
+    import org.apache.spark.sql.functions._
+    // hand-built common-format rows: a deletion with AD 5 of 10 reads, an
+    // insertion never called (alleleDepth 0 → dropped), and one where the
+    // single-base ref still yields a ref-allele flag
+    val noS = Option.empty[String]
+    val noI = Option.empty[Int]
+    val cf2 = Seq(
+      ("S1", "1", 100, "AC", "", "", 0, 0, 0, 0, 10, noS, noI, 1, 5, 10),
+      ("S1", "1", 200, "", "GT", "", 0, 0, 0, 0, 12, noS, noI, 1, 0, 12),
+      ("S1", "1", 300, "A", "", "", 3, 0, 0, 0, 9, noS, noI, 1, 9, 9)
+    ).toDF("strain", "chr", "pos", "ref_nuc", "var_nuc", "rs_id",
+      "count_a", "count_c", "count_g", "count_t", "total_depth",
+      "hgvs_name", "rgd_id", "allele_count", "allele_depth", "read_depth")
+    val out = VariantPipeline.score(cf2, Map("S1" -> "F"))
+      .select("pos", "variant_type", "zygosity_status",
+        "zygosity_percent_read", "zygosity_ref_allele")
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getString(4))).toMap
+    // alleleDepth==0 insertion dropped like the reference's score==0 rule
+    assert(out.keySet == Set(100, 300))
+    // 5/10 reads → 50% heterozygous; multi-base ref → no ref-allele flag
+    assert(out(100) == ("deletion", "heterozygous", 50L, null))
+    // 9/9 → homozygous; single-base ref A with count_a>0 → "Y"
+    assert(out(300) == ("deletion", "homozygous", 100L, "Y"))
+  }
 }
