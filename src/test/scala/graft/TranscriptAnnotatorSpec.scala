@@ -143,6 +143,20 @@ class TranscriptAnnotatorSpec extends AnyFunSuite {
     assert(a.syn_status.contains("nonsynonymous"))
   }
 
+  test("minus-strand deletion: flip position against the REF length") {
+    // del C at pos 5 on '-': refDna revcomp(ATGGCCTAA)=TTAGGCCAT -> L,G,H
+    // varDna revcomp(ATGGCTAA)=TTAGCCAT -> trim 6 -> L,A
+    // relP = 9-5+1 = 5 -> aaPos 2: G -> A nonsynonymous; |9-6|%3=0 -> F
+    val out = run(
+      variants = Seq((25L, "1", 5L, "C", "")),
+      transcripts = Seq((11L, 1L, "-", false)),
+      features = Seq((11L, "EXONS", 1L, 9L)))
+    val a = out((25L, 11L))
+    assert(a.ref_aa.contains("G") && a.var_aa.contains("A"))
+    assert(a.aa_pos.contains(2) && a.syn_status.contains("nonsynonymous"))
+    assert(a.frame_shift.contains("F") && a.triplet_error == "F")
+  }
+
   test("VCF-style anchored insertion: suffix inserted after the anchor") {
     // ref C -> var CG at pos 5: varDna ATGGCGCTAA -> trim ATGGCGCTA
     // aaPos 2: GCC=A vs GCG=A -> synonymous
