@@ -72,8 +72,10 @@ object VariantPipeline {
         Zygosity.status(pct, col("gender"), col("chr"), inPar))
       .withColumn("zygosity_percent_read", pctReads)
       .withColumn("zygosity_possible_error", Zygosity.possibleError(pct))
-      .withColumn("zygosity_num_allele", Zygosity.numAlleles(
-        col("count_a"), col("count_c"), col("count_g"), col("count_t")))
+      // num-alleles comes from the ACGT counts, which only the SNV path
+      // fills; the reference leaves it unset for indels
+      .withColumn("zygosity_num_allele", when(isSnv, Zygosity.numAlleles(
+        col("count_a"), col("count_c"), col("count_g"), col("count_t"))))
       // indels carry a ref-allele flag only for a single-base ref
       // (VariantLoad3.java:323-338); SNVs always
       .withColumn("zygosity_ref_allele",
