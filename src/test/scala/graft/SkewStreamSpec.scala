@@ -78,6 +78,39 @@ class StatefulSessionsSpec extends AnyFunSuite {
   }
 }
 
+class StreamMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.VariantMerge
+  import graft.streaming.StreamMerge
+
+  test("streaming merge absorbs only new natural keys, idempotently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = Seq("chr", "pos", "ref_nuc", "var_nuc")
+    val seed = Seq(("1", 100L, "A", "G", 11L))
+      .toDF("chr", "pos", "ref_nuc", "var_nuc", "variant_id")
+    VariantMerge.writeBucketed(seed, "stream_merge_store", key, buckets = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val mem = MemoryStream[(String, Long, String, String)]
+      mem.addData(
+        ("1", 100L, "A", "G"),  // already loaded -> skipped
+        ("1", 200L, "C", "T"),  // new
+        ("1", 200L, "C", "T"))  // duplicate within the batch -> once
+      val q = StreamMerge.absorb(
+        mem.toDF().toDF("chr", "pos", "ref_nuc", "var_nuc")
+          .withColumn("variant_id", org.apache.spark.sql.functions.lit(0L))
+          .select("chr", "pos", "ref_nuc", "var_nuc", "variant_id"),
+        "stream_merge_store", key, ckpt)
+      q.awaitTermination()
+      val stored = spark.table("stream_merge_store")
+        .select("chr", "pos").as[(String, Long)].collect().toSet
+      assert(stored == Set(("1", 100L), ("1", 200L)))
+    } finally spark.sql("DROP TABLE IF EXISTS stream_merge_store")
+  }
+}
+
 class StreamDedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
