@@ -212,6 +212,22 @@ object TranscriptAnnotator {
     }
   }
 
+  /** `--verifyIfInRgd` (the EVA runs, postProcessingEva.sh): drop
+    * annotations whose (variant, transcript) pair is already loaded —
+    * the reference preloads VARIANT_TRANSCRIPT into a HashMap and skips
+    * matches (VariantTranscriptBatch.preloadVariantTranscriptData); here
+    * it is a left-anti join on the pair key, shuffle-partitioned on both
+    * sides at scale. `existing` needs var_id + tr_id columns. */
+  def verifyIfInRgd(annotated: Dataset[Annotated],
+                    existing: DataFrame): Dataset[Annotated] = {
+    val spark = annotated.sparkSession
+    import spark.implicits._
+    annotated.toDF()
+      .join(existing.select("var_id", "tr_id"), Seq("var_id", "tr_id"),
+        "left_anti")
+      .as[Annotated]
+  }
+
   /** The per-(variant, transcript) core — processTranscript +
     * handleTranslatedProtein (VariantPostProcessing.java:402-624).
     * `cdsCache` memoizes the reference CDS per transcript (the trimmed

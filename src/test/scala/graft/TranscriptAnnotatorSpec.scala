@@ -169,6 +169,18 @@ class TranscriptAnnotatorSpec extends AnyFunSuite {
     assert(a.syn_status.contains("synonymous"))
   }
 
+  test("verifyIfInRgd drops already-loaded (variant, transcript) pairs") {
+    val v = Seq((1L, "1", 5L, "C", "T"), (2L, "1", 6L, "C", "A"))
+      .toDF("var_id", "chr", "pos", "ref_nuc", "var_nuc")
+    val g = Seq((1L, "1", 1L, 18L)).toDF("gene_id", "chr", "gstart", "gstop")
+    val t = Seq((10L, 1L, "+", false)).toDF("tr_id", "gene_id", "strand", "non_coding")
+    val f = Seq((10L, "EXONS", 1L, 9L)).toDF("tr_id", "ftype", "fstart", "fstop")
+    val ann = TranscriptAnnotator.annotate(v, g, t, f, genome, binWidth = 8)
+    val existing = Seq((1L, 10L)).toDF("var_id", "tr_id")
+    val out = TranscriptAnnotator.verifyIfInRgd(ann, existing).collect()
+    assert(out.map(a => (a.var_id, a.tr_id)).toSet == Set((2L, 10L)))
+  }
+
   test("Md5Genome matches the SQL definition") {
     // translate(substr(md5('1:5'),1,1),'0123456789abcdef','ACGTACGTACGTACGT')
     val md = java.security.MessageDigest.getInstance("MD5")
