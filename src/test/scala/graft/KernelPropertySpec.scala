@@ -40,6 +40,60 @@ class KernelPropertySpec extends AnyFunSuite {
       6 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 1 -> Gen.const('\t'),
       1 -> Gen.oneOf('.', ',', '!', 'Z'))).map(_.mkString)
 
+  test("chromosome normalization: total function, stable outputs") {
+    import graft.operators.VcfParser.normalizeChr
+    val chrGen = Gen.oneOf(
+      Gen.choose(1, 99).map(_.toString),
+      Gen.choose(1, 99).map("chr" + _),
+      Gen.oneOf("chrM", "M", "chrX", "Y", "Un", "scaffold_12", "NC_005100.4",
+        "chrUn_xx", "c7"))
+    assert(holds(Prop.forAll(chrGen) { raw =>
+      val out = normalizeChr(raw, Map.empty)
+      // accepted names are 1-2 chars, never 'M' (maps to MT), no 'r'
+      out.forall(c => c.nonEmpty && c.length <= 2 && c != "M" &&
+        !c.contains("r")) &&
+        // idempotence: a normalized name re-normalizes to itself
+        out.forall(c => normalizeChr(c, Map.empty).contains(
+          if (c == "MT") "MT" else c))
+    }))
+  }
+
+  test("Md5Genome chunks compose: chunk(a,b) + chunk(b+1,c) = chunk(a,c)") {
+    import graft.operators.TranscriptAnnotator.Md5Genome
+    val g = Md5Genome()
+    val gen = for {
+      a <- Gen.choose(1L, 100000L)
+      len1 <- Gen.choose(0, 20)
+      len2 <- Gen.choose(0, 20)
+    } yield (a, a + len1, a + len1 + 1 + len2)
+    assert(holds(Prop.forAll(gen) { case (a, b, c) =>
+      g.chunk("5", a, b) + g.chunk("5", b + 1, c) == g.chunk("5", a, c)
+    }))
+  }
+
+  test("variant typing and endPos are consistent (span ≥ 0, type-specific)") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val pairs = (for { r <- Seq("", "A", "AC", "ACG", "ACGT")
+                       v <- Seq("", "G", "GT", "GTA", "GTAC") } yield (r, v))
+    val df = pairs.toDF("r", "v")
+    val out = df.select(
+      graft.functions.VariantF.variantType(col("r"), col("v")).as("t"),
+      (graft.functions.VariantF.endPos(org.apache.spark.sql.functions.lit(1000L),
+        col("r"), col("v")) - 1000L).as("span"),
+      col("r"), col("v")).collect()
+    out.foreach { row =>
+      val (t, span, r) = (row.getString(0), row.getLong(1), row.getString(2))
+      assert(span >= 0)
+      t match {
+        case "insertion" => assert(span == 0 && r.isEmpty)
+        case "deletion"  => assert(span == r.length)
+        case "snv"       => assert(span == 1)
+      }
+    }
+  }
+
   test("normText is idempotent and matches the regex formulation") {
     assert(holds(Prop.forAll(textGen) { s =>
       val k = TextKernelOps.normText(UTF8String.fromString(s)).toString
