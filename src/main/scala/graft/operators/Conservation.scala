@@ -15,22 +15,34 @@ import org.apache.spark.sql.functions._
   * Spark shape: the position of a data line depends only on its global
   * line index and its governing declaration, so instead of a stateful
   * scan we (1) index every line (`zipWithIndex` preserves text order),
-  * (2) lift the tiny declaration set into [decl_idx, next_decl) blocks,
+  * (2) lift the declaration set into [decl_idx, next_decl) blocks,
   * (3) binned-interval-join data lines to their block ([[RangeJoin]] —
   * broadcast when the block table is small, so the data side never
   * shuffles), and (4) compute `pos = start + (idx - decl_idx - 1) * step`
-  * as a narrow projection. Declarations are ~1 per thousands of data
-  * lines, so the block table stays dim-sized even at 100 TB.
+  * as a narrow projection.
+  *
+  * Memory/scan tradeoff: only the declaration projection is persisted
+  * (~1 decl per thousands of data lines). The raw input is re-scanned by
+  * the data pass instead of cached — pinning the full text to serve
+  * multiple passes evicts or OOMs at 100 TB, while an extra narrow scan
+  * is cheap and parallel.
   */
 object Conservation {
 
-  def parseFixedStep(lines: Dataset[String], binWidth: Long = 1 << 16): DataFrame = {
+  /** @param binWidth bin size for the line-index interval join
+    * @param chunkWidth declaration `lead` chunking (see below); the
+    *        per-chunk stitch table has ≤ maxIdx/chunkWidth rows — at
+    *        10^12 input lines and the default 2^20 that is ~10^6 tiny
+    *        rows, safe for its constant-partition window
+    */
+  def parseFixedStep(lines: Dataset[String], binWidth: Long = 1 << 16,
+                     chunkWidth: Long = 1L << 20): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
-    // cached: scanned by the declaration pass, the max-index bound and
-    // the data pass (callers streaming a one-shot source should persist
-    // upstream instead)
-    val idxed = lines.rdd.zipWithIndex().toDF("line", "idx").cache()
+    // zipWithIndex assigns 0..n-1 in text order, so the index bound is a
+    // plain count — no full-input agg, and no NPE on empty input
+    val maxIdx = lines.count() - 1
+    val idxed = lines.rdd.zipWithIndex().toDF("line", "idx")
 
     val isDecl = col("line").startsWith("fixedStep")
     val decls = idxed.filter(isDecl)
@@ -42,12 +54,48 @@ object Conservation {
       .withColumn("chr",
         when(col("raw_chr").startsWith("chr"), expr("substring(raw_chr, 4)"))
           .otherwise(col("raw_chr")))
-    val maxIdx = idxed.agg(max("idx")).head().getLong(0)
-    // declaration table is tiny — a single-partition window is fine here
-    val blocks = decls
+      .cache()
+
+    // Each block ends at the NEXT declaration (any chromosome — wiggle
+    // blocks may interleave chrs, so a per-chr lead would be wrong). An
+    // unpartitioned lead would funnel every declaration through one task
+    // — fatal when 100 TB of wiggle carries GBs of declarations. Instead,
+    // a two-level lead:
+    //   1. lead within idx-chunks of `chunkWidth` (partitioned window —
+    //      resolves every declaration except the last of each chunk);
+    //   2. stitch chunk boundaries with a per-chunk firsts table (one row
+    //      per non-empty chunk, bounded by maxIdx/chunkWidth), where a
+    //      deliberate single-partition lead over the bounded table is safe.
+    val chunked = decls
+      .withColumn("chunk", floor(col("decl_idx") / chunkWidth).cast("long"))
+    val inChunkNext = lead("decl_idx", 1)
+      .over(Window.partitionBy("chunk").orderBy("decl_idx"))
+    // deliberate single-partition pass over the BOUNDED per-chunk table
+    // (≤ maxIdx/chunkWidth rows): sort, then stream a sliding successor —
+    // an explicit bounded coalesce, not an accidental unpartitioned window
+    val nextChunkFirst = chunked
+      .groupBy("chunk").agg(min("decl_idx").as("first_idx"))
+      .as[(Long, Long)]
+      .repartition(1).sortWithinPartitions("chunk")
+      .mapPartitions { it =>
+        new Iterator[(Long, Option[Long])] {
+          private var cur = if (it.hasNext) Some(it.next()) else None
+          def hasNext: Boolean = cur.isDefined
+          def next(): (Long, Option[Long]) = {
+            val chunk = cur.get._1
+            val nxt = if (it.hasNext) Some(it.next()) else None
+            val out = (chunk, nxt.map(_._2))
+            cur = nxt
+            out
+          }
+        }
+      }
+      .toDF("chunk", "next_chunk_first")
+    val blocks = chunked
+      .withColumn("in_chunk_next", inChunkNext)
+      .join(broadcast(nextChunkFirst), Seq("chunk"), "left")
       .withColumn("next_idx",
-        coalesce(lead("decl_idx", 1).over(Window.orderBy("decl_idx")),
-          lit(maxIdx + 1)))
+        coalesce(col("in_chunk_next"), col("next_chunk_first"), lit(maxIdx + 1)))
       .select(col("chr"), col("wstart"), col("step"),
         (col("decl_idx") + 1).as("bstart"), (col("next_idx") - 1).as("bstop"),
         col("decl_idx"))

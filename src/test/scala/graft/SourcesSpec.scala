@@ -36,6 +36,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(out == Set(("3", 7L), ("3", 8L)))
   }
 
+  test("wiggle: chunked lead stitches blocks across chunk boundaries") {
+    // chunkWidth=2 puts consecutive declarations in different idx-chunks,
+    // exercising the per-chunk-firsts stitch path; interleaved chrs prove
+    // blocks end at the next declaration of ANY chromosome
+    val lines = Seq(
+      "fixedStep chrom=chr1 start=10 step=1",
+      "0.1",
+      "fixedStep chrom=chr2 start=20 step=2",
+      "0.2", "0.3",
+      "fixedStep chrom=chr1 start=30 step=1",
+      "0.4").toDS()
+    for (cw <- Seq(2L, 3L, 1L << 20)) {
+      val out = Conservation.parseFixedStep(lines, chunkWidth = cw).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == Set(
+        ("1", 10L, 0.1), ("2", 20L, 0.2), ("2", 22L, 0.3), ("1", 30L, 0.4)),
+        s"chunkWidth=$cw")
+    }
+  }
+
+  test("wiggle: empty input yields empty output (no NPE)") {
+    assert(Conservation.parseFixedStep(spark.emptyDataset[String]).count() == 0)
+  }
+
   // ---- Polyphen.parseResults / loadPredictions ----
 
   private def resultLine(prot: String, pos: Int, oa1: String, oa2: String,
