@@ -19,11 +19,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // best of two runs per query: the first pays Janino compilation of
-    // that query's generated code, the second is the steady-state cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
-    }.toMap
+    // best of three runs per query: the first pays Janino compilation of
+    // that query's generated code, and one extra repeat absorbs transient
+    // machine load (observed run-to-run variance up to ~4x on small
+    // queries under contention)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        name -> Seq.fill(3)(timeOnce(fn)).min
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
