@@ -286,15 +286,27 @@ object TranscriptAnnotator {
     // VariantPostProcessing.java:472-492 (deletion / insertion /
     // anchored insertion / complex / snv)
     val sb = new java.lang.StringBuilder(refDna)
-    if (varSeq.isEmpty) {
-      val delLen = math.max(1,
-        if (refSeq.nonEmpty) refSeq.length else v.var_nuc.count(_ == '-'))
+    if (v.var_nuc == null || v.var_nuc.isEmpty || v.var_nuc.contains("-")) {
+      // deletion — VariantPostProcessing.java:473-479: the deleted span is
+      // len(var_nuc) for dash-denoted alleles ('-'→1, '---'→3) and 1 when
+      // the allele is null/empty; NOT len(ref). For ref='ACG', var='-'
+      // the reference removes ONE base — faithful even though the ref
+      // allele says three (fidelity over biology, like the MNV branch).
+      val delLen =
+        if (v.var_nuc == null || v.var_nuc.isEmpty) 1 else v.var_nuc.length
       sb.delete(rp - 1, math.min(sb.length, rp - 1 + delLen))
     } else if (refSeq.isEmpty) {
       sb.insert(rp - 1, varSeq.toLowerCase)
     } else if (refSeq.length == 1 && varSeq.length > 1) {
       sb.insert(rp, varSeq.substring(1).toLowerCase)
     } else if (refSeq.length != 1 || varSeq.length != 1) {
+      // MNV/complex — faithful to the reference's endPos formula: var_stop
+      // is pos+1 for any both-alleles-non-empty variant, so the replace
+      // consumes delLen = 1 ref base even for a length-preserving MNV
+      // (AT→GC yields a stray ref base and frame_shift='T'). This is the
+      // reference's arithmetic (VariantPostProcessing.java:487-490 with
+      // VariantLoad3.java:299-303), reproduced verbatim — biologically
+      // questionable, deliberately not "fixed" so outputs stay comparable.
       val delLen = (v.var_stop - v.pos).toInt
       sb.replace(rp - 1, math.min(sb.length, rp - 1 + delLen),
         varSeq.toLowerCase)

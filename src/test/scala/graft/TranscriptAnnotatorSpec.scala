@@ -131,6 +131,30 @@ class TranscriptAnnotatorSpec extends AnyFunSuite {
     assert(a.syn_status.contains("synonymous") && a.frame_shift.contains("F"))
   }
 
+  test("dash deletion removes len(var_nuc) bases, not len(ref)") {
+    // ref='GCC', var='-' at pos 4: the reference's deletion branch
+    // (VariantPostProcessing.java:473-479) removes varNuc.length()=1 base
+    // — varDna atg_cctaa -> atgcctaa, trim 6 -> M,P; refAa A -> P
+    val out = run(
+      variants = Seq((26L, "1", 4L, "GCC", "-")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "EXONS", 1L, 9L)))
+    val a = out((26L, 10L))
+    assert(a.ref_aa.contains("A") && a.var_aa.contains("P"))
+    assert(a.aa_pos.contains(2) && a.syn_status.contains("nonsynonymous"))
+  }
+
+  test("multi-dash deletion removes one base per dash") {
+    // var='---' at pos 4 deletes 3 bases: atg[gcc]taa -> atgtaa -> M,*
+    val out = run(
+      variants = Seq((27L, "1", 4L, "GCC", "---")),
+      transcripts = Seq((10L, 1L, "+", false)),
+      features = Seq((10L, "EXONS", 1L, 9L)))
+    val a = out((27L, 10L))
+    assert(a.ref_aa.contains("A") && a.var_aa.contains("*"))
+    assert(a.frame_shift.contains("F"))
+  }
+
   test("insertion (empty ref): base inserted before relPos") {
     // insert G before pos 5: varDna ATGGGCCTAA -> trim 9 -> M,G,L
     // aaPos 2: ref A, var G -> nonsynonymous
