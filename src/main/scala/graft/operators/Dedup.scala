@@ -35,11 +35,16 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` (≤16) hash families, the
     * minimum family-hash over the document's shingles. The families are
-    * disjoint 8-hex-char (32-bit) windows of two md5 digests per shingle
+    * stride-3 8-hex-char (32-bit) windows of two md5 digests per shingle
     * — md5(sh) for families 0-7 and md5('x'||sh) for 8-15 — so only TWO
     * md5 evaluations per shingle (not one per family) while every value
     * stays exactly reproducible in any engine with md5 (the DuckDB
-    * oracle re-derives the identical signature). Explode factor =
+    * oracle re-derives the identical signature). The windows OVERLAP by
+    * 5 hex chars (16 families don't fit disjointly in 2×32 hex digits),
+    * so the families are correlated and the Jaccard estimate is biased
+    * versus textbook independent permutations — acceptable for candidate
+    * blocking; use 4 digests with stride-8 disjoint windows if estimator
+    * quality matters more than hash throughput. Explode factor =
     * #shingles, bounded by doc length; the groupBy is map-side combined
     * so only (id, 16 longs) rows shuffle. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
