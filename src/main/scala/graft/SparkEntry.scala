@@ -607,6 +607,29 @@ object SparkEntry {
           sum("count_a").cast("long").as("sum_count_a"))
     }),
 
+    "vcf_genotype_counts" -> ((s, dir) => {
+      import s.implicits._
+      // the converter's per-strain genotype tally: multi-allelic and
+      // AD/DP-less lines drop at the line gate (never tallied); '0/0'
+      // and './.' cells ARE tallied, then skipped for variant emission
+      val multi = col("l_orderkey") % 11 === 0
+      val noAd = col("l_orderkey") % 13 === 0
+      val alt = when(multi, concat(baseOf(col("l_partkey") + 1), lit(","),
+          baseOf(col("l_partkey") + 2)))
+        .otherwise(baseOf(col("l_partkey") + 1))
+      val cellA = when(col("l_orderkey") % 3 === 0, "0/0:5,0:5")
+        .otherwise("0/1:3,4:7")
+      val cellB = when(col("l_orderkey") % 7 === 0, "./.")
+        .otherwise("1/1:0,9:9")
+      val lines = Tables.lineitem(s, dir).select(concat_ws("\t",
+        (col("l_orderkey") % 5 + 1).cast("string"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000).cast("string"),
+        lit("."), baseOf(col("l_partkey")), alt, lit("100"), lit("PASS"),
+        lit("."), when(noAd, "GT:PL").otherwise("GT:AD:DP"),
+        cellA, cellB).as("line")).as[String]
+      VcfParser.genotypeCounts(lines, Seq("STRAIN_A", "STRAIN_B"))
+    }),
+
     "corpus_curate" -> ((s, dir) => {
       val block = concat(col("lang"), lit("|"),
         floor(col("n_chars") / 100).cast("long").cast("string"))
@@ -1211,6 +1234,20 @@ object SparkEntry {
           |  CAST(sum(allele_depth) AS BIGINT) AS sum_allele_depth,
           |  CAST(sum(count_a) AS BIGINT) AS sum_count_a
           |FROM r GROUP BY chr""".stripMargin,
+
+      // genotype tallies: lines failing the gate (multi-allelic %11,
+      // AD/DP-less %13) never tally; kept lines tally BOTH strains' cells
+      "vcf_genotype_counts" ->
+        """WITH li AS (SELECT l_orderkey AS o FROM lineitem
+          |  WHERE l_orderkey % 11 <> 0 AND l_orderkey % 13 <> 0),
+          |u AS (
+          |  SELECT 'STRAIN_A' AS strain,
+          |    CASE WHEN o % 3 = 0 THEN '0/0' ELSE '0/1' END AS genotype FROM li
+          |  UNION ALL
+          |  SELECT 'STRAIN_B',
+          |    CASE WHEN o % 7 = 0 THEN './.' ELSE '1/1' END FROM li)
+          |SELECT strain, genotype, count(*) AS n
+          |FROM u GROUP BY strain, genotype""".stripMargin,
 
       "q22_snpeff_parse" ->
         s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,

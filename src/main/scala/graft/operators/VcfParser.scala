@@ -85,29 +85,53 @@ object VcfParser {
     impl.map(c => if (c == "M") "MT" else c)
   }
 
+  /** A data line that passed every line-level gate of the converter's
+    * processLine (VcfToCommonFormat2Converter.java:160-198): not a
+    * header, ≥10 columns, valid chromosome, parseable position, single
+    * ALT allele, AD/DP present in FORMAT unless `--ADDP`. */
+  private[operators] final case class GatedLine(
+      v: Array[String], chr: String, pos: Int, adIdx: Int, dpIdx: Int)
+
+  /** The shared line-level gate — used by both the variant parse and the
+    * genotype tally so the two can't drift. */
+  private[operators] def gateLine(line: String, missingADDP: Boolean,
+      accessionMap: Map[String, String]): Option[GatedLine] = {
+    if (line.isEmpty || line.charAt(0) == '#') return None
+    val v = line.split("\t", -1)
+    if (v.length < 10) return None
+    val chr = normalizeChr(v(0), accessionMap).getOrElse(return None)
+    val pos = toIntOpt(v(1)).getOrElse(return None)
+    if (v(4).contains(',')) return None // multi-allelic: skipped
+    val format = if (v(8).contains(";")) v(8).split(";") else v(8).split(":")
+    var adIdx = format.indexOf("AD")
+    if (adIdx < 0) adIdx = format.indexOf("CLCAD2")
+    val dpIdx = format.indexOf("DP")
+    if ((adIdx < 0 || dpIdx < 0) && !missingADDP) return None
+    Some(GatedLine(v, chr, pos, adIdx, dpIdx))
+  }
+
+  /** Genotype string of one sample cell — the first 3 chars ('0/1' of
+    * '0/1:470,63:533'), or the whole cell when shorter
+    * (VcfToCommonFormat2Converter.java:227-235). */
+  private def genotypeOf(data: String): String =
+    if (data.length >= 3) data.substring(0, 3) else data
+
   /** Reference behavior: VcfToCommonFormat2Converter.processLine /
     * processStrain (lines 161-318). */
   private[operators] def parseLine(line: String, strains: Array[String],
                                    sameAsRef: Boolean,
                                    missingADDP: Boolean = false,
                                    accessionMap: Map[String, String] = Map.empty): Iterator[Cf2Row] = {
-    if (line.isEmpty || line.charAt(0) == '#') return Iterator.empty
-    val v = line.split("\t", -1)
-    if (v.length < 10) return Iterator.empty
-
-    val chr = normalizeChr(v(0), accessionMap).getOrElse(return Iterator.empty)
-
-    val pos = toIntOpt(v(1)).getOrElse(return Iterator.empty)
+    val gated = gateLine(line, missingADDP, accessionMap)
+      .getOrElse(return Iterator.empty)
+    val v = gated.v
+    val chr = gated.chr
+    val pos = gated.pos
+    val adIdx = gated.adIdx
+    val dpIdx = gated.dpIdx
     val id = v(2)
     val refNuc = v(3)
     val alt = v(4)
-    if (alt.contains(',')) return Iterator.empty // multi-allelic: skipped
-
-    val format = if (v(8).contains(";")) v(8).split(";") else v(8).split(":")
-    var adIdx = format.indexOf("AD")
-    if (adIdx < 0) adIdx = format.indexOf("CLCAD2")
-    val dpIdx = format.indexOf("DP")
-    if ((adIdx < 0 || dpIdx < 0) && !missingADDP) return Iterator.empty
 
     // ClinVar-style ID field: RGDID:<id>;<hgvs>
     var rgdId: Option[Int] = None
@@ -126,7 +150,7 @@ object VcfParser {
     val nStrains = math.min(strains.length, v.length - 9)
     (0 until nStrains).iterator.flatMap { si =>
       val data = v(9 + si)
-      val gt = if (data.length >= 3) data.substring(0, 3) else data
+      val gt = genotypeOf(data)
       if (gt == "./." || gt == "." || gt == "0/0" || gt == "0") Iterator.empty
       else {
         val fields = data.split(":")
@@ -168,6 +192,36 @@ object VcfParser {
         }
       }
     }
+  }
+
+  /** Per-(strain, genotype) tallies — the converter's per-strain
+    * genotypeCountMaps (VcfToCommonFormat2Converter.java:377-391
+    * `handleGenotype`; same map in convert/RatMcwVCF.java:20-41). Every
+    * sample cell of every line passing the line-level gate tallies its
+    * genotype string — INCLUDING './.' and '0/0', which are counted
+    * before being skipped for variant emission. The reference keeps one
+    * in-memory HashMap per strain and dumps it at end-of-run; here the
+    * tally is a map-side-combined groupBy, so only (strain, genotype, n)
+    * partials shuffle regardless of input size. */
+  def genotypeCounts(lines: Dataset[String], strainNames: Seq[String],
+                     processLinesWithMissingADDP: Boolean = false,
+                     accessionMap: Map[String, String] = Map.empty): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val strains = strainNames.toArray
+    val missingADDP = processLinesWithMissingADDP
+    val accMap = accessionMap
+    lines.mapPartitions { it =>
+      it.flatMap { line =>
+        gateLine(line, missingADDP, accMap) match {
+          case None => Iterator.empty
+          case Some(g) =>
+            val n = math.min(strains.length, g.v.length - 9)
+            (0 until n).iterator.map(si => (strains(si), genotypeOf(g.v(9 + si))))
+        }
+      }
+    }.toDF("strain", "genotype")
+      .groupBy("strain", "genotype").agg(count(lit(1)).as("n"))
   }
 
   /** Parse 8-column (sample-less) VCF — Vcf8ColToCommonFormat2Converter:

@@ -97,4 +97,27 @@ class VcfParserSpec extends AnyFunSuite {
     assert(r.getInt(10) == 9 && r.getInt(15) == 9) // total_depth, read_depth
     assert(r.getInt(14) == 9)                      // allele_depth
   }
+
+  test("genotype tally counts './.'/'0/0' but not gate-dropped lines") {
+    val lines = Seq(
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2",
+      // tallied: S1 0/1, S2 ./.
+      "1\t100\t.\tA\tC\t10\tPASS\t.\tGT:AD:DP\t0/1:3,4:7\t./.",
+      // tallied: S1 0/0 (then skipped for emission), S2 1/1
+      "1\t200\t.\tG\tT\t10\tPASS\t.\tGT:AD:DP\t0/0:5,0:5\t1/1:0,9:9",
+      // multi-allelic: dropped at the line gate, nothing tallied
+      "1\t300\t.\tA\tC,G\t10\tPASS\t.\tGT:AD:DP\t0/1:1,2,3:6\t1/1:0,4,5:9",
+      // AD/DP missing: dropped (no --ADDP), nothing tallied
+      "1\t400\t.\tA\tC\t10\tPASS\t.\tGT:PL\t0/1:99\t1/1:55")
+    val out = VcfParser.genotypeCounts(spark.createDataset(lines), Seq("S1", "S2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("S1", "0/1") -> 1L, ("S1", "0/0") -> 1L,
+      ("S2", "./.") -> 1L, ("S2", "1/1") -> 1L))
+    // with --ADDP the AD/DP-less line passes the gate and tallies
+    val withAddp = VcfParser.genotypeCounts(spark.createDataset(lines),
+        Seq("S1", "S2"), processLinesWithMissingADDP = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(withAddp(("S1", "0/1")) == 2L && withAddp(("S2", "1/1")) == 2L)
+  }
 }
