@@ -560,6 +560,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "feature_count" -> ((s, dir) => {
+      // FeatureCount census over synthetic gene models whose UTR modes
+      // (gene_id % 4) exercise every handleUtr case: edge overlaps
+      // (1b/1c), UTR-inside-exon issues (1d), disjoint UTRs, no UTRs,
+      // plus unmapped genes (% 19) with no transcript
+      val base = Tables.part(s, dir).select(
+        col("p_partkey").as("gene_id"),
+        (col("p_partkey") % 5).cast("long").cast("string").as("chr"),
+        ((col("p_partkey") * 137) % 100000).cast("long").as("gstart"),
+        (lit(60) + (col("p_partkey") * 13) % 200).cast("long").as("span"))
+        .withColumn("gstop", col("gstart") + col("span"))
+      val genes = base.select("gene_id", "chr")
+      val mapped = base.filter(col("gene_id") % 19 =!= 0)
+        .withColumn("tr_id", col("gene_id") * 10)
+        .withColumn("mode", col("gene_id") % 4)
+      val transcripts = mapped.select("tr_id", "gene_id")
+      val n = (col("gene_id") % 3 + 1).cast("long")
+      val exons = mapped
+        .select(col("tr_id"), col("gstart"), n.as("n"),
+          floor(col("span") / n).cast("long").as("elen"))
+        .withColumn("i", explode(sequence(lit(0), col("n") - 1)))
+        .select(col("tr_id"), lit("EXONS").as("ftype"),
+          (col("gstart") + col("i") * col("elen")).as("fstart"),
+          (col("gstart") + (col("i") + 1) * col("elen") - 5).as("fstop"))
+      val utrs = mapped
+        .select(col("tr_id"), col("mode"), col("gstart"), col("gstop"))
+        .withColumn("u", explode(array(
+          struct(lit("5UTRS").as("ftype"), col("gstart").as("fstart"),
+            (col("gstart") + 10).as("fstop"), (col("mode") === 1).as("keep")),
+          struct(lit("3UTRS").as("ftype"), (col("gstop") - 10).as("fstart"),
+            col("gstop").as("fstop"), (col("mode") === 1).as("keep")),
+          struct(lit("3UTRS").as("ftype"), (col("gstart") + 6).as("fstart"),
+            (col("gstart") + 9).as("fstop"), (col("mode") === 2).as("keep")),
+          struct(lit("5UTRS").as("ftype"), (col("gstop") + 100).as("fstart"),
+            (col("gstop") + 110).as("fstop"), (col("mode") === 3).as("keep")))))
+        .filter(col("u.keep"))
+        .select(col("tr_id"), col("u.ftype"), col("u.fstart"), col("u.fstop"))
+      FeatureCount.rollup(genes, transcripts, exons.unionByName(utrs))
+    }),
+
     "vcf_parse" -> ((s, dir) => {
       import s.implicits._
       // synthesize VCF lines from lineitem, then run the real parser
@@ -1234,6 +1274,69 @@ object SparkEntry {
           |  CAST(sum(allele_depth) AS BIGINT) AS sum_allele_depth,
           |  CAST(sum(count_a) AS BIGINT) AS sum_count_a
           |FROM r GROUP BY chr""".stripMargin,
+
+      // feature census twin: same synthesis, same handleUtr case ladder
+      // (3-UTR tested first, hit short-circuits), same three rollups
+      "feature_count" ->
+        """WITH g AS (SELECT p_partkey AS gene_id,
+          |  CAST(CAST(p_partkey % 5 AS BIGINT) AS VARCHAR) AS chr,
+          |  CAST((p_partkey*137) % 100000 AS BIGINT) AS gstart,
+          |  CAST(60 + (p_partkey*13) % 200 AS BIGINT) AS span FROM part),
+          |g2 AS (SELECT *, gstart + span AS gstop, gene_id % 3 + 1 AS n,
+          |  CAST(floor(span / (gene_id % 3 + 1)) AS BIGINT) AS elen,
+          |  gene_id % 4 AS mode FROM g),
+          |tr AS (SELECT gene_id * 10 AS tr_id, gene_id, chr, gstart, gstop,
+          |  n, elen, mode FROM g2 WHERE gene_id % 19 <> 0),
+          |exon AS (SELECT tr_id, gstart + i*elen AS fstart,
+          |  gstart + (i+1)*elen - 5 AS fstop
+          |  FROM (SELECT *, unnest(generate_series(0, n-1)) AS i FROM tr)),
+          |utr AS (
+          |  SELECT tr_id, gstart AS us, gstart+10 AS ue, '5' AS kind FROM tr WHERE mode = 1
+          |  UNION ALL SELECT tr_id, gstop-10, gstop, '3' FROM tr WHERE mode = 1
+          |  UNION ALL SELECT tr_id, gstart+6, gstart+9, '3' FROM tr WHERE mode = 2
+          |  UNION ALL SELECT tr_id, gstop+100, gstop+110, '5' FROM tr WHERE mode = 3),
+          |ur AS (SELECT tr_id,
+          |  min(CASE WHEN kind='3' THEN us END) AS u3s,
+          |  min(CASE WHEN kind='3' THEN ue END) AS u3e,
+          |  min(CASE WHEN kind='5' THEN us END) AS u5s,
+          |  min(CASE WHEN kind='5' THEN ue END) AS u5e
+          |  FROM utr GROUP BY tr_id),
+          |ec AS (SELECT e.tr_id,
+          |  CASE WHEN u3s IS NOT NULL AND fstop >= u3s AND fstart <= u3e THEN
+          |    '3' || CASE WHEN fstart >= u3s AND fstop <= u3e THEN 'a'
+          |                WHEN fstart >= u3s AND fstop > u3e THEN 'b'
+          |                WHEN fstart < u3s AND fstop <= u3e THEN 'c' ELSE 'd' END
+          |  WHEN u5s IS NOT NULL AND fstop >= u5s AND fstart <= u5e THEN
+          |    '5' || CASE WHEN fstart >= u5s AND fstop <= u5e THEN 'a'
+          |                WHEN fstart >= u5s AND fstop > u5e THEN 'b'
+          |                WHEN fstart < u5s AND fstop <= u5e THEN 'c' ELSE 'd' END
+          |  ELSE 'x' END AS cls
+          |  FROM exon e LEFT JOIN ur ON ur.tr_id = e.tr_id),
+          |pt AS (SELECT tr_id, count(*) AS n_exons,
+          |  sum(CASE WHEN cls IN ('3a','3b','3c') THEN 1 ELSE 0 END) AS n_utr3,
+          |  sum(CASE WHEN cls IN ('5a','5b','5c') THEN 1 ELSE 0 END) AS n_utr5,
+          |  sum(CASE WHEN cls IN ('3b','3c','5b','5c','x') THEN 1 ELSE 0 END) AS n_cds,
+          |  max(CASE WHEN cls IN ('3d','5d') THEN 1 ELSE 0 END) AS has_issue
+          |  FROM ec GROUP BY tr_id),
+          |ta AS (SELECT tr.chr, count(*) AS n_transcripts,
+          |  CAST(coalesce(sum(n_exons),0) AS BIGINT) AS n_exons,
+          |  CAST(coalesce(sum(n_utr3),0) AS BIGINT) AS n_utr3,
+          |  CAST(coalesce(sum(n_utr5),0) AS BIGINT) AS n_utr5,
+          |  CAST(coalesce(sum(n_cds),0) AS BIGINT) AS n_cds,
+          |  CAST(coalesce(sum(has_issue),0) AS BIGINT) AS n_tr_issues
+          |  FROM tr LEFT JOIN pt ON pt.tr_id = tr.tr_id GROUP BY tr.chr),
+          |ga AS (SELECT g2.chr, count(*) AS n_genes,
+          |  CAST(sum(CASE WHEN m.gene_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_mapped_genes
+          |  FROM g2 LEFT JOIN (SELECT DISTINCT gene_id FROM tr) m
+          |    ON m.gene_id = g2.gene_id
+          |  GROUP BY g2.chr)
+          |SELECT ga.chr, n_genes, n_mapped_genes,
+          |  CAST(coalesce(n_transcripts,0) AS BIGINT) AS n_transcripts,
+          |  coalesce(n_exons,0) AS n_exons, coalesce(n_utr3,0) AS n_utr3,
+          |  coalesce(n_utr5,0) AS n_utr5, coalesce(n_cds,0) AS n_cds,
+          |  coalesce(n_tr_issues,0) AS n_tr_issues
+          |FROM ga LEFT JOIN ta ON ta.chr = ga.chr""".stripMargin,
 
       // genotype tallies: lines failing the gate (multi-allelic %11,
       // AD/DP-less %13) never tally; kept lines tally BOTH strains' cells

@@ -175,3 +175,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b(0L) != b(3L)) // all 8 sign bits flip for the negated vector
   }
 }
+
+/** Hand-derived cases for the FeatureCount census (fixup/FeatureCount.java). */
+class FeatureCountSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.FeatureCount
+
+  test("handleUtr case ladder: 1a/1b/1c/1d, disjoint, short-circuit") {
+    val genes = Seq((1L, "1"), (2L, "1"), (3L, "2"))
+      .toDF("gene_id", "chr")
+    // gene 3 has no transcript (unmapped); tr 20 has no exon features
+    val transcripts = Seq((10L, 1L), (20L, 2L)).toDF("tr_id", "gene_id")
+    val features = Seq(
+      // tr 10: utr5=[1,10], utr3=[90,100]
+      (10L, "5UTRS", 1L, 10L), (10L, "3UTRS", 90L, 100L),
+      (10L, "EXONS", 1L, 8L),    // inside utr5 -> 1a: utr5 piece only
+      (10L, "EXONS", 5L, 20L),   // utr5 covers left part -> 1b: utr5 + cds
+      (10L, "EXONS", 30L, 40L),  // disjoint -> whole-exon cds
+      (10L, "EXONS", 85L, 95L),  // utr3 covers right part -> 1c: utr3 + cds
+      (10L, "EXONS", 80L, 120L), // utr3 strictly inside -> 1d: issue, nothing
+      // tr 20 contributes a transcript with no exons
+      (20L, "3UTRS", 5L, 9L))
+      .toDF("tr_id", "ftype", "fstart", "fstop")
+    val out = FeatureCount.rollup(genes, transcripts, features)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c1 = out("1")
+    assert(c1.getAs[Long]("n_genes") == 2 && c1.getAs[Long]("n_mapped_genes") == 2)
+    assert(c1.getAs[Long]("n_transcripts") == 2)
+    assert(c1.getAs[Long]("n_exons") == 5)
+    assert(c1.getAs[Long]("n_utr5") == 2)  // 1a + 1b
+    assert(c1.getAs[Long]("n_utr3") == 1)  // 1c
+    assert(c1.getAs[Long]("n_cds") == 3)   // 1b + disjoint + 1c
+    assert(c1.getAs[Long]("n_tr_issues") == 1)
+    val c2 = out("2")
+    assert(c2.getAs[Long]("n_genes") == 1 && c2.getAs[Long]("n_mapped_genes") == 0)
+    assert(c2.getAs[Long]("n_transcripts") == 0 && c2.getAs[Long]("n_exons") == 0)
+  }
+
+  test("utr3 tested before utr5: double-overlap counts against utr3 only") {
+    val genes = Seq((1L, "1")).toDF("gene_id", "chr")
+    val transcripts = Seq((10L, 1L)).toDF("tr_id", "gene_id")
+    // exon [5,20] overlaps BOTH utr3 [1,10] and utr5 [15,30]; the
+    // reference checks utr3 first and continues on a hit
+    val features = Seq(
+      (10L, "3UTRS", 1L, 10L), (10L, "5UTRS", 15L, 30L),
+      (10L, "EXONS", 5L, 20L))
+      .toDF("tr_id", "ftype", "fstart", "fstop")
+    val r = FeatureCount.rollup(genes, transcripts, features).collect().head
+    assert(r.getAs[Long]("n_utr3") == 1 && r.getAs[Long]("n_utr5") == 0)
+    assert(r.getAs[Long]("n_cds") == 1) // 1b remainder
+  }
+}
