@@ -727,6 +727,19 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      // IVF search against fixed md5-derived quantizer points, so the
+      // DuckDB oracle can embed the centroids as literals (production
+      // passes ivfTrain output; the assignment/probe/score plan — the
+      // part that runs at corpus scale — is identical either way)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfSearch(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", Similarity.ivfQuantizer(16, 64),
+          k = 5, nprobe = 2)
+        .select(col("query_id"), col("corpus_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "ann_lsh_bucketed" -> ((s, dir) => {
       Similarity.lshBuckets(Tables.embeddings(s, dir), "vec_id", "embedding",
           numPlanes = 8, dim = 64)
@@ -1581,6 +1594,38 @@ object SparkEntry {
            |  FROM th GROUP BY doc_id),
            |s AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v)
            |SELECT doc_id, simhash, simhash >> 44 AS bucket FROM s""".stripMargin
+      },
+
+      // IVF twin: the 16 quantizer centroids as double literals; same
+      // |c|²−2·v·c assignment key (ties to lowest centroid id), same
+      // nprobe=2 probe, same within-list cosine + rank
+      "ann_ivf" -> {
+        val cents = Similarity.ivfQuantizer(16, 64)
+        val distRows = cents.zipWithIndex.map { case (cv, ci) =>
+          val litArr = cv.map(_.toDouble.toString).mkString("[", ", ", "]")
+          s"SELECT vec_id, $ci AS c, ${Similarity.selfDot(cv)} - " +
+            s"2*list_dot_product(vv, $litArr) AS d FROM v"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+           |d AS (
+           |  $distRows),
+           |rnk AS (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
+           |asn AS (SELECT a.vec_id AS corpus_id, a.c AS list_id, vv AS cv
+           |  FROM rnk a JOIN v ON v.vec_id = a.vec_id WHERE a.rn = 1),
+           |prb AS (SELECT p.vec_id AS query_id, p.c AS list_id, vv AS qv
+           |  FROM rnk p JOIN v ON v.vec_id = p.vec_id
+           |  WHERE p.rn <= 2 AND p.vec_id % 50 = 0),
+           |s AS (SELECT query_id, corpus_id,
+           |  round(CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) > 0
+           |    THEN list_dot_product(qv,cv) /
+           |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+           |    ELSE 0 END, 6) AS cos_sim
+           |  FROM prb JOIN asn USING (list_id) WHERE corpus_id <> query_id)
+           |SELECT query_id, corpus_id, cos_sim, rank FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank FROM s)
+           |WHERE rank <= 5""".stripMargin
       },
 
       // sign-LSH buckets: the 8 hyperplanes are driver-side constants,

@@ -180,27 +180,15 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) ANN — the coarse-quantizer scale path.
-    *
-    * Train: deterministic local k-means (fixed seed rows, fixed Lloyd
-    * iteration count) over a bounded sample — IVF training is always
-    * sample-based, so the driver-side collect is capped by `maxSample`,
-    * not the corpus. Assign: every corpus vector maps to its nearest
-    * centroid with the (tiny) centroid matrix broadcast — one narrow
-    * pass, no shuffle. Query: each query probes its `nprobe` nearest
-    * centroids and scores exactly only within those inverted lists — an
-    * equi-join on centroid id, so the corpus partitioning by list id is
-    * reusable across query batches. Fan-out per query ≈
-    * nprobe/k of the corpus instead of all of it.
-    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, numCentroids: Int = 16,
-              nprobe: Int = 2, iterations: Int = 5,
-              maxSample: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-
-    // ---- train: bounded sample -> local Lloyd iterations ----
+  /** Deterministic k-means trainer for [[ivfSearch]]: seed centroids are
+    * the first `numCentroids` rows of the id-ordered sample, Lloyd
+    * iteration count is fixed, and the driver-side collect is capped by
+    * `maxSample` (IVF training is always sample-based — the collect is
+    * bounded by construction, never the corpus). Returns float centroids
+    * ready for [[ivfSearch]]. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               numCentroids: Int = 16, iterations: Int = 5,
+               maxSample: Int = 10000): Array[Array[Float]] = {
     val sample: Array[Array[Float]] = corpus
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(maxSample)
       .collect().map(_.getSeq[Float](1).toArray)
@@ -234,26 +222,61 @@ object Similarity {
       }.toArray
       it += 1
     }
-    val bc = spark.sparkContext.broadcast(centroids)
+    centroids.map(_.map(_.toFloat))
+  }
 
-    // ---- assign: narrow map, centroids broadcast ----
-    val assignList = udf { (v: Seq[Float]) => nearestIdx(v.toArray, bc.value) }
+  /** Fixed deterministic quantizer points (md5-derived like the LSH
+    * planes, disjoint index space): lets a query run [[ivfSearch]] with
+    * centroids known at plan-authoring time, so an external SQL oracle
+    * can embed them as literals. Production flows pass [[ivfTrain]]
+    * output instead. */
+  private[graft] def ivfQuantizer(numCentroids: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(numCentroids)(c => planeVec(1000 + c, dim))
+
+  /** `|c|²` accumulated exactly like the dot kernel (widen-then-multiply,
+    * left to right) so the literal matches any engine's recomputation. */
+  private[graft] def selfDot(c: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    s
+  }
+
+  /** IVF (inverted-file) ANN search against fixed centroids — the
+    * coarse-quantizer scale path.
+    *
+    * Assign: every corpus vector maps to its nearest centroid — argmin
+    * over `|c|² − 2·v·c` (the `|v|²` term is constant per row and
+    * dropped), ties to the lowest centroid id, evaluated as an
+    * `array_min` over (distance, id) structs with the centroid matrix
+    * riding into the plan as array literals. One narrow pass, no
+    * shuffle, whole-stage codegen. Query: each query probes its `nprobe`
+    * nearest centroids and scores exactly only within those inverted
+    * lists — an equi-join on list id, so corpus partitioning by list id
+    * is reusable across query batches. Fan-out per query ≈ nprobe/numC
+    * of the corpus instead of all of it. Every arithmetic step uses the
+    * left-to-right double dot kernel, so an external SQL engine given
+    * the same centroid literals reproduces the identical lists, probes
+    * and scores (the DuckDB oracle does exactly that).
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, centroids: Array[Array[Float]], k: Int,
+                nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def distStructs(vec: Column): Column = array(
+      centroids.zipWithIndex.map { case (cv, ci) =>
+        struct((lit(selfDot(cv)) - lit(2.0) * dot(vec, typedLit(cv))).as("d"),
+          lit(ci).as("c"))
+      }: _*)
+
     val lists = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"),
-      assignList(col(vecCol)).as("list_id"))
+      array_min(distStructs(col(vecCol))).getField("c").as("list_id"))
 
-    // ---- probe: nprobe nearest centroids per query ----
-    val probeLists = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      bc.value.indices.map { c =>
-        var d = 0.0; var i = 0
-        while (i < dim) { val t = arr(i) - bc.value(c)(i); d += t * t; i += 1 }
-        (d, c)
-      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
-    }
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
-      explode(probeLists(col(vecCol))).as("list_id")))
+      explode(transform(
+        slice(array_sort(distStructs(col(vecCol))), 1, nprobe),
+        s => s.getField("c"))).as("list_id")))
 
     val nn = col("q_norm") * col("c_norm")
     val scored = lists.join(q, "list_id")
@@ -265,6 +288,16 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Train-then-search convenience: deterministic [[ivfTrain]] feeding
+    * [[ivfSearch]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCentroids: Int = 16,
+              nprobe: Int = 2, iterations: Int = 5,
+              maxSample: Int = 10000): DataFrame =
+    ivfSearch(corpus, queries, idCol, vecCol,
+      ivfTrain(corpus, idCol, vecCol, numCentroids, iterations, maxSample),
+      k, nprobe)
 
   /** Bucketed ANN: exact cosine only within matching buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
