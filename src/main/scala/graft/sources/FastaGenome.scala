@@ -38,13 +38,38 @@ object FastaGenome {
     out.iterator.map { case (k, v) => k -> v.toString }.toMap
   }
 
+  /** Default cap on driver-side genome materialization: 8 G bases covers
+    * any vertebrate reference (human ~3.1 G) with headroom; past that the
+    * broadcast-map design itself is wrong, not just the collect. */
+  val DefaultMaxBases: Long = 8L << 30
+
   /** Driver-side load + broadcast. FASTA files are header-delimited, so
-    * the per-chromosome grouping must see lines in order — this collects
-    * the (bounded, genome-sized) text once, like the reference's one-time
-    * `.nuc` conversion. */
-  def fromLines(spark: SparkSession, lines: Dataset[String]): BroadcastGenome =
-    BroadcastGenome(spark.sparkContext.broadcast(
-      parse(lines.toLocalIterator().asScala)))
+    * the per-chromosome grouping must see lines in order — this streams
+    * the text through the driver once (`toLocalIterator`, one partition
+    * in memory at a time, but the PARSED genome accumulates fully on the
+    * driver), like the reference's one-time `.nuc` conversion.
+    *
+    * Memory bound: driver and every executor hold one copy of the genome
+    * (~1 byte/base + per-chromosome StringBuilder overhead during parse).
+    * That is the deliberate design point for reference genomes (≤ a few
+    * GB); it is NOT a general FASTA ingestion path. `maxBases` fails fast
+    * with a clear message instead of an eventual driver OOM when fed
+    * something bigger (a metagenome, a concatenated corpus). */
+  def fromLines(spark: SparkSession, lines: Dataset[String],
+                maxBases: Long = DefaultMaxBases): BroadcastGenome = {
+    var total = 0L
+    val guarded = lines.toLocalIterator().asScala.map { l =>
+      if (l.nonEmpty && l.charAt(0) != '>') {
+        total += l.length
+        if (total > maxBases) throw new IllegalArgumentException(
+          s"FASTA exceeds maxBases=$maxBases; a genome this large cannot " +
+            "be driver-materialized and broadcast - shard it or raise the " +
+            "cap explicitly if the driver/executors have the memory")
+      }
+      l
+    }
+    BroadcastGenome(spark.sparkContext.broadcast(parse(guarded)))
+  }
 
   def fromText(spark: SparkSession, text: String): BroadcastGenome =
     BroadcastGenome(spark.sparkContext.broadcast(

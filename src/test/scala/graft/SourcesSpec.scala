@@ -252,4 +252,14 @@ class SourcesSpec extends AnyFunSuite {
       .collect().head
     assert(a.ref_aa.contains("A") && a.var_aa.contains("V"))
   }
+
+  test("fasta driver-memory guard fails fast over maxBases") {
+    val lines = Seq(">chr1", "ACGTACGT", "ACGTACGT").toDS()
+    val ok = FastaGenome.fromLines(spark, lines, maxBases = 16L)
+    assert(ok.chunk("1", 1, 4) == "ACGT")
+    val e = intercept[IllegalArgumentException] {
+      FastaGenome.fromLines(spark, lines, maxBases = 15L)
+    }
+    assert(e.getMessage.contains("maxBases"))
+  }
 }
