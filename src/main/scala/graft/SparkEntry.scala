@@ -560,6 +560,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "sample_load" -> ((s, dir) => {
+      import s.implicits._
+      // sample dim from a synthetic VCF directory listing (every 10th
+      // file has a foreign suffix and is ignored), then the metadata-TSV
+      // overlay for every third sample id — the LoadRn6Rn7Samples +
+      // LoadSampleMetadata flow end to end
+      val files = Tables.supplier(s, dir).select(
+        concat(lit("/data/rn6/"), col("s_name"),
+          when(col("s_suppkey") % 10 === 0, ".readme")
+            .otherwise("_SNPs_HF_SnpEff.vcf.gz")).as("path"))
+      val samples = SampleMeta.samplesFromFiles(files, "path",
+        "_SNPs_HF_SnpEff.vcf.gz", baseSampleId = 1000L, mapKey = 360,
+        patientId = 600, gender = "U", description = "rn6")
+      val metaLines = samples.filter(col("sample_id") % 3 === 0)
+        .select(concat_ws("\t", col("sample_id").cast("string"), lit("F"),
+          lit("rn6-metadata")).as("l")).as[String]
+      val meta = SampleMeta.parseMetadataTsv(s,
+        s.createDataset(Seq("sample_id\tgender\tdescription")).union(metaLines))
+      SampleMeta.applyMetadata(samples, meta)
+        .select(col("sample_id"), col("sample_name"), col("gender"),
+          col("description"), col("patient_id"), col("map_key"))
+    }),
+
     "feature_count" -> ((s, dir) => {
       // FeatureCount census over synthetic gene models whose UTR modes
       // (gene_id % 4) exercise every handleUtr case: edge overlaps
@@ -1287,6 +1310,21 @@ object SparkEntry {
           |  CAST(sum(allele_depth) AS BIGINT) AS sum_allele_depth,
           |  CAST(sum(count_a) AS BIGINT) AS sum_count_a
           |FROM r GROUP BY chr""".stripMargin,
+
+      // sample dim twin: same suffix filter, same name-ordered sequential
+      // ids, same metadata overlay for ids divisible by 3
+      "sample_load" ->
+        """WITH f AS (SELECT s_name AS sample_name FROM supplier
+          |  WHERE s_suppkey % 10 <> 0),
+          |r AS (SELECT sample_name,
+          |  CAST(1000 + row_number() OVER (ORDER BY sample_name) - 1 AS BIGINT)
+          |    AS sample_id FROM f)
+          |SELECT sample_id, sample_name,
+          |  CASE WHEN sample_id % 3 = 0 THEN 'F' ELSE 'U' END AS gender,
+          |  CASE WHEN sample_id % 3 = 0 THEN 'rn6-metadata' ELSE 'rn6' END
+          |    AS description,
+          |  600 AS patient_id, 360 AS map_key
+          |FROM r""".stripMargin,
 
       // feature census twin: same synthesis, same handleUtr case ladder
       // (3-UTR tested first, hit short-circuits), same three rollups

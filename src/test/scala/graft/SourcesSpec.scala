@@ -253,6 +253,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.ref_aa.contains("A") && a.var_aa.contains("V"))
   }
 
+  // ---- SampleMeta ----
+
+  test("samplesFromFiles: suffix filter, name-ordered sequential ids") {
+    import graft.operators.SampleMeta
+    val files = Seq(
+      "/data/rn6/S2_SNPs_HF_SnpEff.vcf.gz",
+      "/data/rn6/S1_SNPs_HF_SnpEff.vcf.gz",
+      "/data/rn6/readme.txt").toDF("path")
+    val out = SampleMeta.samplesFromFiles(files, "path",
+        "_SNPs_HF_SnpEff.vcf.gz", 1000L, 360, 600, "U", "rn6")
+      .orderBy("sample_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("S1", "S2"))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1000L, 1001L))
+    assert(SampleMeta.sampleId(
+      SampleMeta.samplesFromFiles(files, "path", "_SNPs_HF_SnpEff.vcf.gz",
+        1000L, 360, 600, "U", "rn6"), "S2").contains(1001L))
+  }
+
+  test("metadata TSV overlay: matched rows update, others pass through") {
+    import graft.operators.SampleMeta
+    val samples = Seq((1000L, "S1", "U"), (1001L, "S2", "U"))
+      .toDF("sample_id", "sample_name", "gender")
+    val meta = SampleMeta.parseMetadataTsv(spark, Seq(
+      "sample_id\tgender\ttissue",
+      "1001\tF\tliver",
+      "\tM\tskipped-empty-id").toDS())
+    val out = SampleMeta.applyMetadata(samples, meta)
+      .orderBy("sample_id").collect()
+    assert(out.map(r => (r.getAs[String]("gender"), r.getAs[String]("tissue")))
+      .toSeq == Seq(("U", null), ("F", "liver")))
+  }
+
   test("fasta driver-memory guard fails fast over maxBases") {
     val lines = Seq(">chr1", "ACGTACGT", "ACGTACGT").toDS()
     val ok = FastaGenome.fromLines(spark, lines, maxBases = 16L)
