@@ -1591,16 +1591,17 @@ object SparkEntry {
 
       // banded-candidate twin: same signatures; a band matches when all 4
       // of its minhashes agree, so the oracle joins on the raw band values
-      // (Spark's xxhash64 band bucket is only a shuffle-key compaction)
+      // (Spark's xxhash64 band bucket is only a shuffle-key compaction);
+      // same maxBucket=4096 mega-bucket drop per band group
       "dedup_minhash_pairs" -> {
         val mins = (0 until 16).map { i =>
           val d = if (i < 8) "d1" else "d2"
           s"min(CAST('0x' || substr($d, ${(i % 8) * 3 + 1}, 8) AS BIGINT)) AS h$i"
         }.mkString(",\n  ")
-        val bandConds = (0 until 4).map { b =>
-          (0 until 4).map(j => s"a.h${b * 4 + j} = b.h${b * 4 + j}")
-            .mkString("(", " AND ", ")")
-        }.mkString("\n    OR ")
+        val bandRows = (0 until 4).map { b =>
+          val hs = (0 until 4).map(j => s"h${b * 4 + j} AS k${j}").mkString(", ")
+          s"SELECT doc_id, $b AS band, $hs FROM sig"
+        }.mkString("\n  UNION ALL ")
         s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
            |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS sh
            |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t)-2)) AS i
@@ -1608,9 +1609,17 @@ object SparkEntry {
            |h AS (SELECT doc_id, sh, md5(sh) AS d1, md5('x' || sh) AS d2 FROM sh),
            |sig AS (SELECT doc_id,
            |  $mins
-           |FROM h GROUP BY doc_id)
+           |FROM h GROUP BY doc_id),
+           |bands AS (
+           |  $bandRows),
+           |sz AS (SELECT band, k0, k1, k2, k3, count(*) AS n FROM bands
+           |  GROUP BY band, k0, k1, k2, k3),
+           |bb AS (SELECT bands.* FROM bands
+           |  JOIN sz USING (band, k0, k1, k2, k3) WHERE sz.n <= 4096)
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)""".stripMargin
+           |FROM bb a JOIN bb b ON a.band = b.band AND a.k0 = b.k0
+           |  AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.k3 = b.k3
+           |  AND a.doc_id < b.doc_id""".stripMargin
       },
 
       // simhash twin: same md5-derived 60-bit token hashes, ±1 bit votes,

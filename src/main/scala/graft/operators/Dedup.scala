@@ -66,10 +66,17 @@ object Dedup {
   /** LSH banding over the minhash signature: documents sharing any band
     * hash become candidate near-dup pairs. Bands of `rowsPerBand` hashes
     * are hashed together; the band bucket join only ever shuffles
-    * (band, bucket, id) triples. Returns candidate pairs (id_a < id_b). */
+    * (band, bucket, id) triples. Buckets larger than `maxBucket` are
+    * dropped before the join — a bucket of identical band signatures
+    * (exact-dup floods, degenerate short docs) makes the self-join
+    * O(bucket²), the one shape that goes quadratic at corpus scale;
+    * capping bounds the join at O(maxBucket²) per bucket (exact dups
+    * belong to [[exactGroups]] anyway, same reasoning as the rare-shingle
+    * cut in [[ngramJaccardPairs]]). Returns candidate pairs (id_a <
+    * id_b). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, rowsPerBand: Int = 4,
-                        shingleLen: Int = 3): DataFrame = {
+                        shingleLen: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleLen)
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
@@ -80,8 +87,12 @@ object Dedup {
     val banded = sig
       .select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val sizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucket)
+    val bounded = banded.join(sizes, Seq("band", "bucket")).drop("__bsz")
+    val a = bounded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = bounded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
