@@ -2,25 +2,33 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print the formatted physical plan of selected queries —
-  * `runMain graft.Explain <sfDir> <query...>` (default: all). Used for
-  * the per-round plan audit (broadcasts, pushdown, codegen spans). */
+/** Plan-audit utility: print the formatted physical plan of named
+  * `SparkEntry.queries` entries (all of them with no names given).
+  *
+  *   sbt "runMain graft.Explain /root/testdata/sf0.01 feature_count"
+  *
+  * Use it after touching an operator: the plan you ship should be the
+  * plan you wanted — broadcasts on dim sides, pushed filters, no
+  * unpartitioned windows, whole-stage codegen over the hot path.
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.drop(1).toSet
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"explain failed: $e") }
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
+        println(s"\n========== $name ==========")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"[explain] failed: ${e.getMessage}") }
+      }
     spark.stop()
   }
 }

@@ -70,8 +70,10 @@ object SampleMeta {
     * matches; samples without metadata pass through unchanged. */
   def applyMetadata(samples: DataFrame, meta: DataFrame): DataFrame = {
     val metaCols = meta.columns.filter(_ != "sample_id").toSeq
-    val m = meta.select(col("sample_id") +:
-      metaCols.map(c => col(c).as(s"__m_$c")): _*)
+    // a metadata TSV is hand-maintained and dim-sized by construction —
+    // broadcast it so the sample dim never shuffles for the overlay
+    val m = broadcast(meta.select(col("sample_id") +:
+      metaCols.map(c => col(c).as(s"__m_$c")): _*))
     val joined = samples.join(m, Seq("sample_id"), "left")
     val overlaid = metaCols.foldLeft(joined) { (df, c) =>
       if (samples.columns.contains(c))
