@@ -87,15 +87,20 @@ object Dedup {
     val banded = sig
       .select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val sizes = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= maxBucket)
-    val bounded = banded.join(sizes, Seq("band", "bucket")).drop("__bsz")
-    val a = bounded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = bounded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bucket"))
+    // pairs via groupBy-collect + in-bucket expansion, NOT a bucket-key
+    // self-join: a self-join's two sides each recompute the whole
+    // signature pipeline (the expensive md5 scan) and shuffle
+    // separately; this shape computes signatures once, shuffles one
+    // (band, bucket, id) row per membership, and the collected id list
+    // is bounded by maxBucket (4096 longs ≈ 32 KB per bucket)
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .distinct()
   }
 
   /** 64-bit SimHash over word tokens: per-token md5 bits, weighted ±1 sum
