@@ -87,16 +87,22 @@ object Dedup {
     val banded = sig
       .select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    // pairs via groupBy-collect + in-bucket expansion, NOT a bucket-key
-    // self-join: a self-join's two sides each recompute the whole
-    // signature pipeline (the expensive md5 scan) and shuffle
-    // separately; this shape computes signatures once, shuffles one
-    // (band, bucket, id) row per membership, and the collected id list
-    // is bounded by maxBucket (4096 longs ≈ 32 KB per bucket)
-    val buckets = banded.groupBy("band", "bucket")
+    // pairs via bucket collect + in-bucket expansion, NOT a bucket-key
+    // self-join: a self-join's sides each recompute the whole signature
+    // pipeline (the expensive md5 scan) and shuffle separately; this
+    // shape computes signatures once and shuffles one (band, bucket, id)
+    // row per membership. Order matters for memory: the size filter is a
+    // spill-safe window count BEFORE collect_list, so a degenerate
+    // mega-bucket never materializes an unbounded id list in an
+    // aggregation buffer — after the filter every collected list is
+    // ≤ maxBucket (4096 longs ≈ 32 KB). The groupBy reuses the window's
+    // (band, bucket) hash partitioning — no extra shuffle.
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy("band", "bucket")
+    banded.withColumn("__bsz", count(lit(1)).over(wB))
+      .filter(col("__bsz").between(2, maxBucket)).drop("__bsz")
+      .groupBy("band", "bucket")
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -142,11 +148,20 @@ object Dedup {
                         maxDf: Int = 8): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), blockCol.as("block"),
       explode(shingles(col(textCol), n)).as("sh"))
-    val dfreq = sh.groupBy("block", "sh").agg(count("*").as("dfreq"))
-    val rare = sh.join(dfreq.filter(col("dfreq") <= maxDf), Seq("block", "sh"))
-    val cand = rare.select(col("block"), col("sh"), col("id").as("id_a"))
-      .join(rare.select(col("block"), col("sh"), col("id").as("id_b")),
-        Seq("block", "sh"))
+    // candidate generation in ONE pass over the shingle pipeline: the
+    // earlier dfreq-join + rare-self-join shape re-derived `sh` four
+    // times (dfreq agg, join probe, both self-join sides). A spill-safe
+    // window count filters common shingles before any list materializes,
+    // then the per-shingle id list (≤ maxDf entries) expands to pairs on
+    // the partitioning the window already established.
+    import org.apache.spark.sql.expressions.Window
+    val wSh = Window.partitionBy("block", "sh")
+    val cand = sh.withColumn("__df", count(lit(1)).over(wSh))
+      .filter(col("__df").between(2, maxDf)).drop("__df")
+      .groupBy("block", "sh")
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val inter = cand
