@@ -89,12 +89,12 @@ object VcfParser {
     * processLine (VcfToCommonFormat2Converter.java:160-198): not a
     * header, ≥10 columns, valid chromosome, parseable position, single
     * ALT allele, AD/DP present in FORMAT unless `--ADDP`. */
-  private[operators] final case class GatedLine(
+  private[graft] final case class GatedLine(
       v: Array[String], chr: String, pos: Int, adIdx: Int, dpIdx: Int)
 
   /** The shared line-level gate — used by both the variant parse and the
     * genotype tally so the two can't drift. */
-  private[operators] def gateLine(line: String, missingADDP: Boolean,
+  private[graft] def gateLine(line: String, missingADDP: Boolean,
       accessionMap: Map[String, String]): Option[GatedLine] = {
     if (line.isEmpty || line.charAt(0) == '#') return None
     val v = line.split("\t", -1)
@@ -118,7 +118,7 @@ object VcfParser {
 
   /** Reference behavior: VcfToCommonFormat2Converter.processLine /
     * processStrain (lines 161-318). */
-  private[operators] def parseLine(line: String, strains: Array[String],
+  private[graft] def parseLine(line: String, strains: Array[String],
                                    sameAsRef: Boolean,
                                    missingADDP: Boolean = false,
                                    accessionMap: Map[String, String] = Map.empty): Iterator[Cf2Row] = {

@@ -94,6 +94,36 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("parseLine emits rows only for lines that pass the shared gate") {
+    import graft.operators.VcfParser
+    // random VCF-ish lines spanning every gate branch: header, short,
+    // bad chr, multi-allelic ALT, AD/DP-less FORMAT
+    val cell = Gen.oneOf("0/1:3,4:7", "1/1:0,9:9", "0/0:5,0:5", "./.", "0/1:99")
+    val lineGen = for {
+      chr <- Gen.oneOf("1", "chr2", "scaffold_9", "Un", "#x", "M")
+      alt <- Gen.oneOf("C", "C,G")
+      fmt <- Gen.oneOf("GT:AD:DP", "GT:PL", "GT:AD")
+      c1 <- cell
+      c2 <- cell
+      short <- Gen.oneOf(true, false)
+    } yield
+      if (short) s"$chr\t100\t.\tA"
+      else Seq(chr, "100", ".", "A", alt, "10", "PASS", ".", fmt, c1, c2)
+        .mkString("\t")
+    val strains = Array("S1", "S2")
+    assert(holds(Prop.forAll(lineGen) { line =>
+      val gate = VcfParser.gateLine(line, missingADDP = false, Map.empty)
+      val rows = VcfParser.parseLine(line, strains, sameAsRef = false)
+      val tallies = gate.map { g =>
+        (0 until math.min(strains.length, g.v.length - 9)).size
+      }.getOrElse(0)
+      // no gate -> no rows and no tallies; gate passed -> every emitted
+      // row's strain is one of the tallied cells
+      (gate.isEmpty && rows.isEmpty && tallies == 0) ||
+        (gate.nonEmpty && rows.forall(r => strains.contains(r.strain)))
+    }))
+  }
+
   test("normText is idempotent and matches the regex formulation") {
     assert(holds(Prop.forAll(textGen) { s =>
       val k = TextKernelOps.normText(UTF8String.fromString(s)).toString
