@@ -27,4 +27,15 @@ object StreamVcf {
              genders: Map[String, String],
              parRegions: Seq[Par.Region] = Par.grch37): DataFrame =
     VariantPipeline.score(commonFormat(lines, strains), genders, parRegions)
+
+  /** Streaming per-(strain, genotype) tallies: the same gated
+    * [[VcfParser.genotypeCounts]] aggregation as a running streaming
+    * aggregate (complete/update output modes) — state is one row per
+    * (strain, genotype), a few dozen entries regardless of input volume,
+    * so no watermark is needed. The reference accumulates the identical
+    * HashMap per strain over the run and dumps it at the end. */
+  def genotypeCounts(lines: Dataset[String], strains: Seq[String],
+                     processLinesWithMissingADDP: Boolean = false): DataFrame =
+    VcfParser.genotypeCounts(lines, strains,
+      processLinesWithMissingADDP)
 }

@@ -233,6 +233,27 @@ class SourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming genotype tallies accumulate across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamVcf
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamVcf.genotypeCounts(mem.toDS(), Seq("S1"))
+      .writeStream.format("memory").queryName("gt_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData("1\t100\t.\tA\tC\t10\tPASS\t.\tGT:AD:DP\t0/1:3,4:7")
+      q.processAllAvailable()
+      mem.addData(
+        "1\t200\t.\tG\tT\t10\tPASS\t.\tGT:AD:DP\t0/1:1,2:3",
+        "1\t300\t.\tG\tT\t10\tPASS\t.\tGT:AD:DP\t./.")
+      q.processAllAvailable()
+      val byKey = spark.table("gt_counts").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(byKey == Map(("S1", "0/1") -> 2L, ("S1", "./.") -> 1L))
+    } finally q.stop()
+  }
+
   // ---- FastaGenome ----
 
   test("fasta parse: headers, chr-prefix strip, multi-line concat") {
