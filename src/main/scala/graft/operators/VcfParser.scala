@@ -230,21 +230,25 @@ object VcfParser {
     * among the alleles, and one row is emitted per non-ref allele
     * (multi-allelic ALT lists allowed, unlike the sample'd format). */
   def parse8Col(lines: Dataset[String],
-                processVariantsSameAsRef: Boolean = false): DataFrame = {
+                processVariantsSameAsRef: Boolean = false,
+                accessionMap: Map[String, String] = Map.empty): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     val sameAsRef = processVariantsSameAsRef
-    lines.mapPartitions(_.flatMap(parse8ColLine(_, sameAsRef)))
+    val accMap = accessionMap
+    lines.mapPartitions(_.flatMap(parse8ColLine(_, sameAsRef, accMap)))
       .toDF().select(outputColumns.map(col): _*)
   }
 
-  private[operators] def parse8ColLine(line: String,
-                                       sameAsRef: Boolean): Iterator[Cf2Row] = {
+  private[operators] def parse8ColLine(line: String, sameAsRef: Boolean,
+      accessionMap: Map[String, String] = Map.empty): Iterator[Cf2Row] = {
     if (line.isEmpty || line.charAt(0) == '#') return Iterator.empty
     val v = line.split("\t", -1)
     if (v.length < 8) return Iterator.empty
 
-    val chr = normalizeChr(v(0), Map.empty).getOrElse(return Iterator.empty)
+    // same NC_* accession resolution as the sample'd dialect — the
+    // reference's shared VcfToCommonFormat2Base.getChromosome
+    val chr = normalizeChr(v(0), accessionMap).getOrElse(return Iterator.empty)
     val pos = toIntOpt(v(1)).getOrElse(return Iterator.empty)
     val rsId = v(2)
     val refNuc = v(3)
