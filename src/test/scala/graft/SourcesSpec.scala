@@ -306,6 +306,37 @@ class SourcesSpec extends AnyFunSuite {
       .toSeq == Seq(("U", null), ("F", "liver")))
   }
 
+  test("packed genome round-trips slices, N runs and case folding") {
+    import graft.sources.PackedGenome
+    val rnd = new scala.util.Random(11)
+    val seq = (1 to 500).map { i =>
+      if (i % 97 < 5) 'N'
+      else if (i % 43 == 0) 'n'
+      else "ACGTacgt".charAt(rnd.nextInt(8))
+    }.mkString
+    val g = PackedGenome.fromChrs(spark, Map("1" -> seq))
+    // every slice matches the uppercase substring semantics of FixedGenome
+    for (_ <- 1 to 50) {
+      val a = 1 + rnd.nextInt(500)
+      val b = math.min(500, a + rnd.nextInt(40))
+      assert(g.chunk("1", a, b) == seq.substring(a - 1, b).toUpperCase,
+        s"slice [$a,$b]")
+    }
+    assert(g.chunk("2", 1, 5) == "" && g.chunk("1", 600, 610) == "")
+  }
+
+  test("packed genome drives the annotator identically to FixedGenome") {
+    import graft.sources.PackedGenome
+    val g = PackedGenome.fromChrs(spark, Map("1" -> "ATGGCCTAAGGGTTTCCC"))
+    val v = Seq((1L, "1", 5L, "C", "T")).toDF("var_id", "chr", "pos", "ref_nuc", "var_nuc")
+    val gn = Seq((1L, "1", 1L, 18L)).toDF("gene_id", "chr", "gstart", "gstop")
+    val t = Seq((10L, 1L, "+", false)).toDF("tr_id", "gene_id", "strand", "non_coding")
+    val f = Seq((10L, "EXONS", 1L, 9L)).toDF("tr_id", "ftype", "fstart", "fstop")
+    val a = TranscriptAnnotator.annotate(v, gn, t, f, g, binWidth = 8)
+      .collect().head
+    assert(a.ref_aa.contains("A") && a.var_aa.contains("V"))
+  }
+
   test("fasta driver-memory guard fails fast over maxBases") {
     val lines = Seq(">chr1", "ACGTACGT", "ACGTACGT").toDS()
     val ok = FastaGenome.fromLines(spark, lines, maxBases = 16L)
