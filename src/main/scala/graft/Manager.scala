@@ -76,9 +76,7 @@ object Manager {
           spark.read.textFile(opt("inputFile")), sameAsRef), "common_format2")
 
       case "GenotypeCounts" =>
-        val lines = spark.read.textFile(opt("inputFile"))
-        write(VcfParser.genotypeCounts(lines,
-          VcfParser.headerStrains(lines),
+        write(VcfParser.genotypeCountsPerFile(spark, opt("inputFile"),
           processLinesWithMissingADDP = addp), "genotype_counts")
 
       case "VariantLoad3" =>

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -323,16 +324,11 @@ object VcfParser {
     parse(lines, headerStrains(lines), processVariantsSameAsRef)
   }
 
-  /** Multi-file read with per-file headers: each file's #CHROM header
-    * binds its own sample columns, so VCFs with different strain sets
-    * load together correctly (the single-header `fromPath` applies one
-    * header to every file). The header set is tiny (one line per file) —
-    * collected once and broadcast; data lines never leave their
-    * partitions. */
-  def fromPathPerFile(spark: SparkSession, path: String,
-                      processVariantsSameAsRef: Boolean = false,
-                      processLinesWithMissingADDP: Boolean = false,
-                      accessionMap: Map[String, String] = Map.empty): DataFrame = {
+  /** (line, file) pairs plus the broadcast file → strain-columns map:
+    * the header set is tiny (one line per file) — collected once and
+    * broadcast; data lines never leave their partitions. */
+  private def linesWithFileStrains(spark: SparkSession, path: String)
+      : (Dataset[(String, String)], Broadcast[Map[String, Array[String]]]) = {
     import spark.implicits._
     val lines = spark.read.textFile(path)
       .select(col("value").as("line"),
@@ -343,15 +339,51 @@ object VcfParser {
       .map { case (hdr, file) =>
         file -> hdr.drop(1).split("\t", -1).drop(9)
       }.toMap
-    val bc = spark.sparkContext.broadcast(perFileStrains)
+    (lines.as[(String, String)],
+      spark.sparkContext.broadcast(perFileStrains))
+  }
+
+  /** Multi-file read with per-file headers: each file's #CHROM header
+    * binds its own sample columns, so VCFs with different strain sets
+    * load together correctly (the single-header `fromPath` applies one
+    * header to every file). */
+  def fromPathPerFile(spark: SparkSession, path: String,
+                      processVariantsSameAsRef: Boolean = false,
+                      processLinesWithMissingADDP: Boolean = false,
+                      accessionMap: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val (lines, bc) = linesWithFileStrains(spark, path)
     val sameAsRef = processVariantsSameAsRef
     val missingADDP = processLinesWithMissingADDP
     val accMap = accessionMap
-    lines.as[(String, String)].mapPartitions { it =>
+    lines.mapPartitions { it =>
       it.flatMap { case (line, file) =>
         parseLine(line, bc.value.getOrElse(file, Array.empty),
           sameAsRef, missingADDP, accMap)
       }
     }.toDF().select(outputColumns.map(col): _*)
+  }
+
+  /** Multi-file genotype tallies with per-file headers — the per-file
+    * twin of [[genotypeCounts]], same shared line gate. */
+  def genotypeCountsPerFile(spark: SparkSession, path: String,
+                            processLinesWithMissingADDP: Boolean = false,
+                            accessionMap: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val (lines, bc) = linesWithFileStrains(spark, path)
+    val missingADDP = processLinesWithMissingADDP
+    val accMap = accessionMap
+    lines.mapPartitions { it =>
+      it.flatMap { case (line, file) =>
+        gateLine(line, missingADDP, accMap) match {
+          case None => Iterator.empty
+          case Some(g) =>
+            val strains = bc.value.getOrElse(file, Array.empty)
+            val n = math.min(strains.length, g.v.length - 9)
+            (0 until n).iterator.map(si => (strains(si), genotypeOf(g.v(9 + si))))
+        }
+      }
+    }.toDF("strain", "genotype")
+      .groupBy("strain", "genotype").agg(count(lit(1)).as("n"))
   }
 }
