@@ -24,6 +24,10 @@ object Bench {
     // machine load (observed run-to-run variance up to ~4x on small
     // queries under contention)
     val only = args.toSet
+    // a typo'd name would otherwise silently benchmark nothing and print
+    // a success-looking zero total
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted}")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

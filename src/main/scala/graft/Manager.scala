@@ -34,10 +34,10 @@ object Manager {
       |  FrameShiftFixUp   --variants P --outDir D""".stripMargin
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 2 || args(0) != "--tool") {
-      System.err.println(usage)
-      return
-    }
+    // throw (non-zero exit) rather than print-and-return: a scripted
+    // `Manager ... && next` must not proceed on an invalid invocation
+    if (args.length < 2 || args(0) != "--tool")
+      throw new IllegalArgumentException(usage)
     val spark = SparkSession.builder()
       .config("spark.master",
         sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -81,7 +81,11 @@ object Manager {
 
       case "VariantLoad3" =>
         val genders = opts.get("genders").map(_.split(",").map { kv =>
-          val Array(s, g) = kv.split("=", 2); s -> g
+          kv.split("=", 2) match {
+            case Array(s, g) if s.nonEmpty => s -> g
+            case _ => throw new IllegalArgumentException(
+              s"bad --genders entry '$kv' (want STRAIN=M|F)\n$usage")
+          }
         }.toMap).getOrElse(Map.empty)
         val lines = spark.read.textFile(opt("inputFile"))
         val cf2 = VcfParser.parse(lines, VcfParser.headerStrains(lines),

@@ -56,9 +56,17 @@ object FastaGenome {
     * with a clear message instead of an eventual driver OOM when fed
     * something bigger (a metagenome, a concatenated corpus). */
   def fromLines(spark: SparkSession, lines: Dataset[String],
-                maxBases: Long = DefaultMaxBases): BroadcastGenome = {
+                maxBases: Long = DefaultMaxBases): BroadcastGenome =
+    BroadcastGenome(spark.sparkContext.broadcast(
+      parse(guardedIterator(lines, maxBases))))
+
+  /** Driver-side line stream with the `maxBases` fail-fast guard —
+    * shared with [[PackedGenome.fromLines]], which packs the parsed map
+    * before broadcasting anything. */
+  private[sources] def guardedIterator(lines: Dataset[String],
+                                       maxBases: Long): Iterator[String] = {
     var total = 0L
-    val guarded = lines.toLocalIterator().asScala.map { l =>
+    lines.toLocalIterator().asScala.map { l =>
       if (l.nonEmpty && l.charAt(0) != '>') {
         total += l.length
         if (total > maxBases) throw new IllegalArgumentException(
@@ -68,7 +76,6 @@ object FastaGenome {
       }
       l
     }
-    BroadcastGenome(spark.sparkContext.broadcast(parse(guarded)))
   }
 
   def fromText(spark: SparkSession, text: String): BroadcastGenome =
@@ -82,14 +89,17 @@ object FastaGenome {
     }
   }
 
-  /** 1-based inclusive slicing over the broadcast map. */
+  /** 1-based inclusive slicing over the broadcast map. Out-of-range
+    * requests clamp to the chromosome (empty result past the end) —
+    * same behavior as [[PackedGenome]], so genome sources are
+    * interchangeable even on malformed gene models. */
   case class BroadcastGenome(bc: Broadcast[Map[String, String]])
       extends GenomeSource {
     def chunk(chr: String, start: Long, stop: Long): String = {
       val s = bc.value.getOrElse(chr, "")
-      if (s.isEmpty) ""
-      else s.substring(math.max(0, (start - 1).toInt),
-        math.min(s.length, stop.toInt))
+      val b = math.min(s.length, math.max(0, (start - 1).toInt))
+      val e = math.min(s.length, math.max(0L, stop).toInt)
+      if (e <= b) "" else s.substring(b, e)
     }
   }
 }

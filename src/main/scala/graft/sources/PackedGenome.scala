@@ -94,12 +94,11 @@ object PackedGenome {
       chrs.map { case (k, v) => k -> packChr(v) }))
 
   /** FASTA text → packed broadcast genome (same driver-side streaming
-    * parse and `maxBases` guard as [[FastaGenome.fromLines]]). */
+    * parse and `maxBases` guard as [[FastaGenome.fromLines]]); only the
+    * packed map is ever broadcast — the unpacked strings stay a
+    * transient driver-local value. */
   def fromLines(spark: SparkSession, lines: Dataset[String],
-                maxBases: Long = FastaGenome.DefaultMaxBases): Packed = {
-    val asStrings = FastaGenome.fromLines(spark, lines, maxBases)
-    val packed = asStrings.bc.value.map { case (k, v) => k -> packChr(v) }
-    asStrings.bc.destroy()
-    Packed(spark.sparkContext.broadcast(packed))
-  }
+                maxBases: Long = FastaGenome.DefaultMaxBases): Packed =
+    fromChrs(spark,
+      FastaGenome.parse(FastaGenome.guardedIterator(lines, maxBases)))
 }

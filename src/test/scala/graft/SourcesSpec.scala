@@ -265,6 +265,8 @@ class SourcesSpec extends AnyFunSuite {
   test("fasta-backed genome drives the annotator like FixedGenome") {
     val fa = FastaGenome.fromText(spark, ">chr1\nATGGCCTAAGGGTTTCCC")
     assert(fa.chunk("1", 4, 6) == "GCC")
+    // out-of-range requests clamp (same as PackedGenome), never throw
+    assert(fa.chunk("1", 100, 110) == "" && fa.chunk("1", 10, 5) == "")
     val v = Seq((1L, "1", 5L, "C", "T")).toDF("var_id", "chr", "pos", "ref_nuc", "var_nuc")
     val g = Seq((1L, "1", 1L, 18L)).toDF("gene_id", "chr", "gstart", "gstop")
     val t = Seq((10L, 1L, "+", false)).toDF("tr_id", "gene_id", "strand", "non_coding")
@@ -328,6 +330,8 @@ class SourcesSpec extends AnyFunSuite {
   test("packed genome drives the annotator identically to FixedGenome") {
     import graft.sources.PackedGenome
     val g = PackedGenome.fromChrs(spark, Map("1" -> "ATGGCCTAAGGGTTTCCC"))
+    assert(PackedGenome.fromLines(spark,
+      Seq(">chr1", "ATGGCC", "TAA").toDS()).chunk("1", 4, 9) == "GCCTAA")
     val v = Seq((1L, "1", 5L, "C", "T")).toDF("var_id", "chr", "pos", "ref_nuc", "var_nuc")
     val gn = Seq((1L, "1", 1L, 18L)).toDF("gene_id", "chr", "gstart", "gstop")
     val t = Seq((10L, 1L, "+", false)).toDF("tr_id", "gene_id", "strand", "non_coding")

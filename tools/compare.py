@@ -7,6 +7,9 @@ import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional trailing query names: compare only those (pairs with
+# `graft.Verify <sfDir> <outDir> <q...>` subset dumps)
+only = set(sys.argv[3:])
 
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
@@ -15,7 +18,12 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = fail = 0
+unknown = only - set(oracle)
+if unknown:
+    sys.exit(f"unknown query name(s): {sorted(unknown)}")
 for q, sql in sorted(oracle.items()):
+    if only and q not in only:
+        continue
     try:
         want = con.execute(sql).fetchdf()
     except Exception as e:
