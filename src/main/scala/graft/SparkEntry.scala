@@ -44,6 +44,28 @@ object SparkEntry {
       s"${baseOfSql("l_suppkey")} AS var_nuc, " +
       "l_linenumber, l_orderkey FROM lineitem"
 
+  /** Synthetic multi-strain VCF lines from lineitem (shared by
+    * vcf_parse, vcf_genotype_counts' richer variant and
+    * variant_pipeline): strain A is always called 0/1 with AD=q40,ln;
+    * strain B is ./. on every 7th line, else 1/1 with AD=0,s9. */
+  private def synthVcfLines(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.lineitem(s, dir).select(concat_ws("\t",
+      (col("l_orderkey") % 5 + 1).cast("string"),
+      ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000).cast("string"),
+      lit("."),
+      baseOf(col("l_partkey")),
+      baseOf(col("l_partkey") + 1),
+      lit("100"), lit("PASS"), lit("."), lit("GT:AD:DP"),
+      concat(lit("0/1:"), (col("l_quantity").cast("long") % 40).cast("string"),
+        lit(","), col("l_linenumber").cast("string"), lit(":"),
+        ((col("l_quantity").cast("long") % 40) + col("l_linenumber")).cast("string")),
+      when(col("l_orderkey") % 7 === 0, "./.")
+        .otherwise(concat(lit("1/1:0,"), (col("l_suppkey") % 9).cast("string"),
+          lit(":"), (col("l_suppkey") % 9).cast("string"))))
+      .as("line")).as[String]
+  }
+
   /** Synthetic gene/exon intervals derived from part. */
   private def partGenes(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir).select(
@@ -624,27 +646,34 @@ object SparkEntry {
     }),
 
     "vcf_parse" -> ((s, dir) => {
-      import s.implicits._
-      // synthesize VCF lines from lineitem, then run the real parser
-      val lines = Tables.lineitem(s, dir).select(concat_ws("\t",
-        (col("l_orderkey") % 5 + 1).cast("string"),
-        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000).cast("string"),
-        lit("."),
-        baseOf(col("l_partkey")),
-        baseOf(col("l_partkey") + 1),
-        lit("100"), lit("PASS"), lit("."), lit("GT:AD:DP"),
-        concat(lit("0/1:"), (col("l_quantity").cast("long") % 40).cast("string"),
-          lit(","), col("l_linenumber").cast("string"), lit(":"),
-          ((col("l_quantity").cast("long") % 40) + col("l_linenumber")).cast("string")),
-        when(col("l_orderkey") % 7 === 0, "./.")
-          .otherwise(concat(lit("1/1:0,"), (col("l_suppkey") % 9).cast("string"),
-            lit(":"), (col("l_suppkey") % 9).cast("string"))))
-        .as("line")).as[String]
-      VcfParser.parse(lines, Seq("STRAIN_A", "STRAIN_B"))
+      VcfParser.parse(synthVcfLines(s, dir), Seq("STRAIN_A", "STRAIN_B"))
         .groupBy("strain", "chr")
         .agg(count(lit(1)).as("n_variants"),
           sum("read_depth").cast("long").as("sum_read_depth"),
           sum("allele_depth").cast("long").as("sum_allele_depth"))
+    }),
+
+    "variant_pipeline" -> ((s, dir) => {
+      // the reference's flagship flow END TO END: VCF text → common
+      // format → typed/scored variants (zygosity filter included) →
+      // distinct natural-key set → idempotent merge classify. Each stage
+      // is graded alone elsewhere (vcf_parse, q10-q13, q7); this entry
+      // hash-checks the cross-stage WIRING through one composed oracle.
+      val cf2 = VcfParser.parse(synthVcfLines(s, dir),
+        Seq("STRAIN_A", "STRAIN_B"))
+      val scored = VariantPipeline.score(cf2,
+        Map("STRAIN_A" -> "M", "STRAIN_B" -> "F"))
+      val variants = scored.select(col("chr"),
+          col("pos").cast("long").as("pos"),
+          col("end_pos").cast("long").as("end_pos"),
+          col("ref_nuc"), col("var_nuc"), col("variant_type"))
+        .distinct()
+      val key = Seq("chr", "pos", "end_pos", "ref_nuc", "var_nuc",
+        "variant_type")
+      val existing = variants.filter(col("pos") % 3 === 0)
+        .withColumn("variant_id", lit(1L))
+      VariantMerge.classify(variants, existing, key, "variant_id")
+        .groupBy("merge_action").agg(count(lit(1)).as("n_variants"))
     }),
 
     "vcf8_parse" -> ((s, dir) => {
@@ -1283,6 +1312,32 @@ object SparkEntry {
           |  CAST(sum(read_depth) AS BIGINT) AS sum_read_depth,
           |  CAST(sum(allele_depth) AS BIGINT) AS sum_allele_depth
           |FROM u GROUP BY strain, chr""".stripMargin,
+
+      // composed pipeline twin: same synthesized lines; strain A rows
+      // always survive the zygosity filter (varReads = linenumber ≥ 1),
+      // strain B rows survive when present (okey % 7 ≠ 0) and s9 > 0;
+      // all synthesized variants are SNVs so end_pos = pos + 1
+      "variant_pipeline" ->
+        s"""WITH li AS (SELECT CAST(l_orderkey % 5 + 1 AS VARCHAR) AS chr,
+           |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT) AS pos,
+           |  ${baseOfSql("l_partkey")} AS ref_nuc,
+           |  ${baseOfSql("(l_partkey + 1)")} AS var_nuc,
+           |  CAST(l_suppkey % 9 AS BIGINT) AS s9, l_orderkey FROM lineitem),
+           |rows_kept AS (
+           |  SELECT chr, pos, ref_nuc, var_nuc FROM li
+           |  UNION ALL
+           |  SELECT chr, pos, ref_nuc, var_nuc FROM li
+           |  WHERE l_orderkey % 7 <> 0 AND s9 > 0),
+           |v AS (SELECT DISTINCT chr, pos, pos + 1 AS end_pos, ref_nuc,
+           |  var_nuc, 'snv' AS variant_type FROM rows_kept),
+           |e AS (SELECT chr, pos, end_pos, ref_nuc, var_nuc, variant_type,
+           |  1 AS hit FROM v WHERE pos % 3 = 0)
+           |SELECT merge_action, count(*) AS n_variants FROM (
+           |  SELECT CASE WHEN hit IS NOT NULL THEN 'already_in_rgd'
+           |    ELSE 'insert' END AS merge_action
+           |  FROM v LEFT JOIN e
+           |    USING (chr, pos, end_pos, ref_nuc, var_nuc, variant_type))
+           |GROUP BY merge_action""".stripMargin,
 
       // vcf8_parse: INFO DP/AC depths; ref-allele depth imputed as
       // DP − ΣAC when positive; one row per ALT allele. ACGT counts read
