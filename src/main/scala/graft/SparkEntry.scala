@@ -45,9 +45,10 @@ object SparkEntry {
       "l_linenumber, l_orderkey FROM lineitem"
 
   /** Synthetic multi-strain VCF lines from lineitem (shared by
-    * vcf_parse, vcf_genotype_counts' richer variant and
-    * variant_pipeline): strain A is always called 0/1 with AD=q40,ln;
-    * strain B is ./. on every 7th line, else 1/1 with AD=0,s9. */
+    * vcf_parse and variant_pipeline; vcf_genotype_counts synthesizes its
+    * own gate-exercising variant): strain A is always called 0/1 with
+    * AD=q40,ln; strain B is ./. on every 7th line, else 1/1 with
+    * AD=0,s9. */
   private def synthVcfLines(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.lineitem(s, dir).select(concat_ws("\t",
