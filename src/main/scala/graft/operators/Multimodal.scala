@@ -78,6 +78,70 @@ object Multimodal {
       b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
       b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
     }
+
+    /** A complete uncompressed 24-bit BMP with pixel data; `pixel(x, y)`
+      * returns packed 0xRRGGBB, y = 0 at the TOP (rows are stored
+      * bottom-up as the format requires). */
+    def bmpWithPixels(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      val b = new Array[Byte](54 + rowSize * height)
+      System.arraycopy(bmpBytes(width, height), 0, b, 0, 54)
+      putLe32(b, 2, b.length)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val p = pixel(x, y)
+          val off = 54 + (height - 1 - y) * rowSize + x * 3
+          b(off) = (p & 0xff).toByte            // B
+          b(off + 1) = ((p >> 8) & 0xff).toByte // G
+          b(off + 2) = ((p >> 16) & 0xff).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      b
+    }
+
+    /** Nearest-neighbor resize of an uncompressed 24-bit BMP — REAL
+      * pixel work, library-free. Returns None for anything that is not
+      * a plain 24bpp BMP with complete pixel data (compressed formats
+      * need a decoding library; callers quarantine by passing through). */
+    def resizeBmp(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+      if (outW <= 0 || outH <= 0 || payload.length < 54 ||
+        payload(0) != 'B' || payload(1) != 'M') return None
+      val bpp = le16(payload, 28)
+      val compression = le32(payload, 30)
+      val w0 = le32(payload, 18)
+      val h0raw = le32(payload, 22)
+      val h0 = math.abs(h0raw)
+      val pixOff = le32(payload, 10)
+      if (bpp != 24 || compression != 0 || w0 <= 0 || h0 == 0) return None
+      val rowIn = ((w0 * 3 + 3) / 4) * 4
+      if (payload.length < pixOff + rowIn.toLong * h0) return None
+      val rowOut = ((outW * 3 + 3) / 4) * 4
+      val out = new Array[Byte](54 + rowOut * outH)
+      System.arraycopy(payload, 0, out, 0, 14)
+      System.arraycopy(payload, 14, out, 14, 40)
+      putLe32(out, 2, out.length); putLe32(out, 10, 54)
+      putLe32(out, 18, outW)
+      putLe32(out, 22, if (h0raw < 0) -outH else outH)
+      var y = 0
+      while (y < outH) {
+        val sy = y * h0 / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * w0 / outW
+          val src = pixOff + sy * rowIn + sx * 3
+          val dst = 54 + y * rowOut + x * 3
+          out(dst) = payload(src); out(dst + 1) = payload(src + 1)
+          out(dst + 2) = payload(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
   }
 
   /** Attach a deterministic synthetic binary payload to any table — the
@@ -116,6 +180,49 @@ object Multimodal {
           .when(col("ext").isin("mp4", "mkv", "webm"), "video")
           .otherwise("other"))
       .select(col("media_id"), col("kind"), col("payload")).as[MediaRow]
+  }
+
+  /** One sampled video frame. */
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Partition-parallel image resize: uncompressed 24-bit BMPs get a
+    * real nearest-neighbor resize; everything else (compressed formats,
+    * non-images) passes through unchanged — quarantine, not failure.
+    * Bytes never shuffle: the transform is a narrow mapPartitions. */
+  def resizeImages(media: Dataset[MediaRow], width: Int,
+                   height: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.kind == "image")
+        MediaCodec.resizeBmp(r.payload, width, height)
+          .map(p => r.copy(payload = p)).getOrElse(r)
+      else r
+    })
+  }
+
+  /** Every-`everyN`-th-frame sampling over video payloads.
+    *
+    * STUB NOTE: real containers (MP4/MKV) need a video codec this
+    * environment doesn't ship; the frame extractor is a clearly-marked
+    * DETERMINISTIC FAKE that treats the payload as fixed-size
+    * `frameBytes` chunks. The Spark plumbing around it — per-partition
+    * iteration, bounded explode (payload/frameBytes frames), bytes
+    * staying partition-local, typed Frame rows out — is the real
+    * production shape; swapping in a codec changes only the chunker. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int,
+                   frameBytes: Int = 16): Dataset[Frame] = {
+    require(everyN >= 1 && frameBytes >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by everyN).iterator.map { i =>
+          Frame(r.media_id, i, java.util.Arrays.copyOfRange(
+            r.payload, i * frameBytes, (i + 1) * frameBytes))
+        }
+      })
   }
 
   /** Partition-parallel decode + feature extraction. */

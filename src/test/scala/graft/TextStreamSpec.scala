@@ -62,6 +62,45 @@ class TextAnalysisSpec extends AnyFunSuite {
       feats(5L).height == 0 && feats(5L).n_bytes == 32)
   }
 
+  test("BMP resize: nearest-neighbor pixels, non-resizable passthrough") {
+    import Multimodal.{MediaCodec, MediaRow}
+    // 2x2 source, distinct corner colors (0xRRGGBB)
+    val colors = Array(Array(0xFF0000, 0x00FF00), Array(0x0000FF, 0xFFFFFF))
+    val src = MediaCodec.bmpWithPixels(2, 2, (x, y) => colors(y)(x))
+    val out = MediaCodec.resizeBmp(src, 4, 4).get
+    assert(MediaCodec.decode(out) == ((4, 4)))
+    // target (3,3) maps to source (1,1) = white; (0,0) -> red. Rows are
+    // bottom-up: top row y=0 sits at the END of the pixel array.
+    val rowOut = 12 // 4px * 3B, already 4-byte aligned
+    def px(x: Int, y: Int): Int = {
+      val off = 54 + (4 - 1 - y) * rowOut + x * 3
+      ((out(off + 2) & 0xff) << 16) | ((out(off + 1) & 0xff) << 8) | (out(off) & 0xff)
+    }
+    assert(px(0, 0) == 0xFF0000 && px(3, 3) == 0xFFFFFF)
+    assert(px(3, 0) == 0x00FF00 && px(0, 3) == 0x0000FF)
+    // dataset-level: image resized, audio/headerless image pass through
+    val media = Seq(
+      MediaRow(1L, "image", src),
+      MediaRow(2L, "image", MediaCodec.bmpBytes(8, 8)), // no pixel data
+      MediaRow(3L, "audio", MediaCodec.wavBytes(8000, 1))).toDS()
+    val resized = Multimodal.resizeImages(media, 4, 4).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(MediaCodec.decode(resized(1L).payload) == ((4, 4)))
+    assert(MediaCodec.decode(resized(2L).payload) == ((8, 8)))
+    assert(resized(3L).payload.sameElements(MediaCodec.wavBytes(8000, 1)))
+  }
+
+  test("frame sampling: every-Nth fixed-size chunk, video only") {
+    import Multimodal.MediaRow
+    val media = Seq(
+      MediaRow(1L, "video", Array.tabulate(64)(_.toByte)), // 4 frames of 16
+      MediaRow(2L, "image", Array.fill(64)(1.toByte))).toDS()
+    val frames = Multimodal.sampleFrames(media, everyN = 2).collect()
+    assert(frames.map(_.media_id).distinct.toSeq == Seq(1L))
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(frames.find(_.frame_idx == 2).get.frame.head == 32.toByte)
+  }
+
   test("binaryFile source end-to-end: real files through the codec") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media")
     java.nio.file.Files.write(dir.resolve("pic.bmp"),
