@@ -772,6 +772,14 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
     }),
 
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      // the pigeonhole-blocked hamming candidate stage — like
+      // dedup_minhash_pairs, the part that would go all-pairs if the
+      // blocking were wrong
+      Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)
+    }),
+
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") % 50 === 0),
@@ -1729,6 +1737,40 @@ object SparkEntry {
            |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
            |    ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank FROM s)
            |WHERE rank <= 5""".stripMargin
+      },
+
+      // pigeonhole-blocked simhash pairs: same signature derivation, 4
+      // blocks of 15 bits, same maxBucket cap, exact hamming via
+      // bit_count(xor)
+      "dedup_simhash_pairs" -> {
+        val votes = (0 until 60).map(i =>
+          s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(",\n  ")
+        val sigExpr = (0 until 60).map(i =>
+          s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        val blockRows = (0 until 4).map(b =>
+          s"SELECT doc_id, simhash, $b AS blk, (simhash >> ${b * 15}) & 32767 AS key FROM s")
+          .mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |tok AS (SELECT doc_id, tk FROM (
+           |  SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM t)
+           |  WHERE length(tk) > 0),
+           |th AS (SELECT doc_id,
+           |  CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS th FROM tok),
+           |v AS (SELECT doc_id,
+           |  $votes
+           |  FROM th GROUP BY doc_id),
+           |s AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM v),
+           |blocks AS (
+           |  $blockRows),
+           |sz AS (SELECT blk, key, count(*) AS n FROM blocks GROUP BY blk, key),
+           |bb AS (SELECT blocks.* FROM blocks
+           |  JOIN sz USING (blk, key) WHERE sz.n BETWEEN 2 AND 4096)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM bb a JOIN bb b ON a.blk = b.blk AND a.key = b.key
+           |  AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
       },
 
       // sign-LSH buckets: the 8 hyperplanes are driver-side constants,

@@ -129,6 +129,47 @@ object Dedup {
       .withColumn("bucket", shiftright(col("simhash"), 44))
   }
 
+  /** Near-dup candidate pairs within `maxHamming` of the 60-bit simhash,
+    * via pigeonhole blocking: the signature splits into `maxHamming`+1
+    * equal bit-blocks, and a pair differing in ≤ maxHamming bits must
+    * agree EXACTLY on at least one block — so candidates reduce to a
+    * per-block equi-group, never an all-pairs scan. Same single-pass
+    * shape as [[minhashCandidates]] (spill-safe window count caps
+    * degenerate blocks before any list materializes, bounded in-block
+    * expansion); signatures ride inside the collected structs, so the
+    * exact hamming check needs no join-back recompute. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && 60 % (maxHamming + 1) == 0,
+      "maxHamming+1 must divide 60")
+    val nBlocks = maxHamming + 1
+    val bits = 60 / nBlocks
+    val sig = simhash(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val blocks = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("key"))
+    }
+    val banded = sig
+      .select(col("id"), col("simhash"), explode(array(blocks: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.blk"), col("bb.key"))
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy("blk", "key")
+    banded.withColumn("__bsz", count(lit(1)).over(wB))
+      .filter(col("__bsz").between(2, maxBucket)).drop("__bsz")
+      .groupBy("blk", "key")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** n-gram Jaccard near-dup pairs.
     *
     * Candidate generation joins only on *rare* shingles (block document

@@ -90,6 +90,23 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(4L)) > 12)      // unrelated
   }
 
+  test("simhash pigeonhole candidates are EXACT for hamming <= max") {
+    // blocking is lossless: any pair within maxHamming agrees on >= 1 of
+    // the maxHamming+1 blocks, so candidates == brute-force pairs
+    for (maxH <- Seq(3, 5)) {
+      val sh = Dedup.simhash(docs, "doc_id", "text")
+        .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+      val brute = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= maxH
+      } yield (a, b, h.toLong)).toSet
+      val cands = Dedup.simhashCandidates(docs, "doc_id", "text",
+          maxHamming = maxH)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(cands == brute, s"maxHamming=$maxH")
+    }
+  }
+
   test("ngram jaccard ranks near dup above unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         blockCol = lit("all"), n = 3, minJaccard = 0.0)
