@@ -834,6 +834,13 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    "text_winnow" -> ((s, dir) => {
+      // row-level winnowing output: every selected fingerprint of every
+      // document is hash-checked
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
+        "doc_id", "text", k = 5, window = 4)
+    }),
+
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id")).toDF()
@@ -1772,6 +1779,22 @@ object SparkEntry {
            |  AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
       },
+
+      // winnowing twin: same md5-32-bit gram hashes, same window minima,
+      // same full-window cutoff
+      "text_winnow" ->
+        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |g AS (SELECT doc_id, i,
+           |  CAST('0x' || substr(md5(substr(t, CAST(i AS INT), 5)), 1, 8) AS BIGINT) AS h
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+           |    FROM t WHERE length(t) >= 5)),
+           |w AS (SELECT doc_id, i,
+           |  count(*) OVER (PARTITION BY doc_id) AS n_grams,
+           |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+           |  FROM g)
+           |SELECT DISTINCT doc_id, win_min AS fp FROM w
+           |WHERE i <= n_grams - 3""".stripMargin,
 
       // sign-LSH buckets: the 8 hyperplanes are driver-side constants,
       // embedded as exact double literals; same dot products, same signs

@@ -83,4 +83,43 @@ object TextAnalysis {
 
   /** Stable document fingerprint: md5 of normalized text. */
   def fingerprint(text: Column): Column = md5(normText(text))
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every k-gram of the
+    * normalized text, slide a window of `window` consecutive hashes and
+    * keep each window's minimum — any shared substring of length ≥
+    * k+window-1 between two documents is guaranteed to share a selected
+    * fingerprint, at ~1/window the storage of all k-gram hashes. The
+    * per-gram hash is an md5 32-bit prefix (not a literal rolling
+    * polynomial — selection semantics are identical and the value is
+    * reproducible in any engine with md5, unlike a custom rolling hash).
+    * Everything is per-document narrow work: positions explode, a
+    * doc-partitioned window (bounded by document length), distinct
+    * minima out — only (doc_id, fingerprint) rows shuffle.
+    *
+    * @return (doc_id, fp) — the distinct selected 32-bit fingerprints
+    */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 5, window: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(idCol), normText(col(textCol)).as("t"))
+      .filter(length(col("t")) >= k)
+    val grams = t
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"),
+        col("t"))
+      .select(col(idCol), col("i"),
+        conv(substring(md5(expr(s"substring(t, i, $k)")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val w = Window.partitionBy(idCol).orderBy("i")
+      .rowsBetween(0, window - 1)
+    grams
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(idCol)))
+      .withColumn("win_min", min("h").over(w))
+      // windows that would run past the end select nothing (standard
+      // winnowing takes exactly n-k-window+2 full windows)
+      .filter(col("i") <= col("n_grams") - (window - 1))
+      .select(col(idCol), col("win_min").as("fp"))
+      .distinct()
+  }
 }

@@ -62,6 +62,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       feats(5L).height == 0 && feats(5L).n_bytes == 32)
   }
 
+  test("winnowing: shared substring >= k+window-1 shares a fingerprint") {
+    val common = "the identical long shared passage of text"
+    val docs = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"другой prefix $common other ending"),
+      (3L, "nothing in common with either document here at all")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    // guarantee: any shared run of >= k+window-1 chars yields >= 1 shared
+    // selected fingerprint (the window over the shared grams picks the
+    // same minimum in both docs)
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // selection compresses: far fewer fingerprints than grams
+    val n1 = docs.filter($"doc_id" === 1L).select($"text").head.getString(0)
+    assert(fps(1L).size < n1.length - 4)
+    assert((fps(1L) & fps(3L)).size <= 1) // unrelated docs ~disjoint
+  }
+
   test("BMP resize: nearest-neighbor pixels, non-resizable passthrough") {
     import Multimodal.{MediaCodec, MediaRow}
     // 2x2 source, distinct corner colors (0xRRGGBB)
