@@ -105,16 +105,16 @@ object TextAnalysis {
     val t = docs.select(col(idCol), normText(col(textCol)).as("t"))
       .filter(length(col("t")) >= k)
     val grams = t
-      .select(col(idCol),
+      // n_grams is length-derived — no count-over-partition window pass
+      .select(col(idCol), (length(col("t")) - (k - 1)).as("n_grams"),
         explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"),
         col("t"))
-      .select(col(idCol), col("i"),
+      .select(col(idCol), col("n_grams"), col("i"),
         conv(substring(md5(expr(s"substring(t, i, $k)")), 1, 8), 16, 10)
           .cast("long").as("h"))
     val w = Window.partitionBy(idCol).orderBy("i")
       .rowsBetween(0, window - 1)
     grams
-      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(idCol)))
       .withColumn("win_min", min("h").over(w))
       // windows that would run past the end select nothing (standard
       // winnowing takes exactly n-k-window+2 full windows)
