@@ -30,4 +30,24 @@ class Vcf8ColSpec extends AnyFunSuite {
     val at200 = out.find(_._2 == 200).get
     assert(at200._3 == "T" && at200._7 == 7 && at200._8 == 7)
   }
+
+  test("8-col VCF: sameAsRef emits the ref allele; no DP drops the line") {
+    val lines = spark.createDataset(Seq(
+      "1\t100\t.\tG\tG,A\t.\t.\tDP=10;AC=6,4", // ref among ALTs
+      "1\t200\t.\tA\tC\t.\t.\tAC=5"))          // DP missing: dropped
+    val dflt = VcfParser.parse8Col(lines).collect()
+    assert(dflt.map(_.getString(4)).toSeq == Seq("A")) // G=ref suppressed
+    val withRef = VcfParser.parse8Col(lines, processVariantsSameAsRef = true)
+      .collect().map(r => r.getString(4) -> r.getInt(14)).toMap
+    assert(withRef == Map("G" -> 6, "A" -> 4))
+  }
+
+  test("8-col VCF: NC_ accessions resolve through the accession map") {
+    val lines = spark.createDataset(Seq(
+      "NC_005100.4\t50\t.\tA\tG\t.\t.\tDP=9;AC=9"))
+    assert(VcfParser.parse8Col(lines).count() == 0) // unmapped: rejected
+    val out = VcfParser.parse8Col(lines,
+      accessionMap = Map("NC_005100.4" -> "2")).collect()
+    assert(out.length == 1 && out.head.getString(1) == "2")
+  }
 }
