@@ -129,6 +129,33 @@ object Dedup {
       .withColumn("bucket", shiftright(col("simhash"), 44))
   }
 
+  /** Scalar twin of [[simhash]] — the identical 60-bit signature computed
+    * in one local pass over a single document (md5 per token, ±1 votes,
+    * sign bits). The batch path explodes tokens for engine parity with
+    * the DuckDB oracle; streaming state operators need a per-row value
+    * with NO shuffle aggregation in front of them, and this gives it.
+    * Spec-pinned equal to the batch signature. */
+  private[graft] def simhashScalar(text: String): Long = {
+    val norm = graft.functions.TextKernelOps
+      .normText(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      .toString
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    norm.split(" ").foreach { tok =>
+      if (tok.nonEmpty) {
+        val d = md.digest(tok.getBytes("UTF-8"))
+        val hex = d.take(8).map(b => f"$b%02x").mkString // 16 hex chars
+        val th = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        var i = 0
+        while (i < 60) {
+          votes(i) += (if (((th >> i) & 1) == 1) 1 else -1)
+          i += 1
+        }
+      }
+    }
+    (0 until 60).map(i => if (votes(i) > 0) 1L << i else 0L).sum
+  }
+
   /** Near-dup candidate pairs within `maxHamming` of the 60-bit simhash,
     * via pigeonhole blocking: the signature splits into `maxHamming`+1
     * equal bit-blocks, and a pair differing in ≤ maxHamming bits must

@@ -138,3 +138,50 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamNearDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.streaming.StreamNearDedup
+
+  test("scalar simhash equals the batch signature") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "Completely different content about spark engines"),
+      (3L, "zz")).toDF("doc_id", "text")
+    val batch = Dedup.simhash(docs, "doc_id", "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    docs.as[(Long, String)].collect().foreach { case (id, t) =>
+      assert(Dedup.simhashScalar(t) == batch(id), s"doc $id")
+    }
+  }
+
+  test("streaming near-dup emits hits for close docs across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamNearDedup.nearDupHits(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      "ts", "doc_id", "text", watermark = "10 minutes", maxHamming = 3)
+    val q = out.writeStream.format("memory").queryName("snd_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:00:01"),
+          "the quick brown fox jumps over the lazy dog"),
+        (2L, Timestamp.valueOf("2024-01-01 00:00:02"),
+          "totally unrelated text about distributed query engines"))
+      q.processAllAvailable()
+      assert(spark.table("snd_out").count() == 0) // nothing near yet
+      mem.addData(
+        (3L, Timestamp.valueOf("2024-01-01 00:01:00"),
+          "The QUICK brown fox jumps over the lazy dog")) // normalizes == doc 1
+      q.processAllAvailable()
+      val hits = spark.table("snd_out")
+        .as[StreamNearDedup.Hit].collect().toSet
+      assert(hits.nonEmpty &&
+        hits.forall(h => h.doc_id == 3L && h.matched_id == 1L && h.hamming == 0))
+    } finally q.stop()
+  }
+}
