@@ -54,6 +54,10 @@ object Conservation {
       .withColumn("chr",
         when(col("raw_chr").startsWith("chr"), expr("substring(raw_chr, 4)"))
           .otherwise(col("raw_chr")))
+      // tiny projection (~1 row per thousands of input lines), cached to
+      // serve its two consumers without rescanning the raw text; a
+      // long-lived service calling parseFixedStep repeatedly should
+      // `.unpersist()` results' lineage or periodically clear the cache
       .cache()
 
     // Each block ends at the NEXT declaration (any chromosome — wiggle
