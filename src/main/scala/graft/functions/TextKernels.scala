@@ -39,6 +39,56 @@ object TextKernelOps {
     UTF8String.fromString(sb.toString)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit SimHash of a document in ONE local pass: normalize, split on
+    * spaces, md5 each token (first 15 hex chars → 60-bit value), ±1 vote
+    * per bit, sign → bit. Value-identical to the explode+groupBy vote
+    * formulation the DuckDB oracle still derives — same md5 windows,
+    * same votes — but no explode, no shuffle, codegen-friendly. */
+  def simhash60(s: UTF8String): Long = {
+    val norm = normText(s).toString
+    val votes = new Array[Int](60)
+    val md = md5Local.get()
+    var start = 0
+    while (start <= norm.length) {
+      val end0 = norm.indexOf(' ', start)
+      val end = if (end0 < 0) norm.length else end0
+      if (end > start) {
+        md.reset()
+        val d = md.digest(norm.substring(start, end).getBytes("UTF-8"))
+        // first 15 hex chars of the digest = top 60 bits of the first
+        // 7.5 bytes; parse via the hex string for exactness with the
+        // engines' substr(md5(tok), 1, 15) formulation
+        val sb = new java.lang.StringBuilder(16)
+        var bi = 0
+        while (bi < 8) {
+          val v = d(bi) & 0xff
+          sb.append(Character.forDigit(v >> 4, 16))
+          sb.append(Character.forDigit(v & 0xf, 16))
+          bi += 1
+        }
+        val th = java.lang.Long.parseLong(sb.substring(0, 15), 16)
+        var i = 0
+        while (i < 60) {
+          votes(i) += (if (((th >> i) & 1) == 1) 1 else -1)
+          i += 1
+        }
+      }
+      start = end + 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 60) {
+      if (votes(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
   @inline private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
@@ -86,9 +136,21 @@ case class CountWord(child: Expression, word: String) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CountWord = copy(child = c)
 }
 
+/** `simhash60(s)` — 60-bit SimHash of raw text, single-pass codegen. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernelOps.simhash60(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelOps.simhash60($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(c)
+}
+
 object TextKernels {
   def normText(c: Column): Column =
     ColumnBridge.column(NormText(ColumnBridge.expression(c)))
   def countWord(c: Column, word: String): Column =
     ColumnBridge.column(CountWord(ColumnBridge.expression(c), word))
+  def simhash60(c: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(c)))
 }

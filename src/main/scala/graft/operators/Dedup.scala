@@ -109,52 +109,26 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over word tokens: per-token md5 bits, weighted ±1 sum
+  /** 60-bit SimHash over word tokens: per-token md5 bits, weighted ±1 sum
     * per bit position, sign → bit. Emitted with a hamming-radius bucket
-    * key (top 16 bits) for near-dup blocking at scale. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(split(normText(col(textCol)), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .withColumn("th", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    // ±1 per bit over 60 bits of the token hash
-    val bitVotes = (0 until 60).map { i =>
-      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val voted = toks.groupBy(col(idCol)).agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 60).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col(idCol), sig.as("simhash"))
+    * key (top 16 bits) for near-dup blocking at scale.
+    *
+    * One narrow pass via the [[graft.functions.TextKernels.simhash60]]
+    * codegen kernel — no token explode, no vote shuffle (a first draft
+    * exploded tokens into a 60-column vote aggregation; the kernel is
+    * value-identical, and the DuckDB oracle still re-derives the
+    * signature through the explicit vote formulation, keeping the
+    * cross-engine check independent of this implementation). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.TextKernels.simhash60(col(textCol)).as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 44))
-  }
 
-  /** Scalar twin of [[simhash]] — the identical 60-bit signature computed
-    * in one local pass over a single document (md5 per token, ±1 votes,
-    * sign bits). The batch path explodes tokens for engine parity with
-    * the DuckDB oracle; streaming state operators need a per-row value
-    * with NO shuffle aggregation in front of them, and this gives it.
-    * Spec-pinned equal to the batch signature. */
-  private[graft] def simhashScalar(text: String): Long = {
-    val norm = graft.functions.TextKernelOps
-      .normText(org.apache.spark.unsafe.types.UTF8String.fromString(text))
-      .toString
-    val votes = new Array[Int](60)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    norm.split(" ").foreach { tok =>
-      if (tok.nonEmpty) {
-        val d = md.digest(tok.getBytes("UTF-8"))
-        val hex = d.take(8).map(b => f"$b%02x").mkString // 16 hex chars
-        val th = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-        var i = 0
-        while (i < 60) {
-          votes(i) += (if (((th >> i) & 1) == 1) 1 else -1)
-          i += 1
-        }
-      }
-    }
-    (0 until 60).map(i => if (votes(i) > 0) 1L << i else 0L).sum
-  }
+  /** Driver/executor-local scalar entry to the same kernel (used by the
+    * streaming near-dedup state path). */
+  private[graft] def simhashScalar(text: String): Long =
+    graft.functions.TextKernelOps.simhash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
 
   /** Near-dup candidate pairs within `maxHamming` of the 60-bit simhash,
     * via pigeonhole blocking: the signature splits into `maxHamming`+1

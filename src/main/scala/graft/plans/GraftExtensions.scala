@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{CharShingles, CountWord, DotProductF, NormText,
-  ReverseComplement, TranslateDna}
+  ReverseComplement, SimHash60, TranslateDna}
 
 /** SQL surface for graft's native expressions, registered through
   * `SparkSessionExtensions` so `spark.sql("SELECT translate_dna(...)")`
@@ -52,5 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_f"),
       info("dot_f", "dot_f(a, b) - float-vector dot product in double"),
       (args: Seq[Expression]) => DotProductF(args.head, args(1))))
+    e.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(s) - 60-bit SimHash of raw text"),
+      (args: Seq[Expression]) => SimHash60(args.head)))
   }
 }

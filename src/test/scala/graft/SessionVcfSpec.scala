@@ -100,13 +100,15 @@ class ExtensionsSpec extends AnyFunSuite {
           |  norm_text('  Hello   World ') AS nt,
           |  count_word('the cat the dog', 'the') AS cw,
           |  dot_f(array(cast(1.0 as float), cast(2.0 as float)),
-          |        array(cast(3.0 as float), cast(4.0 as float))) AS d
+          |        array(cast(3.0 as float), cast(4.0 as float))) AS d,
+          |  simhash60('hello world') AS sh
           |""".stripMargin).collect()(0)
       assert(r.getString(0) == "MA*")
       assert(r.getString(1) == "CCTT")
       assert(r.getString(2) == "hello world")
       assert(r.getInt(3) == 2)
       assert(r.getDouble(4) == 11.0)
+      assert(r.getLong(5) == graft.operators.Dedup.simhashScalar("hello world"))
     } finally {
       // don't stop(): the SparkContext is shared with the other suites
       org.apache.spark.sql.SparkSession.clearActiveSession()
