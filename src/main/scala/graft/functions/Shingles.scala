@@ -34,6 +34,73 @@ object ShingleOps {
   }
 }
 
+object MinHashOps {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 8 consecutive hex nibbles of a digest starting at `nibbleOff`, as
+    * an unsigned 32-bit value — exactly what
+    * `conv(substring(hex(md5), nibbleOff+1, 8), 16, 10)` parses, read
+    * straight off the digest bytes (no hex-string round trip). */
+  @inline private def window32(d: Array[Byte], nibbleOff: Int): Long = {
+    var v = 0L
+    var j = nibbleOff
+    val end = nibbleOff + 8
+    while (j < end) {
+      val b = d(j >> 1) & 0xff
+      v = (v << 4) | (if ((j & 1) == 0) b >> 4 else b & 0xf)
+      j += 1
+    }
+    v
+  }
+
+  /** All 16 md5-window minhash family minima of a NORMALIZED text's
+    * distinct n-gram shingles, in one pass: families 0-7 are stride-3
+    * 8-hex windows of md5(sh), 8-15 of md5('x'||sh) — exactly the
+    * values `min(conv(substring(md5(sh), (i%8)*3+1, 8), 16, 10))`
+    * aggregates, with no explode and no shuffle. Returns null-free
+    * array<long> of 16; empty for texts shorter than `n` (the explode
+    * formulation yields no group there — callers filter those out). */
+  def minhash16(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    if (str.length < n) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(16)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    val md = md5Local.get()
+    var i = 0
+    while (i + n <= str.length) {
+      val sh = str.substring(i, i + n)
+      if (seen.add(sh)) {
+        md.reset()
+        val d1 = md.digest(sh.getBytes("UTF-8"))
+        md.reset()
+        val d2 = md.digest(("x" + sh).getBytes("UTF-8"))
+        var f = 0
+        while (f < 16) {
+          val v = if (f < 8) window32(d1, f * 3) else window32(d2, (f - 8) * 3)
+          if (v < mins(f)) mins(f) = v
+          f += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+}
+
+/** `minhash16(text, n)` — the 16 md5-window minhash minima, one pass. */
+case class MinHash16(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashOps.minhash16(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps.minhash16($c, $n)")
+  override protected def withNewChildInternal(c: Expression): MinHash16 = copy(c)
+}
+
 /** `char_shingles(text, n)` — distinct n-grams in first-occurrence order. */
 case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -47,4 +114,6 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
 object Shingles {
   def charShingles(c: Column, n: Int): Column =
     ColumnBridge.column(CharShingles(ColumnBridge.expression(c), n))
+  def minhash16(c: Column, n: Int): Column =
+    ColumnBridge.column(MinHash16(ColumnBridge.expression(c), n))
 }

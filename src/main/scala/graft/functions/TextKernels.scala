@@ -60,18 +60,13 @@ object TextKernelOps {
       if (end > start) {
         md.reset()
         val d = md.digest(norm.substring(start, end).getBytes("UTF-8"))
-        // first 15 hex chars of the digest = top 60 bits of the first
-        // 7.5 bytes; parse via the hex string for exactness with the
-        // engines' substr(md5(tok), 1, 15) formulation
-        val sb = new java.lang.StringBuilder(16)
+        // first 15 hex chars of the digest = the first 7.5 bytes, read
+        // straight off the digest (value-identical to parsing
+        // substr(md5(tok), 1, 15) as the engines do)
+        var th = 0L
         var bi = 0
-        while (bi < 8) {
-          val v = d(bi) & 0xff
-          sb.append(Character.forDigit(v >> 4, 16))
-          sb.append(Character.forDigit(v & 0xf, 16))
-          bi += 1
-        }
-        val th = java.lang.Long.parseLong(sb.substring(0, 15), 16)
+        while (bi < 7) { th = (th << 8) | (d(bi) & 0xff); bi += 1 }
+        th = (th << 4) | ((d(7) & 0xff) >> 4)
         var i = 0
         while (i < 60) {
           votes(i) += (if (((th >> i) & 1) == 1) 1 else -1)

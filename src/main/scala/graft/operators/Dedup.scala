@@ -50,17 +50,19 @@ object Dedup {
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 16, shingleLen: Int = 3): DataFrame = {
     require(numHashes <= 16, "md5-window families support at most 16 hashes")
-    val sh = docs
-      .select(col(idCol), explode(shingles(col(textCol), shingleLen)).as("sh"))
-      .withColumn("d1", md5(col("sh")))
-      .withColumn("d2", md5(concat(lit("x"), col("sh"))))
-    val hashCols = (0 until numHashes).map { i =>
-      val digest = if (i < 8) col("d1") else col("d2")
-      // stride-3 8-hex windows: 8 full 32-bit values per 32-char digest
-      min(conv(substring(digest, (i % 8) * 3 + 1, 8), 16, 10).cast("long"))
-        .as(s"h$i")
-    }
-    sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
+    // one narrow pass via the minhash16 codegen kernel — no shingle
+    // explode, no min-aggregation shuffle; value-identical to the
+    // explode + min(conv(substring(md5(sh),...))) formulation the DuckDB
+    // oracle still derives, keeping the cross-engine check independent.
+    // Docs shorter than shingleLen yield no signature (the explode
+    // formulation produced no group for them).
+    val sig = docs
+      .select(col(idCol),
+        graft.functions.Shingles
+          .minhash16(normText(col(textCol)), shingleLen).as("__mh"))
+      .filter(size(col("__mh")) > 0)
+    sig.select(col(idCol) +:
+      (0 until numHashes).map(i => element_at(col("__mh"), i + 1).as(s"h$i")): _*)
   }
 
   /** LSH banding over the minhash signature: documents sharing any band
