@@ -90,6 +90,62 @@ object MinHashOps {
   }
 }
 
+object WinnowOps {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Winnowing fingerprints of a NORMALIZED text in one pass: 32-bit
+    * md5-prefix hash per k-gram, minimum of each full sliding window of
+    * `w` hashes, distinct minima out. Value-identical to the explode +
+    * `min() OVER (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)` + distinct
+    * formulation (the DuckDB oracle's), with no explode and no window
+    * shuffle. Texts with fewer than k+w-1 chars have no full window and
+    * yield an empty array. */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val nGrams = str.length - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      val d = md.digest(str.substring(i, i + k).getBytes("UTF-8"))
+      // first 8 hex nibbles = conv(substring(md5, 1, 8), 16, 10)
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= nGrams - w) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      out.add(m)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** `winnow_fps(text, k, w)` — distinct winnowing fingerprints, one pass. */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowOps.winnow(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowOps.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFps = copy(c)
+}
+
 /** `minhash16(text, n)` — the 16 md5-window minhash minima, one pass. */
 case class MinHash16(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType =
@@ -116,4 +172,6 @@ object Shingles {
     ColumnBridge.column(CharShingles(ColumnBridge.expression(c), n))
   def minhash16(c: Column, n: Int): Column =
     ColumnBridge.column(MinHash16(ColumnBridge.expression(c), n))
+  def winnowFps(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFps(ColumnBridge.expression(c), k, w))
 }

@@ -100,26 +100,12 @@ object TextAnalysis {
     */
   def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String,
-                         k: Int = 5, window: Int = 4): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = docs.select(col(idCol), normText(col(textCol)).as("t"))
-      .filter(length(col("t")) >= k)
-    val grams = t
-      // n_grams is length-derived — no count-over-partition window pass
-      .select(col(idCol), (length(col("t")) - (k - 1)).as("n_grams"),
-        explode(sequence(lit(1), length(col("t")) - (k - 1))).as("i"),
-        col("t"))
-      .select(col(idCol), col("n_grams"), col("i"),
-        conv(substring(md5(expr(s"substring(t, i, $k)")), 1, 8), 16, 10)
-          .cast("long").as("h"))
-    val w = Window.partitionBy(idCol).orderBy("i")
-      .rowsBetween(0, window - 1)
-    grams
-      .withColumn("win_min", min("h").over(w))
-      // windows that would run past the end select nothing (standard
-      // winnowing takes exactly n-k-window+2 full windows)
-      .filter(col("i") <= col("n_grams") - (window - 1))
-      .select(col(idCol), col("win_min").as("fp"))
-      .distinct()
-  }
+                         k: Int = 5, window: Int = 4): org.apache.spark.sql.DataFrame =
+    // one narrow pass via the winnow codegen kernel (distinct minima per
+    // doc, no gram explode, no window shuffle); the DuckDB oracle keeps
+    // the explicit explode + window formulation, so the cross-engine
+    // check stays independent of the kernel
+    docs.select(col(idCol),
+      explode(graft.functions.Shingles
+        .winnowFps(normText(col(textCol)), k, window)).as("fp"))
 }
