@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct character n-gram shingling as a single native kernel.
@@ -157,6 +157,42 @@ case class MinHash16(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHash16 = copy(c)
 }
 
+object ArraySetOps {
+  /** |A ∩ B| for two string arrays whose elements are distinct within
+    * each array (shingle sets) — hash the smaller side, probe the
+    * larger. */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) {
+      set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var n = 0
+    i = 0
+    while (i < large.numElements()) {
+      if (set.contains(large.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+/** `intersect_count(a, b)` — distinct-element array intersection size. */
+case class IntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArraySetOps.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ArraySetOps.intersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IntersectCount = copy(l, r)
+}
+
 /** `char_shingles(text, n)` — distinct n-grams in first-occurrence order. */
 case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -174,4 +210,7 @@ object Shingles {
     ColumnBridge.column(MinHash16(ColumnBridge.expression(c), n))
   def winnowFps(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFps(ColumnBridge.expression(c), k, w))
+  def intersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
