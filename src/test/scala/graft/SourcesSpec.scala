@@ -254,6 +254,37 @@ class SourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---- Gff3 ----
+
+  test("gff3 model tables drive the annotator end to end") {
+    import graft.sources.Gff3
+    val gff = Seq(
+      "##gff-version 3",
+      "chr1\tsrc\tgene\t1\t18\t.\t+\t.\tID=g1;Name=Fam",
+      "chr1\tsrc\tmRNA\t1\t18\t.\t+\t.\tID=t1;Parent=g1",
+      "chr1\tsrc\texon\t1\t9\t.\t+\t.\tID=e1;Parent=t1",
+      "chr1\tsrc\tlnc_RNA\t1\t18\t.\t+\t.\tID=t2;Parent=g1",
+      "chr1\tsrc\texon\t2\t8\t.\t+\t.\tID=e2;Parent=t2",
+      "bad line",
+      "chr1\tsrc\tCDS\t1\t9\t.\t+\t.\tID=c1;Parent=t1" // unmapped type
+    ).toDS()
+    val m = Gff3.modelTables(gff)
+    assert(m.genes.count() == 1 && m.features.count() == 2)
+    val tr = m.transcripts.collect().map(r =>
+      r.getBoolean(3)).sorted.toSeq
+    assert(tr == Seq(false, true)) // mRNA coding, lnc_RNA non-coding
+    // end-to-end: a SNV inside the mRNA exon gets an AA call, and the
+    // non-coding transcript row carries NON-CODING
+    val v = Seq((1L, "1", 5L, "C", "T"))
+      .toDF("var_id", "chr", "pos", "ref_nuc", "var_nuc")
+    val genome = TranscriptAnnotator.FixedGenome(Map("1" -> "ATGGCCTAAGGGTTTCCC"))
+    val out = TranscriptAnnotator.annotate(v, m.genes, m.transcripts,
+        m.features, genome, binWidth = 8)
+      .collect().map(a => a.location -> a).toMap
+    assert(out("EXON").syn_status.contains("nonsynonymous"))
+    assert(out.keys.exists(_.contains("NON-CODING")))
+  }
+
   // ---- FastaGenome ----
 
   test("fasta parse: headers, chr-prefix strip, multi-line concat") {
