@@ -285,6 +285,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.keys.exists(_.contains("NON-CODING")))
   }
 
+  test("bed intervals: 0-based half-open to 1-based inclusive, headers skipped") {
+    import graft.sources.Bed
+    import graft.operators.RangeJoin
+    val bed = Seq(
+      "track name=targets",
+      "# comment",
+      "chr1\t0\t100\tt1",
+      "2\t999\t2000",
+      "bad").toDS()
+    val iv = Bed.parse(bed)
+    val rows = iv.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(rows == Set(("1", 1L, 100L, "t1"), ("2", 1000L, 2000L, "")))
+    // positions 1 and 100 are inside the first interval; 101 is not
+    val pts = Seq(("1", 1L), ("1", 100L), ("1", 101L)).toDF("chr", "pos")
+    val hit = RangeJoin.joined(pts, iv, "pos", "start", "stop",
+      keys = Seq("chr"), binWidth = 64).select("pos").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L, 100L))
+  }
+
   // ---- FastaGenome ----
 
   test("fasta parse: headers, chr-prefix strip, multi-line concat") {
