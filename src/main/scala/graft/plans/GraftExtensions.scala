@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CharShingles, CountWord, DotProductF, NormText,
-  ReverseComplement, SimHash60, TranslateDna}
+import graft.functions.{CharShingles, CountWord, DotProductF, IntersectCount,
+  MinHash16, NormText, ReverseComplement, SimHash60, TranslateDna, WinnowFps}
 
 /** SQL surface for graft's native expressions, registered through
   * `SparkSessionExtensions` so `spark.sql("SELECT translate_dna(...)")`
@@ -55,5 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(s) - 60-bit SimHash of raw text"),
       (args: Seq[Expression]) => SimHash60(args.head)))
+    e.injectFunction((FunctionIdentifier("minhash16"),
+      info("minhash16", "minhash16(s, n) - 16 md5-window minhash minima"),
+      (args: Seq[Expression]) => MinHash16(args.head, int(args(1)))))
+    e.injectFunction((FunctionIdentifier("winnow_fps"),
+      info("winnow_fps", "winnow_fps(s, k, w) - winnowing fingerprints"),
+      (args: Seq[Expression]) => WinnowFps(args.head, int(args(1)), int(args(2)))))
+    e.injectFunction((FunctionIdentifier("intersect_count"),
+      info("intersect_count", "intersect_count(a, b) - distinct-array intersection size"),
+      (args: Seq[Expression]) => IntersectCount(args.head, args(1))))
   }
 }

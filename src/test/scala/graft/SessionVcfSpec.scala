@@ -101,7 +101,10 @@ class ExtensionsSpec extends AnyFunSuite {
           |  count_word('the cat the dog', 'the') AS cw,
           |  dot_f(array(cast(1.0 as float), cast(2.0 as float)),
           |        array(cast(3.0 as float), cast(4.0 as float))) AS d,
-          |  simhash60('hello world') AS sh
+          |  simhash60('hello world') AS sh,
+          |  size(minhash16('hello world', 3)) AS mh,
+          |  size(winnow_fps('hello world hello world', 5, 4)) AS wf,
+          |  intersect_count(array('a','b','c'), array('b','c','d')) AS ic
           |""".stripMargin).collect()(0)
       assert(r.getString(0) == "MA*")
       assert(r.getString(1) == "CCTT")
@@ -109,6 +112,7 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(3) == 2)
       assert(r.getDouble(4) == 11.0)
       assert(r.getLong(5) == graft.operators.Dedup.simhashScalar("hello world"))
+      assert(r.getInt(6) == 16 && r.getInt(7) >= 1 && r.getInt(8) == 2)
     } finally {
       // don't stop(): the SparkContext is shared with the other suites
       org.apache.spark.sql.SparkSession.clearActiveSession()
