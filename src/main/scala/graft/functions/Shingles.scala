@@ -63,10 +63,15 @@ object MinHashOps {
     * aggregates, with no explode and no shuffle. Returns null-free
     * array<long> of 16; empty for texts shorter than `n` (the explode
     * formulation yields no group there — callers filter those out). */
-  def minhash16(s: UTF8String, n: Int): ArrayData = {
+  def minhash16(s: UTF8String, n: Int): ArrayData = minhash(s, n, 16)
+
+  /** Like [[minhash16]] but computing only the first `numHashes` family
+    * minima — the second digest (families 8-15) is skipped entirely when
+    * `numHashes` ≤ 8, halving the md5 work for that configuration. */
+  def minhash(s: UTF8String, n: Int, numHashes: Int): ArrayData = {
     val str = s.toString
     if (str.length < n) return new GenericArrayData(Array.empty[Any])
-    val mins = Array.fill(16)(Long.MaxValue)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
     val seen = new java.util.HashSet[String]()
     val md = md5Local.get()
     var i = 0
@@ -75,10 +80,12 @@ object MinHashOps {
       if (seen.add(sh)) {
         md.reset()
         val d1 = md.digest(sh.getBytes("UTF-8"))
-        md.reset()
-        val d2 = md.digest(("x" + sh).getBytes("UTF-8"))
+        val d2 = if (numHashes > 8) {
+          md.reset()
+          md.digest(("x" + sh).getBytes("UTF-8"))
+        } else null
         var f = 0
-        while (f < 16) {
+        while (f < numHashes) {
           val v = if (f < 8) window32(d1, f * 3) else window32(d2, (f - 8) * 3)
           if (v < mins(f)) mins(f) = v
           f += 1
@@ -146,14 +153,17 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): WinnowFps = copy(c)
 }
 
-/** `minhash16(text, n)` — the 16 md5-window minhash minima, one pass. */
-case class MinHash16(child: Expression, n: Int) extends UnaryExpression {
+/** `minhash16(text, n)` — the first `numHashes` (≤16) md5-window minhash
+  * minima, one pass. */
+case class MinHash16(child: Expression, n: Int, numHashes: Int = 16)
+    extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
-    MinHashOps.minhash16(v.asInstanceOf[UTF8String], n)
+    MinHashOps.minhash(v.asInstanceOf[UTF8String], n, numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps.minhash16($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashOps.minhash($c, $n, $numHashes)")
   override protected def withNewChildInternal(c: Expression): MinHash16 = copy(c)
 }
 
@@ -206,8 +216,8 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
 object Shingles {
   def charShingles(c: Column, n: Int): Column =
     ColumnBridge.column(CharShingles(ColumnBridge.expression(c), n))
-  def minhash16(c: Column, n: Int): Column =
-    ColumnBridge.column(MinHash16(ColumnBridge.expression(c), n))
+  def minhash16(c: Column, n: Int, numHashes: Int = 16): Column =
+    ColumnBridge.column(MinHash16(ColumnBridge.expression(c), n, numHashes))
   def winnowFps(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFps(ColumnBridge.expression(c), k, w))
   def intersectCount(a: Column, b: Column): Column =

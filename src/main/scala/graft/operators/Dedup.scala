@@ -59,7 +59,7 @@ object Dedup {
     val sig = docs
       .select(col(idCol),
         graft.functions.Shingles
-          .minhash16(normText(col(textCol)), shingleLen).as("__mh"))
+          .minhash16(normText(col(textCol)), shingleLen, numHashes).as("__mh"))
       .filter(size(col("__mh")) > 0)
     sig.select(col(idCol) +:
       (0 until numHashes).map(i => element_at(col("__mh"), i + 1).as(s"h$i")): _*)
@@ -122,7 +122,12 @@ object Dedup {
     * signature through the explicit vote formulation, keeping the
     * cross-engine check independent of this implementation). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
+    docs
+      // token-less docs (null / whitespace-only text) produce NO row —
+      // the explode+groupBy formulation (and the DuckDB oracle) has no
+      // group for them; trim-emptiness is equivalent to norm-emptiness
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
         graft.functions.TextKernels.simhash60(col(textCol)).as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 44))
 

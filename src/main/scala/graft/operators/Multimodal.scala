@@ -108,7 +108,8 @@ object Multimodal {
       * a plain 24bpp BMP with complete pixel data (compressed formats
       * need a decoding library; callers quarantine by passing through). */
     def resizeBmp(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
-      if (outW <= 0 || outH <= 0 || payload.length < 54 ||
+      if (outW <= 0 || outH <= 0 || outW > (Int.MaxValue - 57) / 3 ||
+        payload.length < 54 ||
         payload(0) != 'B' || payload(1) != 'M') return None
       val bpp = le16(payload, 28)
       val compression = le32(payload, 30)
@@ -116,11 +117,17 @@ object Multimodal {
       val h0raw = le32(payload, 22)
       val h0 = math.abs(h0raw)
       val pixOff = le32(payload, 10)
-      if (bpp != 24 || compression != 0 || w0 <= 0 || h0 == 0) return None
-      val rowIn = ((w0 * 3 + 3) / 4) * 4
-      if (payload.length < pixOff + rowIn.toLong * h0) return None
+      // all dimension arithmetic in Long: a crafted header with a huge
+      // width must quarantine (None), not overflow into a negative row
+      // size that passes the bounds check and crashes the pixel loop
+      if (bpp != 24 || compression != 0 || w0 <= 0 || h0 == 0 ||
+        pixOff < 54) return None
+      val rowIn = ((w0.toLong * 3 + 3) / 4) * 4
+      if (pixOff.toLong + rowIn * h0 > payload.length) return None
       val rowOut = ((outW * 3 + 3) / 4) * 4
-      val out = new Array[Byte](54 + rowOut * outH)
+      val outLen = 54L + rowOut.toLong * outH
+      if (outLen > Int.MaxValue) return None
+      val out = new Array[Byte](outLen.toInt)
       System.arraycopy(payload, 0, out, 0, 14)
       System.arraycopy(payload, 14, out, 14, 40)
       putLe32(out, 2, out.length); putLe32(out, 10, 54)
@@ -128,11 +135,11 @@ object Multimodal {
       putLe32(out, 22, if (h0raw < 0) -outH else outH)
       var y = 0
       while (y < outH) {
-        val sy = y * h0 / outH
+        val sy = y.toLong * h0 / outH
         var x = 0
         while (x < outW) {
-          val sx = x * w0 / outW
-          val src = pixOff + sy * rowIn + sx * 3
+          val sx = x.toLong * w0 / outW
+          val src = (pixOff + sy * rowIn + sx * 3).toInt
           val dst = 54 + y * rowOut + x * 3
           out(dst) = payload(src); out(dst + 1) = payload(src + 1)
           out(dst + 2) = payload(src + 2)

@@ -117,6 +117,15 @@ object VcfParser {
   private def genotypeOf(data: String): String =
     if (data.length >= 3) data.substring(0, 3) else data
 
+  /** One (strain, genotype) tally per sample cell of a gated line —
+    * shared by the single-header and per-file tally paths so the two
+    * cannot drift. */
+  private def tallyCells(g: GatedLine,
+                         strains: Array[String]): Iterator[(String, String)] = {
+    val n = math.min(strains.length, g.v.length - 9)
+    (0 until n).iterator.map(si => (strains(si), genotypeOf(g.v(9 + si))))
+  }
+
   /** Reference behavior: VcfToCommonFormat2Converter.processLine /
     * processStrain (lines 161-318). */
   private[graft] def parseLine(line: String, strains: Array[String],
@@ -216,9 +225,7 @@ object VcfParser {
       it.flatMap { line =>
         gateLine(line, missingADDP, accMap) match {
           case None => Iterator.empty
-          case Some(g) =>
-            val n = math.min(strains.length, g.v.length - 9)
-            (0 until n).iterator.map(si => (strains(si), genotypeOf(g.v(9 + si))))
+          case Some(g) => tallyCells(g, strains)
         }
       }
     }.toDF("strain", "genotype")
@@ -377,10 +384,7 @@ object VcfParser {
       it.flatMap { case (line, file) =>
         gateLine(line, missingADDP, accMap) match {
           case None => Iterator.empty
-          case Some(g) =>
-            val strains = bc.value.getOrElse(file, Array.empty)
-            val n = math.min(strains.length, g.v.length - 9)
-            (0 until n).iterator.map(si => (strains(si), genotypeOf(g.v(9 + si))))
+          case Some(g) => tallyCells(g, bc.value.getOrElse(file, Array.empty))
         }
       }
     }.toDF("strain", "genotype")

@@ -15,22 +15,27 @@ object Bed {
 
   case class Interval(chr: String, start: Long, stop: Long, name: String)
 
-  private[sources] def parseLine(line: String): Option[Interval] = {
+  private[sources] def parseLine(
+      line: String, accessionMap: Map[String, String]): Option[Interval] = {
     val t = line.trim
     if (t.isEmpty || t.startsWith("#") || t.startsWith("track") ||
       t.startsWith("browser")) return None
     val v = t.split("\t", -1)
     if (v.length < 3) return None
-    val chr = if (v(0).startsWith("chr")) v(0).substring(3) else v(0)
+    // same chromosome naming as the variant path (chr-strip, M→MT,
+    // NC_ accessions) so interval joins line up — Gff3.normChr
+    val chr = Gff3.normChr(v(0), accessionMap)
     try Some(Interval(chr, v(1).toLong + 1, v(2).toLong,
       if (v.length > 3) v(3) else ""))
     catch { case _: NumberFormatException => None }
   }
 
   /** BED text → 1-based inclusive intervals (chr, start, stop, name). */
-  def parse(lines: Dataset[String]): DataFrame = {
+  def parse(lines: Dataset[String],
+            accessionMap: Map[String, String] = Map.empty): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
-    lines.flatMap(parseLine).toDF()
+    val accMap = accessionMap
+    lines.flatMap(parseLine(_, accMap)).toDF()
   }
 }

@@ -34,33 +34,57 @@ object Gff3 {
     "miRNA", "ncRNA", "pseudogenic_transcript")
   private val codingTypes = Set("mRNA", "transcript")
 
-  /** One parsed GFF3 row (attributes reduced to ID / Parent). */
+  /** One parsed GFF3 row (attributes reduced to ID / one Parent; a
+    * multi-parent feature — `Parent=t1,t2`, the GENCODE shared-exon
+    * convention — emits one row per parent). */
   case class Row9(chr: String, ftype: String, start: Long, stop: Long,
                   strand: String, id: String, parent: String)
 
-  private[sources] def parseLine(line: String): Option[Row9] = {
-    if (line.isEmpty || line.charAt(0) == '#') return None
+  /** Interval-source chromosome normalization: drop a leading "chr",
+    * map mitochondrial "M" to "MT" and resolve NC_* accessions, matching
+    * [[graft.operators.VcfParser]]'s variant chromosomes so joins line
+    * up. Unlike the VCF gate, nothing is REJECTED here — interval lists
+    * legitimately carry contigs the variant path filters out. */
+  private[sources] def normChr(raw: String,
+                               accessionMap: Map[String, String]): String = {
+    if (raw.startsWith("NC_")) return accessionMap.getOrElse(raw, raw)
+    val c = if (raw.startsWith("chr")) raw.substring(3) else raw
+    if (c == "M") "MT" else c
+  }
+
+  private[sources] def parseLine(
+      line: String, accessionMap: Map[String, String]): Iterator[Row9] = {
+    if (line.isEmpty || line.charAt(0) == '#') return Iterator.empty
     val v = line.split("\t", -1)
-    if (v.length < 9) return None
-    val chr = if (v(0).startsWith("chr")) v(0).substring(3) else v(0)
+    if (v.length < 9) return Iterator.empty
+    val chr = normChr(v(0), accessionMap)
     val attrs = v(8).split(";").iterator
       .map(_.split("=", 2))
       .collect { case Array(k, value) => k -> value }
       .toMap
-    try Some(Row9(chr, v(2), v(3).toLong, v(4).toLong, v(6),
-      attrs.getOrElse("ID", ""), attrs.getOrElse("Parent", "")))
-    catch { case _: NumberFormatException => None }
+    val (start, stop) =
+      try (v(3).toLong, v(4).toLong)
+      catch { case _: NumberFormatException => return Iterator.empty }
+    val id = attrs.getOrElse("ID", "")
+    val parents = attrs.get("Parent") match {
+      case Some(p) if p.nonEmpty => p.split(",").toSeq
+      case _ => Seq("")
+    }
+    parents.iterator.map(p => Row9(chr, v(2), start, stop, v(6), id, p))
   }
 
-  def parse(lines: Dataset[String]): Dataset[Row9] = {
+  def parse(lines: Dataset[String],
+            accessionMap: Map[String, String] = Map.empty): Dataset[Row9] = {
     val spark = lines.sparkSession
     import spark.implicits._
-    lines.flatMap(parseLine)
+    val accMap = accessionMap
+    lines.flatMap(parseLine(_, accMap))
   }
 
   /** Project the three annotator model tables out of a GFF3 text. */
-  def modelTables(lines: Dataset[String]): ModelTables = {
-    val rows = parse(lines).toDF()
+  def modelTables(lines: Dataset[String],
+                  accessionMap: Map[String, String] = Map.empty): ModelTables = {
+    val rows = parse(lines, accessionMap).toDF()
     val genes = rows.filter(col("ftype") === "gene")
       .select(xxhash64(col("id")).as("gene_id"), col("chr"),
         col("start").as("gstart"), col("stop").as("gstop"))

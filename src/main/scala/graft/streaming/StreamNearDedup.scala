@@ -56,6 +56,10 @@ object StreamNearDedup {
     val mask = (1L << bits) - 1
 
     val events = docs
+      // same token-less gate as the batch path (also keeps a null text
+      // from reaching the scalar kernel)
+      .filter(col(textCol).isNotNull &&
+        length(org.apache.spark.sql.functions.trim(col(textCol))) > 0)
       .select(col(idCol).cast("long"), col(tsCol), col(textCol))
       .as[(Long, Timestamp, String)]
       .flatMap { case (id, ts, text) =>
@@ -80,10 +84,14 @@ object StreamNearDedup {
             var maxTs = 0L
             // deterministic within-trigger order
             incoming.toSeq.sortBy(e => (e.ts.getTime, e.doc_id)).foreach { e =>
-              entries.iterator
-                .map(en => (en, java.lang.Long.bitCount(en._2 ^ e.simhash)))
-                .find { case (en, h) => h <= maxHamming && en._1 != e.doc_id }
-                .foreach { case (en, h) => hits += Hit(e.doc_id, en._1, h) }
+              // report EVERY stored match, not just the first — the
+              // batch candidate stage emits all pairs, and a single
+              // shared block may be a pair's only collision
+              entries.foreach { en =>
+                val h = java.lang.Long.bitCount(en._2 ^ e.simhash)
+                if (h <= maxHamming && en._1 != e.doc_id)
+                  hits += Hit(e.doc_id, en._1, h)
+              }
               entries = ((e.doc_id, e.simhash, e.ts.getTime) :: entries)
                 .take(maxPerBucket)
               maxTs = math.max(maxTs, e.ts.getTime)

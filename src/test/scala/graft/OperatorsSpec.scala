@@ -90,6 +90,18 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sh(1L), sh(4L)) > 12)      // unrelated
   }
 
+  test("token-less docs produce no simhash row (oracle semantics)") {
+    val withEmpty = docs.union(
+      Seq((6L, "   "), (7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val ids = Dedup.simhash(withEmpty, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(6L) && !ids.contains(7L) && ids.contains(1L))
+    // and no spurious hamming-0 pair between two empty docs
+    val pairs = Dedup.simhashCandidates(withEmpty, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 7L))
+  }
+
   test("simhash pigeonhole candidates are EXACT for hamming <= max") {
     // blocking is lossless: any pair within maxHamming agrees on >= 1 of
     // the maxHamming+1 blocks, so candidates == brute-force pairs

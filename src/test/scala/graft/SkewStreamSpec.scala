@@ -182,6 +182,15 @@ class StreamNearDedupSpec extends AnyFunSuite {
         .as[StreamNearDedup.Hit].collect().toSet
       assert(hits.nonEmpty &&
         hits.forall(h => h.doc_id == 3L && h.matched_id == 1L && h.hamming == 0))
+      // a second identical arrival matches BOTH stored copies — every
+      // stored match is reported, not just the most recent
+      mem.addData(
+        (4L, Timestamp.valueOf("2024-01-01 00:02:00"),
+          "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val m4 = spark.table("snd_out").as[StreamNearDedup.Hit].collect()
+        .filter(_.doc_id == 4L).map(_.matched_id).toSet
+      assert(m4 == Set(1L, 3L))
     } finally q.stop()
   }
 }

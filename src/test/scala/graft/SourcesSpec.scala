@@ -270,6 +270,15 @@ class SourcesSpec extends AnyFunSuite {
     ).toDS()
     val m = Gff3.modelTables(gff)
     assert(m.genes.count() == 1 && m.features.count() == 2)
+    // GENCODE shared-exon convention: Parent=t1,t2 emits one feature
+    // row per parent; chrM normalizes to MT like the variant path
+    val multi = Gff3.modelTables(Seq(
+      "chrM\tsrc\tgene\t1\t100\t.\t+\t.\tID=g9",
+      "chrM\tsrc\tmRNA\t1\t100\t.\t+\t.\tID=t8;Parent=g9",
+      "chrM\tsrc\tmRNA\t1\t100\t.\t+\t.\tID=t9;Parent=g9",
+      "chrM\tsrc\texon\t1\t50\t.\t+\t.\tID=e9;Parent=t8,t9").toDS())
+    assert(multi.features.count() == 2)
+    assert(multi.genes.select("chr").head.getString(0) == "MT")
     val tr = m.transcripts.collect().map(r =>
       r.getBoolean(3)).sorted.toSeq
     assert(tr == Seq(false, true)) // mRNA coding, lnc_RNA non-coding
