@@ -52,6 +52,35 @@ class ManagerSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/conservation").count() == 2)
   }
 
+  test("VariantLoad3 tool: parse + score to variants parquet") {
+    val vcf = writeText("d.vcf",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n" +
+        "1\t100\trs1\tA\tG\t50\tPASS\t.\tGT:AD:DP\t1/1:0,10:10\n")
+    val out = tmpDir()
+    Manager.runTool(spark, "VariantLoad3",
+      Array("--inputFile", vcf, "--outDir", out, "--genders", "S1=M"))
+    val r = spark.read.parquet(s"$out/variants").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("variant_type") == "snv")
+    assert(row.getAs[Long]("quality_score") == 100L)
+    assert(row.getAs[String]("zygosity_status") == "homozygous")
+  }
+
+  test("FrameShiftFixUp tool: recomputed column over a variants parquet") {
+    val dir = tmpDir()
+    import spark.implicits._
+    Seq(("AC", "A"), ("A", "G")).toDF("ref_nuc", "var_nuc")
+      .write.parquet(s"$dir/in")
+    val out = tmpDir()
+    Manager.runTool(spark, "FrameShiftFixUp",
+      Array("--variants", s"$dir/in", "--outDir", out))
+    val fs = spark.read.parquet(s"$out/frame_shift_fixup")
+      .collect().map(r => r.getAs[String]("ref_nuc") ->
+        r.getAs[String]("frame_shift_computed")).toMap
+    assert(fs("AC") == "T" && fs("A") == "F")
+  }
+
   test("unknown tool and missing option fail with usage") {
     val e = intercept[IllegalArgumentException] {
       Manager.runTool(spark, "NoSuchTool", Array.empty)
