@@ -841,6 +841,13 @@ object SparkEntry {
         "doc_id", "text", k = 5, window = 4)
     }),
 
+    "text_winnow_pairs" -> ((s, dir) => {
+      // the MOSS detection stage: candidate copies from shared
+      // fingerprints, ubiquitous fingerprints dropped before expansion
+      TextAnalysis.winnowCandidates(Tables.documents(s, dir),
+        "doc_id", "text", k = 5, window = 4, minShared = 2, maxDf = 64)
+    }),
+
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id")).toDF()
@@ -1795,6 +1802,28 @@ object SparkEntry {
            |  FROM g)
            |SELECT DISTINCT doc_id, win_min AS fp FROM w
            |WHERE i <= n_grams - 3""".stripMargin,
+
+      // winnow-pair twin: same fingerprints, same ubiquity cut (2..64),
+      // same shared-count floor
+      "text_winnow_pairs" ->
+        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |g AS (SELECT doc_id, i,
+           |  CAST('0x' || substr(md5(substr(t, CAST(i AS INT), 5)), 1, 8) AS BIGINT) AS h
+           |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+           |    FROM t WHERE length(t) >= 5)),
+           |w AS (SELECT doc_id, i,
+           |  count(*) OVER (PARTITION BY doc_id) AS n_grams,
+           |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+           |  FROM g),
+           |f AS (SELECT DISTINCT doc_id, win_min AS fp FROM w
+           |  WHERE i <= n_grams - 3),
+           |df AS (SELECT fp, count(*) AS n FROM f GROUP BY fp),
+           |rare AS (SELECT f.doc_id, f.fp FROM f
+           |  JOIN df USING (fp) WHERE df.n BETWEEN 2 AND 64)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin,
 
       // sign-LSH buckets: the 8 hyperplanes are driver-side constants,
       // embedded as exact double literals; same dot products, same signs

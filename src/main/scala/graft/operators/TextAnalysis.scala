@@ -98,6 +98,33 @@ object TextAnalysis {
     *
     * @return (doc_id, fp) — the distinct selected 32-bit fingerprints
     */
+  /** Overlap-candidate pairs from shared winnowing fingerprints — the
+    * MOSS detection stage: documents sharing ≥ `minShared` selected
+    * fingerprints are candidate copies (any common run of k+window−1
+    * chars guarantees a shared fingerprint, so substantial overlap
+    * yields many). Single-pass shape like the dedup candidate
+    * generators: a spill-safe window count drops ubiquitous fingerprints
+    * (boilerplate — the rare-shingle cut's analog) BEFORE any id list
+    * materializes, bounded in-group expansion, then a per-pair shared
+    * count. Returns (id_a, id_b, n_shared). */
+  def winnowCandidates(docs: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 5, window: Int = 4,
+                       minShared: Int = 2,
+                       maxDf: Int = 64): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(docs, idCol, textCol, k, window)
+    val wFp = Window.partitionBy("fp")
+    fps.withColumn("__df", count(lit(1)).over(wFp))
+      .filter(col("__df").between(2, maxDf)).drop("__df")
+      .groupBy("fp").agg(collect_list(col(idCol)).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def winnowFingerprints(docs: org.apache.spark.sql.DataFrame,
                          idCol: String, textCol: String,
                          k: Int = 5, window: Int = 4): org.apache.spark.sql.DataFrame =

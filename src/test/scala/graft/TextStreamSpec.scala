@@ -81,6 +81,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((fps(1L) & fps(3L)).size <= 1) // unrelated docs ~disjoint
   }
 
+  test("winnow candidates pair overlapping docs, drop boilerplate fps") {
+    val common = "the identical long shared passage of text"
+    val docs = Seq(
+      (1L, s"first document with $common and more"),
+      (2L, s"second document also containing $common here"),
+      (3L, "nothing in common with either document at all")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 2)
+    // the overlapping pair shares strictly more fingerprints than any
+    // incidental single-word overlap with the unrelated doc
+    assert(pairs((1L, 2L)) > pairs.getOrElse((1L, 3L), 0L))
+    assert(pairs((1L, 2L)) > pairs.getOrElse((2L, 3L), 0L))
+  }
+
   test("BMP resize: nearest-neighbor pixels, non-resizable passthrough") {
     import Multimodal.{MediaCodec, MediaRow}
     // 2x2 source, distinct corner colors (0xRRGGBB)
