@@ -848,6 +848,54 @@ object SparkEntry {
         "doc_id", "text", k = 5, window = 4, minShared = 2, maxDf = 64)
     }),
 
+    "quality_gopher" -> ((s, dir) => {
+      // Gopher-style repetition rules: one-pass kernel, zero shuffle
+      Curation.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    "decontam_ngram" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing a word 4-gram with the
+      // (broadcast) benchmark slice doc_id % 20 == 0
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 4)
+    }),
+
+    "pii_scrub" -> ((s, dir) => {
+      // synthetic PII injected deterministically from (doc_id, source) —
+      // the documents table itself is PII-free word soup — then detected
+      // and redacted by the generic scrubber
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact "), col("source"), lit("-"),
+              col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7"))).otherwise(lit(""))).as("text"))
+      Curation.scrubPii(d, "doc_id", "text")
+    }),
+
+    "sample_stratified" -> ((s, dir) => {
+      // temperature-weighted (alpha=0.5) deterministic mixing over lang
+      Curation.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+          targetFrac = 0.4, alpha = 0.5)
+        .select("doc_id", "lang", "source")
+    }),
+
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: within-cluster pairwise cosine against the fixed
+      // quantizer (literal centroids, like ann_ivf, so the DuckDB twin
+      // re-derives assignment + pairs from the same constants)
+      Similarity.semanticDupPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", Similarity.ivfQuantizer(16, 64), minCos = 0.3)
+        .select(col("cluster").cast("long").as("cluster"), col("id_a"),
+          col("id_b"), col("cos_sim"))
+    }),
+
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id")).toDF()
@@ -1937,6 +1985,113 @@ object SparkEntry {
         """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS window_epoch, event_type,
           |count(*) AS n_events, round(sum(value),2) AS sum_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "quality_gopher" ->
+        // independent derivation of the repStats kernel: explicit
+        // explode + groupBy + window over word uni/bi/trigrams
+        s"""WITH base AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |w AS (SELECT doc_id, string_split(t, ' ') AS ws,
+           |  length(replace(t, ' ', '')) AS wchars FROM base),
+           |st AS (SELECT doc_id, len(ws) AS n_words,
+           |  len(list_distinct(ws)) AS n_distinct, wchars FROM w),
+           |bg AS (SELECT doc_id, ws[u.g] || ' ' || ws[u.g+1] AS gram
+           |  FROM w, LATERAL unnest(generate_series(1, len(ws)-1)) u(g)),
+           |bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+           |bgtop AS (SELECT doc_id, c*length(gram) AS topchars FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY c DESC, gram) AS rn FROM bgc) WHERE rn = 1),
+           |bgtot AS (SELECT doc_id, CAST(sum(c*length(gram)) AS BIGINT) AS totchars
+           |  FROM bgc GROUP BY 1),
+           |tg AS (SELECT doc_id, ws[u.g] || ' ' || ws[u.g+1] || ' ' || ws[u.g+2] AS gram
+           |  FROM w, LATERAL unnest(generate_series(1, len(ws)-2)) u(g)),
+           |tgc AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+           |tgs AS (SELECT doc_id,
+           |  CAST(sum(CASE WHEN c > 1 THEN c*length(gram) ELSE 0 END) AS BIGINT) AS dupchars,
+           |  CAST(sum(c*length(gram)) AS BIGINT) AS totchars FROM tgc GROUP BY 1),
+           |f AS (SELECT st.doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |  CASE WHEN n_words > 0
+           |    THEN round(CAST(wchars AS DOUBLE) / n_words, 4) ELSE 0 END AS mean_word_len,
+           |  CASE WHEN n_words > 0
+           |    THEN round(CAST(n_words - n_distinct AS DOUBLE) / n_words, 4) ELSE 0 END AS dup_word_frac,
+           |  CASE WHEN coalesce(bgtot.totchars, 0) > 0
+           |    THEN round(CAST(bgtop.topchars AS DOUBLE) / bgtot.totchars, 4) ELSE 0 END AS top_bigram_frac,
+           |  CASE WHEN coalesce(tgs.totchars, 0) > 0
+           |    THEN round(CAST(tgs.dupchars AS DOUBLE) / tgs.totchars, 4) ELSE 0 END AS dup_trigram_frac
+           |  FROM st LEFT JOIN bgtop USING (doc_id) LEFT JOIN bgtot USING (doc_id)
+           |  LEFT JOIN tgs USING (doc_id))
+           |SELECT *, CAST(CASE WHEN n_words >= 5 AND mean_word_len <= 12.0
+           |  AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.2
+           |  AND dup_trigram_frac <= 0.6 THEN 1 ELSE 0 END AS INTEGER) AS keep
+           |FROM f""".stripMargin,
+
+      "decontam_ngram" ->
+        s"""WITH base AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM base),
+           |g AS (SELECT DISTINCT doc_id,
+           |  ws[u.g] || ' ' || ws[u.g+1] || ' ' || ws[u.g+2] || ' ' || ws[u.g+3] AS gram
+           |  FROM w, LATERAL unnest(generate_series(1, len(ws)-3)) u(g)),
+           |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM g JOIN b USING (gram) WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin,
+
+      "pii_scrub" -> {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,4}"
+        val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val phone = "\\b555-[0-9]{4}\\b"
+        s"""WITH d AS (SELECT doc_id, text ||
+           |  CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source || '-' ||
+           |    CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+           |  CASE WHEN doc_id % 4 = 0 THEN ' call 555-' ||
+           |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+           |  CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' ||
+           |    CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+           |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+           |    '$phone', '<PHONE>', 'g') AS clean
+           |FROM d""".stripMargin
+      },
+
+      "sample_stratified" ->
+        """WITH stats AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+          |  sum(sqrt(CAST(n AS DOUBLE))) AS sumw FROM stats),
+          |rates AS (SELECT lang, round(least(1.0,
+          |  0.4 * total * sqrt(CAST(n AS DOUBLE)) / sumw / n), 6) AS rate
+          |  FROM stats, tot)
+          |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN rates USING (lang)
+          |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+          |  AS DOUBLE) / 16777216.0 < rate""".stripMargin,
+
+      "dedup_semantic" -> {
+        val cents = Similarity.ivfQuantizer(16, 64)
+        val distRows = cents.zipWithIndex.map { case (cv, ci) =>
+          val litArr = cv.map(_.toDouble.toString).mkString("[", ", ", "]")
+          s"SELECT vec_id, $ci AS c, ${Similarity.selfDot(cv)} - " +
+            s"2*list_dot_product(vv, $litArr) AS d FROM v"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+           |d AS (
+           |  $distRows),
+           |rnk AS (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
+           |asn AS (SELECT a.vec_id, a.c AS cluster, vv
+           |  FROM rnk a JOIN v USING (vec_id) WHERE a.rn = 1),
+           |sz AS (SELECT cluster, count(*) AS csz FROM asn GROUP BY 1),
+           |bnd AS (SELECT asn.* FROM asn JOIN sz USING (cluster) WHERE csz <= 4096),
+           |p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(CASE WHEN sqrt(list_dot_product(a.vv,a.vv)) * sqrt(list_dot_product(b.vv,b.vv)) > 0
+           |    THEN list_dot_product(a.vv,b.vv) /
+           |      (sqrt(list_dot_product(a.vv,a.vv)) * sqrt(list_dot_product(b.vv,b.vv)))
+           |    ELSE 0 END, 6) AS cos_sim
+           |  FROM bnd a JOIN bnd b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+           |SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b, cos_sim
+           |FROM p WHERE cos_sim >= 0.3""".stripMargin
+      },
     )
   }
 }

@@ -84,6 +84,82 @@ object TextKernelOps {
     sig
   }
 
+  /** One-pass repetition statistics over the normalized text — the
+    * integer numerators/denominators of Gopher-style (Rae et al. 2021,
+    * public) repetition quality rules, left as exact longs so the
+    * fraction arithmetic (and its rounding) happens once, identically,
+    * in both engines:
+    *
+    *   [0] word count
+    *   [1] distinct word count
+    *   [2] total word chars (= chars of text minus spaces)
+    *   [3] chars covered by occurrences of the most frequent word bigram
+    *       (ties: highest count, then lexicographically smallest gram)
+    *   [4] total chars over all bigram occurrences (gram length includes
+    *       the joining space)
+    *   [5] chars over occurrences of word trigrams that appear >1 time
+    *   [6] total chars over all trigram occurrences
+    *
+    * Value-identical to the explode + groupBy + window formulation the
+    * DuckDB oracle derives, but a single narrow pass: no explode, no
+    * shuffle, codegen-friendly. */
+  def repStats(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val norm = normText(s).toString
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    while (start <= norm.length) {
+      val end0 = norm.indexOf(' ', start)
+      val end = if (end0 < 0) norm.length else end0
+      if (end > start) words += norm.substring(start, end)
+      start = end + 1
+    }
+    val nWords = words.length
+    val distinct = new java.util.HashSet[String]()
+    var totalWordChars = 0L
+    var i = 0
+    while (i < nWords) { distinct.add(words(i)); totalWordChars += words(i).length; i += 1 }
+    def gramCounts(n: Int): java.util.HashMap[String, Int] = {
+      val m = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j + n <= nWords) {
+        val sb = new java.lang.StringBuilder(words(j))
+        var k = 1
+        while (k < n) { sb.append(' ').append(words(j + k)); k += 1 }
+        m.merge(sb.toString, 1, Integer.sum)
+        j += 1
+      }
+      m
+    }
+    val bi = gramCounts(2)
+    var topBigramChars = 0L
+    var totalBigramChars = 0L
+    var topGram: String = null
+    var topCnt = 0
+    val bit = bi.entrySet().iterator()
+    while (bit.hasNext) {
+      val e = bit.next()
+      totalBigramChars += e.getValue.toLong * e.getKey.length
+      if (e.getValue > topCnt ||
+          (e.getValue == topCnt && (topGram == null || e.getKey.compareTo(topGram) < 0))) {
+        topCnt = e.getValue; topGram = e.getKey
+      }
+    }
+    if (topGram != null) topBigramChars = topCnt.toLong * topGram.length
+    val tri = gramCounts(3)
+    var dupTrigramChars = 0L
+    var totalTrigramChars = 0L
+    val tit = tri.entrySet().iterator()
+    while (tit.hasNext) {
+      val e = tit.next()
+      val chars = e.getValue.toLong * e.getKey.length
+      totalTrigramChars += chars
+      if (e.getValue > 1) dupTrigramChars += chars
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      nWords.toLong, distinct.size.toLong, totalWordChars,
+      topBigramChars, totalBigramChars, dupTrigramChars, totalTrigramChars))
+  }
+
   @inline private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
@@ -141,9 +217,23 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(c)
 }
 
+/** `rep_stats(s)` — 7 exact-integer repetition statistics, single-pass. */
+case class RepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernelOps.repStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelOps.repStats($c)")
+  override protected def withNewChildInternal(c: Expression): RepStats = copy(c)
+}
+
 object TextKernels {
   def normText(c: Column): Column =
     ColumnBridge.column(NormText(ColumnBridge.expression(c)))
+  def repStats(c: Column): Column =
+    ColumnBridge.column(RepStats(ColumnBridge.expression(c)))
   def countWord(c: Column, word: String): Column =
     ColumnBridge.column(CountWord(ColumnBridge.expression(c), word))
   def simhash60(c: Column): Column =

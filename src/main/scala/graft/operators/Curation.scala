@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: repetition-based quality rules, benchmark
+  * decontamination, PII scrubbing, and deterministic stratified sampling
+  * (temperature-weighted source mixing).
+  *
+  * All four are narrow, shuffle-light shapes:
+  *  - repetition rules are a single-pass codegen kernel per row (zero
+  *    shuffle);
+  *  - decontamination shuffles only (doc, gram-hash) pairs and broadcasts
+  *    the (small) benchmark gram set;
+  *  - PII scrubbing is pure per-row regex work;
+  *  - stratified sampling broadcasts a per-stratum rate table (one row per
+  *    stratum) and filters with a deterministic md5-uniform — no
+  *    `rand()`, so the sample is reproducible across engines, retries and
+  *    speculative re-execution (rand() in a filter breaks task retry
+  *    idempotence at scale).
+  */
+object Curation {
+
+  import Dedup.normText
+
+  /** Gopher-style repetition quality profile (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1 — public): per document, word counts,
+    * duplicate-word fraction, the character fraction covered by the most
+    * frequent word bigram, and the character fraction in duplicated word
+    * trigrams, plus a keep flag over the standard thresholds. The exact
+    * integer numerators/denominators come from the one-pass
+    * [[graft.functions.TextKernels.repStats]] kernel; fractions are
+    * rounded once at the output so any engine reproduces them.
+    *
+    * Output: (id, n_words, mean_word_len, dup_word_frac, top_bigram_frac,
+    * dup_trigram_frac, keep∈{0,1}).
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
+                        maxDupWordFrac: Double = 0.6,
+                        maxTopBigramFrac: Double = 0.2,
+                        maxDupTrigramFrac: Double = 0.6,
+                        minWords: Int = 5,
+                        maxMeanWordLen: Double = 12.0): DataFrame = {
+    val s = graft.functions.TextKernels.repStats(col(textCol))
+    def at(i: Int): Column = element_at(col("__s"), i)
+    val nWords = at(1)
+    val meanLen = when(nWords > 0, round(at(3).cast("double") / nWords, 4)).otherwise(0.0)
+    val dupWord = when(nWords > 0, round((nWords - at(2)).cast("double") / nWords, 4)).otherwise(0.0)
+    val topBi = when(at(5) > 0, round(at(4).cast("double") / at(5), 4)).otherwise(0.0)
+    val dupTri = when(at(7) > 0, round(at(6).cast("double") / at(7), 4)).otherwise(0.0)
+    docs.select(col(idCol), s.as("__s"))
+      .select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        dupWord.as("dup_word_frac"), topBi.as("top_bigram_frac"),
+        dupTri.as("dup_trigram_frac"))
+      .withColumn("keep",
+        (col("n_words") >= minWords &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("dup_word_frac") <= maxDupWordFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("dup_trigram_frac") <= maxDupTrigramFrac).cast("int"))
+  }
+
+  /** Distinct word n-grams of the normalized text: (id, gram) rows.
+    * Narrow per-row expansion bounded by document length. */
+  def wordGrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int): DataFrame = {
+    val ws = split(normText(col(textCol)), " ")
+    val grams = when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol), explode(grams).as("gram"))
+  }
+
+  /** Benchmark decontamination: training documents sharing ≥1 word
+    * `n`-gram with any benchmark document (the standard test-set-overlap
+    * filter run before LLM training, e.g. GPT-3 appendix C — public).
+    *
+    * The benchmark gram set is distinct'd and broadcast (benchmarks are
+    * tiny next to a training corpus); training grams therefore never
+    * shuffle — the contamination count is a map-side join + partial
+    * aggregation. Output: (id, n_shared) for contaminated docs only.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 4): DataFrame = {
+    val benchGrams = broadcast(
+      wordGrams(bench, idCol, textCol, n).select("gram").distinct())
+    wordGrams(train, idCol, textCol, n)
+      .join(benchGrams, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Simple-pattern PII regexes, chosen to parse identically under Java
+    * regex (Spark) and RE2 (DuckDB/Go): no backrefs, no lookaround. */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,4}"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII detection + redaction: per-type match counts over the raw text
+    * and a redacted copy with emails → `<EMAIL>`, IPv4 addresses →
+    * `<IP>`, then phone numbers → `<PHONE>` (fixed order — email first so
+    * its digit runs can't be half-eaten by the broader patterns). Pure
+    * per-row regex work: zero shuffle at any scale.
+    *
+    * Output: (id, n_email, n_ip, n_phone, clean).
+    */
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      regexp_count(t, lit(emailRe)).cast("long").as("n_email"),
+      regexp_count(t, lit(ipRe)).cast("long").as("n_ip"),
+      regexp_count(t, lit(phoneRe)).cast("long").as("n_phone"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>").as("clean"))
+  }
+
+  /** Deterministic temperature-weighted stratified sampling — the "data
+    * mixing" step that rebalances sources/languages before training
+    * (multinomial sampling with exponent `alpha`, the mT5/XLM-R scheme —
+    * public). Stratum weights `n_s^alpha` set per-stratum keep rates that
+    * hit `targetFrac` of the corpus in expectation while flattening the
+    * stratum distribution; rows are kept when a uniform in [0,1) derived
+    * from `md5(id)` falls under the stratum rate.
+    *
+    * The rate table is one row per stratum — aggregated once and
+    * broadcast; the filter itself is per-row hash arithmetic. No rand():
+    * the sample is a pure function of ids, so retries, speculation and
+    * cross-engine oracles all agree.
+    *
+    * `alpha = 1` reproduces plain proportional sampling; `alpha = 0.5`
+    * (default) upsamples rare strata.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+                       targetFrac: Double = 0.4,
+                       alpha: Double = 0.5): DataFrame = {
+    // n^alpha via sqrt when alpha = 0.5 (the common temperature): sqrt is
+    // IEEE correctly-rounded in every engine, pow(x, 0.5) is only
+    // 1-ulp-accurate and may differ between libm implementations
+    def weight(n: Column): Column =
+      if (alpha == 0.5) sqrt(n.cast("double")) else pow(n.cast("double"), alpha)
+    val stats = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val totals = stats.agg(sum("__n").as("__total"),
+      sum(weight(col("__n"))).as("__sumw"))
+    // rate_s = min(1, targetFrac * total * n_s^alpha / sumw / n_s),
+    // evaluated left to right and rounded to 6 dp so an external engine
+    // reproduces the comparison exactly (the rounding also absorbs any
+    // last-ulp difference in the sumw summation order)
+    val rates = stats.crossJoin(broadcast(totals))
+      .select(col(strataCol),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("__total") * weight(col("__n")) /
+            col("__sumw") / col("__n")), 6).as("__rate"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") / 16777216.0
+    docs.join(broadcast(rates), strataCol)
+      .filter(u < col("__rate"))
+      .drop("__rate")
+  }
+}

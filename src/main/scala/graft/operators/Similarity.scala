@@ -258,15 +258,21 @@ object Similarity {
     * the same centroid literals reproduces the identical lists, probes
     * and scores (the DuckDB oracle does exactly that).
     */
+  /** (distance-surrogate, centroid-id) structs for every centroid:
+    * `|c|² − 2·v·c` (the `|v|²` term is constant per row and dropped),
+    * the centroid matrix riding into the plan as array literals. */
+  private[graft] def centroidDistStructs(vec: Column,
+                                         centroids: Array[Array[Float]]): Column =
+    array(centroids.zipWithIndex.map { case (cv, ci) =>
+      struct((lit(selfDot(cv)) - lit(2.0) * dot(vec, typedLit(cv))).as("d"),
+        lit(ci).as("c"))
+    }: _*)
+
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, centroids: Array[Array[Float]], k: Int,
                 nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def distStructs(vec: Column): Column = array(
-      centroids.zipWithIndex.map { case (cv, ci) =>
-        struct((lit(selfDot(cv)) - lit(2.0) * dot(vec, typedLit(cv))).as("d"),
-          lit(ci).as("c"))
-      }: _*)
+    def distStructs(vec: Column): Column = centroidDistStructs(vec, centroids)
 
     val lists = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_norm"),
@@ -298,6 +304,56 @@ object Similarity {
     ivfSearch(corpus, queries, idCol, vecCol,
       ivfTrain(corpus, idCol, vecCol, numCentroids, iterations, maxSample),
       k, nprobe)
+
+  /** SemDeDup-style semantic duplicate pairs (Abbas et al. 2023 —
+    * public): cluster embeddings with a coarse quantizer, then compare
+    * pairwise ONLY within a cluster — semantic near-duplicates land in
+    * the same cluster with high probability, so the quadratic all-pairs
+    * scan shrinks to Σ cluster² with clusters of size ≈ corpus/numC.
+    *
+    * Scale shape: assignment is the same narrow argmin-over-literals pass
+    * as [[ivfSearch]] (no shuffle); the self-join equi-joins on the
+    * cluster id so both sides hash-partition; clusters above `maxCluster`
+    * are dropped first via a spill-safe window count (the mega-bucket
+    * guard — an unbalanced quantizer can't go quadratic). At 100 TB you
+    * train ~√n centroids with [[ivfTrain]] so clusters stay bounded.
+    *
+    * Output: (cluster, id_a, id_b, cos_sim) with id_a < id_b and
+    * cos_sim ≥ `minCos`, rounded to 6 dp for engine parity.
+    */
+  def semanticDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[Array[Float]], minCos: Double,
+                       maxCluster: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"),
+      norm(col(vecCol)).as("__norm"),
+      array_min(centroidDistStructs(col(vecCol), centroids))
+        .getField("c").as("cluster"))
+    val wC = Window.partitionBy("cluster")
+    val bounded = assigned.withColumn("__csz", count(lit(1)).over(wC))
+      .filter(col("__csz") <= maxCluster).drop("__csz")
+    val a = bounded.select(col("cluster"), col("__id").as("id_a"),
+      col("__vec").as("a_vec"), col("__norm").as("a_norm"))
+    val b = bounded.select(col("cluster"), col("__id").as("id_b"),
+      col("__vec").as("b_vec"), col("__norm").as("b_norm"))
+    val nn = col("a_norm") * col("b_norm")
+    a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(when(nn > 0, dot(col("a_vec"), col("b_vec")) / nn).otherwise(0.0), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** The ids SemDeDup drops: the greedy keep-lowest-id rule — any vector
+    * that appears as the higher id of a duplicate pair is removed, so
+    * each near-duplicate group keeps exactly its lowest id (the
+    * deterministic analog of SemDeDup's keep-one-per-group). */
+  def semanticDropIds(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[Array[Float]], minCos: Double,
+                      maxCluster: Int = 4096): DataFrame =
+    semanticDupPairs(corpus, idCol, vecCol, centroids, minCos, maxCluster)
+      .select(col("id_b").as(idCol)).distinct()
 
   /** Bucketed ANN: exact cosine only within matching buckets. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
