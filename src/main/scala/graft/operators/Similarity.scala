@@ -329,18 +329,28 @@ object Similarity {
       norm(col(vecCol)).as("__norm"),
       array_min(centroidDistStructs(col(vecCol), centroids))
         .getField("c").as("cluster"))
+    // in-cluster expansion via window-filter + collect + explode, NOT a
+    // cluster-key self-join: a self-join's sides would each recompute the
+    // centroid argmin (the expensive numC×dim pass) and shuffle
+    // separately; this computes assignments once and shuffles one row per
+    // vector. The size filter is a spill-safe window count BEFORE
+    // collect_list, so an unbalanced quantizer never materializes an
+    // unbounded member list (each list ≤ maxCluster vectors), and the
+    // groupBy reuses the window's cluster hash partitioning — one
+    // shuffle total.
     val wC = Window.partitionBy("cluster")
-    val bounded = assigned.withColumn("__csz", count(lit(1)).over(wC))
-      .filter(col("__csz") <= maxCluster).drop("__csz")
-    val a = bounded.select(col("cluster"), col("__id").as("id_a"),
-      col("__vec").as("a_vec"), col("__norm").as("a_norm"))
-    val b = bounded.select(col("cluster"), col("__id").as("id_b"),
-      col("__vec").as("b_vec"), col("__norm").as("b_norm"))
-    val nn = col("a_norm") * col("b_norm")
-    a.join(b, "cluster")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("cluster"), col("id_a"), col("id_b"),
-        round(when(nn > 0, dot(col("a_vec"), col("b_vec")) / nn).otherwise(0.0), 6)
+    val members = assigned
+      .withColumn("__csz", count(lit(1)).over(wC))
+      .filter(col("__csz").between(2, maxCluster)).drop("__csz")
+      .groupBy("cluster")
+      .agg(collect_list(struct(col("__id"), col("__vec"), col("__norm"))).as("ms"))
+    val nn = col("a.__norm") * col("b.__norm")
+    members
+      .select(col("cluster"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("cluster"), col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.__id") < col("b.__id"))
+      .select(col("cluster"), col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        round(when(nn > 0, dot(col("a.__vec"), col("b.__vec")) / nn).otherwise(0.0), 6)
           .as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
