@@ -36,29 +36,66 @@ object Curation {
     * Output: (id, n_words, mean_word_len, dup_word_frac, top_bigram_frac,
     * dup_trigram_frac, keep∈{0,1}).
     */
+  /** The profile fractions derived from a `__s` repStats array column,
+    * plus the keep predicate over them — shared by the batch profile and
+    * the stateless streaming gate. */
+  private def profileFractions(): Seq[(String, Column)] = {
+    def at(i: Int): Column = element_at(col("__s"), i)
+    val nWords = at(1)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" ->
+        when(nWords > 0, round(at(3).cast("double") / nWords, 4)).otherwise(0.0),
+      "dup_word_frac" ->
+        when(nWords > 0, round((nWords - at(2)).cast("double") / nWords, 4)).otherwise(0.0),
+      "top_bigram_frac" ->
+        when(at(5) > 0, round(at(4).cast("double") / at(5), 4)).otherwise(0.0),
+      "dup_trigram_frac" ->
+        when(at(7) > 0, round(at(6).cast("double") / at(7), 4)).otherwise(0.0))
+  }
+
+  private def keepPredicate(maxDupWordFrac: Double, maxTopBigramFrac: Double,
+                            maxDupTrigramFrac: Double, minWords: Int,
+                            maxMeanWordLen: Double): Column =
+    col("n_words") >= minWords &&
+      col("mean_word_len") <= maxMeanWordLen &&
+      col("dup_word_frac") <= maxDupWordFrac &&
+      col("top_bigram_frac") <= maxTopBigramFrac &&
+      col("dup_trigram_frac") <= maxDupTrigramFrac
+
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
                         maxDupWordFrac: Double = 0.6,
                         maxTopBigramFrac: Double = 0.2,
                         maxDupTrigramFrac: Double = 0.6,
                         minWords: Int = 5,
-                        maxMeanWordLen: Double = 12.0): DataFrame = {
-    val s = graft.functions.TextKernels.repStats(col(textCol))
-    def at(i: Int): Column = element_at(col("__s"), i)
-    val nWords = at(1)
-    val meanLen = when(nWords > 0, round(at(3).cast("double") / nWords, 4)).otherwise(0.0)
-    val dupWord = when(nWords > 0, round((nWords - at(2)).cast("double") / nWords, 4)).otherwise(0.0)
-    val topBi = when(at(5) > 0, round(at(4).cast("double") / at(5), 4)).otherwise(0.0)
-    val dupTri = when(at(7) > 0, round(at(6).cast("double") / at(7), 4)).otherwise(0.0)
-    docs.select(col(idCol), s.as("__s"))
-      .select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
-        dupWord.as("dup_word_frac"), topBi.as("top_bigram_frac"),
-        dupTri.as("dup_trigram_frac"))
+                        maxMeanWordLen: Double = 12.0): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.TextKernels.repStats(col(textCol)).as("__s"))
+      .select(col(idCol) +: profileFractions().map { case (n, c) => c.as(n) }: _*)
       .withColumn("keep",
-        (col("n_words") >= minWords &&
-          col("mean_word_len") <= maxMeanWordLen &&
-          col("dup_word_frac") <= maxDupWordFrac &&
-          col("top_bigram_frac") <= maxTopBigramFrac &&
-          col("dup_trigram_frac") <= maxDupTrigramFrac).cast("int"))
+        keepPredicate(maxDupWordFrac, maxTopBigramFrac, maxDupTrigramFrac,
+          minWords, maxMeanWordLen).cast("int"))
+
+  /** All original columns of the rows that pass the repetition rules,
+    * with the profile fractions attached. Pure per-row work (the scalar
+    * kernel + a filter): stateless on a streaming frame — no join back,
+    * no shuffle, no watermark — so it composes in front of stateful
+    * stages without adding a second stateful operator. */
+  def repetitionGate(docs: DataFrame, textCol: String,
+                     maxDupWordFrac: Double = 0.6,
+                     maxTopBigramFrac: Double = 0.2,
+                     maxDupTrigramFrac: Double = 0.6,
+                     minWords: Int = 5,
+                     maxMeanWordLen: Double = 12.0): DataFrame = {
+    val withS = docs.withColumn("__s",
+      graft.functions.TextKernels.repStats(col(textCol)))
+    val withFracs = profileFractions().foldLeft(withS) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }
+    withFracs
+      .filter(keepPredicate(maxDupWordFrac, maxTopBigramFrac,
+        maxDupTrigramFrac, minWords, maxMeanWordLen))
+      .drop("__s")
   }
 
   /** Distinct word n-grams of the normalized text: (id, gram) rows.

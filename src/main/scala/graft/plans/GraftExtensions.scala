@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{CharShingles, CountWord, DotProductF, IntersectCount,
-  MinHash16, NormText, ReverseComplement, SimHash60, TranslateDna, WinnowFps}
+  MinHash16, NormText, RepStats, ReverseComplement, SimHash60, TranslateDna,
+  WinnowFps}
 
 /** SQL surface for graft's native expressions, registered through
   * `SparkSessionExtensions` so `spark.sql("SELECT translate_dna(...)")`
@@ -61,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("winnow_fps"),
       info("winnow_fps", "winnow_fps(s, k, w) - winnowing fingerprints"),
       (args: Seq[Expression]) => WinnowFps(args.head, int(args(1)), int(args(2)))))
+    e.injectFunction((FunctionIdentifier("rep_stats"),
+      info("rep_stats", "rep_stats(s) - 7 exact-integer repetition statistics"),
+      (args: Seq[Expression]) => RepStats(args.head)))
     e.injectFunction((FunctionIdentifier("intersect_count"),
       info("intersect_count", "intersect_count(a, b) - distinct-array intersection size"),
       (args: Seq[Expression]) => IntersectCount(args.head, args(1))))

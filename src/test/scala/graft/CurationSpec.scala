@@ -140,6 +140,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got.exists { case (_, x, y, _) => x == 10L && y == 11L })
   }
 
+  test("streaming quality gate matches the batch gate, stateless plan") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "aa bb aa bb aa bb", Timestamp.valueOf("2024-01-01 00:00:01")),
+      (2L, "one two three four five six seven eight nine ten",
+        Timestamp.valueOf("2024-01-01 00:00:02")),
+      (3L, "x", Timestamp.valueOf("2024-01-01 00:00:03")))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val gated = graft.streaming.StreamQuality.gate(
+      mem.toDF().toDF("doc_id", "text", "ts"), "text")
+    val q = gated.writeStream.format("memory").queryName("sq_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sq_out").select("doc_id").as[Long].collect().toSet
+      // batch twin on the same rows
+      val want = graft.operators.Curation.repetitionGate(
+          rows.toDF("doc_id", "text", "ts"), "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want && got == Set(2L))
+      // stateless: the streaming plan must contain no stateful operator
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"))
+    } finally q.stop()
+  }
+
   test("semanticDropIds keeps the lowest id of each duplicate group") {
     val v = Array.tabulate(8)(_.toFloat / 8f)
     val vecs = Seq((5L, v), (2L, v), (9L, v),

@@ -104,7 +104,8 @@ class ExtensionsSpec extends AnyFunSuite {
           |  simhash60('hello world') AS sh,
           |  size(minhash16('hello world', 3)) AS mh,
           |  size(winnow_fps('hello world hello world', 5, 4)) AS wf,
-          |  intersect_count(array('a','b','c'), array('b','c','d')) AS ic
+          |  intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
+          |  rep_stats('aa bb aa') AS rs
           |""".stripMargin).collect()(0)
       assert(r.getString(0) == "MA*")
       assert(r.getString(1) == "CCTT")
@@ -113,6 +114,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(4) == 11.0)
       assert(r.getLong(5) == graft.operators.Dedup.simhashScalar("hello world"))
       assert(r.getInt(6) == 16 && r.getInt(7) >= 1 && r.getInt(8) == 2)
+      // "aa bb aa": 3 words, 2 distinct, 6 word chars; top bigram covers
+      // 5 chars of 10; the single trigram is unique (0 of 8 duplicated)
+      assert(r.getSeq[Long](9) == Seq(3L, 2L, 6L, 5L, 10L, 0L, 8L))
     } finally {
       // don't stop(): the SparkContext is shared with the other suites
       org.apache.spark.sql.SparkSession.clearActiveSession()
