@@ -886,6 +886,19 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
+    "corpus_mix" -> ((s, dir) => {
+      // the composed curate-and-mix flow graded as ONE query (like
+      // corpus_curate): dedup → repetition gate → decontamination →
+      // temperature mixing, then per-(lang, source) rollup — cross-stage
+      // wiring covered by a single multi-stage oracle
+      val docs = Tables.documents(s, dir)
+      Curation.curateMix(docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", "lang")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup: within-cluster pairwise cosine against the fixed
       // quantizer (literal centroids, like ann_ivf, so the DuckDB twin
@@ -2066,6 +2079,69 @@ object SparkEntry {
           |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN rates USING (lang)
           |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
           |  AS DOUBLE) / 16777216.0 < rate""".stripMargin,
+
+      "corpus_mix" ->
+        s"""WITH norm0 AS (SELECT doc_id, lang, source, n_chars, $normTextSql AS t
+           |  FROM documents),
+           |corp AS (SELECT * FROM norm0 WHERE doc_id % 20 <> 0),
+           |ded AS (SELECT doc_id, lang, source, n_chars, t FROM (
+           |  SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS mn FROM corp)
+           |  WHERE doc_id = mn),
+           |w AS (SELECT doc_id, string_split(t, ' ') AS ws,
+           |  length(replace(t, ' ', '')) AS wchars FROM ded),
+           |st AS (SELECT doc_id, len(ws) AS n_words,
+           |  len(list_distinct(ws)) AS n_distinct, wchars FROM w),
+           |bg AS (SELECT doc_id, ws[u.g] || ' ' || ws[u.g+1] AS gram
+           |  FROM w, LATERAL unnest(generate_series(1, len(ws)-1)) u(g)),
+           |bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+           |bgtop AS (SELECT doc_id, c*length(gram) AS topchars FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY c DESC, gram) AS rn FROM bgc) WHERE rn = 1),
+           |bgtot AS (SELECT doc_id, CAST(sum(c*length(gram)) AS BIGINT) AS totchars
+           |  FROM bgc GROUP BY 1),
+           |tg AS (SELECT doc_id, ws[u.g] || ' ' || ws[u.g+1] || ' ' || ws[u.g+2] AS gram
+           |  FROM w, LATERAL unnest(generate_series(1, len(ws)-2)) u(g)),
+           |tgc AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+           |tgs AS (SELECT doc_id,
+           |  CAST(sum(CASE WHEN c > 1 THEN c*length(gram) ELSE 0 END) AS BIGINT) AS dupchars,
+           |  CAST(sum(c*length(gram)) AS BIGINT) AS totchars FROM tgc GROUP BY 1),
+           |fr AS (SELECT st.doc_id, n_words,
+           |  CASE WHEN n_words > 0
+           |    THEN round(CAST(wchars AS DOUBLE) / n_words, 4) ELSE 0 END AS mean_word_len,
+           |  CASE WHEN n_words > 0
+           |    THEN round(CAST(n_words - n_distinct AS DOUBLE) / n_words, 4) ELSE 0 END AS dup_word_frac,
+           |  CASE WHEN coalesce(bgtot.totchars, 0) > 0
+           |    THEN round(CAST(bgtop.topchars AS DOUBLE) / bgtot.totchars, 4) ELSE 0 END AS top_bigram_frac,
+           |  CASE WHEN coalesce(tgs.totchars, 0) > 0
+           |    THEN round(CAST(tgs.dupchars AS DOUBLE) / tgs.totchars, 4) ELSE 0 END AS dup_trigram_frac
+           |  FROM st LEFT JOIN bgtop USING (doc_id) LEFT JOIN bgtot USING (doc_id)
+           |  LEFT JOIN tgs USING (doc_id)),
+           |gated AS (SELECT ded.* FROM ded JOIN fr USING (doc_id)
+           |  WHERE n_words >= 5 AND mean_word_len <= 12.0 AND dup_word_frac <= 0.6
+           |  AND top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.6),
+           |gg AS (SELECT DISTINCT g.doc_id,
+           |  ws[u.g] || ' ' || ws[u.g+1] || ' ' || ws[u.g+2] || ' ' || ws[u.g+3] AS gram
+           |  FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM gated) g(doc_id, ws),
+           |  LATERAL unnest(generate_series(1, len(ws)-3)) u(g)),
+           |bgr AS (SELECT DISTINCT
+           |  ws[u.g] || ' ' || ws[u.g+1] || ' ' || ws[u.g+2] || ' ' || ws[u.g+3] AS gram
+           |  FROM (SELECT string_split(t, ' ') AS ws FROM norm0 WHERE doc_id % 20 = 0) b(ws),
+           |  LATERAL unnest(generate_series(1, len(ws)-3)) u(g)),
+           |contam AS (SELECT DISTINCT doc_id FROM gg JOIN bgr USING (gram)),
+           |clean AS (SELECT * FROM gated
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           |stats AS (SELECT lang, count(*) AS n FROM clean GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+           |  sum(sqrt(CAST(n AS DOUBLE))) AS sumw FROM stats),
+           |rates AS (SELECT lang, round(least(1.0,
+           |  0.5 * total * sqrt(CAST(n AS DOUBLE)) / sumw / n), 6) AS rate
+           |  FROM stats, tot),
+           |samp AS (SELECT c.* FROM clean c JOIN rates USING (lang)
+           |  WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+           |    AS DOUBLE) / 16777216.0 < rate)
+           |SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM samp GROUP BY 1, 2""".stripMargin,
 
       "dedup_semantic" -> {
         val cents = Similarity.ivfQuantizer(16, 64)

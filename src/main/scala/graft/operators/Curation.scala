@@ -129,6 +129,37 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The full curate-and-mix flow, composed: exact dedup (keep the
+    * lowest id per normalized-text fingerprint) → repetition quality
+    * gate → benchmark decontamination (drop docs overlapping `bench` on
+    * a word n-gram) → temperature-weighted stratified sampling. Returns
+    * the surviving rows with their original columns.
+    *
+    * Stage order matters at scale: dedup first (cheapest per-row cut,
+    * one shuffle), then the zero-shuffle gate, then decontamination
+    * (broadcast bench grams over the already-shrunk corpus), and the
+    * sampler last so its per-stratum rates reflect the cleaned corpus —
+    * mixing before cleaning would re-skew whatever the cleaning drops.
+    */
+  def curateMix(docs: DataFrame, bench: DataFrame, idCol: String,
+                textCol: String, strataCol: String,
+                decontamN: Int = 4, targetFrac: Double = 0.5,
+                alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wFp = Window.partitionBy("__fp")
+    val deduped = docs
+      .withColumn("__fp", md5(normText(col(textCol))))
+      .withColumn("__mn", min(col(idCol)).over(wFp))
+      .filter(col(idCol) === col("__mn")).drop("__fp", "__mn")
+    val gated = repetitionGate(deduped, textCol)
+      .drop("n_words", "mean_word_len", "dup_word_frac", "top_bigram_frac",
+        "dup_trigram_frac")
+    val contaminated = decontaminate(gated, bench, idCol, textCol, decontamN)
+      .select(idCol)
+    val clean = gated.join(contaminated, Seq(idCol), "left_anti")
+    stratifiedSample(clean, idCol, strataCol, targetFrac, alpha)
+  }
+
   /** Simple-pattern PII regexes, chosen to parse identically under Java
     * regex (Spark) and RE2 (DuckDB/Go): no backrefs, no lookaround. */
   val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,4}"

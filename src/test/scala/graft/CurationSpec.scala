@@ -109,6 +109,24 @@ class CurationSpec extends AnyFunSuite {
     assert(total > 900 * 0.3 && total < 900 * 0.5)
   }
 
+  test("curateMix: dedup keeps lowest id, contaminated docs drop, strata survive") {
+    val bench = Seq((100L, "secret benchmark phrase here today")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),   // clean, kept pool
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),   // exact dup of 1 -> dropped
+      (3L, "secret benchmark phrase here today ok", "en"), // contaminated -> dropped
+      (4L, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es"),
+      (5L, "aa aa aa aa aa aa aa aa", "en"))               // fails repetition gate
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.curateMix(corpus, bench, "doc_id", "text", "lang",
+        decontamN = 4, targetFrac = 1.0, alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // targetFrac 1.0 -> per-stratum rates clamp to 1, so survivors = the
+    // curated set exactly: 2 (dup), 3 (contaminated), 5 (repetitive) gone
+    assert(out == Set(1L, 4L))
+  }
+
   test("semanticDupPairs matches brute-force within-cluster pairs") {
     val vecs = (0L until 60L).map { i =>
       val base = Array.tabulate(8)(j => ((i % 5) * 8 + j).toFloat / 40f)
