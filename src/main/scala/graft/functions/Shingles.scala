@@ -32,6 +32,40 @@ object ShingleOps {
     while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(arr)
   }
+
+  /** Distinct space-joined word `n`-grams of an (already-normalized)
+    * text, first-occurrence order. Value-identical to the
+    * split + transform(sequence…slice…concat_ws) + array_distinct
+    * higher-order formulation (which the DuckDB oracles still derive via
+    * string_split + generate_series) but one imperative pass — the
+    * higher-order chain is interpreted per gram and dominated the
+    * decontamination scan. */
+  def wordGrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    while (start <= str.length) {
+      val end0 = str.indexOf(' ', start)
+      val end = if (end0 < 0) str.length else end0
+      if (end > start) words += str.substring(start, end)
+      start = end + 1
+    }
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j + n <= words.length) {
+      val sb = new java.lang.StringBuilder(words(j))
+      var k = 1
+      while (k < n) { sb.append(' ').append(words(j + k)); k += 1 }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 object MinHashOps {
@@ -213,9 +247,21 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharShingles = copy(c)
 }
 
+/** `word_grams(s, n)` — distinct space-joined word n-grams, single-pass. */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleOps.wordGrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.wordGrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordGrams = copy(c)
+}
+
 object Shingles {
   def charShingles(c: Column, n: Int): Column =
     ColumnBridge.column(CharShingles(ColumnBridge.expression(c), n))
+  def wordGrams(c: Column, n: Int): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(c), n))
   def minhash16(c: Column, n: Int, numHashes: Int = 16): Column =
     ColumnBridge.column(MinHash16(ColumnBridge.expression(c), n, numHashes))
   def winnowFps(c: Column, k: Int, w: Int): Column =

@@ -99,16 +99,15 @@ object Curation {
   }
 
   /** Distinct word n-grams of the normalized text: (id, gram) rows.
-    * Narrow per-row expansion bounded by document length. */
+    * Narrow per-row expansion bounded by document length; the grams come
+    * from the single-pass [[graft.functions.Shingles.wordGrams]] kernel
+    * (the split + transform + array_distinct higher-order chain is
+    * interpreted per gram and dominated the decontamination scan). */
   def wordGrams(docs: DataFrame, idCol: String, textCol: String,
-                n: Int): DataFrame = {
-    val ws = split(normText(col(textCol)), " ")
-    val grams = when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol), explode(grams).as("gram"))
-  }
+                n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.Shingles
+        .wordGrams(normText(col(textCol)), n)).as("gram"))
 
   /** Benchmark decontamination: training documents sharing ≥1 word
     * `n`-gram with any benchmark document (the standard test-set-overlap
@@ -156,7 +155,13 @@ object Curation {
         "dup_trigram_frac")
     val contaminated = decontaminate(gated, bench, idCol, textCol, decontamN)
       .select(idCol)
+    // the sampler scans its input twice (per-stratum counts, then the
+    // rate join); persist the cleaned corpus so the dedup→gate→decontam
+    // chain isn't derived twice per action. MEMORY_AND_DISK: spills
+    // instead of evicting at scale. Callers holding the result long-term
+    // can unpersist via the returned frame's lineage.
     val clean = gated.join(contaminated, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stratifiedSample(clean, idCol, strataCol, targetFrac, alpha)
   }
 
