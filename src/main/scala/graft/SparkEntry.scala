@@ -801,6 +801,18 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "ann_pq" -> ((s, dir) => {
+      // product-quantization ADC search against fixed codebooks (literal
+      // constants, like ann_ivf, so the DuckDB twin re-derives codes and
+      // distances from the same values); production trains per-subspace
+      // k-means and composes with the IVF lists (IVF-PQ)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqSearch(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", Similarity.pqQuantizer(8, 16, 8), k = 5)
+        .select(col("query_id"), col("corpus_id"), col("pq_dist"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "ann_lsh_bucketed" -> ((s, dir) => {
       Similarity.lshBuckets(Tables.embeddings(s, dir), "vec_id", "embedding",
           numPlanes = 8, dim = 64)
@@ -2079,6 +2091,46 @@ object SparkEntry {
           |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN rates USING (lang)
           |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
           |  AS DOUBLE) / 16777216.0 < rate""".stripMargin,
+
+      "ann_pq" -> {
+        val cbs = Similarity.pqQuantizer(8, 16, 8)
+        def arrLit(cv: Array[Float]): String =
+          cv.map(_.toDouble.toString).mkString("[", ", ", "]")
+        val asnRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
+          val cv = cbs(m)(j)
+          s"SELECT vec_id, $m AS m, $j AS j, ${Similarity.selfDot(cv)} - " +
+            s"2*list_dot_product(list_slice(vv, ${m * 8 + 1}, ${m * 8 + 8}), " +
+            s"${arrLit(cv)}) AS d FROM v"
+        }).mkString("\n  UNION ALL ")
+        val cbRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
+          val cv = cbs(m)(j)
+          s"SELECT $m AS m, $j AS j, ${Similarity.selfDot(cv)} AS sd, " +
+            s"${arrLit(cv)} AS cv"
+        }).mkString("\n  UNION ALL ")
+        val pivotCols = (0 until 8)
+          .map(m => s"max(CASE WHEN m = $m THEN dm END) AS d$m").mkString(", ")
+        val ltrSum = (1 until 8).foldLeft("d0")((acc, m) => s"($acc + d$m)")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+           |asn AS (
+           |  $asnRows),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+           |    ORDER BY d, j) AS rn FROM asn) WHERE rn = 1),
+           |cb AS (
+           |  $cbRows),
+           |contrib AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.m,
+           |  cb.sd - 2*list_dot_product(list_slice(q.vv, c.m*8+1, c.m*8+8), cb.cv) AS dm
+           |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q
+           |  JOIN codes c ON c.vec_id <> q.vec_id
+           |  JOIN cb ON cb.m = c.m AND cb.j = c.code),
+           |piv AS (SELECT query_id, corpus_id, $pivotCols
+           |  FROM contrib GROUP BY 1, 2),
+           |d AS (SELECT query_id, corpus_id, round($ltrSum, 6) AS pq_dist FROM piv)
+           |SELECT query_id, corpus_id, pq_dist, rank FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY pq_dist, corpus_id) AS BIGINT) AS rank FROM d)
+           |WHERE rank <= 5""".stripMargin
+      },
 
       "corpus_mix" ->
         s"""WITH norm0 AS (SELECT doc_id, lang, source, n_chars, $normTextSql AS t
