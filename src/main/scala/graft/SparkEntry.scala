@@ -664,6 +664,10 @@ object SparkEntry {
         Seq("STRAIN_A", "STRAIN_B"))
       val scored = VariantPipeline.score(cf2,
         Map("STRAIN_A" -> "M", "STRAIN_B" -> "F"))
+      // both classify sides derive from `variants`; no persist needed —
+      // the distinct's shuffle is one Exchange that ReuseExchange serves
+      // to both sides of the full-outer merge (verified: persisting it
+      // changed nothing), so parse+score runs once either way
       val variants = scored.select(col("chr"),
           col("pos").cast("long").as("pos"),
           col("end_pos").cast("long").as("end_pos"),
