@@ -381,6 +381,18 @@ object SparkEntry {
         Polyphen.aaWindow(protein, pos, flank = 5).as("aa_window"))
     }),
 
+    "polyphen_fasta" -> ((s, dir) => {
+      // PolyphenFasta recovery: proteins (md5-derived acc + a 96-char
+      // synthetic sequence) attempted by all docs, known only for
+      // doc_id % 4 != 0 → FASTA records for the rest
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        upper(md5(col("text"))).as("protein_id"),
+        repeat(upper(md5(col("text"))), 3).as("protein_seq"))
+      Polyphen.fastaForMissing(
+        d.select("protein_id", "protein_seq"),
+        d.filter(col("doc_id") % 4 =!= 0).select("protein_id"))
+    }),
+
     "q24_annotate_variants" -> ((s, dir) => {
       // full VariantPostProcessing pipeline over synthetic gene models.
       // Positions spread over a 10M space so gene density matches a real
@@ -2095,6 +2107,21 @@ object SparkEntry {
           |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN rates USING (lang)
           |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
           |  AS DOUBLE) / 16777216.0 < rate""".stripMargin,
+
+      "polyphen_fasta" ->
+        """WITH d AS (SELECT doc_id, upper(md5(text)) AS protein_id,
+          |  repeat(upper(md5(text)), 3) AS protein_seq FROM documents),
+          |known AS (SELECT DISTINCT protein_id FROM d WHERE doc_id % 4 <> 0),
+          |missing AS (SELECT DISTINCT protein_id, protein_seq FROM d
+          |  WHERE protein_id NOT IN (SELECT protein_id FROM known)),
+          |rec AS (SELECT protein_id, '>' || protein_id || chr(10) ||
+          |  regexp_replace(protein_seq, '(.{70})', '\1' || chr(10), 'g') AS txt
+          |  FROM missing),
+          |lines AS (SELECT protein_id, u.l - 1 AS line_no, parts[u.l] AS line
+          |  FROM (SELECT protein_id, string_split(txt, chr(10)) AS parts FROM rec),
+          |  LATERAL unnest(generate_series(1, len(parts))) u(l))
+          |SELECT protein_id, CAST(line_no AS BIGINT) AS line_no, line
+          |FROM lines WHERE line <> ''""".stripMargin,
 
       "ann_pq" -> {
         val cbs = Similarity.pqQuantizer(8, 16, 8)

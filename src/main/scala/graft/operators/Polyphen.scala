@@ -24,6 +24,30 @@ object Polyphen {
   def fastaLines(seq: Column): Column =
     explode(split(regexp_replace(seq, "(.{70})", "$1\n"), "\n"))
 
+  /** The PolyphenFasta recovery flow (PolyphenFasta.java:22,91-125):
+    * proteins whose Polyphen run failed because the sequence wasn't in
+    * the known protein set → one 70-char-wrapped FASTA record each, as
+    * ordered (protein_id, line_no, line) rows. Anti-join against the
+    * known ids, distinct so a protein attempted by many variants is
+    * written once. The anti-join broadcasts or shuffles on the protein
+    * id like any equi-join; line explosion is per-row and bounded by
+    * sequence length.
+    */
+  def fastaForMissing(attempted: DataFrame, known: DataFrame,
+                      idCol: String = "protein_id",
+                      seqCol: String = "protein_seq"): DataFrame = {
+    val missing = attempted.select(col(idCol), col(seqCol))
+      .join(known.select(col(idCol)), Seq(idCol), "left_anti").distinct()
+    missing
+      .select(col(idCol),
+        posexplode(split(concat(lit(">"), col(idCol), lit("\n"),
+          regexp_replace(col(seqCol), "(.{70})", "$1\n")), "\n"))
+          .as(Seq("line_no", "line")))
+      // a sequence length divisible by 70 leaves a trailing empty split
+      .filter(col("line") =!= "")
+      .select(col(idCol), col("line_no").cast("long").as("line_no"), col("line"))
+  }
+
   /** Polyphen input generation — the submit half of the round trip
     * (Polyphen.java:206-251). From nonsynonymous annotations joined with
     * their full protein sequence, emit:

@@ -46,4 +46,20 @@ class PolyphenSpec extends AnyFunSuite {
       .as[String].collect()
     assert(lines.toSeq == Seq("A" * 70, "B" * 30))
   }
+
+  test("fastaForMissing: anti-join, dedup, wrap, no empty trailing line") {
+    val attempted = Seq(
+      ("P1", "A" * 140),      // exactly 2 full lines: trailing split dropped
+      ("P1", "A" * 140),      // duplicate attempt: one record
+      ("P2", "C" * 75),       // known -> excluded
+      ("P3", "G" * 10))
+      .toDF("protein_id", "protein_seq")
+    val known = Seq("P2").toDF("protein_id")
+    val out = Polyphen.fastaForMissing(attempted, known)
+      .orderBy("protein_id", "line_no")
+      .as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(
+      ("P1", 0L, ">P1"), ("P1", 1L, "A" * 70), ("P1", 2L, "A" * 70),
+      ("P3", 0L, ">P3"), ("P3", 1L, "G" * 10)))
+  }
 }
