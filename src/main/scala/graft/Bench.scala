@@ -15,6 +15,11 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
+      // queries that persist intermediates (corpus_mix) register plans in
+      // the CacheManager, which matches by logical plan — without this a
+      // repeat run would read the previous run's cached blocks and
+      // best-of-3 would report a mostly-cached time
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9

@@ -41,23 +41,12 @@ object ShingleOps {
     * higher-order chain is interpreted per gram and dominated the
     * decontamination scan. */
   def wordGrams(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString
-    val words = new scala.collection.mutable.ArrayBuffer[String]()
-    var start = 0
-    while (start <= str.length) {
-      val end0 = str.indexOf(' ', start)
-      val end = if (end0 < 0) str.length else end0
-      if (end > start) words += str.substring(start, end)
-      start = end + 1
-    }
+    val words = TextKernelOps.splitWords(s.toString)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var j = 0
     while (j + n <= words.length) {
-      val sb = new java.lang.StringBuilder(words(j))
-      var k = 1
-      while (k < n) { sb.append(' ').append(words(j + k)); k += 1 }
-      seen.add(sb.toString)
+      seen.add(TextKernelOps.joinGram(words, j, n))
       j += 1
     }
     val arr = new Array[Any](seen.size)

@@ -103,16 +103,32 @@ object TextKernelOps {
     * Value-identical to the explode + groupBy + window formulation the
     * DuckDB oracle derives, but a single narrow pass: no explode, no
     * shuffle, codegen-friendly. */
-  def repStats(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val norm = normText(s).toString
+  /** Split on single spaces (the normText separator), skipping empties —
+    * the one word-splitting loop every text kernel shares. */
+  private[functions] def splitWords(str: String): scala.collection.mutable.ArrayBuffer[String] = {
     val words = new scala.collection.mutable.ArrayBuffer[String]()
     var start = 0
-    while (start <= norm.length) {
-      val end0 = norm.indexOf(' ', start)
-      val end = if (end0 < 0) norm.length else end0
-      if (end > start) words += norm.substring(start, end)
+    while (start <= str.length) {
+      val end0 = str.indexOf(' ', start)
+      val end = if (end0 < 0) str.length else end0
+      if (end > start) words += str.substring(start, end)
       start = end + 1
     }
+    words
+  }
+
+  /** Space-joined run of `n` consecutive words starting at `j`. */
+  private[functions] def joinGram(words: scala.collection.mutable.ArrayBuffer[String],
+                                  j: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder(words(j))
+    var k = 1
+    while (k < n) { sb.append(' ').append(words(j + k)); k += 1 }
+    sb.toString
+  }
+
+  def repStats(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val norm = normText(s).toString
+    val words = splitWords(norm)
     val nWords = words.length
     val distinct = new java.util.HashSet[String]()
     var totalWordChars = 0L
@@ -122,10 +138,7 @@ object TextKernelOps {
       val m = new java.util.HashMap[String, Int]()
       var j = 0
       while (j + n <= nWords) {
-        val sb = new java.lang.StringBuilder(words(j))
-        var k = 1
-        while (k < n) { sb.append(' ').append(words(j + k)); k += 1 }
-        m.merge(sb.toString, 1, Integer.sum)
+        m.merge(joinGram(words, j, n), 1, Integer.sum)
         j += 1
       }
       m

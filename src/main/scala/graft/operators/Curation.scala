@@ -36,6 +36,20 @@ object Curation {
     * Output: (id, n_words, mean_word_len, dup_word_frac, top_bigram_frac,
     * dup_trigram_frac, keep∈{0,1}).
     */
+  /** `docs` plus a `__s` column holding the repStats array, materialized
+    * behind an `explode(array(...))` Generate. The Generate is a
+    * pushdown/collapse barrier: downstream filters and projections
+    * reference the generated ATTRIBUTE, not the kernel call, so the
+    * kernel runs exactly once per row. A plain `withColumn` alias gets
+    * substituted by predicate pushdown / projection collapse into every
+    * reference — the keep filter alone would re-evaluate repStats 14
+    * times per row (measured in the corpus_mix plan), and the `when`
+    * conditionals block Spark's subexpression elimination. */
+  private def withStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("*"),
+      explode(array(graft.functions.TextKernels.repStats(col(textCol))))
+        .as("__s"))
+
   /** The profile fractions derived from a `__s` repStats array column,
     * plus the keep predicate over them — shared by the batch profile and
     * the stateless streaming gate. */
@@ -69,8 +83,7 @@ object Curation {
                         maxDupTrigramFrac: Double = 0.6,
                         minWords: Int = 5,
                         maxMeanWordLen: Double = 12.0): DataFrame =
-    docs.select(col(idCol),
-        graft.functions.TextKernels.repStats(col(textCol)).as("__s"))
+    withStats(docs, textCol)
       .select(col(idCol) +: profileFractions().map { case (n, c) => c.as(n) }: _*)
       .withColumn("keep",
         keepPredicate(maxDupWordFrac, maxTopBigramFrac, maxDupTrigramFrac,
@@ -87,9 +100,7 @@ object Curation {
                      maxDupTrigramFrac: Double = 0.6,
                      minWords: Int = 5,
                      maxMeanWordLen: Double = 12.0): DataFrame = {
-    val withS = docs.withColumn("__s",
-      graft.functions.TextKernels.repStats(col(textCol)))
-    val withFracs = profileFractions().foldLeft(withS) {
+    val withFracs = profileFractions().foldLeft(withStats(docs, textCol)) {
       case (df, (n, c)) => df.withColumn(n, c)
     }
     withFracs
@@ -150,18 +161,21 @@ object Curation {
       .withColumn("__fp", md5(normText(col(textCol))))
       .withColumn("__mn", min(col(idCol)).over(wFp))
       .filter(col(idCol) === col("__mn")).drop("__fp", "__mn")
+    // `gated` feeds three scans — the decontamination gram side, the
+    // anti-join probe side, and (through `clean`) the sampler's stats +
+    // rate-join double pass. Persist it so the scan → dedup shuffle →
+    // gate chain runs once, not once per subtree (the anti-join sides
+    // prune different columns, so ReuseExchange can NOT collapse them).
+    // MEMORY_AND_DISK: spills instead of evicting at scale; the graft
+    // harnesses clear the cache between runs (Bench) so no measurement
+    // reads a prior run's blocks.
     val gated = repetitionGate(deduped, textCol)
       .drop("n_words", "mean_word_len", "dup_word_frac", "top_bigram_frac",
         "dup_trigram_frac")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contaminated = decontaminate(gated, bench, idCol, textCol, decontamN)
       .select(idCol)
-    // the sampler scans its input twice (per-stratum counts, then the
-    // rate join); persist the cleaned corpus so the dedup→gate→decontam
-    // chain isn't derived twice per action. MEMORY_AND_DISK: spills
-    // instead of evicting at scale. Callers holding the result long-term
-    // can unpersist via the returned frame's lineage.
     val clean = gated.join(contaminated, Seq(idCol), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stratifiedSample(clean, idCol, strataCol, targetFrac, alpha)
   }
 

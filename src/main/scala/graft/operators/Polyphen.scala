@@ -28,16 +28,18 @@ object Polyphen {
     * proteins whose Polyphen run failed because the sequence wasn't in
     * the known protein set → one 70-char-wrapped FASTA record each, as
     * ordered (protein_id, line_no, line) rows. Anti-join against the
-    * known ids, distinct so a protein attempted by many variants is
-    * written once. The anti-join broadcasts or shuffles on the protein
-    * id like any equi-join; line explosion is per-row and bounded by
-    * sequence length.
+    * known ids, then min(seq) per protein so a protein attempted by many
+    * variants — even with conflicting sequence versions — is written
+    * exactly once, deterministically. The anti-join broadcasts or
+    * shuffles on the protein id like any equi-join; line explosion is
+    * per-row and bounded by sequence length.
     */
   def fastaForMissing(attempted: DataFrame, known: DataFrame,
                       idCol: String = "protein_id",
                       seqCol: String = "protein_seq"): DataFrame = {
     val missing = attempted.select(col(idCol), col(seqCol))
-      .join(known.select(col(idCol)), Seq(idCol), "left_anti").distinct()
+      .join(known.select(col(idCol)), Seq(idCol), "left_anti")
+      .groupBy(col(idCol)).agg(min(col(seqCol)).as(seqCol))
     missing
       .select(col(idCol),
         posexplode(split(concat(lit(">"), col(idCol), lit("\n"),

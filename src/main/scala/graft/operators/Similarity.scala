@@ -423,14 +423,23 @@ object Similarity {
     val subDim = codebooks(0)(0).length
     val coded = pqEncode(corpus, idCol, vecCol, codebooks)
       .select(col(idCol).as("corpus_id"), col("codes"))
+    // classic ADC: the (numSub × codebookSize) table of per-subspace
+    // distances is a function of the QUERY alone — compute it once per
+    // query row inside the broadcast projection, so the hot corpus scan
+    // is numSub table lookups + adds per pair instead of numSub
+    // subDim-wide dot products (per-entry arithmetic is unchanged:
+    // sd − 2·q_m·c_j, left to right — oracle parity unaffected)
+    val lut = array(codebooks.zipWithIndex.map { case (cb, m) =>
+      val qsub = slice(col(vecCol), m * subDim + 1, subDim)
+      array(cb.map { cv =>
+        lit(selfDot(cv)) - lit(2.0) * dot(qsub, typedLit(cv))
+      }: _*)
+    }: _*)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("q_vec")))
-    val dist = codebooks.zipWithIndex.map { case (cb, m) =>
-      val code = element_at(col("codes"), m + 1)
-      val selfDots = cb.map(selfDot)
-      val qsub = slice(col("q_vec"), m * subDim + 1, subDim)
-      element_at(typedLit(selfDots.toSeq), code + 1) -
-        lit(2.0) * dot(qsub, element_at(typedLit(cb.map(_.toSeq).toSeq), code + 1))
+      lut.as("__lut")))
+    val dist = codebooks.indices.map { m =>
+      element_at(element_at(col("__lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)
     val scored = coded.crossJoin(q)
       .filter(col("corpus_id") =!= col("query_id"))
