@@ -982,6 +982,49 @@ object SparkEntry {
         .mkString(" + ")
     }
 
+    // Shared Gopher-repetition CTE chain (DuckDB): explicit explode +
+    // groupBy + window over word uni/bi/trigrams — the independent
+    // derivation of the one-pass repStats kernel. Parameterized on the
+    // source CTE name (must expose doc_id, t). Ends with the `fr` frame
+    // CTE and NO trailing comma: quality_gopher splices it directly
+    // before its SELECT; corpus_mix (spliced before another CTE) adds
+    // the comma at its call site.
+    def gopherCtes(src: String): String =
+      s"""w AS (SELECT doc_id, string_split(t, ' ') AS ws,
+         |  length(replace(t, ' ', '')) AS wchars FROM $src),
+         |st AS (SELECT doc_id, len(ws) AS n_words,
+         |  len(list_distinct(ws)) AS n_distinct, wchars FROM w),
+         |bg AS (SELECT doc_id, ws[u.g] || ' ' || ws[u.g+1] AS gram
+         |  FROM w, LATERAL unnest(generate_series(1, len(ws)-1)) u(g)),
+         |bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bgtop AS (SELECT doc_id, c*length(gram) AS topchars FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY c DESC, gram) AS rn FROM bgc) WHERE rn = 1),
+         |bgtot AS (SELECT doc_id, CAST(sum(c*length(gram)) AS BIGINT) AS totchars
+         |  FROM bgc GROUP BY 1),
+         |tg AS (SELECT doc_id, ws[u.g] || ' ' || ws[u.g+1] || ' ' || ws[u.g+2] AS gram
+         |  FROM w, LATERAL unnest(generate_series(1, len(ws)-2)) u(g)),
+         |tgc AS (SELECT doc_id, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+         |tgs AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN c > 1 THEN c*length(gram) ELSE 0 END) AS BIGINT) AS dupchars,
+         |  CAST(sum(c*length(gram)) AS BIGINT) AS totchars FROM tgc GROUP BY 1),
+         |fr AS (SELECT st.doc_id, n_words,
+         |  CASE WHEN n_words > 0
+         |    THEN round(CAST(wchars AS DOUBLE) / n_words, 4) ELSE 0 END AS mean_word_len,
+         |  CASE WHEN n_words > 0
+         |    THEN round(CAST(n_words - n_distinct AS DOUBLE) / n_words, 4) ELSE 0 END AS dup_word_frac,
+         |  CASE WHEN coalesce(bgtot.totchars, 0) > 0
+         |    THEN round(CAST(bgtop.topchars AS DOUBLE) / bgtot.totchars, 4) ELSE 0 END AS top_bigram_frac,
+         |  CASE WHEN coalesce(tgs.totchars, 0) > 0
+         |    THEN round(CAST(tgs.dupchars AS DOUBLE) / tgs.totchars, 4) ELSE 0 END AS dup_trigram_frac
+         |  FROM st LEFT JOIN bgtop USING (doc_id) LEFT JOIN bgtot USING (doc_id)
+         |  LEFT JOIN tgs USING (doc_id))""".stripMargin
+
+    // The five Gopher keep thresholds, shared by both oracle call sites.
+    val gopherKeepSql =
+      "n_words >= 5 AND mean_word_len <= 12.0 AND dup_word_frac <= 0.6" +
+        " AND top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.6"
+
     Map(
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
@@ -2142,7 +2185,7 @@ object SparkEntry {
            |ded AS (SELECT doc_id, lang, source, n_chars, t FROM (
            |  SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS mn FROM corp)
            |  WHERE doc_id = mn),
-           |${gopherCtes("ded")}
+           |${gopherCtes("ded")},
            |gated AS (SELECT ded.* FROM ded JOIN fr USING (doc_id)
            |  WHERE $gopherKeepSql),
            |gg AS (SELECT DISTINCT g.doc_id,
