@@ -2,10 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-audit utility: print the formatted physical plan of named
+/** Plan-audit utility: print the physical plan of named
   * `SparkEntry.queries` entries (all of them with no names given).
   *
   *   sbt "runMain graft.Explain /root/testdata/sf0.01 feature_count"
+  *
+  * Two views per query:
+  *  - the executed plan with `*(n)` whole-stage-codegen stage markers —
+  *    an operator WITHOUT a `*(n)` prefix runs interpreted (row-at-a-time
+  *    `InternalRow` eval), which is the first thing to look for when a
+  *    query is mysteriously slow;
+  *  - a codegen summary (subtree count + generated-method sizes via
+  *    `debug.codegenStringSeq`), which surfaces Janino giant-method
+  *    problems that the formatted plan hides.
   *
   * Use it after touching an operator: the plan you ship should be the
   * plan you wanted — broadcasts on dim sides, pushed filters, no
@@ -28,8 +37,34 @@ object Explain {
       .filter { case (n, _) => only.isEmpty || only(n) }
       .foreach { case (name, fn) =>
         println(s"\n========== $name ==========")
-        try fn(spark, sfDir).explain("formatted")
-        catch { case e: Throwable => println(s"[explain] failed: ${e.getMessage}") }
+        try {
+          val df = fn(spark, sfDir)
+          // run the query first: with AQE the plan (and its codegen
+          // subtrees) is only final after execution — inspecting the
+          // unexecuted AdaptiveSparkPlan reports 0 subtrees for everything.
+          // collect() (not count()) so THIS df's QueryExecution is the one
+          // that runs; count() builds a separate plan and leaves this one
+          // unfinalized.
+          df.collect()
+          // executedPlan.toString carries the `*(id)` codegen markers that
+          // explain("formatted") drops — interpreted stages have no star
+          println(df.queryExecution.executedPlan.toString)
+          val subtrees =
+            org.apache.spark.sql.execution.debug.codegenStringSeq(
+              df.queryExecution.executedPlan)
+          println(s"-- codegen: ${subtrees.size} whole-stage subtree(s)")
+          subtrees.zipWithIndex.foreach { case ((tree, _, stats), i) =>
+            val head = tree.linesIterator.take(1).mkString
+            println(s"   subtree ${i + 1}: $head | " +
+              s"maxMethod ${stats.maxMethodCodeSize}B, " +
+              s"constPool ${stats.maxConstPoolSize}, " +
+              s"innerClasses ${stats.numInnerClasses}")
+          }
+          if (subtrees.isEmpty)
+            println("   (NO whole-stage codegen subtrees — fully interpreted)")
+        } catch {
+          case e: Throwable => println(s"[explain] failed: ${e.getMessage}")
+        }
       }
     spark.stop()
   }

@@ -388,15 +388,13 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                codebooks: Array[Array[Array[Float]]]): DataFrame = {
-    val subDim = codebooks(0)(0).length
-    val codes = array(codebooks.zipWithIndex.map { case (cb, m) =>
-      val sub = slice(col(vecCol), m * subDim + 1, subDim)
-      array_min(array(cb.zipWithIndex.map { case (cv, j) =>
-        struct((lit(selfDot(cv)) - lit(2.0) * dot(sub, typedLit(cv))).as("d"),
-          lit(j).as("c"))
-      }: _*)).getField("c")
-    }: _*)
-    corpus.select(col(idCol), codes.as("codes"))
+    // one kernel call per row, not an 8×16-literal-struct argmin tree:
+    // the literal formulation codegen'd into a 31 KB method (over the
+    // JIT HugeMethodLimit → interpreted). Values are identical — see
+    // [[graft.functions.PqKernels.encode]].
+    val model = new graft.functions.PqModel(codebooks)
+    corpus.select(col(idCol),
+      graft.functions.Pq.encode(col(vecCol), model).as("codes"))
   }
 
   /** Asymmetric-distance PQ search: queries stay exact, the corpus is
@@ -420,27 +418,22 @@ object Similarity {
                vecCol: String, codebooks: Array[Array[Array[Float]]],
                k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val subDim = codebooks(0)(0).length
+    val model = new graft.functions.PqModel(codebooks)
     val coded = pqEncode(corpus, idCol, vecCol, codebooks)
       .select(col(idCol).as("corpus_id"), col("codes"))
     // classic ADC: the (numSub × codebookSize) table of per-subspace
     // distances is a function of the QUERY alone — compute it once per
     // query row inside the broadcast projection, so the hot corpus scan
     // is numSub table lookups + adds per pair instead of numSub
-    // subDim-wide dot products (per-entry arithmetic is unchanged:
-    // sd − 2·q_m·c_j, left to right — oracle parity unaffected)
-    val lut = array(codebooks.zipWithIndex.map { case (cb, m) =>
-      val qsub = slice(col(vecCol), m * subDim + 1, subDim)
-      array(cb.map { cv =>
-        lit(selfDot(cv)) - lit(2.0) * dot(qsub, typedLit(cv))
-      }: _*)
-    }: _*)
+    // subDim-wide dot products. Table build and lookup-sum are primitive
+    // kernels (PqKernels.lut / .adc) rather than nested array-literal +
+    // element_at chains: the chain form pushed the stage's generated
+    // method past the JIT limit (see pqEncode). Per-entry arithmetic is
+    // unchanged — sd − 2·q_m·c_j, summed left to right — so the DuckDB
+    // oracle on the explicit formulation still hash-matches.
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      lut.as("__lut")))
-    val dist = codebooks.indices.map { m =>
-      element_at(element_at(col("__lut"), m + 1),
-        element_at(col("codes"), m + 1) + 1)
-    }.reduce(_ + _)
+      graft.functions.Pq.lut(col(vecCol), model).as("__lut")))
+    val dist = graft.functions.Pq.adc(col("__lut"), col("codes"))
     val scored = coded.crossJoin(q)
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), round(dist, 6).as("pq_dist"))
