@@ -829,6 +829,19 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "ann_ivf_pq" -> ((s, dir) => {
+      // the IVFADC composition SURVEY §2 claims: ivfSearch's nprobe
+      // inverted lists restrict pqSearch's ADC scan; fixed quantizer +
+      // codebooks as literal constants so the DuckDB twin re-derives
+      // every list, code and score from the same values
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqSearch(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", Similarity.ivfQuantizer(16, 64),
+          Similarity.pqQuantizer(8, 16, 8), k = 5, nprobe = 2)
+        .select(col("query_id"), col("corpus_id"), col("pq_dist"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "ann_lsh_bucketed" -> ((s, dir) => {
       Similarity.lshBuckets(Tables.embeddings(s, dir), "vec_id", "embedding",
           numPlanes = 8, dim = 64)
@@ -2168,6 +2181,64 @@ object SparkEntry {
            |  cb.sd - 2*list_dot_product(list_slice(q.vv, c.m*8+1, c.m*8+8), cb.cv) AS dm
            |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q
            |  JOIN codes c ON c.vec_id <> q.vec_id
+           |  JOIN cb ON cb.m = c.m AND cb.j = c.code),
+           |piv AS (SELECT query_id, corpus_id, $pivotCols
+           |  FROM contrib GROUP BY 1, 2),
+           |d AS (SELECT query_id, corpus_id, round($ltrSum, 6) AS pq_dist FROM piv)
+           |SELECT query_id, corpus_id, pq_dist, rank FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY pq_dist, corpus_id) AS BIGINT) AS rank FROM d)
+           |WHERE rank <= 5""".stripMargin
+      },
+
+      "ann_ivf_pq" -> {
+        val cents = Similarity.ivfQuantizer(16, 64)
+        val cbs = Similarity.pqQuantizer(8, 16, 8)
+        def arrLit(cv: Array[Float]): String =
+          cv.map(_.toDouble.toString).mkString("[", ", ", "]")
+        // coarse quantizer: per-vector (distance, centroid) rows, exactly
+        // the ann_ivf derivation
+        val coarseRows = cents.zipWithIndex.map { case (cv, ci) =>
+          s"SELECT vec_id, $ci AS c, ${Similarity.selfDot(cv)} - " +
+            s"2*list_dot_product(vv, ${arrLit(cv)}) AS d FROM v"
+        }.mkString("\n  UNION ALL ")
+        // PQ code assignment + codebook tables, exactly the ann_pq derivation
+        val asnRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
+          val cv = cbs(m)(j)
+          s"SELECT vec_id, $m AS m, $j AS j, ${Similarity.selfDot(cv)} - " +
+            s"2*list_dot_product(list_slice(vv, ${m * 8 + 1}, ${m * 8 + 8}), " +
+            s"${arrLit(cv)}) AS d FROM v"
+        }).mkString("\n  UNION ALL ")
+        val cbRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
+          val cv = cbs(m)(j)
+          s"SELECT $m AS m, $j AS j, ${Similarity.selfDot(cv)} AS sd, " +
+            s"${arrLit(cv)} AS cv"
+        }).mkString("\n  UNION ALL ")
+        val pivotCols = (0 until 8)
+          .map(m => s"max(CASE WHEN m = $m THEN dm END) AS d$m").mkString(", ")
+        val ltrSum = (1 until 8).foldLeft("d0")((acc, m) => s"($acc + d$m)")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+           |cd AS (
+           |  $coarseRows),
+           |crnk AS (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM cd),
+           |asnl AS (SELECT vec_id AS corpus_id, c AS list_id FROM crnk WHERE rn = 1),
+           |prb AS (SELECT vec_id AS query_id, c AS list_id FROM crnk
+           |  WHERE rn <= 2 AND vec_id % 50 = 0),
+           |cand AS (SELECT query_id, corpus_id
+           |  FROM prb JOIN asnl USING (list_id) WHERE corpus_id <> query_id),
+           |pqa AS (
+           |  $asnRows),
+           |codes AS (SELECT vec_id, m, j AS code FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+           |    ORDER BY d, j) AS rn FROM pqa) WHERE rn = 1),
+           |cb AS (
+           |  $cbRows),
+           |contrib AS (SELECT ca.query_id, ca.corpus_id, c.m,
+           |  cb.sd - 2*list_dot_product(list_slice(q.vv, c.m*8+1, c.m*8+8), cb.cv) AS dm
+           |  FROM cand ca
+           |  JOIN v q ON q.vec_id = ca.query_id
+           |  JOIN codes c ON c.vec_id = ca.corpus_id
            |  JOIN cb ON cb.m = c.m AND cb.j = c.code),
            |piv AS (SELECT query_id, corpus_id, $pivotCols
            |  FROM contrib GROUP BY 1, 2),

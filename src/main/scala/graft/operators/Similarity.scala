@@ -189,13 +189,29 @@ object Similarity {
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
                numCentroids: Int = 16, iterations: Int = 5,
                maxSample: Int = 10000): Array[Array[Float]] = {
+    val sample = trainSample(corpus, idCol, vecCol, maxSample)
+    lloyd(sample, numCentroids, iterations)
+  }
+
+  /** Id-ordered bounded training sample — the ONLY driver-side collect in
+    * the ANN path, capped by `maxSample` by construction. */
+  private def trainSample(corpus: DataFrame, idCol: String, vecCol: String,
+                          maxSample: Int): Array[Array[Float]] = {
     val sample: Array[Array[Float]] = corpus
       .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(maxSample)
       .collect().map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty, "empty corpus")
+    sample
+  }
+
+  /** Deterministic Lloyd iteration: seeds are the first `k` sample rows,
+    * empty clusters keep their previous centroid. Shared by [[ivfTrain]]
+    * (whole vectors) and [[pqTrain]] (per-subspace subvectors). */
+  private def lloyd(sample: Array[Array[Float]], k: Int,
+                    iterations: Int): Array[Array[Float]] = {
     val dim = sample.head.length
     var centroids: Array[Array[Double]] =
-      sample.take(numCentroids).map(_.map(_.toDouble))
+      sample.take(k).map(_.map(_.toDouble))
     def nearestIdx(v: Array[Float], cs: Array[Array[Double]]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < cs.length) {
@@ -223,6 +239,29 @@ object Similarity {
       it += 1
     }
     centroids.map(_.map(_.toFloat))
+  }
+
+  /** Per-subspace PQ codebook trainer (Jégou et al. 2011 §III: independent
+    * k-means per subquantizer): split each sampled vector into `numSub`
+    * subvectors and run the [[ivfTrain]] Lloyd loop once per subspace.
+    * Same determinism and bounds as ivfTrain — one capped driver-side
+    * sample, fixed seeds and iteration count. Output plugs straight into
+    * [[pqEncode]]/[[pqSearch]]; the graded query keeps fixed codebooks
+    * (so the oracle can embed them as literals) while production trains
+    * here. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              numSub: Int, codebookSize: Int = 16, iterations: Int = 5,
+              maxSample: Int = 10000): Array[Array[Array[Float]]] = {
+    require(numSub > 0, "numSub must be positive")
+    val sample = trainSample(corpus, idCol, vecCol, maxSample)
+    val dim = sample.head.length
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val subDim = dim / numSub
+    Array.tabulate(numSub) { m =>
+      val subs = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim))
+      lloyd(subs, codebookSize, iterations)
+    }
   }
 
   /** Fixed deterministic quantizer points (md5-derived like the LSH
@@ -368,9 +407,8 @@ object Similarity {
   /** Fixed deterministic PQ codebooks (md5-derived, index space disjoint
     * from the LSH planes and IVF quantizer): `numSub` subspaces ×
     * `codebookSize` centroids × `subDim` dims. Production flows train
-    * per-subspace k-means on a bounded sample instead (the [[ivfTrain]]
-    * pattern per subspace); fixed codebooks let the graded query embed
-    * them as SQL literals. */
+    * per-subspace k-means on a bounded sample instead ([[pqTrain]]);
+    * fixed codebooks let the graded query embed them as SQL literals. */
   private[graft] def pqQuantizer(numSub: Int, codebookSize: Int,
                                  subDim: Int): Array[Array[Array[Float]]] =
     Array.tabulate(numSub)(m =>
@@ -437,6 +475,45 @@ object Similarity {
     val scored = coded.crossJoin(q)
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), round(dist, 6).as("pq_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("pq_dist").asc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ composed search (Jégou et al. 2011 §IV: `IVFADC`): the coarse
+    * quantizer restricts the ADC scan to the query's `nprobe` inverted
+    * lists, so per query the corpus fraction touched is ≈ nprobe/numC of
+    * codes-only (8 B) rows — the shape that serves a 100 TB corpus from
+    * executor memory. One narrow corpus pass computes BOTH the list
+    * assignment ([[ivfSearch]]'s argmin) and the PQ codes
+    * ([[PqKernels.encode]]); the probe side is an equi-join on list id,
+    * so corpus partitioning by list id is reusable across query batches.
+    * Distances are the same ADC surrogate as [[pqSearch]] — identical
+    * arithmetic, so an external engine given the same centroid/codebook
+    * literals reproduces every list, code and score.
+    *
+    * Output: (query_id, corpus_id, pq_dist rounded to 6 dp, rank ≤ k).
+    */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, centroids: Array[Array[Float]],
+                  codebooks: Array[Array[Array[Float]]], k: Int,
+                  nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = new graft.functions.PqModel(codebooks)
+    val lists = corpus.select(col(idCol).as("corpus_id"),
+      array_min(centroidDistStructs(col(vecCol), centroids))
+        .getField("c").as("list_id"),
+      graft.functions.Pq.encode(col(vecCol), model).as("codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      graft.functions.Pq.lut(col(vecCol), model).as("__lut"),
+      explode(transform(
+        slice(array_sort(centroidDistStructs(col(vecCol), centroids)), 1, nprobe),
+        s => s.getField("c"))).as("list_id")))
+    val dist = graft.functions.Pq.adc(col("__lut"), col("codes"))
+    val scored = lists.join(q, "list_id")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(dist, 6).as("pq_dist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("pq_dist").asc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
