@@ -1754,15 +1754,21 @@ object SparkEntry {
 
       // real header-codec decode (BMP width/height, WAV rate/channels,
       // opaque video → 0,0) re-derived from the payload formulas
+      // video rows are real minimal AVIs: RIFF(8) + 'AVI '(4) + hdrl
+      // LIST(76) + movi LIST(12 + 24 per 16-byte frame chunk), with
+      // 1 + doc_id % 3 frames — so n_bytes = 124 + 24*(doc_id % 3) and
+      // width/height come off the avih header the decoder now parses
       "multimodal_meta" ->
         """SELECT CAST(doc_id AS BIGINT) AS media_id,
           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
           |    ELSE 'video' END AS kind,
-          |  CAST(CASE doc_id % 3 WHEN 0 THEN 54 WHEN 1 THEN 44 ELSE 32 END AS INT) AS n_bytes,
+          |  CAST(CASE doc_id % 3 WHEN 0 THEN 54 WHEN 1 THEN 44
+          |    ELSE 124 + 24 * (doc_id % 3) END AS INT) AS n_bytes,
           |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 256
-          |    WHEN 1 THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END AS INT) AS width,
+          |    WHEN 1 THEN 8000 + (doc_id % 8) * 1000
+          |    ELSE 32 + doc_id % 64 END AS INT) AS width,
           |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 256
-          |    WHEN 1 THEN 1 + doc_id % 2 ELSE 0 END AS INT) AS height
+          |    WHEN 1 THEN 1 + doc_id % 2 ELSE 24 + doc_id % 48 END AS INT) AS height
           |FROM documents""".stripMargin,
 
       "dedup_exact" ->

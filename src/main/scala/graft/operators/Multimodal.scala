@@ -38,12 +38,108 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int) = {
       if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M')
         (le32(payload, 18), math.abs(le32(payload, 22)))
-      else if (payload.length >= 28 && payload(0) == 'R' && payload(1) == 'I' &&
-               payload(2) == 'F' && payload(3) == 'F' &&
-               payload(8) == 'W' && payload(9) == 'A' &&
-               payload(10) == 'V' && payload(11) == 'E')
+      else if (isRiff(payload, "WAVE") && payload.length >= 28)
         (le32(payload, 24), le16(payload, 22))
+      else if (isRiff(payload, "AVI "))
+        aviSize(payload).getOrElse((0, 0))
       else (0, 0)
+    }
+
+    private def isRiff(p: Array[Byte], form: String): Boolean =
+      p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == form(0) && p(9) == form(1) &&
+        p(10) == form(2) && p(11) == form(3)
+
+    /** Chunk size as unsigned: a crafted 0xFFFFFFFF size must clamp at
+      * the payload end, not wrap negative and re-read earlier bytes. */
+    private def le32u(b: Array[Byte], off: Int): Long =
+      le32(b, off) & 0xffffffffL
+
+    private def fourCc(b: Array[Byte], off: Long): String =
+      new String(b, off.toInt, 4, "US-ASCII")
+
+    /** Walk the top-level RIFF chunks of an AVI and hand each (id, data
+      * offset, data size, list type if LIST) to `f`; stops early when f
+      * returns Some. Bounds come from min(declared RIFF size, actual
+      * payload) so truncated or size-lying files degrade, not crash. */
+    private def walkRiff[A](p: Array[Byte], start: Long, end: Long)
+                           (f: (String, Long, Long) => Option[A]): Option[A] = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourCc(p, off)
+        val sz = math.min(le32u(p, (off + 4).toInt), end - off - 8)
+        val r = f(id, off + 8, sz)
+        if (r.isDefined) return r
+        off += 8 + sz + (sz & 1)
+      }
+      None
+    }
+
+    private def riffEnd(p: Array[Byte]): Long =
+      math.min(p.length.toLong, 8L + le32u(p, 4))
+
+    /** (dwWidth, dwHeight) from the `avih` main header inside the `hdrl`
+      * LIST — AVI's analog of the BMP/WAV header reads. */
+    private def aviSize(p: Array[Byte]): Option[(Int, Int)] =
+      walkRiff(p, 12L, riffEnd(p)) { (id, off, sz) =>
+        if (id == "LIST" && sz >= 4 && fourCc(p, off) == "hdrl")
+          walkRiff(p, off + 4, off + sz) { (cid, coff, csz) =>
+            // avih fields: microSecPerFrame, maxBytesPerSec, padding,
+            // flags, totalFrames, initialFrames, streams, bufSize,
+            // WIDTH (off 32), HEIGHT (off 36)
+            if (cid == "avih" && csz >= 40)
+              Some((le32(p, coff.toInt + 32), le32(p, coff.toInt + 36)))
+            else None
+          }
+        else None
+      }
+
+    /** Video-frame byte ranges from a RIFF/AVI container: walks the
+      * `movi` LIST and returns (offset, length) of every video stream
+      * chunk (fourCC `##db`/`##dc` — uncompressed/compressed frame), in
+      * file order. `None` = not an AVI (quarantine); `Some(empty)` = a
+      * valid AVI with no video chunks. Library-free: the container
+      * *index* is plain RIFF structure; only pixel decoding of the
+      * frame bytes themselves would need a codec. */
+    def aviFrameRanges(p: Array[Byte]): Option[Vector[(Int, Int)]] = {
+      if (!isRiff(p, "AVI ")) return None
+      val frames = Vector.newBuilder[(Int, Int)]
+      walkRiff(p, 12L, riffEnd(p)) { (id, off, sz) =>
+        if (id == "LIST" && sz >= 4 && fourCc(p, off) == "movi") {
+          walkRiff[Unit](p, off + 4, off + sz) { (cid, coff, csz) =>
+            val isVideo = cid.length == 4 &&
+              Character.isDigit(cid.charAt(0)) && Character.isDigit(cid.charAt(1)) &&
+              cid.charAt(2) == 'd' && (cid.charAt(3) == 'b' || cid.charAt(3) == 'c')
+            if (isVideo) frames += ((coff.toInt, csz.toInt))
+            None
+          }
+        }
+        None
+      }
+      Some(frames.result())
+    }
+
+    /** Minimal valid AVI: RIFF("AVI ") { LIST(hdrl){avih}, LIST(movi){
+      * 00dc frame chunks } } — the synthesis twin of [[aviFrameRanges]],
+      * used by specs and the synthetic media generator. */
+    def aviBytes(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+        val pad = data.length & 1
+        val out = new Array[Byte](8 + data.length + pad)
+        id.getBytes("US-ASCII").copyToArray(out, 0)
+        putLe32(out, 4, data.length)
+        data.copyToArray(out, 8)
+        out
+      }
+      def list(listType: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+      val avih = new Array[Byte](56)
+      putLe32(avih, 16, frames.length) // dwTotalFrames
+      putLe32(avih, 24, 1)             // dwStreams
+      putLe32(avih, 32, width); putLe32(avih, 36, height)
+      val body = list("hdrl", chunk("avih", avih)) ++
+        list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+      chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ body)
     }
 
     /** Minimal valid BMP: 54-byte BITMAPFILEHEADER+BITMAPINFOHEADER
@@ -154,7 +250,9 @@ object Multimodal {
   /** Attach a deterministic synthetic binary payload to any table — the
     * stand-in for reading real media files ([[fromBinaryFiles]] in
     * production): images are real (truncated) BMPs, audio real WAV
-    * headers, video an opaque blob the codec reports as undecodable. */
+    * headers, video a real minimal RIFF/AVI container with `1 + id % 3`
+    * 16-byte md5 frame chunks in its `movi` list (so frame sampling and
+    * header decode both exercise the real parser). */
   def syntheticMedia(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -164,11 +262,12 @@ object Multimodal {
           MediaCodec.bmpBytes((16 + id % 256).toInt, (16 + (id * 7) % 256).toInt))
         case 1 => MediaRow(id, "audio",
           MediaCodec.wavBytes((8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt))
-        case _ => MediaRow(id, "video",
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(id.toString.getBytes("UTF-8")) ++
+        case _ =>
+          val frames = (0 until (1 + id % 3).toInt).map(i =>
             java.security.MessageDigest.getInstance("MD5")
-              .digest((id + 1).toString.getBytes("UTF-8")))
+              .digest(s"$id:$i".getBytes("UTF-8")))
+          MediaRow(id, "video", MediaCodec.aviBytes(
+            (32 + id % 64).toInt, (24 + id % 48).toInt, frames))
       }
     }
   }
@@ -208,26 +307,30 @@ object Multimodal {
     })
   }
 
-  /** Every-`everyN`-th-frame sampling over video payloads.
-    *
-    * STUB NOTE: real containers (MP4/MKV) need a video codec this
-    * environment doesn't ship; the frame extractor is a clearly-marked
-    * DETERMINISTIC FAKE that treats the payload as fixed-size
-    * `frameBytes` chunks. The Spark plumbing around it — per-partition
-    * iteration, bounded explode (payload/frameBytes frames), bytes
-    * staying partition-local, typed Frame rows out — is the real
-    * production shape; swapping in a codec changes only the chunker. */
-  def sampleFrames(media: Dataset[MediaRow], everyN: Int,
-                   frameBytes: Int = 16): Dataset[Frame] = {
-    require(everyN >= 1 && frameBytes >= 1)
+  /** Every-`everyN`-th-frame sampling over video payloads — REAL
+    * RIFF/AVI container parsing: [[MediaCodec.aviFrameRanges]] walks the
+    * `movi` chunk list for frame byte ranges (container indexing is
+    * plain RIFF structure — no codec needed; only decoding the frame
+    * BYTES would be). Payloads that are not AVI containers (MP4/MKV need
+    * a demux library this environment doesn't ship) quarantine to zero
+    * frames rather than failing — the production path for undecodable
+    * media. Spark shape: per-partition iteration, bounded fan-out (one
+    * row per sampled frame), media bytes stay partition-local, only the
+    * sampled frames flow onward. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
+    require(everyN >= 1)
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "video").as[MediaRow]
       .mapPartitions(_.flatMap { r =>
-        val nFrames = r.payload.length / frameBytes
-        (0 until nFrames by everyN).iterator.map { i =>
-          Frame(r.media_id, i, java.util.Arrays.copyOfRange(
-            r.payload, i * frameBytes, (i + 1) * frameBytes))
+        MediaCodec.aviFrameRanges(r.payload) match {
+          case Some(ranges) =>
+            Iterator.range(0, ranges.length, everyN).map { i =>
+              val (off, len) = ranges(i)
+              Frame(r.media_id, i,
+                java.util.Arrays.copyOfRange(r.payload, off, off + len))
+            }
+          case None => Iterator.empty // quarantine: unknown container
         }
       })
   }

@@ -57,9 +57,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     // id 4 -> audio: WAV, sampleRate 8000+4*1000, channels 1
     assert(feats(4L).kind == "audio" && feats(4L).width == 12000 &&
       feats(4L).height == 1 && feats(4L).n_bytes == 44)
-    // id 5 -> video: opaque payload, metadata unavailable
-    assert(feats(5L).kind == "video" && feats(5L).width == 0 &&
-      feats(5L).height == 0 && feats(5L).n_bytes == 32)
+    // id 5 -> video: real minimal AVI, avih width 32+5, height 24+5,
+    // 1 + 5%3 = 3 frame chunks -> 124 + 24*2 bytes
+    assert(feats(5L).kind == "video" && feats(5L).width == 37 &&
+      feats(5L).height == 29 && feats(5L).n_bytes == 172)
   }
 
   test("winnowing: shared substring >= k+window-1 shares a fingerprint") {
@@ -124,15 +125,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(resized(3L).payload.sameElements(MediaCodec.wavBytes(8000, 1)))
   }
 
-  test("frame sampling: every-Nth fixed-size chunk, video only") {
-    import Multimodal.MediaRow
+  test("frame sampling: every-Nth frame off a real AVI movi index; " +
+      "non-AVI containers quarantine") {
+    import Multimodal.{MediaCodec, MediaRow}
+    // 5 frames with distinct, distinct-length contents — chunk padding
+    // (odd sizes pad to even) and offsets must both be honored
+    val payloads = (0 until 5).map(i => Array.fill(15 + i)((i * 11).toByte))
+    val avi = MediaCodec.aviBytes(320, 240, payloads)
     val media = Seq(
-      MediaRow(1L, "video", Array.tabulate(64)(_.toByte)), // 4 frames of 16
-      MediaRow(2L, "image", Array.fill(64)(1.toByte))).toDS()
+      MediaRow(1L, "video", avi),
+      MediaRow(2L, "video", Array[Byte](0, 0, 0, 32, 'f', 't', 'y', 'p')),
+      MediaRow(3L, "image", avi)).toDS() // right bytes, wrong kind
     val frames = Multimodal.sampleFrames(media, everyN = 2).collect()
+    // only the AVI video row contributes; mp4-ish row quarantines
     assert(frames.map(_.media_id).distinct.toSeq == Seq(1L))
-    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
-    assert(frames.find(_.frame_idx == 2).get.frame.head == 32.toByte)
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    frames.foreach(f =>
+      assert(f.frame.sameElements(payloads(f.frame_idx))))
+    // header decode reads the avih dimensions off the same container
+    assert(MediaCodec.decode(avi) == ((320, 240)))
+    // the index parse agrees with the synthesis on count and order
+    assert(MediaCodec.aviFrameRanges(avi).get.length == 5)
+    assert(MediaCodec.aviFrameRanges(Array[Byte](1, 2, 3)).isEmpty)
   }
 
   test("binaryFile source end-to-end: real files through the codec") {
