@@ -1,8 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** CLI symmetry with Verify: any `/`-prefixed arg is the sf dir (last
+    * one wins), everything else is a query-name filter. Env var
+    * `SPARK_GRAFT_SF_DIR` still works when no path arg is given. */
+  def parseArgs(args: Array[String]): (Option[String], Set[String]) = {
+    val (paths, names) = args.partition(_.startsWith("/"))
+    (paths.lastOption, names.toSet)
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (pathArg, only) = parseArgs(args)
+    val sfDir = pathArg.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,7 +38,6 @@ object Bench {
     // that query's generated code, and one extra repeat absorbs transient
     // machine load (observed run-to-run variance up to ~4x on small
     // queries under contention)
-    val only = args.toSet
     // a typo'd name would otherwise silently benchmark nothing and print
     // a success-looking zero total
     val unknown = only -- SparkEntry.queries.keySet

@@ -91,4 +91,13 @@ class ManagerSpec extends AnyFunSuite {
     }
     assert(m.getMessage.contains("missing --inputFile"))
   }
+
+  test("Bench CLI: /-prefixed arg is the sf dir, the rest filter queries") {
+    assert(Bench.parseArgs(Array[String]()) == ((None, Set.empty[String])))
+    assert(Bench.parseArgs(Array("/root/testdata/sf0.01", "q1_pricing_summary")) ==
+      ((Some("/root/testdata/sf0.01"), Set("q1_pricing_summary"))))
+    // Verify-style order (path anywhere) and env-only (no path) both work
+    assert(Bench.parseArgs(Array("ann_pq", "/data/sf1", "ann_ivf")) ==
+      ((Some("/data/sf1"), Set("ann_pq", "ann_ivf"))))
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the oracle contract BEFORE the driver runs it.
+  *
+  * The round-4 failure mode: oracle SQL is authored as Scala string
+  * builders, so a broken splice (mis-terminated CTE, missing comma)
+  * compiles fine and only dies when the driver feeds it to DuckDB —
+  * zeroing the whole round's correctness gate. These checks move that
+  * failure into `sbt test`.
+  */
+class OracleSqlSpec extends AnyFunSuite {
+
+  test("every oracle entry names a real query (and column contract holds)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
+  }
+
+  test("oracle_sql.json round-trips as strict JSON") {
+    // the driver json.load's this; control chars in builder-authored SQL
+    // must come out escaped
+    val json = Verify.oracleJson
+    assert(json.startsWith("{") && json.endsWith("}"))
+    assert(!json.exists(c => c < ' '), "unescaped control char in JSON")
+  }
+
+  test("every oracleSql entry parses and binds in DuckDB") {
+    val sfDir = "/root/testdata/sf0.001"
+    val canRun =
+      try {
+        new java.io.File(sfDir).isDirectory &&
+          new ProcessBuilder("python3", "-c", "import duckdb")
+            .start().waitFor() == 0
+      } catch { case _: Exception => false }
+    assume(canRun, "python3+duckdb or testdata unavailable here")
+    val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    try {
+      java.nio.file.Files.writeString(tmp, Verify.oracleJson)
+      val pb = new ProcessBuilder("python3", "tools/compare.py",
+        "--parse-only", sfDir, tmp.toString)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      assert(proc.waitFor() == 0, s"oracle SQL failed DuckDB parse/bind:\n$out")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+}

@@ -5,16 +5,39 @@ parquet (columns sorted by name, rows sorted, values compared)."""
 import sys, json, glob, math
 import duckdb
 
+
+def connect_views(sfdir):
+    con = duckdb.connect()
+    for p in glob.glob(f"{sfdir}/*.parquet"):
+        name = p.split("/")[-1].replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+if sys.argv[1:2] == ["--parse-only"]:
+    # EXPLAIN (parse + bind, no execution) every oracle SQL in the given
+    # JSON file against the sf dir's views. Lets `sbt test` catch a
+    # broken oracle string (the r4 failure mode: bad SQL compiles fine
+    # as a Scala literal and only dies at driver time).
+    sfdir, path = sys.argv[2], sys.argv[3]
+    con = connect_views(sfdir)
+    fail = 0
+    for q, sql in sorted(json.load(open(path)).items()):
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:
+            print(f"FAIL {q}: {type(e).__name__}: {e}")
+            fail += 1
+    print(f"parse-only: {fail} fail")
+    sys.exit(1 if fail else 0)
+
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 # optional trailing query names: compare only those (pairs with
 # `graft.Verify <sfDir> <outDir> <q...>` subset dumps)
 only = set(sys.argv[3:])
 
-con = duckdb.connect()
-for p in glob.glob(f"{sfdir}/*.parquet"):
-    name = p.split("/")[-1].replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+con = connect_views(sfdir)
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = fail = 0
