@@ -85,6 +85,23 @@ object SparkEntry {
   /** Normalized text (SQL twin of Dedup.normText; 'g' = global replace). */
   private val normTextSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** Benchmark-decontamination oracle at word gram size `n` — the
+    * explicit unnest/join derivation the Spark kernel path must match;
+    * `n` only changes the concatenation width and series bound. */
+  private def decontamSql(n: Int): String = {
+    val gramExpr = (0 until n)
+      .map(i => if (i == 0) "ws[u.g]" else s"ws[u.g+$i]")
+      .mkString(" || ' ' || ")
+    s"""WITH base AS (SELECT doc_id, $normTextSql AS t FROM documents),
+       |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM base),
+       |g AS (SELECT DISTINCT doc_id,
+       |  $gramExpr AS gram
+       |  FROM w, LATERAL unnest(generate_series(1, len(ws)-${n - 1})) u(g)),
+       |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM g JOIN b USING (gram) WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin
+  }
+
   /** Deterministic DNA string from a document's md5. */
   private def docDna: Column =
     translate(md5(col("text")), "0123456789abcdef", "ACGTACGTACGTACGT")
@@ -900,6 +917,21 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Curation.decontaminate(docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 4)
+    }),
+
+    // the standard published decontamination gram sizes — 13 (GPT-3
+    // appendix C) and 8 (PaLM/Chowdhery 2022 §6) — over the same kernel
+    // and plan shape as decontam_ngram; longer grams = sparser overlap
+    "decontam_ngram8" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 8)
+    }),
+
+    "decontam_ngram13" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 13)
     }),
 
     "pii_scrub" -> ((s, dir) => {
@@ -2099,15 +2131,9 @@ object SparkEntry {
            |  CAST(CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS INTEGER) AS keep
            |FROM fr""".stripMargin,
 
-      "decontam_ngram" ->
-        s"""WITH base AS (SELECT doc_id, $normTextSql AS t FROM documents),
-           |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM base),
-           |g AS (SELECT DISTINCT doc_id,
-           |  ws[u.g] || ' ' || ws[u.g+1] || ' ' || ws[u.g+2] || ' ' || ws[u.g+3] AS gram
-           |  FROM w, LATERAL unnest(generate_series(1, len(ws)-3)) u(g)),
-           |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-           |FROM g JOIN b USING (gram) WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin,
+      "decontam_ngram" -> decontamSql(4),
+      "decontam_ngram8" -> decontamSql(8),
+      "decontam_ngram13" -> decontamSql(13),
 
       "pii_scrub" -> {
         val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,4}"
