@@ -516,12 +516,16 @@ object SparkEntry {
       val pclass = when(col("doc_id") % 4 === 0, "deleterious").otherwise("neutral")
       val probText = concat(lit("0."),
         lpad((col("doc_id") % 100).cast("string"), 2, "0"))
-      val lines = docs.select(concat_ws("\t",
+      // explode(array(...)) is a collapse barrier: without it the whole
+      // concat_ws synthesis tree is substituted into every one of
+      // parseResults' 12 column extractions + filters (~14 copies), and
+      // the generated method (39 KB) blows the JIT limit -> interpreted
+      val lines = docs.select(explode(array(concat_ws("\t",
         protein, opos.cast("string"), aa(i1), aa(i2), lit(""),
         concat(lit("Q"), col("doc_id").cast("string")), lit(""),
         when(swapped, aa(i2)).otherwise(aa(i1)),
         when(swapped, aa(i1)).otherwise(aa(i2)),
-        lit(""), lit(""), pred, lit("alignment"), lit(""), pclass, probText)
+        lit(""), lit(""), pred, lit("alignment"), lit(""), pclass, probText)))
         .as("line")).as[String]
       val info = docs.select(protein.as("protein_id"), opos.as("aa_pos"),
         aa(i1).as("ref_aa"), aa(i2).as("var_aa"),

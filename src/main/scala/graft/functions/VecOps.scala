@@ -25,6 +25,18 @@ object VecKernels {
     }
     acc
   }
+
+  /** Same accumulation against a driver-side plane vector. */
+  def dotF(a: ArrayData, b: Array[Float]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    acc
+  }
 }
 
 /** `dot_f(a, b)` for `array<float>` columns. */
@@ -44,4 +56,59 @@ object Vec {
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def lshBands(vec: Column, model: LshModel): Column =
+    ColumnBridge.column(LshBandsExpr(ColumnBridge.expression(vec), model))
+}
+
+/** Sign-LSH hyperplanes for `numTables` banded tables, as one reference
+  * object — same motivation as [[PqModel]]: rendering 4×16 plane vectors
+  * into the expression tree (one dot + `when` per plane) generated a
+  * ~10 KB method, over HotSpot's 8 KB JIT limit, so the banded-LSH
+  * bucket projection ran interpreted. Plane layout: `planes(t)(i)` is
+  * plane `i` of table `t`. */
+final class LshModel(val planes: Array[Array[Array[Float]]])
+    extends Serializable {
+  val numTables: Int = planes.length
+  val planesPerTable: Int = planes(0).length
+}
+
+object LshKernels {
+  /** Per-table sign buckets: bit `i` of `out(t)` set iff
+    * `v · planes(t)(i) > 0`, with the dot accumulated float→double left
+    * to right — value-identical to the `when(dot > 0, 1L << i)` sum the
+    * literal formulation (and the SQL oracles) use. */
+  def bands(vec: ArrayData, model: LshModel): ArrayData = {
+    val out = new Array[Long](model.numTables)
+    var t = 0
+    while (t < model.numTables) {
+      val tp = model.planes(t)
+      var bucket = 0L
+      var i = 0
+      while (i < tp.length) {
+        if (VecKernels.dotF(vec, tp(i)) > 0) bucket |= 1L << i
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `lsh_bands(vec)` → `array<long>`, one sign-bucket per banded table. */
+case class LshBandsExpr(child: Expression, model: LshModel)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    LshKernels.bands(v.asInstanceOf[ArrayData], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshModel", model, classOf[LshModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.LshKernels.bands($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBandsExpr =
+    copy(child = newChild)
 }

@@ -143,17 +143,18 @@ object Similarity {
                            planesPerTable: Int = 16,
                            maxBucket: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // per-table bucket of vector v: sign bits of planes t*P .. t*P+P-1
-    def tableBucket(t: Int): Column =
-      (0 until planesPerTable).map { i =>
-        val proj = dot(col(vecCol), typedLit(planeVec(t * planesPerTable + i, dim)))
-        when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    // per-table bucket of vector v: sign bits of planes t*P .. t*P+P-1,
+    // all tables in ONE kernel call (the literal per-plane when-chain
+    // generated a ~10 KB method — over the JIT limit, so the projection
+    // ran interpreted; values are identical, see LshKernels.bands)
+    val model = new graft.functions.LshModel(
+      Array.tabulate(numTables, planesPerTable)((t, i) =>
+        planeVec(t * planesPerTable + i, dim)))
     val tabled = corpus.select(
       col(idCol).as("__id"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("t"), tableBucket(t).as("bucket"))): _*)).as("tb"))
-      .select(col("__id"), col("tb.t"), col("tb.bucket"))
+      posexplode(graft.functions.Vec.lshBands(col(vecCol), model)))
+      .select(col("__id"), col("pos").cast("int").as("t"),
+        col("col").as("bucket"))
     // drop degenerate mega-buckets: bounded candidate fan-out per bucket
     val wB = Window.partitionBy("t", "bucket")
     val bounded = tabled.withColumn("__bsz", count(lit(1)).over(wB))
