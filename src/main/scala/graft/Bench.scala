@@ -1,8 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** CLI symmetry with Verify: any `/`-prefixed arg is the sf dir (last
-    * one wins), everything else is a query-name filter. Env var
+  /** Lets the sf dir ride in as an argument like Verify's positional
+    * sfDir (Bench-only convention: any `/`-prefixed arg, last one wins;
+    * Verify itself stays strictly positional `sfDir outDir names...`).
+    * Everything else is a query-name filter; env var
     * `SPARK_GRAFT_SF_DIR` still works when no path arg is given. */
   def parseArgs(args: Array[String]): (Option[String], Set[String]) = {
     val (paths, names) = args.partition(_.startsWith("/"))

@@ -42,10 +42,12 @@ object Explain {
           // run the query first: with AQE the plan (and its codegen
           // subtrees) is only final after execution — inspecting the
           // unexecuted AdaptiveSparkPlan reports 0 subtrees for everything.
-          // collect() (not count()) so THIS df's QueryExecution is the one
-          // that runs; count() builds a separate plan and leaves this one
-          // unfinalized.
-          df.collect()
+          // Execute THIS df's QueryExecution (count() would build a
+          // separate plan and leave this one unfinalized), but via its
+          // RDD so no result rows land in the driver heap — a no-filter
+          // sweep at a big sf dir would otherwise collect every query's
+          // full output.
+          df.queryExecution.toRdd.foreach(_ => ())
           // executedPlan.toString carries the `*(id)` codegen markers that
           // explain("formatted") drops — interpreted stages have no star
           println(df.queryExecution.executedPlan.toString)

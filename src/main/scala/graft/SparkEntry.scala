@@ -85,6 +85,60 @@ object SparkEntry {
   /** Normalized text (SQL twin of Dedup.normText; 'g' = global replace). */
   private val normTextSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** DOUBLE[] literal for a float vector, as DuckDB SQL. */
+  private def vecLit(cv: Array[Float]): String =
+    cv.map(_.toDouble.toString).mkString("[", ", ", "]")
+
+  /** Coarse-quantizer distance rows (one SELECT per centroid over CTE
+    * `v`) — shared by the ann_ivf / ann_ivf_pq / dedup_semantic oracles
+    * so the coarse-assignment derivation cannot drift between them. */
+  private def coarseDistRows(cents: Array[Array[Float]]): String =
+    cents.zipWithIndex.map { case (cv, ci) =>
+      s"SELECT vec_id, $ci AS c, ${Similarity.selfDot(cv)} - " +
+        s"2*list_dot_product(vv, ${vecLit(cv)}) AS d FROM v"
+    }.mkString("\n  UNION ALL ")
+
+  /** PQ ADC oracle skeleton over the fixed 8×16×8 codebooks: `v` +
+    * caller CTEs + code assignment (`pqa`/`codes`) + codebook table
+    * (`cb`) + caller `contrib` body + pivot + left-to-right fold +
+    * top-k. Shared verbatim by ann_pq and ann_ivf_pq — one derivation,
+    * no drift (the gopherCtes copy-divergence failure mode). `extraCtes`
+    * must be empty or end with `,\n`-style termination ready to precede
+    * the next CTE. */
+  private def pqAdcOracle(extraCtes: String, contribSql: String): String = {
+    val cbs = Similarity.pqQuantizer(8, 16, 8)
+    val asnRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
+      val cv = cbs(m)(j)
+      s"SELECT vec_id, $m AS m, $j AS j, ${Similarity.selfDot(cv)} - " +
+        s"2*list_dot_product(list_slice(vv, ${m * 8 + 1}, ${m * 8 + 8}), " +
+        s"${vecLit(cv)}) AS d FROM v"
+    }).mkString("\n  UNION ALL ")
+    val cbRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
+      val cv = cbs(m)(j)
+      s"SELECT $m AS m, $j AS j, ${Similarity.selfDot(cv)} AS sd, " +
+        s"${vecLit(cv)} AS cv"
+    }).mkString("\n  UNION ALL ")
+    val pivotCols = (0 until 8)
+      .map(m => s"max(CASE WHEN m = $m THEN dm END) AS d$m").mkString(", ")
+    val ltrSum = (1 until 8).foldLeft("d0")((acc, m) => s"($acc + d$m)")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |${extraCtes}pqa AS (
+       |  $asnRows),
+       |codes AS (SELECT vec_id, m, j AS code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY d, j) AS rn FROM pqa) WHERE rn = 1),
+       |cb AS (
+       |  $cbRows),
+       |contrib AS ($contribSql),
+       |piv AS (SELECT query_id, corpus_id, $pivotCols
+       |  FROM contrib GROUP BY 1, 2),
+       |d AS (SELECT query_id, corpus_id, round($ltrSum, 6) AS pq_dist FROM piv)
+       |SELECT query_id, corpus_id, pq_dist, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY pq_dist, corpus_id) AS BIGINT) AS rank FROM d)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** Benchmark-decontamination oracle at word gram size `n` — the
     * explicit unnest/join derivation the Spark kernel path must match;
     * `n` only changes the concatenation width and series bound. */
@@ -1912,15 +1966,9 @@ object SparkEntry {
       // |c|²−2·v·c assignment key (ties to lowest centroid id), same
       // nprobe=2 probe, same within-list cosine + rank
       "ann_ivf" -> {
-        val cents = Similarity.ivfQuantizer(16, 64)
-        val distRows = cents.zipWithIndex.map { case (cv, ci) =>
-          val litArr = cv.map(_.toDouble.toString).mkString("[", ", ", "]")
-          s"SELECT vec_id, $ci AS c, ${Similarity.selfDot(cv)} - " +
-            s"2*list_dot_product(vv, $litArr) AS d FROM v"
-        }.mkString("\n  UNION ALL ")
         s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
            |d AS (
-           |  $distRows),
+           |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),
            |rnk AS (SELECT vec_id, c,
            |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
            |asn AS (SELECT a.vec_id AS corpus_id, a.c AS list_id, vv AS cv
@@ -2187,102 +2235,34 @@ object SparkEntry {
           |SELECT protein_id, CAST(line_no AS BIGINT) AS line_no, line
           |FROM lines WHERE line <> ''""".stripMargin,
 
-      "ann_pq" -> {
-        val cbs = Similarity.pqQuantizer(8, 16, 8)
-        def arrLit(cv: Array[Float]): String =
-          cv.map(_.toDouble.toString).mkString("[", ", ", "]")
-        val asnRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
-          val cv = cbs(m)(j)
-          s"SELECT vec_id, $m AS m, $j AS j, ${Similarity.selfDot(cv)} - " +
-            s"2*list_dot_product(list_slice(vv, ${m * 8 + 1}, ${m * 8 + 8}), " +
-            s"${arrLit(cv)}) AS d FROM v"
-        }).mkString("\n  UNION ALL ")
-        val cbRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
-          val cv = cbs(m)(j)
-          s"SELECT $m AS m, $j AS j, ${Similarity.selfDot(cv)} AS sd, " +
-            s"${arrLit(cv)} AS cv"
-        }).mkString("\n  UNION ALL ")
-        val pivotCols = (0 until 8)
-          .map(m => s"max(CASE WHEN m = $m THEN dm END) AS d$m").mkString(", ")
-        val ltrSum = (1 until 8).foldLeft("d0")((acc, m) => s"($acc + d$m)")
-        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
-           |asn AS (
-           |  $asnRows),
-           |codes AS (SELECT vec_id, m, j AS code FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
-           |    ORDER BY d, j) AS rn FROM asn) WHERE rn = 1),
-           |cb AS (
-           |  $cbRows),
-           |contrib AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.m,
-           |  cb.sd - 2*list_dot_product(list_slice(q.vv, c.m*8+1, c.m*8+8), cb.cv) AS dm
-           |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q
-           |  JOIN codes c ON c.vec_id <> q.vec_id
-           |  JOIN cb ON cb.m = c.m AND cb.j = c.code),
-           |piv AS (SELECT query_id, corpus_id, $pivotCols
-           |  FROM contrib GROUP BY 1, 2),
-           |d AS (SELECT query_id, corpus_id, round($ltrSum, 6) AS pq_dist FROM piv)
-           |SELECT query_id, corpus_id, pq_dist, rank FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY pq_dist, corpus_id) AS BIGINT) AS rank FROM d)
-           |WHERE rank <= 5""".stripMargin
-      },
+      "ann_pq" -> pqAdcOracle("",
+        """SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.m,
+          |  cb.sd - 2*list_dot_product(list_slice(q.vv, c.m*8+1, c.m*8+8), cb.cv) AS dm
+          |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q
+          |  JOIN codes c ON c.vec_id <> q.vec_id
+          |  JOIN cb ON cb.m = c.m AND cb.j = c.code""".stripMargin),
 
       "ann_ivf_pq" -> {
-        val cents = Similarity.ivfQuantizer(16, 64)
-        val cbs = Similarity.pqQuantizer(8, 16, 8)
-        def arrLit(cv: Array[Float]): String =
-          cv.map(_.toDouble.toString).mkString("[", ", ", "]")
-        // coarse quantizer: per-vector (distance, centroid) rows, exactly
-        // the ann_ivf derivation
-        val coarseRows = cents.zipWithIndex.map { case (cv, ci) =>
-          s"SELECT vec_id, $ci AS c, ${Similarity.selfDot(cv)} - " +
-            s"2*list_dot_product(vv, ${arrLit(cv)}) AS d FROM v"
-        }.mkString("\n  UNION ALL ")
-        // PQ code assignment + codebook tables, exactly the ann_pq derivation
-        val asnRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
-          val cv = cbs(m)(j)
-          s"SELECT vec_id, $m AS m, $j AS j, ${Similarity.selfDot(cv)} - " +
-            s"2*list_dot_product(list_slice(vv, ${m * 8 + 1}, ${m * 8 + 8}), " +
-            s"${arrLit(cv)}) AS d FROM v"
-        }).mkString("\n  UNION ALL ")
-        val cbRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
-          val cv = cbs(m)(j)
-          s"SELECT $m AS m, $j AS j, ${Similarity.selfDot(cv)} AS sd, " +
-            s"${arrLit(cv)} AS cv"
-        }).mkString("\n  UNION ALL ")
-        val pivotCols = (0 until 8)
-          .map(m => s"max(CASE WHEN m = $m THEN dm END) AS d$m").mkString(", ")
-        val ltrSum = (1 until 8).foldLeft("d0")((acc, m) => s"($acc + d$m)")
-        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
-           |cd AS (
-           |  $coarseRows),
-           |crnk AS (SELECT vec_id, c,
-           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM cd),
-           |asnl AS (SELECT vec_id AS corpus_id, c AS list_id FROM crnk WHERE rn = 1),
-           |prb AS (SELECT vec_id AS query_id, c AS list_id FROM crnk
-           |  WHERE rn <= 2 AND vec_id % 50 = 0),
-           |cand AS (SELECT query_id, corpus_id
-           |  FROM prb JOIN asnl USING (list_id) WHERE corpus_id <> query_id),
-           |pqa AS (
-           |  $asnRows),
-           |codes AS (SELECT vec_id, m, j AS code FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY vec_id, m
-           |    ORDER BY d, j) AS rn FROM pqa) WHERE rn = 1),
-           |cb AS (
-           |  $cbRows),
-           |contrib AS (SELECT ca.query_id, ca.corpus_id, c.m,
-           |  cb.sd - 2*list_dot_product(list_slice(q.vv, c.m*8+1, c.m*8+8), cb.cv) AS dm
-           |  FROM cand ca
-           |  JOIN v q ON q.vec_id = ca.query_id
-           |  JOIN codes c ON c.vec_id = ca.corpus_id
-           |  JOIN cb ON cb.m = c.m AND cb.j = c.code),
-           |piv AS (SELECT query_id, corpus_id, $pivotCols
-           |  FROM contrib GROUP BY 1, 2),
-           |d AS (SELECT query_id, corpus_id, round($ltrSum, 6) AS pq_dist FROM piv)
-           |SELECT query_id, corpus_id, pq_dist, rank FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY pq_dist, corpus_id) AS BIGINT) AS rank FROM d)
-           |WHERE rank <= 5""".stripMargin
+        // coarse quantizer CTEs (the ann_ivf derivation) restrict the
+        // shared PQ ADC skeleton to the probed lists via `cand`
+        val coarse =
+          s"""cd AS (
+             |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),
+             |crnk AS (SELECT vec_id, c,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM cd),
+             |asnl AS (SELECT vec_id AS corpus_id, c AS list_id FROM crnk WHERE rn = 1),
+             |prb AS (SELECT vec_id AS query_id, c AS list_id FROM crnk
+             |  WHERE rn <= 2 AND vec_id % 50 = 0),
+             |cand AS (SELECT query_id, corpus_id
+             |  FROM prb JOIN asnl USING (list_id) WHERE corpus_id <> query_id),
+             |""".stripMargin
+        pqAdcOracle(coarse,
+          """SELECT ca.query_id, ca.corpus_id, c.m,
+            |  cb.sd - 2*list_dot_product(list_slice(q.vv, c.m*8+1, c.m*8+8), cb.cv) AS dm
+            |  FROM cand ca
+            |  JOIN v q ON q.vec_id = ca.query_id
+            |  JOIN codes c ON c.vec_id = ca.corpus_id
+            |  JOIN cb ON cb.m = c.m AND cb.j = c.code""".stripMargin)
       },
 
       "corpus_mix" ->
@@ -2320,15 +2300,9 @@ object SparkEntry {
            |FROM samp GROUP BY 1, 2""".stripMargin,
 
       "dedup_semantic" -> {
-        val cents = Similarity.ivfQuantizer(16, 64)
-        val distRows = cents.zipWithIndex.map { case (cv, ci) =>
-          val litArr = cv.map(_.toDouble.toString).mkString("[", ", ", "]")
-          s"SELECT vec_id, $ci AS c, ${Similarity.selfDot(cv)} - " +
-            s"2*list_dot_product(vv, $litArr) AS d FROM v"
-        }.mkString("\n  UNION ALL ")
         s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
            |d AS (
-           |  $distRows),
+           |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),
            |rnk AS (SELECT vec_id, c,
            |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
            |asn AS (SELECT a.vec_id, a.c AS cluster, vv

@@ -104,16 +104,21 @@ object Multimodal {
     def aviFrameRanges(p: Array[Byte]): Option[Vector[(Int, Int)]] = {
       if (!isRiff(p, "AVI ")) return None
       val frames = Vector.newBuilder[(Int, Int)]
-      walkRiff(p, 12L, riffEnd(p)) { (id, off, sz) =>
-        if (id == "LIST" && sz >= 4 && fourCc(p, off) == "movi") {
-          walkRiff[Unit](p, off + 4, off + sz) { (cid, coff, csz) =>
-            val isVideo = cid.length == 4 &&
-              Character.isDigit(cid.charAt(0)) && Character.isDigit(cid.charAt(1)) &&
-              cid.charAt(2) == 'd' && (cid.charAt(3) == 'b' || cid.charAt(3) == 'c')
-            if (isVideo) frames += ((coff.toInt, csz.toInt))
-            None
-          }
+      def isVideoChunk(cid: String): Boolean =
+        Character.isDigit(cid.charAt(0)) && Character.isDigit(cid.charAt(1)) &&
+          cid.charAt(2) == 'd' && (cid.charAt(3) == 'b' || cid.charAt(3) == 'c')
+      // frames sit directly in movi OR grouped inside 'LIST rec ' (the
+      // standard interleaved-mux layout) — descend into rec groups
+      def collectFrames(start: Long, end: Long): Unit =
+        walkRiff[Unit](p, start, end) { (cid, coff, csz) =>
+          if (cid == "LIST" && csz >= 4 && fourCc(p, coff) == "rec ")
+            collectFrames(coff + 4, coff + csz)
+          else if (isVideoChunk(cid)) frames += ((coff.toInt, csz.toInt))
+          None
         }
+      walkRiff(p, 12L, riffEnd(p)) { (id, off, sz) =>
+        if (id == "LIST" && sz >= 4 && fourCc(p, off) == "movi")
+          collectFrames(off + 4, off + sz)
         None
       }
       Some(frames.result())
@@ -121,8 +126,11 @@ object Multimodal {
 
     /** Minimal valid AVI: RIFF("AVI ") { LIST(hdrl){avih}, LIST(movi){
       * 00dc frame chunks } } — the synthesis twin of [[aviFrameRanges]],
-      * used by specs and the synthetic media generator. */
-    def aviBytes(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      * used by specs and the synthetic media generator. `recWrap` groups
+      * each frame in a `LIST rec ` (the interleaved-mux layout) to
+      * exercise the parser's group descent. */
+    def aviBytes(width: Int, height: Int, frames: Seq[Array[Byte]],
+                 recWrap: Boolean = false): Array[Byte] = {
       def chunk(id: String, data: Array[Byte]): Array[Byte] = {
         val pad = data.length & 1
         val out = new Array[Byte](8 + data.length + pad)
@@ -137,8 +145,11 @@ object Multimodal {
       putLe32(avih, 16, frames.length) // dwTotalFrames
       putLe32(avih, 24, 1)             // dwStreams
       putLe32(avih, 32, width); putLe32(avih, 36, height)
-      val body = list("hdrl", chunk("avih", avih)) ++
-        list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+      val moviBody = frames.toArray.flatMap { f =>
+        val c = chunk("00dc", f)
+        if (recWrap) list("rec ", c) else c
+      }
+      val body = list("hdrl", chunk("avih", avih)) ++ list("movi", moviBody)
       chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ body)
     }
 

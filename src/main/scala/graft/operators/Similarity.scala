@@ -150,9 +150,15 @@ object Similarity {
     val model = new graft.functions.LshModel(
       Array.tabulate(numTables, planesPerTable)((t, i) =>
         planeVec(t * planesPerTable + i, dim)))
+    // coalesce keeps the pre-kernel semantics for a null embedding: the
+    // when-chain formulation bucketed it as 0 in every table (each
+    // null-dot term fell to otherwise(0)); a bare null would instead be
+    // dropped by posexplode and silently escape near-dup detection
+    val zeroBands = typedLit(Array.fill(numTables)(0L))
     val tabled = corpus.select(
       col(idCol).as("__id"),
-      posexplode(graft.functions.Vec.lshBands(col(vecCol), model)))
+      posexplode(coalesce(
+        graft.functions.Vec.lshBands(col(vecCol), model), zeroBands)))
       .select(col("__id"), col("pos").cast("int").as("t"),
         col("col").as("bucket"))
     // drop degenerate mega-buckets: bounded candidate fan-out per bucket

@@ -96,7 +96,8 @@ class ManagerSpec extends AnyFunSuite {
     assert(Bench.parseArgs(Array[String]()) == ((None, Set.empty[String])))
     assert(Bench.parseArgs(Array("/root/testdata/sf0.01", "q1_pricing_summary")) ==
       ((Some("/root/testdata/sf0.01"), Set("q1_pricing_summary"))))
-    // Verify-style order (path anywhere) and env-only (no path) both work
+    // path position is free (Bench-only convention; Verify itself is
+    // strictly positional) and env-only (no path) still works
     assert(Bench.parseArgs(Array("ann_pq", "/data/sf1", "ann_ivf")) ==
       ((Some("/data/sf1"), Set("ann_pq", "ann_ivf"))))
   }

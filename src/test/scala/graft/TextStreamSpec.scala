@@ -147,6 +147,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the index parse agrees with the synthesis on count and order
     assert(MediaCodec.aviFrameRanges(avi).get.length == 5)
     assert(MediaCodec.aviFrameRanges(Array[Byte](1, 2, 3)).isEmpty)
+    // interleaved-mux layout: frames grouped in 'LIST rec ' inside movi
+    // must yield the same index (the parser descends into rec groups)
+    val rec = MediaCodec.aviBytes(320, 240, payloads, recWrap = true)
+    val recRanges = MediaCodec.aviFrameRanges(rec).get
+    assert(recRanges.length == 5)
+    recRanges.zipWithIndex.foreach { case ((off, len), i) =>
+      assert(java.util.Arrays.copyOfRange(rec, off, off + len)
+        .sameElements(payloads(i)))
+    }
   }
 
   test("binaryFile source end-to-end: real files through the codec") {
