@@ -139,6 +139,68 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** Rare-shingle-blocked jaccard CTE block ending in
+    * `jp(id_a, id_b, n_inter, n_a, n_b, jaccard)` (confirmed near-dup
+    * pairs at threshold 0.2) — shared by the dedup_ngram_jaccard and
+    * dedup_groups oracles so the pair derivation cannot drift. Splice
+    * after `WITH`. */
+  private def jaccardPairCtes: String =
+    s"""t AS (SELECT doc_id,
+       |  lang || '|' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+       |  $normTextSql AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, block, substr(t, CAST(i AS INT), 3) AS sh
+       |  FROM (SELECT doc_id, block, t, unnest(generate_series(1, length(t)-2)) AS i
+       |    FROM t WHERE length(t) >= 3)),
+       |dfreq AS (SELECT block, sh, count(*) AS dfreq FROM sh GROUP BY block, sh),
+       |rare AS (SELECT s.doc_id, s.block, s.sh FROM sh s
+       |  JOIN dfreq d ON d.block = s.block AND d.sh = s.sh WHERE d.dfreq <= 8),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM rare a JOIN rare b ON a.block = b.block AND a.sh = b.sh
+       |    AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+       |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+       |  GROUP BY c.id_a, c.id_b),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |jp AS (SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2)""".stripMargin
+
+  /** Minhash banded-candidate CTE block ending in `prs(id_a, id_b)` —
+    * the explicit md5-window signature derivation; shared by the
+    * dedup_minhash_pairs and dedup_groups oracles so the pair
+    * derivation cannot drift between them. Splice after `WITH`. */
+  private def minhashPairCtes: String = {
+    val mins = (0 until 16).map { i =>
+      val d = if (i < 8) "d1" else "d2"
+      s"min(CAST('0x' || substr($d, ${(i % 8) * 3 + 1}, 8) AS BIGINT)) AS h$i"
+    }.mkString(",\n  ")
+    val bandRows = (0 until 4).map { b =>
+      val hs = (0 until 4).map(j => s"h${b * 4 + j} AS k${j}").mkString(", ")
+      s"SELECT doc_id, $b AS band, $hs FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""t AS (SELECT doc_id, $normTextSql AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS sh
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t)-2)) AS i
+       |    FROM t WHERE length(t) >= 3)),
+       |h AS (SELECT doc_id, sh, md5(sh) AS d1, md5('x' || sh) AS d2 FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |sz AS (SELECT band, k0, k1, k2, k3, count(*) AS n FROM bands
+       |  GROUP BY band, k0, k1, k2, k3),
+       |bb AS (SELECT bands.* FROM bands
+       |  JOIN sz USING (band, k0, k1, k2, k3) WHERE sz.n <= 4096),
+       |prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bb a JOIN bb b ON a.band = b.band AND a.k0 = b.k0
+       |  AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.k3 = b.k3
+       |  AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** Benchmark-decontamination oracle at word gram size `n` — the
     * explicit unnest/join derivation the Spark kernel path must match;
     * `n` only changes the concatenation width and series bound. */
@@ -857,6 +919,24 @@ object SparkEntry {
       // the band groups from the same md5-window signatures
       Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text",
         numHashes = 16, rowsPerBand = 4, shingleLen = 3)
+    }),
+
+    "dedup_groups" -> ((s, dir) => {
+      // pairs → transitive dedup groups: min-label-propagation connected
+      // components over the CONFIRMED (jaccard ≥ threshold) near-dup
+      // pairs — candidates are a recall-oriented superset that would
+      // over-merge groups (and are ~30× denser: 1.6M candidate edges vs
+      // ~50k confirmed at sf0.1). Every document gets its component's
+      // lowest doc_id as group_id (singletons keep their own id) — the
+      // assignment a keep-one-per-group dedup filters on
+      val docs = Tables.documents(s, dir)
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          blockCol = concat(col("lang"), lit("|"),
+            floor(col("n_chars") / 100).cast("long").cast("string")),
+          n = 3, minJaccard = 0.2),
+        docs, "doc_id")
+        .select(col("id").as("doc_id"), col("group_id"))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
@@ -1868,28 +1948,8 @@ object SparkEntry {
            |GROUP BY n_docs""".stripMargin,
 
       "dedup_ngram_jaccard" ->
-        s"""WITH t AS (SELECT doc_id,
-           |  lang || '|' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
-           |  $normTextSql AS t FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, block, substr(t, CAST(i AS INT), 3) AS sh
-           |  FROM (SELECT doc_id, block, t, unnest(generate_series(1, length(t)-2)) AS i
-           |    FROM t WHERE length(t) >= 3)),
-           |dfreq AS (SELECT block, sh, count(*) AS dfreq FROM sh GROUP BY block, sh),
-           |rare AS (SELECT s.doc_id, s.block, s.sh FROM sh s
-           |  JOIN dfreq d ON d.block = s.block AND d.sh = s.sh WHERE d.dfreq <= 8),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM rare a JOIN rare b ON a.block = b.block AND a.sh = b.sh
-           |    AND a.doc_id < b.doc_id),
-           |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-           |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
-           |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
-           |  GROUP BY c.id_a, c.id_b),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
-           |SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
-           |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-           |FROM inter JOIN sizes sa ON sa.doc_id = id_a
-           |JOIN sizes sb ON sb.doc_id = id_b
-           |WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2""".stripMargin,
+        s"""WITH $jaccardPairCtes
+           |SELECT id_a, id_b, n_inter, n_a, n_b, jaccard FROM jp""".stripMargin,
 
       // minhash signature re-derived from the same md5 windows: families
       // 0-7 = stride-3 8-hex windows of md5(sh), 8-15 of md5('x'||sh)
@@ -1912,34 +1972,24 @@ object SparkEntry {
       // of its minhashes agree, so the oracle joins on the raw band values
       // (Spark's xxhash64 band bucket is only a shuffle-key compaction);
       // same maxBucket=4096 mega-bucket drop per band group
-      "dedup_minhash_pairs" -> {
-        val mins = (0 until 16).map { i =>
-          val d = if (i < 8) "d1" else "d2"
-          s"min(CAST('0x' || substr($d, ${(i % 8) * 3 + 1}, 8) AS BIGINT)) AS h$i"
-        }.mkString(",\n  ")
-        val bandRows = (0 until 4).map { b =>
-          val hs = (0 until 4).map(j => s"h${b * 4 + j} AS k${j}").mkString(", ")
-          s"SELECT doc_id, $b AS band, $hs FROM sig"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS sh
-           |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t)-2)) AS i
-           |    FROM t WHERE length(t) >= 3)),
-           |h AS (SELECT doc_id, sh, md5(sh) AS d1, md5('x' || sh) AS d2 FROM sh),
-           |sig AS (SELECT doc_id,
-           |  $mins
-           |FROM h GROUP BY doc_id),
-           |bands AS (
-           |  $bandRows),
-           |sz AS (SELECT band, k0, k1, k2, k3, count(*) AS n FROM bands
-           |  GROUP BY band, k0, k1, k2, k3),
-           |bb AS (SELECT bands.* FROM bands
-           |  JOIN sz USING (band, k0, k1, k2, k3) WHERE sz.n <= 4096)
-           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |FROM bb a JOIN bb b ON a.band = b.band AND a.k0 = b.k0
-           |  AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.k3 = b.k3
-           |  AND a.doc_id < b.doc_id""".stripMargin
-      },
+      "dedup_minhash_pairs" ->
+        s"""WITH $minhashPairCtes
+           |SELECT id_a, id_b FROM prs""".stripMargin,
+
+      // transitive closure of the SAME confirmed-pair derivation: every
+      // document's group is the min doc_id reachable over the verified
+      // near-dup graph (recursive CTE = the declarative twin of the
+      // Spark side's min-label propagation loop)
+      "dedup_groups" ->
+        s"""WITH RECURSIVE $jaccardPairCtes,
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+           |  UNION SELECT id_b AS src, id_a AS dst FROM jp),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl)
+           |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS group_id
+           |FROM reach GROUP BY 1""".stripMargin,
 
       // simhash twin: same md5-derived 60-bit token hashes, ±1 bit votes,
       // sign → bit, top-16-bit blocking key

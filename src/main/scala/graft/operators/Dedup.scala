@@ -232,4 +232,69 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
   }
+
+  /** Connected components over candidate near-dup pairs — the grouping
+    * stage that turns pairwise hits into transitive dedup groups
+    * (keep-lowest-id-per-group is then one filter).
+    *
+    * Iterative min-label propagation on DataFrames: every node starts
+    * labeled with its own id; each round takes the min of its label and
+    * its neighbors' labels; at fixpoint every component carries its
+    * minimum member id. Rounds needed = component diameter (near-dup
+    * components are shallow in practice — most are pairs/cliques); each
+    * round is one equi-join + partial-agg min on the node id, so
+    * nothing ever shuffles more than (edge, label) rows. This is the
+    * simple cousin of the large-star/small-star alternation (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond" — public),
+    * which the same loop structure upgrades to if component diameters
+    * grow at scale. `localCheckpoint` every round truncates lineage so
+    * the plan doesn't grow with iterations (the standard iterative-
+    * DataFrame requirement). Deterministic: labels are ids, min is
+    * order-free, so retries and speculative tasks can't change results.
+    *
+    * Output: (id, group_id) for every `nodes` row — singletons keep
+    * group_id = own id. Throws if not converged within `maxIter` (the
+    * bound exists to surface pathological inputs, not to truncate:
+    * truncated labels would silently split groups).
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                          aCol: String = "id_a", bCol: String = "id_b",
+                          maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("group_id"))
+      .localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("group_id").as("nbr")),
+          "dst")
+        .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), col("group_id").as("old_gid"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
+            .as("group_id"))
+      // pointer jumping (label compression): follow your label's label.
+      // Pure neighbor propagation needs diameter rounds — a 50-link
+      // near-dup chain is 50 joins; compressing each round makes chains
+      // collapse exponentially, O(log diameter) rounds total. Labels are
+      // node ids, so the self-join always resolves. Fixpoint unchanged.
+      val comp = next.select(col("id").as("cid"), col("group_id").as("cgid"))
+      // old_gid rides along so convergence is a scan of the checkpointed
+      // result, not another join per round
+      val jumped = next
+        .join(comp, next("group_id") === comp("cid"), "left")
+        .select(col("id"), col("old_gid"),
+          coalesce(col("cgid"), col("group_id")).as("group_id"))
+        .localCheckpoint()
+      done = jumped.filter(col("group_id") =!= col("old_gid")).count() == 0L
+      labels = jumped.drop("old_gid")
+      it += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

@@ -130,6 +130,33 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("min-label propagation: multi-hop chains, singletons, determinism") {
+    // chain 1-2-3-4-5 (diameter 4 forces several propagation rounds),
+    // separate pair 7-6 (reversed order in the input), singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 6L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("doc_id")
+    val groups = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(groups(_) == 1L))
+    assert(groups(6L) == 6L && groups(7L) == 6L)
+    assert(groups(9L) == 9L) // singleton keeps its own id
+    assert(groups.size == 8)
+  }
+
+  test("non-convergence within maxIter throws instead of truncating") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, nodes, "doc_id", maxIter = 1)
+    }
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
