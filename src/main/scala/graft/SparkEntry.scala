@@ -1030,6 +1030,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    "text_tfidf" -> ((s, dir) => {
+      // top-3 TF-IDF terms per document, smooth idf; the term-key join
+      // is the honest shape (a 100 TB vocabulary is not broadcastable)
+      TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tfidf"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "text_winnow" -> ((s, dir) => {
       // row-level winnowing output: every selected fingerprint of every
       // document is hash-checked
@@ -2071,6 +2079,25 @@ object SparkEntry {
            |  AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
       },
+
+      // smooth-idf TF-IDF: idf rounded to 4dp BEFORE the multiply (then
+      // the product to 6dp) so an ulp of ln() disagreement between
+      // engines' libm cannot flip a value; rank on the rounded score
+      "text_tfidf" ->
+        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |tok AS (SELECT doc_id, tk AS term FROM (
+           |  SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM t)
+           |  WHERE length(tk) > 0),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |s AS (SELECT doc_id, term, round(tf *
+           |    round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1, 4), 6) AS tfidf
+           |  FROM tf JOIN df USING (term), n)
+           |SELECT doc_id, term, tfidf, rank FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY tfidf DESC, term) AS BIGINT) AS rank FROM s)
+           |WHERE rank <= 3""".stripMargin,
 
       // winnowing twin: same md5-32-bit gram hashes, same window minima,
       // same full-window cutoff

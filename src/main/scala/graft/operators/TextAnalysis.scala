@@ -84,6 +84,45 @@ object TextAnalysis {
   /** Stable document fingerprint: md5 of normalized text. */
   def fingerprint(text: Column): Column = md5(normText(text))
 
+  /** Top-`k` TF-IDF terms per document (smooth idf:
+    * `ln((N+1)/(df+1)) + 1`, the standard sklearn-style smoothing —
+    * public). Ranking is `tfidf DESC, term ASC` on the ROUNDED score so
+    * cross-engine rank order is stable.
+    *
+    * Cross-engine reproducibility: the idf is rounded to 4 dp BEFORE the
+    * multiply (then the product to 6 dp) — `ln` is not required to be
+    * correctly rounded by either engine's libm, and the double round
+    * makes an ulp of disagreement harmless unless it lands within 5e-11
+    * of a 4 dp boundary.
+    *
+    * Scale shape: token explode → (doc, term, tf) partial-agg count (one
+    * shuffle on (doc, term)); df reuses that frame with a term-key agg;
+    * the tf⋈idf equi-join shuffles on the term key (a 100 TB corpus's
+    * vocabulary is NOT broadcastable — the join must hash-partition);
+    * the corpus row count rides in as a broadcast 1-row frame; top-k per
+    * doc is the two-stage WindowGroupLimit rank. No driver-side actions.
+    *
+    * Output: (id, term, tfidf rounded to 6 dp, rank ≤ k).
+    */
+  def tfIdfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val idf = round(
+      log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1, 4)
+    val scored = tf.join(df, "term").crossJoin(nDocs)
+      .select(col("id"), col("term"),
+        round(col("tf") * idf, 6).as("tfidf"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every k-gram of the
     * normalized text, slide a window of `window` consecutive hashes and
     * keep each window's minimum — any shared substring of length ≥

@@ -63,6 +63,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       feats(5L).height == 29 && feats(5L).n_bytes == 172)
   }
 
+  test("tf-idf: rare terms outrank common ones, scores hand-checked") {
+    // "common" appears in all 3 docs (idf floor), "rare" only in doc 1
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .select("id", "term", "tfidf", "rank")
+      .as[(Long, String, Double, Int)].collect()
+      .map(r => (r._1, r._4) -> (r._2, r._3)).toMap
+    // doc 1 top term is "rare": tf=2, idf=round(ln(4/2)+1,4)=1.6931
+    assert(out((1L, 1))._1 == "rare")
+    assert(out((1L, 1))._2 == 2 * 1.6931)
+    // "common" (df=3): idf=round(ln(4/4)+1,4)=1.0 -> tf*1.0
+    assert(out((1L, 2)) == (("common", 1.0)))
+    assert(out((2L, 1))._1 == "common" && out((2L, 1))._2 == 2.0)
+    // doc 3: the rare term ("thing", df=1) outranks the universal one
+    assert(out((3L, 1)) == (("thing", 1.6931)))
+    assert(out((3L, 2)) == (("common", 1.0)))
+  }
+
   test("winnowing: shared substring >= k+window-1 shares a fingerprint") {
     val common = "the identical long shared passage of text"
     val docs = Seq(
