@@ -168,11 +168,11 @@ object SparkEntry {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2)""".stripMargin
 
-  /** Minhash banded-candidate CTE block ending in `prs(id_a, id_b)` —
-    * the explicit md5-window signature derivation; shared by the
-    * dedup_minhash_pairs and dedup_groups oracles so the pair
-    * derivation cannot drift between them. Splice after `WITH`. */
-  private def minhashPairCtes: String = {
+  /** Minhash band-membership CTE block ending in
+    * `bands(doc_id, band, k0..k3)` — the explicit md5-window signature
+    * derivation; shared by the minhash pair oracles and decontam_fuzzy
+    * so the signature derivation cannot drift. Splice after `WITH`. */
+  private def minhashBandCtes: String = {
     val mins = (0 until 16).map { i =>
       val d = if (i < 8) "d1" else "d2"
       s"min(CAST('0x' || substr($d, ${(i % 8) * 3 + 1}, 8) AS BIGINT)) AS h$i"
@@ -190,7 +190,14 @@ object SparkEntry {
        |  $mins
        |FROM h GROUP BY doc_id),
        |bands AS (
-       |  $bandRows),
+       |  $bandRows)""".stripMargin
+  }
+
+  /** [[minhashBandCtes]] extended to candidate pairs `prs(id_a, id_b)`
+    * (bucket-size cap then in-bucket expansion) — shared by the
+    * dedup_minhash_pairs oracle. Splice after `WITH`. */
+  private def minhashPairCtes: String =
+    s"""$minhashBandCtes,
        |sz AS (SELECT band, k0, k1, k2, k3, count(*) AS n FROM bands
        |  GROUP BY band, k0, k1, k2, k3),
        |bb AS (SELECT bands.* FROM bands
@@ -199,7 +206,6 @@ object SparkEntry {
        |FROM bb a JOIN bb b ON a.band = b.band AND a.k0 = b.k0
        |  AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.k3 = b.k3
        |  AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   /** Benchmark-decontamination oracle at word gram size `n` — the
     * explicit unnest/join derivation the Spark kernel path must match;
@@ -1078,6 +1084,15 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Curation.decontaminate(docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", n = 13)
+    }),
+
+    "decontam_fuzzy" -> ((s, dir) => {
+      // near-dup decontamination: training docs sharing a minhash LSH
+      // band bucket with the benchmark slice — catches lightly-edited
+      // test-set leakage the exact n-gram pass misses
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminateFuzzy(docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
     }),
 
     "pii_scrub" -> ((s, dir) => {
@@ -2263,6 +2278,16 @@ object SparkEntry {
       "decontam_ngram" -> decontamSql(4),
       "decontam_ngram8" -> decontamSql(8),
       "decontam_ngram13" -> decontamSql(13),
+
+      // fuzzy twin over the shared minhash band derivation: train docs
+      // whose band k-tuple matches any bench doc's in that band
+      "decontam_fuzzy" ->
+        s"""WITH $minhashBandCtes,
+           |bb AS (SELECT DISTINCT band, k0, k1, k2, k3 FROM bands
+           |  WHERE doc_id % 20 = 0)
+           |SELECT doc_id, CAST(count(DISTINCT band) AS BIGINT) AS n_bands
+           |FROM bands JOIN bb USING (band, k0, k1, k2, k3)
+           |WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin,
 
       "pii_scrub" -> {
         val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,4}"

@@ -139,6 +139,35 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Fuzzy benchmark decontamination: training documents that are
+    * NEAR-duplicates of a benchmark document — caught by sharing a
+    * minhash LSH band bucket ([[Dedup.bandBuckets]]) — the near-dup
+    * analog of [[decontaminate]] used when test-set leakage is lightly
+    * edited rather than verbatim (the fuzzy dedup-vs-eval-set pass of
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" — public).
+    *
+    * Same scale shape as the exact pass: the benchmark's (band, bucket)
+    * set is distinct'd and broadcast, so training-side band rows never
+    * shuffle; only the matched candidates flow into the per-doc count.
+    * Output: (id, n_bands ∈ 1..numBands) for flagged docs only — the
+    * band count is a crude similarity signal (all bands shared ≈ exact
+    * dup).
+    */
+  def decontaminateFuzzy(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, numHashes: Int = 16,
+                         rowsPerBand: Int = 4,
+                         shingleLen: Int = 3): DataFrame = {
+    val benchBands = broadcast(
+      Dedup.bandBuckets(bench, idCol, textCol, numHashes, rowsPerBand,
+        shingleLen).select("band", "bucket").distinct())
+    Dedup.bandBuckets(train, idCol, textCol, numHashes, rowsPerBand,
+        shingleLen)
+      .join(benchBands, Seq("band", "bucket"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("band")).as("n_bands"))
+  }
+
   /** The full curate-and-mix flow, composed: exact dedup (keep the
     * lowest id per normalized-text fingerprint) → repetition quality
     * gate → benchmark decontamination (drop docs overlapping `bench` on

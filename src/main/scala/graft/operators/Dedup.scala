@@ -76,9 +76,14 @@ object Dedup {
     * belong to [[exactGroups]] anyway, same reasoning as the rare-shingle
     * cut in [[ngramJaccardPairs]]). Returns candidate pairs (id_a <
     * id_b). */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, rowsPerBand: Int = 4,
-                        shingleLen: Int = 3, maxBucket: Int = 4096): DataFrame = {
+  /** (id, band, bucket) LSH band memberships of every document: each
+    * band's `rowsPerBand` minhashes hash to one bucket key. The shared
+    * front half of [[minhashCandidates]] (self near-dup pairs) and
+    * [[Curation.decontaminateFuzzy]] (near-dup overlap vs a benchmark
+    * set). */
+  def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 16, rowsPerBand: Int = 4,
+                  shingleLen: Int = 3): DataFrame = {
     val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleLen)
     val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
@@ -86,9 +91,15 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(cols: _*).as("bucket"))
     }
-    val banded = sig
-      .select(col(idCol), explode(array(bands: _*)).as("bb"))
+    sig.select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, rowsPerBand: Int = 4,
+                        shingleLen: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val banded = bandBuckets(docs, idCol, textCol, numHashes, rowsPerBand,
+      shingleLen)
     // pairs via bucket collect + in-bucket expansion, NOT a bucket-key
     // self-join: a self-join's sides each recompute the whole signature
     // pipeline (the expensive md5 scan) and shuffle separately; this

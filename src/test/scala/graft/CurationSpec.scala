@@ -63,6 +63,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((2L, 1L), (3L, 2L)))
   }
 
+  test("decontaminateFuzzy: near-dup of a bench doc flagged, unrelated not") {
+    val base = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank every single morning before the sun rises over the far hills"
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, base),                                   // exact dup: all bands
+      (2L, base.replace("morning", "evening")),     // near dup: >=1 band
+      (3L, "completely different text about sparks and distributed joins"))
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminateFuzzy(train, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 4L)          // exact dup shares every band
+    assert(out.getOrElse(2L, 0L) >= 1L, s"near-dup not flagged: $out")
+    assert(!out.contains(3L))
+  }
+
   test("decontaminate: distinct grams per doc count once") {
     val bench = Seq((9L, "x y z w")).toDF("doc_id", "text")
     val train = Seq((1L, "x y z w and x y z w again")).toDF("doc_id", "text")
