@@ -85,6 +85,12 @@ object SparkEntry {
   /** Normalized text (SQL twin of Dedup.normText; 'g' = global replace). */
   private val normTextSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** The documents-table jaccard blocking key (lang + 100-char length
+    * band) — ONE definition for every Spark-side registration that
+    * grades against the shared `jaccardPairCtes` oracle derivation. */
+  private def docBlockCol: Column = concat(col("lang"), lit("|"),
+    floor(col("n_chars") / 100).cast("long").cast("string"))
+
   /** DOUBLE[] literal for a float vector, as DuckDB SQL. */
   private def vecLit(cv: Array[Float]): String =
     cv.map(_.toDouble.toString).mkString("[", ", ", "]")
@@ -883,10 +889,9 @@ object SparkEntry {
     }),
 
     "corpus_curate" -> ((s, dir) => {
-      val block = concat(col("lang"), lit("|"),
-        floor(col("n_chars") / 100).cast("long").cast("string"))
       CorpusPipeline.stats(
-        CorpusPipeline.curate(Tables.documents(s, dir), "doc_id", "text", block))
+        CorpusPipeline.curate(Tables.documents(s, dir), "doc_id", "text",
+          docBlockCol))
     }),
 
     "dedup_embedding" -> ((s, dir) => {
@@ -907,9 +912,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          blockCol = concat(col("lang"), lit("|"),
-            floor(col("n_chars") / 100).cast("long").cast("string")),
-          n = 3, minJaccard = 0.2)
+          blockCol = docBlockCol, n = 3, minJaccard = 0.2)
         .select(col("id_a"), col("id_b"), col("n_inter").cast("long"),
           col("n_a").cast("long"), col("n_b").cast("long"), col("jaccard"))
     }),
@@ -938,9 +941,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          blockCol = concat(col("lang"), lit("|"),
-            floor(col("n_chars") / 100).cast("long").cast("string")),
-          n = 3, minJaccard = 0.2),
+          blockCol = docBlockCol, n = 3, minJaccard = 0.2),
         docs, "doc_id")
         .select(col("id").as("doc_id"), col("group_id"))
     }),
@@ -1976,20 +1977,13 @@ object SparkEntry {
 
       // minhash signature re-derived from the same md5 windows: families
       // 0-7 = stride-3 8-hex windows of md5(sh), 8-15 of md5('x'||sh)
-      "dedup_minhash" -> {
-        val mins = (0 until 16).map { i =>
-          val d = if (i < 8) "d1" else "d2"
-          s"min(CAST('0x' || substr($d, ${(i % 8) * 3 + 1}, 8) AS BIGINT)) AS h$i"
-        }.mkString(",\n  ")
-        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS sh
-           |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t)-2)) AS i
-           |    FROM t WHERE length(t) >= 3)),
-           |h AS (SELECT doc_id, sh, md5(sh) AS d1, md5('x' || sh) AS d2 FROM sh)
-           |SELECT doc_id,
-           |  $mins
-           |FROM h GROUP BY doc_id""".stripMargin
-      },
+      // signature table straight off the shared band CTE block (the
+      // unreferenced bands CTE costs nothing — DuckDB only materializes
+      // CTEs the final query reaches)
+      "dedup_minhash" ->
+        s"""WITH $minhashBandCtes
+           |SELECT doc_id, ${(0 until 16).map(i => s"h$i").mkString(", ")}
+           |FROM sig""".stripMargin,
 
       // banded-candidate twin: same signatures; a band matches when all 4
       // of its minhashes agree, so the oracle joins on the raw band values

@@ -65,17 +65,6 @@ object Dedup {
       (0 until numHashes).map(i => element_at(col("__mh"), i + 1).as(s"h$i")): _*)
   }
 
-  /** LSH banding over the minhash signature: documents sharing any band
-    * hash become candidate near-dup pairs. Bands of `rowsPerBand` hashes
-    * are hashed together; the band bucket join only ever shuffles
-    * (band, bucket, id) triples. Buckets larger than `maxBucket` are
-    * dropped before the join — a bucket of identical band signatures
-    * (exact-dup floods, degenerate short docs) makes the self-join
-    * O(bucket²), the one shape that goes quadratic at corpus scale;
-    * capping bounds the join at O(maxBucket²) per bucket (exact dups
-    * belong to [[exactGroups]] anyway, same reasoning as the rare-shingle
-    * cut in [[ngramJaccardPairs]]). Returns candidate pairs (id_a <
-    * id_b). */
   /** (id, band, bucket) LSH band memberships of every document: each
     * band's `rowsPerBand` minhashes hash to one bucket key. The shared
     * front half of [[minhashCandidates]] (self near-dup pairs) and
@@ -95,6 +84,16 @@ object Dedup {
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
 
+  /** LSH banding over the minhash signature: documents sharing any band
+    * hash become candidate near-dup pairs. The band bucket join only
+    * ever shuffles (band, bucket, id) triples. Buckets larger than
+    * `maxBucket` are dropped before the join — a bucket of identical
+    * band signatures (exact-dup floods, degenerate short docs) makes the
+    * self-join O(bucket²), the one shape that goes quadratic at corpus
+    * scale; capping bounds the join at O(maxBucket²) per bucket (exact
+    * dups belong to [[exactGroups]] anyway, same reasoning as the
+    * rare-shingle cut in [[ngramJaccardPairs]]). Returns candidate
+    * pairs (id_a < id_b). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, rowsPerBand: Int = 4,
                         shingleLen: Int = 3, maxBucket: Int = 4096): DataFrame = {
@@ -283,6 +282,13 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("group_id").as("nbr")),
           "dst")
         .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
+      // NOT materialized before the jump self-join, deliberately: both
+      // jump sides derive from `next`, but ReuseExchange dedupes the
+      // shuffles underneath and the duplicated join+agg above them is
+      // cheaper than forcing a materialization point (A/B at sf0.1:
+      // unmaterialized 3.9s, localCheckpoint 5.8s, lazy persist 6.0s —
+      // both variants break whole-stage pipelining and pay cache costs
+      // every round).
       val next = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("group_id").as("old_gid"),
