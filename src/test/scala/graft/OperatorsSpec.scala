@@ -323,6 +323,74 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trainedRecall >= 18, s"trained recall $trainedRecall/20")
   }
 
+  test("pq kernels are value-identical to the explicit literal formulation") {
+    // the kernels replaced an expression-tree derivation for JIT reasons
+    // (31 KB method); this pins the kernel bit-for-bit to the literal
+    // formulation — the same independent derivation the DuckDB oracle
+    // still runs — over random vectors
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val subDim = 4
+    val rows = (0 until 100).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqQuantizer(numSub = 4, codebookSize = 8, subDim = subDim)
+    val model = new graft.functions.PqModel(cbs)
+    val litCodes = array(cbs.zipWithIndex.map { case (cb, m) =>
+      val sub = slice(col("embedding"), m * subDim + 1, subDim)
+      array_min(array(cb.zipWithIndex.map { case (cv, j) =>
+        struct((lit(Similarity.selfDot(cv)) -
+          lit(2.0) * Similarity.dot(sub, typedLit(cv))).as("d"),
+          lit(j).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+    val litLut = array(cbs.zipWithIndex.map { case (cb, m) =>
+      val qsub = slice(col("embedding"), m * subDim + 1, subDim)
+      array(cb.map { cv =>
+        lit(Similarity.selfDot(cv)) - lit(2.0) * Similarity.dot(qsub, typedLit(cv))
+      }: _*)
+    }: _*)
+    val both = df.select(
+      graft.functions.Pq.encode(col("embedding"), model).as("kc"),
+      litCodes.as("lc"),
+      graft.functions.Pq.lut(col("embedding"), model).as("kl"),
+      litLut.as("ll"))
+    val litAdc = cbs.indices.map { m =>
+      element_at(element_at(col("ll"), m + 1), element_at(col("lc"), m + 1) + 1)
+    }.reduce(_ + _)
+    val checked = both.select(col("kc"), col("lc"), col("kl"), col("ll"),
+      graft.functions.Pq.adc(col("kl"), col("kc")).as("ka"), litAdc.as("la"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), "codes diverge")
+      assert(r.getSeq[Seq[Double]](2) == r.getSeq[Seq[Double]](3), "lut diverges")
+      assert(r.getDouble(4) == r.getDouble(5), "adc sum diverges")
+    }
+  }
+
+  test("lsh band kernel is value-identical to the per-plane when-chain") {
+    val rnd = new scala.util.Random(29)
+    val dim = 64
+    val tables = 4
+    val planes = 16
+    val rows = (0 until 100).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val model = new graft.functions.LshModel(
+      Array.tabulate(tables, planes)((t, i) =>
+        Similarity.planeVec(t * planes + i, dim)))
+    val litBands = array((0 until tables).map { t =>
+      (0 until planes).map { i =>
+        val proj = Similarity.dot(col("embedding"),
+          typedLit(Similarity.planeVec(t * planes + i, dim)))
+        when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    df.select(graft.functions.Vec.lshBands(col("embedding"), model).as("k"),
+        litBands.as("l")).collect()
+      .foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("lsh buckets: identical vectors always collide, opposite never") {
     val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", numPlanes = 8, dim = 3)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
