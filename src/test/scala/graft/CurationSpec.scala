@@ -203,6 +203,36 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stream-static hits match batch, stateless") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "lazy dogs sleep all day", Timestamp.valueOf("2024-01-01 00:00:01")),
+      (2L, "he said the quick brown fox runs", Timestamp.valueOf("2024-01-01 00:00:02")),
+      (3L, "the quick brown fox jumps high today", Timestamp.valueOf("2024-01-01 00:00:03")))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val hits = graft.streaming.StreamDecontam.hits(
+      mem.toDF().toDF("doc_id", "text", "ts"), bench, "doc_id", "text", n = 4)
+    val q = hits.writeStream.format("memory").queryName("sd_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sd_out").groupBy("doc_id").count()
+        .as[(Long, Long)].collect().toMap
+      // per-doc hit counts equal the batch twin's n_shared
+      val want = Curation.decontaminate(
+          rows.toDF("doc_id", "text", "ts"), bench, "doc_id", "text", n = 4)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want && got == Map(2L -> 1L, 3L -> 2L))
+      // the stream-static join plan must carry no stateful operator
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"))
+    } finally q.stop()
+  }
+
   test("semanticDropIds keeps the lowest id of each duplicate group") {
     val v = Array.tabulate(8)(_.toFloat / 8f)
     val vecs = Seq((5L, v), (2L, v), (9L, v),
