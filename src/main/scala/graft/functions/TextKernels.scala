@@ -126,6 +126,52 @@ object TextKernelOps {
     sb.toString
   }
 
+  /** (n_chars, n_tokens, punct, len_nospace) of the NORMALIZED text in
+    * one pass. Value-identical to the regexp formulation the text_quality
+    * oracle derives: n_chars = length(norm), n_tokens = 0 for empty else
+    * spaces+1 (normText collapses runs, so split size = spaces+1), punct
+    * counts Java `\p{Punct}` = POSIX punct = the 32 ASCII chars
+    * !-/ :-@ [-` {-~, len_nospace = n_chars − spaces. */
+  def textStats(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val t = normText(s).toString
+    var spaces = 0
+    var punct = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == ' ') spaces += 1
+      else if ((c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+               (c >= 91 && c <= 96) || (c >= 123 && c <= 126)) punct += 1
+      i += 1
+    }
+    val n = t.length
+    val nTokens = if (n == 0) 0 else spaces + 1
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array[Long](n, nTokens, punct, n - spaces))
+  }
+
+  /** Best-scoring language over marker-word hit sums; value-identical to
+    * the greatest + foldRight(when) Column formulation (and the oracle's
+    * CASE chain): langs come pre-sorted, strict `>` keeps the earliest
+    * lang on ties, zero total hits → "und". */
+  def langId(s: UTF8String, m: LangModel): UTF8String = {
+    val norm = normText(s)
+    var best = -1
+    var bestScore = 0
+    var i = 0
+    while (i < m.langs.length) {
+      var sc = 0
+      var j = 0
+      while (j < m.markers(i).length) {
+        sc += countWord(norm, m.markers(i)(j))
+        j += 1
+      }
+      if (sc > bestScore) { bestScore = sc; best = i }
+      i += 1
+    }
+    UTF8String.fromString(if (best < 0) "und" else m.langs(best))
+  }
+
   def repStats(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val norm = normText(s).toString
     val words = splitWords(norm)
@@ -231,6 +277,37 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 }
 
 /** `rep_stats(s)` — 7 exact-integer repetition statistics, single-pass. */
+/** Marker-word language model: langs in SORTED order with their marker
+  * word lists — a reference object so the language-ID scan is one kernel
+  * call instead of numLangs × numMarkers `count_word` + `when` trees
+  * (the literal chain was a large share of a composed pipeline's
+  * over-JIT-limit collapsed projection). */
+final class LangModel(val langs: Array[String],
+                      val markers: Array[Array[String]]) extends Serializable
+
+case class LangIdK(child: Expression, model: LangModel)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernelOps.langId(v.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langModel", model, classOf[LangModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelOps.langId($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): LangIdK = copy(c)
+}
+
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernelOps.textStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelOps.textStats($c)")
+  override protected def withNewChildInternal(c: Expression): TextStats = copy(c)
+}
+
 case class RepStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -247,6 +324,10 @@ object TextKernels {
     ColumnBridge.column(NormText(ColumnBridge.expression(c)))
   def repStats(c: Column): Column =
     ColumnBridge.column(RepStats(ColumnBridge.expression(c)))
+  def textStats(c: Column): Column =
+    ColumnBridge.column(TextStats(ColumnBridge.expression(c)))
+  def langId(c: Column, model: LangModel): Column =
+    ColumnBridge.column(LangIdK(ColumnBridge.expression(c), model))
   def countWord(c: Column, word: String): Column =
     ColumnBridge.column(CountWord(ColumnBridge.expression(c), word))
   def simhash60(c: Column): Column =

@@ -29,30 +29,38 @@ object TextAnalysis {
 
   /** Best-scoring language label, "und" when nothing matches; ties break
     * alphabetically (de < en < es < fr) so the oracle CASE chain can
-    * reproduce the choice exactly. */
+    * reproduce the choice exactly. One kernel call
+    * ([[graft.functions.TextKernelOps.langId]], value-identical to the
+    * previous greatest + foldRight(when) Column chain) — the 20
+    * count_word + when tree was a large share of composed pipelines'
+    * over-JIT-limit collapsed projections. */
   def langId(text: Column): Column = {
-    val t = normText(text)
-    val byLang = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      lang -> ws.map(w => wordHits(t, w)).reduce(_ + _)
-    }
-    val top = greatest(byLang.map(_._2): _*)
-    byLang.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(top > 0 && s === top, lang).otherwise(acc)
-    }
+    val sorted = markers.toSeq.sortBy(_._1)
+    val model = new graft.functions.LangModel(
+      sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray)
+    graft.functions.TextKernels.langId(text, model)
   }
 
   /** Punctuation-density, stopword-ratio and length features + a blended
     * [0,100] quality score. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val t = normText(text)
-    val nChars = length(t)
-    val nTokens = tokenCount(text)
-    val punct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    // counting features come from the one-pass textStats kernel instead
+    // of regexp_replace/split trees: projection collapse duplicates
+    // whatever sits here into the gate filter and every downstream
+    // reference, and the regex formulation pushed composed pipelines'
+    // collapsed method over the 8 KB JIT limit (interpreted). The kernel
+    // is value-identical to the regexp formulation the DuckDB oracle
+    // still derives — see [[graft.functions.TextKernelOps.textStats]].
+    def st: Column = graft.functions.TextKernels.textStats(text)
+    val nChars = element_at(st, 1).cast("int")
+    val nTokens = element_at(st, 2).cast("int")
+    val punct = element_at(st, 3)
     val stop = markers("en").map(w => wordHits(t, w)).reduce(_ + _)
     val punctRatio = when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0)
     val stopRatio = when(nTokens > 0, stop.cast("double") / nTokens).otherwise(0.0)
     val meanTokLen = when(nTokens > 0,
-      length(regexp_replace(t, " ", "")).cast("double") / nTokens).otherwise(0.0)
+      element_at(st, 4).cast("double") / nTokens).otherwise(0.0)
     val score =
       when(nTokens === 0, 0.0).otherwise(
         greatest(lit(0.0), least(lit(100.0),
