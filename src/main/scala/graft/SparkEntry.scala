@@ -1172,6 +1172,96 @@ object SparkEntry {
           round(element_at(col("q"), 3), 4).as("q99"),
           col("n"))
     }),
+
+    "asof_join" -> ((s, dir) => {
+      // point-in-time join: each purchase picks up the latest view by
+      // the same user at/before it. ts is raw nanos (Tables.events);
+      // DIV 1000 = DuckDB epoch_us exactly (both truncate toward zero
+      // and the timestamps are positive — asserted in EventOpsSpec).
+      // The view side collapses same-µs ties to max(event_id) so the
+      // as-of match is unambiguous in both engines.
+      val e = Tables.events(s, dir)
+      val l = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"))
+      val r = e.where(col("event_type") === "view")
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("view_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      EventOps.asOfJoin(l, r, "user_id", col("ts_us"), col("view_ts"),
+          Seq("view_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_ts").as("view_ts"), col("asof_view_id").as("view_id"),
+          (col("ts_us") - col("asof_ts")).as("gap_us"))
+    }),
+
+    "event_funnel" -> ((s, dir) => {
+      // signup → view → purchase with a 4-hour conversion window per
+      // stage (µs units to stay exact against the ns timestamps)
+      EventOps.funnelCounts(Tables.events(s, dir), "user_id", "event_type",
+        expr("ts DIV 1000"), Seq("signup", "view", "purchase"),
+        maxGap = 14400L * 1000000L)
+    }),
+
+    "events_pivot" -> ((s, dir) => {
+      // pivot with an EXPLICIT value list — no distinct-collect pass on
+      // the driver, so the plan is a single map-side-combined groupBy
+      // at any scale (dynamic pivot would scan once just to learn the
+      // columns)
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .withColumn("total", types.map(col).reduce(_ + _))
+    }),
+
+    "rollup_agg" -> ((s, dir) => {
+      // grouping-sets coverage: rollup emits (flag,status) / (flag) /
+      // () grouping sets in ONE pass — one shuffle, partial aggregation
+      // feeding all three levels; gid disambiguates NULL-as-ALL rows
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"), col("gid"))
+    }),
+
+    "window_ranks" -> ((s, dir) => {
+      // ranking-function family under one total order (price desc,
+      // orderkey tiebreak → every rank function is deterministic)
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 4).as("prnk"),
+        ntile(10).over(w).cast("long").as("decile"))
+    }),
+
+    "corpus_stats" -> ((s, dir) => {
+      // per-language corpus profile with EXACT percentiles (sort-based
+      // percentile(); the sketch twin lives in sketch_stats). Rounded
+      // 2 dp so interpolation ulps can't break cross-engine parity.
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 2).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 2).as("p90_chars"),
+          countDistinct("source").as("n_sources"))
+    }),
+
+    "dedup_chunks" -> ((s, dir) => {
+      Dedup.chunkDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        width = 100, minDocs = 2)
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -2414,6 +2504,79 @@ object SparkEntry {
            |SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b, cos_sim
            |FROM p WHERE cos_sim >= 0.3""".stripMargin
       },
+
+      // epoch_us(ts) == Spark's `ts DIV 1000` on the raw-nanos read
+      // (both truncate ns→µs toward zero; positive ts asserted in
+      // EventOpsSpec)
+      "asof_join" ->
+        """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+          |  FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT user_id, epoch_us(ts) AS view_ts,
+          |  max(event_id) AS view_id
+          |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+          |SELECT l.event_id, l.user_id, l.ts_us, r.view_ts, r.view_id,
+          |  l.ts_us - r.view_ts AS gap_us
+          |FROM l ASOF LEFT JOIN r
+          |  ON l.user_id = r.user_id AND l.ts_us >= r.view_ts""".stripMargin,
+
+      "event_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+          |  WHERE event_type = 'signup' GROUP BY 1),
+          |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+          |  WHERE event_type = 'view' AND ts_us >= t1
+          |    AND ts_us <= t1 + 14400000000 GROUP BY 1),
+          |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+          |  WHERE event_type = 'purchase' AND ts_us >= t2
+          |    AND ts_us <= t2 + 14400000000 GROUP BY 1)
+          |SELECT (SELECT count(*) FROM s1) AS n_signup,
+          |  (SELECT count(*) FROM s2) AS n_view,
+          |  (SELECT count(*) FROM s3) AS n_purchase""".stripMargin,
+
+      "events_pivot" ->
+        """SELECT user_id,
+          |  count(*) FILTER (event_type = 'click') AS click,
+          |  count(*) FILTER (event_type = 'view') AS view,
+          |  count(*) FILTER (event_type = 'purchase') AS purchase,
+          |  count(*) FILTER (event_type = 'signup') AS signup,
+          |  count(*) FILTER (event_type = 'error') AS error,
+          |  count(*) AS total
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "rollup_agg" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+          |  coalesce(l_linestatus, 'ALL') AS lstatus,
+          |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem
+          |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+      "window_ranks" ->
+        """SELECT o_orderkey, o_orderpriority,
+          |  CAST(rank() OVER w AS BIGINT) AS rnk,
+          |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+          |  round(percent_rank() OVER w, 4) AS prnk,
+          |  CAST(ntile(10) OVER w AS BIGINT) AS decile
+          |FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+          |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+      "corpus_stats" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  round(avg(n_chars), 2) AS avg_chars,
+          |  round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+          |  round(quantile_cont(n_chars, 0.9), 2) AS p90_chars,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "dedup_chunks" ->
+        s"""WITH d AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |c AS (SELECT doc_id, md5(substr(t, u.pos, 100)) AS chunk_hash
+           |  FROM d, LATERAL unnest(generate_series(1, length(t) - 99, 100)) u(pos)
+           |  WHERE length(t) >= 100)
+           |SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  count(*) AS n_occurrences, min(doc_id) AS min_doc_id
+           |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     )
   }
 }

@@ -314,4 +314,39 @@ object Dedup {
     require(done, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  /** Sub-document exact dedup at fixed chunk granularity (the
+    * paragraph/line-dedup stage of web-corpus pipelines — RefinedWeb
+    * §"line-wise dedup", Penedo 2023, adapted to fixed `width`-char
+    * windows because the synthetic corpus has no line structure).
+    *
+    * Chunks are non-overlapping `width`-char slices of the normalized
+    * text, aligned at 1, width+1, 2·width+1, …; the ragged tail slice is
+    * dropped so every chunk hashes the same amount of text. Only
+    * (md5, doc_id) pairs shuffle — never the text — and the groupBy is
+    * map-side combined, so the exchange is ~32 B × #chunks regardless of
+    * document size. Explode factor = len/width (bounded, ~20 for 2 KB
+    * docs), linear at 100 TB.
+    *
+    * Output: one row per chunk hash appearing in ≥ `minDocs` distinct
+    * documents: (chunk_hash, n_docs, n_occurrences, min_doc_id).
+    */
+  def chunkDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int = 100, minDocs: Int = 2): DataFrame = {
+    val t = normText(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), t.as("t"))
+      .where(length(col("t")) >= width)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("t")) - (width - 1), lit(width)))
+          .as("pos"),
+        col("t"))
+      .select(col("doc_id"),
+        md5(col("t").substr(col("pos"), lit(width))).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators beyond sessionization: as-of (point-in-time) join
+  * and staged funnel analysis.
+  *
+  * The reference pipeline's event handling is cursor-at-a-time Java
+  * (variant-load-pipeline walks JDBC results row by row); these re-express
+  * the same "look back to the latest prior fact" and "did the user pass
+  * through the stages in order" questions as single-shuffle Spark plans.
+  */
+object EventOps {
+
+  /** As-of join: for every left row, attach the latest right row with the
+    * same key and `right.ts <= left.ts`.
+    *
+    * Scalable shape: NOT a join at all. Both sides are tagged and
+    * unioned, then a single window partitioned by key and ordered by
+    * (ts, side) carries the last-seen right payload forward — one shuffle
+    * on the key, sort-merge within partitions, no per-row probe and no
+    * range-join explosion. At 100 TB the cost is one exchange of
+    * (left + right), which is the information-theoretic floor for this
+    * operator; a broadcast/range formulation would either replicate the
+    * right side or build an interval product.
+    *
+    * Right rows must be unique per (key, ts) — pre-aggregate ties before
+    * calling (ambiguous as-of matches are a correctness bug at any
+    * scale, not just a perf one). Right rows sort BEFORE left rows at an
+    * equal timestamp, giving the standard "at or before" (`>=`) ASOF
+    * semantics.
+    *
+    * @param left      probe side; every row is preserved (left semantics)
+    * @param right     build side, unique per (key, ts)
+    * @param key       equality key column name (present on both sides)
+    * @param leftTs    integral event-time column on `left`
+    * @param rightTs   integral event-time column on `right`
+    * @param carry     right-side columns to attach (prefixed `asof_`)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: Column, rightTs: Column,
+               carry: Seq[String]): DataFrame = {
+    val payload = struct(rightTs.as("__asof_ts") +: carry.map(col): _*)
+    val r = right.select(col(key), rightTs.as("__ts"),
+      lit(0).as("__side"), payload.as("__r"))
+    val l = left.withColumn("__ts", leftTs)
+      .withColumn("__side", lit(1))
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // allowMissingColumns types left's absent __r (and right's absent
+    // left payload) as typed nulls — no hand-built struct cast needed.
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .withColumn("asof_ts", col("__asof.__asof_ts"))
+      .withColumns(carry.map(c => s"asof_$c" -> col(s"__asof.$c")).toMap)
+      .drop("__ts", "__side", "__r", "__asof")
+  }
+
+  /** Ordered-stage funnel: per user, the earliest time each stage could
+    * be reached given the previous stage had already been reached
+    * (stage k counts only at `t(k-1) <= ts <= t(k-1) + maxGap`).
+    *
+    * One aggregation per stage, all shuffled on the same user key —
+    * Catalyst reuses the exchange, and at scale the stage frames are
+    * co-partitioned joins. Returns one row per user with nullable
+    * `t_<stage>` epoch columns; downstream counts are a cheap rollup.
+    *
+    * @param maxGap conversion window per stage (same unit as `ts`);
+    *               `Long.MaxValue` disables the bound
+    */
+  def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
+                  ts: Column, stages: Seq[String],
+                  maxGap: Long = Long.MaxValue): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events.select(col(userCol), col(typeCol).as("__et"),
+      ts.as("__ts"))
+    // t1 = min ts of stage 1; t(k) = min ts of stage k inside the
+    // conversion window after t(k-1). Each step is a groupBy on the
+    // user key joined back co-partitioned.
+    val first = base.where(col("__et") === stages.head)
+      .groupBy(userCol).agg(min(col("__ts")).as(s"t_${stages.head}"))
+    stages.zipWithIndex.drop(1).foldLeft(first) { case (acc, (st, i)) =>
+      val prevT = s"t_${stages(i - 1)}"
+      val inWindow = col("__ts") >= col(prevT) &&
+        (if (maxGap == Long.MaxValue) lit(true)
+         else col("__ts") <= col(prevT) + maxGap)
+      val next = base.where(col("__et") === st)
+        .join(acc.select(col(userCol), col(prevT)), Seq(userCol))
+        .where(inWindow)
+        .groupBy(userCol).agg(min(col("__ts")).as(s"t_$st"))
+      acc.join(next, Seq(userCol), "left")
+    }
+  }
+
+  /** Funnel stage counts: how many users reached each stage in order. */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+                   ts: Column, stages: Seq[String],
+                   maxGap: Long = Long.MaxValue): DataFrame = {
+    val times = funnelTimes(events, userCol, typeCol, ts, stages, maxGap)
+    val aggs = stages.map(st =>
+      count(col(s"t_$st")).cast("long").as(s"n_$st"))
+    times.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, EventOps}
+
+class EventOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asOfJoin attaches latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, 100L, "p1"), // after r@90 -> 90
+      (1L, 90L, "p2"),  // equal ts -> right sorts first -> 90
+      (1L, 10L, "p3"),  // before any right row -> null
+      (2L, 50L, "p4"),  // user with no right rows -> null
+      (3L, 500L, "p5")  // picks user-3's own latest, not user-1's
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, 20L, 1000L), (1L, 90L, 1001L), (1L, 150L, 1002L),
+      (3L, 400L, 2000L)
+    ).toDF("user_id", "ts", "rid")
+
+    val out = EventOps.asOfJoin(left, right, "user_id",
+        col("ts"), col("ts"), Seq("rid"))
+      .select($"tag", $"asof_ts", $"asof_rid")
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+
+    assert(out == Set(
+      ("p1", Some(90L), Some(1001L)),
+      ("p2", Some(90L), Some(1001L)),
+      ("p3", None, None),
+      ("p4", None, None),
+      ("p5", Some(400L), Some(2000L))))
+  }
+
+  test("asOfJoin preserves every left row (left semantics)") {
+    val left = (1 to 100).map(i => (i.toLong % 7, i.toLong * 3)).toDF("user_id", "ts")
+    val right = (1 to 20).map(i => (i.toLong % 7, i.toLong * 11, i.toLong)).toDF("user_id", "ts", "rid")
+    val joined = EventOps.asOfJoin(left, right, "user_id", col("ts"), col("ts"), Seq("rid"))
+    assert(joined.count() == 100L)
+    // spot-check one row against a scan: user 1, left ts 45 -> right ts <= 45
+    val best = right.where($"user_id" === 1 && $"ts" <= 45)
+      .orderBy($"ts".desc).select("ts").as[Long].head()
+    val got = joined.where($"user_id" === 1 && $"ts" === 45)
+      .select("asof_ts").as[Long].head()
+    assert(got == best)
+  }
+
+  test("events.ts nanos are positive so ts DIV 1000 == epoch_us oracle") {
+    // DuckDB truncates the parquet ns timestamps to µs on read, so its
+    // epoch_us(ts) = trunc(ns/1000); Spark's `ts DIV 1000` on the raw
+    // nanos is floor division. The two agree exactly iff ts >= 0.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "testdata unavailable here")
+    val e = Tables.events(spark, dir)
+    assert(e.where(expr("ts < 0")).count() == 0L)
+  }
+
+  test("funnel counts stages in order within the conversion window") {
+    val ev = Seq(
+      // user 1: full ordered funnel, tight gaps
+      (1L, "signup", 100L), (1L, "view", 150L), (1L, "purchase", 200L),
+      // user 2: purchase BEFORE view -> only signup+view count
+      (2L, "signup", 100L), (2L, "purchase", 120L), (2L, "view", 140L),
+      // user 3: view outside the window -> funnel stops at signup
+      (3L, "signup", 100L), (3L, "view", 5000L), (3L, "purchase", 5100L),
+      // user 4: never signed up -> in no stage
+      (4L, "view", 10L), (4L, "purchase", 20L)
+    ).toDF("user_id", "event_type", "ts")
+
+    val row = EventOps.funnelCounts(ev, "user_id", "event_type", col("ts"),
+      Seq("signup", "view", "purchase"), maxGap = 1000L).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (3L, 2L, 1L))
+  }
+
+  test("funnel with unbounded gap admits any later event") {
+    val ev = Seq(
+      (1L, "signup", 0L), (1L, "view", 1000000L), (1L, "purchase", 2000000L)
+    ).toDF("user_id", "event_type", "ts")
+    val row = EventOps.funnelCounts(ev, "user_id", "event_type", col("ts"),
+      Seq("signup", "view", "purchase")).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (1L, 1L, 1L))
+  }
+
+  test("chunkDuplicates finds shared fixed-width chunks, drops ragged tails") {
+    // 250-char docs: doc 1 and 2 share the first 100 chars exactly;
+    // doc 3 is disjoint. Chunks at 1 and 101 hash; the 50-char tail drops.
+    val block = "abcdefghij" * 10           // 100 chars
+    val docs = Seq(
+      (1L, block + ("k" * 100) + ("x" * 50)),
+      (2L, block + ("m" * 100) + ("y" * 50)),
+      (3L, ("z" * 250))
+    ).toDF("doc_id", "text")
+
+    val out = Dedup.chunkDuplicates(docs, "doc_id", "text", width = 100)
+      .select("n_docs", "n_occurrences", "min_doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List((2L, 2L, 1L)))
+
+    // doc 3's chunks exist but are unique -> filtered; short docs yield none
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.chunkDuplicates(short, "doc_id", "text", width = 100).count() == 0L)
+  }
+}
