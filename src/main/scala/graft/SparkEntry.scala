@@ -1262,6 +1262,20 @@ object SparkEntry {
       Dedup.chunkDuplicates(Tables.documents(s, dir), "doc_id", "text",
         width = 100, minDocs = 2)
     }),
+
+    "text_surprisal" -> ((s, dir) => {
+      // unigram-LM surprisal (the CCNet perplexity-filter stage, self-
+      // contained corpus-as-LM variant); integer-scaled per-word bits so
+      // the per-doc aggregation is order-free cross-engine
+      TextAnalysis.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    "event_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix over per-user event streams
+      // (event_id tiebreak makes lag deterministic under retries)
+      EventOps.transitionCounts(Tables.events(s, dir), "user_id",
+        "event_type", expr("ts DIV 1000"), col("event_id"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -2577,6 +2591,32 @@ object SparkEntry {
            |SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            |  count(*) AS n_occurrences, min(doc_id) AS min_doc_id
            |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+      // per-word surprisal is rounded and ×10⁴-scaled to an exact
+      // integer BEFORE the per-doc sum, so neither engine's float
+      // summation order can shift the result
+      "text_surprisal" ->
+        s"""WITH d AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |w AS (SELECT doc_id, uw.w FROM d,
+           |  LATERAL unnest(string_split(t, ' ')) uw(w) WHERE length(uw.w) > 0),
+           |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+           |s AS (SELECT w, CAST(round(-log2(CAST(cnt AS DOUBLE)/total) * 10000)
+           |  AS BIGINT) AS su4 FROM c, tot)
+           |SELECT doc_id, count(*) AS n_words,
+           |  round(sum(su4)/10000.0/count(*), 4) AS avg_surprisal
+           |FROM w JOIN s USING (w) GROUP BY 1""".stripMargin,
+
+      "event_transitions" ->
+        """WITH o AS (SELECT user_id, event_type,
+          |  lag(event_type) OVER (PARTITION BY user_id
+          |    ORDER BY epoch_us(ts), event_id) AS prev_type FROM events),
+          |p AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+          |  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT prev_type, next_type, n,
+          |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 4)
+          |    AS share
+          |FROM p""".stripMargin,
     )
   }
 }

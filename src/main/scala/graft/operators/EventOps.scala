@@ -95,6 +95,29 @@ object EventOps {
     }
   }
 
+  /** First-order transition matrix of an event log: counts and row-
+    * normalized shares of (previous type → next type) steps per user
+    * stream. One window (lag over the user key) + one partial-agg
+    * groupBy — the window and the groupBy shuffle different keys, but
+    * only (type, type) pairs reach the second exchange, so it's
+    * vocabulary-sized, not data-sized. `tieBreak` makes the per-user
+    * order total (concurrent events would otherwise make `lag`
+    * retry-dependent).
+    */
+  def transitionCounts(events: DataFrame, userCol: String, typeCol: String,
+                       ts: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(ts, tieBreak)
+    val share = Window.partitionBy("prev_type")
+    events
+      .select(col(userCol), col(typeCol).as("next_type"),
+        lag(col(typeCol), 1).over(w).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(share), 4))
+  }
+
   /** Funnel stage counts: how many users reached each stage in order. */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
                    ts: Column, stages: Seq[String],

@@ -131,6 +131,41 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Unigram-LM surprisal per document — the perplexity-filter stage of
+    * CCNet/CC-style curation (Wenzek et al. 2020 score with a wiki LM;
+    * here the LM is the corpus's own unigram distribution, so the
+    * operator stays self-contained and oracle-checkable): documents full
+    * of rare words score high, boilerplate scores low.
+    *
+    * Two aggregations and one equi-join on the term key (a 100 TB
+    * vocabulary is not broadcastable — same honest shape as tfIdfTopK);
+    * the corpus total rides in as a broadcast 1-row frame. Per-word
+    * surprisal −log2(cnt/total) is rounded to 4 dp and scaled to an
+    * exact INTEGER (×10⁴) before the per-doc sum, so the aggregation is
+    * order-free: float summation order differs between engines and
+    * between retries, integer summation cannot (same determinism
+    * argument as sample_stratified's no-rand() rule).
+    *
+    * Output: (doc_id, n_words, avg_surprisal bits/word rounded 4 dp).
+    */
+  def unigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = broadcast(counts.agg(sum(col("cnt")).as("total")))
+    val surprisal = counts.crossJoin(total).select(col("w"),
+      round(-log2(col("cnt").cast("double") / col("total")) * 10000)
+        .cast("long").as("su4"))
+    words.join(surprisal, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("su4")).as("su_sum"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("su_sum") / 10000.0 / col("n_words"), 4)
+          .as("avg_surprisal"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every k-gram of the
     * normalized text, slide a window of `window` consecutive hashes and
     * keep each window's minimum — any shared substring of length ≥

@@ -86,6 +86,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (1L, 1L, 1L))
   }
 
+  test("transitionCounts tallies lagged pairs with row-normalized shares") {
+    // user 1: a->b->a->b ; user 2: a->a (same ts, event_id breaks the tie)
+    val ev = Seq(
+      (1L, "a", 10L, 100L), (1L, "b", 20L, 101L),
+      (1L, "a", 30L, 102L), (1L, "b", 40L, 103L),
+      (2L, "a", 50L, 200L), (2L, "a", 50L, 201L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventOps.transitionCounts(ev, "user_id", "event_type",
+        col("ts"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 0.6667)),
+      ("a", "a") -> ((1L, 0.3333)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("chunkDuplicates finds shared fixed-width chunks, drops ragged tails") {
     // 250-char docs: doc 1 and 2 share the first 100 chars exactly;
     // doc 3 is disjoint. Chunks at 1 and 101 hash; the 50-char tail drops.

@@ -84,6 +84,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out((3L, 2)) == (("common", 1.0)))
   }
 
+  test("unigram surprisal: rare words score high, values hand-checked") {
+    // counts: a=2, b=2, c=1, total=5
+    // su(a)=su(b)=round(-log2(2/5)*1e4)=13219; su(c)=round(-log2(1/5)*1e4)=23219
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((3L, 1.3219)))           // 3*13219/1e4/3
+    assert(out(2L) == ((2L, 1.8219)))           // (13219+23219)/1e4/2
+  }
+
   test("winnowing: shared substring >= k+window-1 shares a fingerprint") {
     val common = "the identical long shared passage of text"
     val docs = Seq(
