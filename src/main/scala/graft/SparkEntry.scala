@@ -1276,6 +1276,12 @@ object SparkEntry {
       EventOps.transitionCounts(Tables.events(s, dir), "user_id",
         "event_type", expr("ts DIV 1000"), col("event_id"))
     }),
+
+    "stream_event_sliding" -> ((s, dir) => {
+      // overlapping-window rates (10 min sliding by 5): bounded
+      // explode-factor-2 batch twin of EventRates.sliding
+      EventRates.slidingBatch(Tables.events(s, dir))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -2617,6 +2623,15 @@ object SparkEntry {
           |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 4)
           |    AS share
           |FROM p""".stripMargin,
+
+      "stream_event_sliding" ->
+        """WITH e AS (SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS s0,
+          |  event_type, value FROM events),
+          |x AS (SELECT s0 - u.k*300 AS window_epoch, event_type, value
+          |  FROM e, LATERAL unnest([0, 1]) u(k))
+          |SELECT window_epoch, event_type, count(*) AS n_events,
+          |  round(sum(value), 2) AS sum_value
+          |FROM x GROUP BY 1, 2""".stripMargin,
     )
   }
 }

@@ -227,6 +227,28 @@ class EventRatesSpec extends AnyFunSuite {
       (t0 + 300, "view", 1L, 8.0)))
   }
 
+  test("sliding windows: each event lands in exactly width/slide buckets") {
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:30"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:07:00"), "click", 2.0))
+      .toDF("ts", "event_type", "value")
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    val out = EventRates.slidingBatch(rows)
+      .as[(Long, String, Long, Double)].collect().toSet
+    // 00:00:30 -> windows starting 00:00 and 23:55-of-prev-day;
+    // 00:07:00 -> windows starting 00:05 and 00:00
+    assert(out == Set(
+      (t0 - 300, "click", 1L, 1.0),
+      (t0, "click", 2L, 3.0),
+      (t0 + 300, "click", 1L, 2.0)))
+    // the struct-window formulation selects the same buckets
+    val viaWindow = EventRates.sliding(rows)
+      .select(unix_timestamp(col("window_start")).as("window_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(viaWindow == out)
+  }
+
   test("streaming path: same aggregation incrementally via readStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
