@@ -91,6 +91,12 @@ object SparkEntry {
   private def docBlockCol: Column = concat(col("lang"), lit("|"),
     floor(col("n_chars") / 100).cast("long").cast("string"))
 
+  /** The lineitem measure columns the profile_columns query audits —
+    * ONE list driving both the Spark agg/stack build and the oracle's
+    * UNION ALL, so the two cannot drift. */
+  private val profiledCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   /** DOUBLE[] literal for a float vector, as DuckDB SQL. */
   private def vecLit(cv: Array[Float]): String =
     cv.map(_.toDouble.toString).mkString("[", ", ", "]")
@@ -1281,6 +1287,27 @@ object SparkEntry {
       // overlapping-window rates (10 min sliding by 5): bounded
       // explode-factor-2 batch twin of EventRates.sliding
       EventRates.slidingBatch(Tables.events(s, dir))
+    }),
+
+    "profile_columns" -> ((s, dir) => {
+      // one-pass multi-column data-profiling (the ANALYZE TABLE
+      // primitive of an ETL pipeline) + stack() unpivot to one row per
+      // column. The multi-distinct agg plans as ONE scan with an
+      // Expand (×|cols|) — linear, no per-column rescans; rounding
+      // follows the q1 float-sum precedent.
+      val aggs = profiledCols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        round(min(col(c)), 4).as(s"${c}__min"),
+        round(max(col(c)), 4).as(s"${c}__max"),
+        round(avg(col(c)), 4).as(s"${c}__avg")))
+      val stacked = s"stack(${profiledCols.length}, " + profiledCols.map(c =>
+        s"'$c', ${c}__n, ${c}__nd, ${c}__min, ${c}__max, ${c}__avg")
+        .mkString(", ") +
+        ") as (column_name, n, n_distinct, min_val, max_val, avg_val)"
+      Tables.lineitem(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(stacked))
     }),
   )
 
@@ -2632,6 +2659,13 @@ object SparkEntry {
           |SELECT window_epoch, event_type, count(*) AS n_events,
           |  round(sum(value), 2) AS sum_value
           |FROM x GROUP BY 1, 2""".stripMargin,
+
+      "profile_columns" -> profiledCols.map(c =>
+        s"""SELECT '$c' AS column_name, count($c) AS n,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  round(min($c), 4) AS min_val, round(max($c), 4) AS max_val,
+           |  round(avg($c), 4) AS avg_val FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n"),
     )
   }
 }

@@ -43,4 +43,33 @@ class BucketedMergeSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_test_incoming")
     }
   }
+
+  test("date-partitioned write prunes partitions on read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    // 10 days of rows, one partition dir per day
+    val rows = (1 to 1000).map(i => (i.toLong, i % 10))
+      .toDF("id", "day_off")
+      .withColumn("event_date", date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("day_off")))
+      .drop("day_off")
+    rows.write.mode("overwrite").partitionBy("event_date").parquet(dir)
+
+    val back = spark.read.parquet(dir)
+      .where(col("event_date") === lit(java.sql.Date.valueOf("2024-01-03")))
+    assert(back.count() == 100L)
+
+    // the filter must land in PartitionFilters (directory pruning: at
+    // scale this is the difference between listing one partition and
+    // scanning the table) — NOT in dataFilters/PushedFilters. Metrics
+    // belong to THIS df's plan, so execute its own QueryExecution
+    // (count() above built a separate one).
+    val scan = back.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.nonEmpty, "partition filter not applied")
+    back.queryExecution.toRdd.foreach(_ => ())
+    val allFiles = scan.relation.location.inputFiles.length
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < allFiles,
+      s"scan did not prune: read $readFiles of $allFiles files")
+  }
 }
