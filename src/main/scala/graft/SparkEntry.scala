@@ -1309,6 +1309,34 @@ object SparkEntry {
         .agg(aggs.head, aggs.tail: _*)
         .select(expr(stacked))
     }),
+
+    "events_json_parse" -> ((s, dir) => {
+      // semi-structured ingestion: typed extraction from the JSON props
+      // column (from_json with an explicit schema — one codegen'd pass,
+      // no schema inference scan)
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+    }),
+
+    "corpus_shard" -> ((s, dir) => {
+      // size-balanced export sharding: global LPT-style deal via
+      // distributed sort + zipWithIndex (no single-partition window)
+      Curation.shardBalanced(Tables.documents(s, dir), "doc_id",
+          "n_chars", numShards = 32)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+
+    "corpus_pack" -> ((s, dir) => {
+      // greedy contiguous sequence packing per language (4096-char bins)
+      Curation.packGreedy(Tables.documents(s, dir), "doc_id", "n_chars",
+        "lang", budget = 4096L)
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -2666,6 +2694,30 @@ object SparkEntry {
            |  round(min($c), 4) AS min_val, round(max($c), 4) AS max_val,
            |  round(avg($c), 4) AS avg_val FROM lineitem""".stripMargin)
         .mkString("\nUNION ALL\n"),
+
+      "events_json_parse" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+          |    AS BIGINT) AS sum_k,
+          |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+          |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+          |FROM events GROUP BY 1""".stripMargin,
+
+      "corpus_shard" ->
+        """WITH r AS (SELECT doc_id, n_chars,
+          |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents)
+          |SELECT CAST((rn - 1) % 32 AS BIGINT) AS shard, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM r GROUP BY 1""".stripMargin,
+
+      "corpus_pack" ->
+        """WITH c AS (SELECT doc_id, lang, n_chars,
+          |  sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+          |    ROWS UNBOUNDED PRECEDING) AS cum FROM documents)
+          |SELECT lang, (cum - n_chars) // 4096 AS bin_id,
+          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars
+          |FROM c GROUP BY 1, 2""".stripMargin,
     )
   }
 }

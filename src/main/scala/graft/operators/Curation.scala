@@ -248,6 +248,54 @@ object Curation {
     * `alpha = 1` reproduces plain proportional sampling; `alpha = 0.5`
     * (default) upsamples rare strata.
     */
+  /** Size-balanced shard assignment for corpus export: rank documents
+    * by descending size and deal them round-robin over `numShards`
+    * output shards — the classic LPT-style balance (largest items
+    * spread first), within ~max(size) of optimal per shard.
+    *
+    * The global rank comes from a distributed SORT + `zipWithIndex`
+    * (range-partitioned sort, then per-partition index offsets — two
+    * narrow passes), NOT from a single-partition window: `row_number()
+    * OVER (ORDER BY …)` with no partition key funnels the whole corpus
+    * through one task, which is exactly the shape that dies at 100 TB.
+    * The (size desc, id) order is total, so the index — and therefore
+    * every shard — is deterministic under retries.
+    *
+    * Output: (id, size, shard). */
+  def shardBalanced(docs: DataFrame, idCol: String, sizeCol: String,
+                    numShards: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = docs.select(col(idCol), col(sizeCol))
+      .orderBy(col(sizeCol).desc, col(idCol))
+    val indexed = sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      sorted.schema.add("rn", LongType))
+    indexed.withColumn("shard", col("rn") % numShards).drop("rn")
+  }
+
+  /** Greedy contiguous sequence packing per language: walk documents in
+    * id order, cut a new bin whenever the running size crosses a
+    * `budget` multiple — the deterministic, shuffle-once approximation
+    * of first-fit packing for training-sequence export (true first-fit
+    * is inherently sequential; contiguous-greedy keeps bins within one
+    * document of the budget and needs only a partitioned prefix sum).
+    * A document that crosses a boundary belongs to the bin where it
+    * STARTS, so bins can overflow by at most one document — never
+    * underfill. Output: (lang, bin_id, n_docs, bin_chars). */
+  def packGreedy(docs: DataFrame, idCol: String, sizeCol: String,
+                 langCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(langCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(langCol).as("lang"), col(idCol), col(sizeCol).as("sz"))
+      .withColumn("cum", sum(col("sz")).over(w))
+      .withColumn("bin_id", expr(s"(cum - sz) div $budget"))
+      .groupBy("lang", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("bin_chars"))
+  }
+
   def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
                        targetFrac: Double = 0.4,
                        alpha: Double = 0.5): DataFrame = {

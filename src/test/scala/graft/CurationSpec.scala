@@ -244,4 +244,32 @@ class CurationSpec extends AnyFunSuite {
     // group {2,5,9}: keep 2, drop 5 and 9; singleton 1 untouched
     assert(dropped == Set(5L, 9L))
   }
+
+  test("shardBalanced deals size-ranked docs round-robin, deterministically") {
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L),
+      (6L, 60L)).toDF("doc_id", "n_chars")
+    val out = Curation.shardBalanced(docs, "doc_id", "n_chars", numShards = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // size-desc order 6,5,4,3,2,1 dealt 0,1,0,1,0,1
+    assert(out == Map(6L -> 0L, 5L -> 1L, 4L -> 0L, 3L -> 1L, 2L -> 0L,
+      1L -> 1L))
+    // LPT deal balances totals: 60+40+20 vs 50+30+10
+    val totals = docs.join(
+        Curation.shardBalanced(docs, "doc_id", "n_chars", 2)
+          .select(col("doc_id"), col("shard")), "doc_id")
+      .groupBy("shard").agg(sum("n_chars")).as[(Long, Long)].collect().toMap
+    assert(totals == Map(0L -> 120L, 1L -> 90L))
+  }
+
+  test("packGreedy cuts bins where the running size crosses the budget") {
+    val docs = Seq((1L, "x", 3L), (2L, "x", 4L), (3L, "x", 5L),
+      (4L, "x", 2L), (5L, "x", 6L), (6L, "y", 11L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = Curation.packGreedy(docs, "doc_id", "n_chars", "lang", 10L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    // lang x cums 3,7,12,14,20 -> starts 0,3,7,12,14 -> bins 0,0,0,1,1
+    // an over-budget doc still starts bin 0 (overflow-by-one rule)
+    assert(out == Set(("x", 0L, 3L, 12L), ("x", 1L, 2L, 8L),
+      ("y", 0L, 1L, 11L)))
+  }
 }
