@@ -1337,6 +1337,41 @@ object SparkEntry {
       Curation.packGreedy(Tables.documents(s, dir), "doc_id", "n_chars",
         "lang", budget = 4096L)
     }),
+
+    "stats_agg" -> ((s, dir) => {
+      // statistical-aggregate family (corr / covar / stddev) in one
+      // partial-agg pass; correlated pair chosen far from zero so the
+      // 4 dp round can't sit on an ulp boundary
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_extendedprice"), disc), 4).as("corr_pd"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("covar_qp"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    "set_ops" -> ((s, dir) => {
+      // INTERSECT / EXCEPT coverage: both plan as shuffle-deduped
+      // semi/anti joins — no driver-side set materialization
+      val rich = Tables.supplier(s, dir).where(col("s_acctbal") > 5000)
+        .select(col("s_suppkey").as("suppkey"))
+      val discounted = Tables.lineitem(s, dir).where(col("l_discount") > 0.05)
+        .select(col("l_suppkey").as("suppkey"))
+      rich.intersect(discounted).withColumn("op", lit("intersect"))
+        .unionByName(rich.except(discounted).withColumn("op", lit("except")))
+    }),
+
+    "value_histogram" -> ((s, dir) => {
+      // fixed-width histogram by pure arithmetic (portable bucket
+      // formula — identical float ops in both engines; no width_bucket
+      // dependency), capped top bucket
+      Tables.events(s, dir)
+        .groupBy(least(floor(col("value") / 10), lit(19)).cast("long")
+          .as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -2718,6 +2753,31 @@ object SparkEntry {
           |SELECT lang, (cum - n_chars) // 4096 AS bin_id,
           |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars
           |FROM c GROUP BY 1, 2""".stripMargin,
+
+      "stats_agg" ->
+        """SELECT l_returnflag,
+          |  round(corr(l_extendedprice, l_extendedprice*(1-l_discount)), 4)
+          |    AS corr_pd,
+          |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+          |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY 1""".stripMargin,
+
+      "set_ops" ->
+        """SELECT suppkey, 'intersect' AS op FROM (
+          |  SELECT s_suppkey AS suppkey FROM supplier WHERE s_acctbal > 5000
+          |  INTERSECT
+          |  SELECT l_suppkey AS suppkey FROM lineitem WHERE l_discount > 0.05)
+          |UNION ALL
+          |SELECT suppkey, 'except' AS op FROM (
+          |  SELECT s_suppkey AS suppkey FROM supplier WHERE s_acctbal > 5000
+          |  EXCEPT
+          |  SELECT l_suppkey AS suppkey FROM lineitem WHERE l_discount > 0.05)""".stripMargin,
+
+      "value_histogram" ->
+        """SELECT CAST(least(floor(value/10), 19) AS BIGINT) AS bucket,
+          |  event_type, count(*) AS n
+          |FROM events GROUP BY 1, 2""".stripMargin,
     )
   }
 }
