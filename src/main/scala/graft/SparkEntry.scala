@@ -1363,6 +1363,24 @@ object SparkEntry {
         .unionByName(rich.except(discounted).withColumn("op", lit("except")))
     }),
 
+    "scd2_upsert" -> ((s, dir) => {
+      // type-2 SCD absorb: history = customers (key % 10 != 0) all open
+      // since t=0; snapshot drops key % 13 == 0 (deletes), mutates the
+      // segment of key % 7 == 0 (changes), and introduces key % 10 == 0
+      // (inserts). Batch time 100.
+      val cust = Tables.customer(s, dir)
+      val history = cust.where(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey").as("custkey"),
+          col("c_mktsegment").as("segment"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val snap = cust.where(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey").as("custkey"),
+          when(col("c_custkey") % 7 === 0, "CHANGED")
+            .otherwise(col("c_mktsegment")).as("segment"))
+      Scd2.absorbSnapshot(history, snap, Seq("custkey"), Seq("segment"),
+        batchTs = 100L)
+    }),
+
     "value_histogram" -> ((s, dir) => {
       // fixed-width histogram by pure arithmetic (portable bucket
       // formula — identical float ops in both engines; no width_bucket
@@ -2778,6 +2796,22 @@ object SparkEntry {
         """SELECT CAST(least(floor(value/10), 19) AS BIGINT) AS bucket,
           |  event_type, count(*) AS n
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "scd2_upsert" ->
+        """WITH h AS (SELECT c_custkey AS k, c_mktsegment AS seg
+          |  FROM customer WHERE c_custkey % 10 <> 0),
+          |s AS (SELECT c_custkey AS k,
+          |  CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS seg
+          |  FROM customer WHERE c_custkey % 13 <> 0),
+          |j AS (SELECT coalesce(h.k, s.k) AS k, h.k IS NOT NULL AS in_h,
+          |  s.k IS NOT NULL AS in_s, h.seg AS hseg, s.seg AS sseg
+          |  FROM h FULL OUTER JOIN s ON h.k = s.k)
+          |SELECT k AS custkey, hseg AS segment, CAST(0 AS BIGINT) AS valid_from,
+          |  CASE WHEN NOT in_s OR hseg <> sseg THEN CAST(100 AS BIGINT) END AS valid_to
+          |FROM j WHERE in_h
+          |UNION ALL
+          |SELECT k, sseg, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+          |FROM j WHERE in_s AND (NOT in_h OR hseg <> sseg)""".stripMargin,
     )
   }
 }

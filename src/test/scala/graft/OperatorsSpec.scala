@@ -450,3 +450,45 @@ class FeatureCountSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_cds") == 1) // 1b remainder
   }
 }
+
+class Scd2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Scd2
+
+  test("absorbSnapshot: unchanged carries, change versions, delete closes, insert opens") {
+    val history = Seq(
+      (1L, "A", 0L, Some(50L)),  // already-closed version: passes through
+      (1L, "B", 50L, None),      // open, snapshot still says B -> carried
+      (2L, "X", 0L, None),       // open, snapshot says Y -> close + reopen
+      (3L, "Z", 0L, None)        // open, absent from snapshot -> close
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val snapshot = Seq((1L, "B"), (2L, "Y"), (4L, "N")).toDF("k", "attr")
+
+    val out = Scd2.absorbSnapshot(history, snapshot, Seq("k"), Seq("attr"),
+        batchTs = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+
+    assert(out == Set(
+      (1L, "A", 0L, Some(50L)),   // closed history untouched
+      (1L, "B", 50L, None),       // unchanged stays open with old from
+      (2L, "X", 0L, Some(100L)),  // changed: old closed at batch ts
+      (2L, "Y", 100L, None),      //          new version opened
+      (3L, "Z", 0L, Some(100L)),  // deleted: closed, no new version
+      (4L, "N", 100L, None)))     // inserted: open from batch ts
+  }
+
+  test("absorbSnapshot preserves the one-open-version-per-key invariant") {
+    val history = Seq((1L, "A", 0L, Option.empty[Long]),
+      (2L, "B", 0L, Option.empty[Long])).toDF("k", "attr", "valid_from", "valid_to")
+    val snap = Seq((1L, "A2"), (2L, "B"), (3L, "C")).toDF("k", "attr")
+    val once = Scd2.absorbSnapshot(history, snap, Seq("k"), Seq("attr"), 10L)
+    val twice = Scd2.absorbSnapshot(once, snap, Seq("k"), Seq("attr"), 20L)
+    val opens = twice.where(col("valid_to").isNull)
+      .groupBy("k").count().as[(Long, Long)].collect().toMap
+    assert(opens == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // absorbing the same snapshot again changes nothing (idempotence)
+    assert(twice.except(once).count() == 0L && once.except(twice).count() == 0L)
+  }
+}
