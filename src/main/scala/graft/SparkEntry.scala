@@ -1363,6 +1363,46 @@ object SparkEntry {
         .unionByName(rich.except(discounted).withColumn("op", lit("except")))
     }),
 
+    "check_constraints" -> ((s, dir) => {
+      // declarative data-quality audit (the Deequ/dbt-test primitive):
+      // each constraint is a tiny aggregate or anti-join; the union of
+      // single-row frames costs one job, every leg partial-aggregated
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val uniq = c.agg((count(lit(1)) - countDistinct(col("c_custkey")))
+        .as("n_violations"))
+        .select(lit("customer_custkey_unique").as("constraint_name"),
+          col("n_violations"))
+      val nonnull = c.agg(count(when(col("c_name").isNull, 1))
+        .as("n_violations"))
+        .select(lit("customer_name_nonnull").as("constraint_name"),
+          col("n_violations"))
+      val fk = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_custkey_fk").as("constraint_name"),
+          col("n_violations"))
+      val range = c.agg(count(when(!col("c_acctbal").between(-1000, 10000), 1))
+        .as("n_violations"))
+        .select(lit("customer_acctbal_range").as("constraint_name"),
+          col("n_violations"))
+      uniq.unionByName(nonnull).unionByName(fk).unionByName(range)
+    }),
+
+    "events_resample" -> ((s, dir) => {
+      // time-series gap filling: zero-fill each user's missing days
+      // between their first and last event. The grid is a bounded
+      // explode (span days per user), the fill a co-partitioned left
+      // join — no calendar table shuffle, no driver loop.
+      val day = expr("ts DIV 1000 DIV 86400000000")
+      val d = Tables.events(s, dir).select(col("user_id"), day.as("day"))
+      val counts = d.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      val grid = d.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      grid.join(counts, Seq("user_id", "day"), "left").na.fill(0L, Seq("n"))
+    }),
+
     "scd2_upsert" -> ((s, dir) => {
       // type-2 SCD absorb: history = customers (key % 10 != 0) all open
       // since t=0; snapshot drops key % 13 == 0 (deletes), mutates the
@@ -2796,6 +2836,32 @@ object SparkEntry {
         """SELECT CAST(least(floor(value/10), 19) AS BIGINT) AS bucket,
           |  event_type, count(*) AS n
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "check_constraints" ->
+        """SELECT 'customer_custkey_unique' AS constraint_name,
+          |  (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+          |    AS n_violations
+          |UNION ALL
+          |SELECT 'customer_name_nonnull',
+          |  (SELECT count(*) FROM customer WHERE c_name IS NULL)
+          |UNION ALL
+          |SELECT 'orders_custkey_fk',
+          |  (SELECT count(*) FROM orders
+          |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+          |UNION ALL
+          |SELECT 'customer_acctbal_range',
+          |  (SELECT count(*) FROM customer
+          |   WHERE c_acctbal NOT BETWEEN -1000 AND 10000)""".stripMargin,
+
+      "events_resample" ->
+        """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+          |  FROM events),
+          |c AS (SELECT user_id, day, count(*) AS n FROM d GROUP BY 1, 2),
+          |b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1),
+          |g AS (SELECT user_id, u.day FROM b,
+          |  LATERAL unnest(generate_series(lo, hi)) u(day))
+          |SELECT g.user_id, g.day, CAST(coalesce(n, 0) AS BIGINT) AS n
+          |FROM g LEFT JOIN c USING (user_id, day)""".stripMargin,
 
       "scd2_upsert" ->
         """WITH h AS (SELECT c_custkey AS k, c_mktsegment AS seg
