@@ -86,6 +86,32 @@ class EventOpsSpec extends AnyFunSuite {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (1L, 1L, 1L))
   }
 
+  test("asOfJoin equals the naive maximal-prior scan on random data") {
+    val rnd = new scala.util.Random(42)
+    // small key/ts spaces force equal-ts ties and missing-match cases
+    val left = (1 to 300).map(_ => (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong))
+    val right = (1 to 150).map(i => (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val rded = right.groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.maxBy(_._3) }.toSeq
+
+    val expected = left.map { case (k, t) =>
+      val cands = rded.filter(r => r._1 == k && r._2 <= t)
+      val rid = if (cands.isEmpty) -1L else cands.maxBy(_._2)._3
+      (k, t, rid)
+    }.sorted
+
+    val got = EventOps.asOfJoin(
+        left.toDF("user_id", "ts"),
+        rded.toDF("user_id", "ts", "rid"),
+        "user_id", col("ts"), col("ts"), Seq("rid"))
+      .select("user_id", "ts", "asof_rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq.sorted
+
+    assert(got == expected)
+  }
+
   test("transitionCounts tallies lagged pairs with row-normalized shares") {
     // user 1: a->b->a->b ; user 2: a->a (same ts, event_id breaks the tie)
     val ev = Seq(
