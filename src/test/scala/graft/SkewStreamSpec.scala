@@ -194,3 +194,38 @@ class StreamNearDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamEnrichSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stream-static dim enrichment matches batch join, stateless plan") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val rows = Seq(
+      (1L, 10.0, Timestamp.valueOf("2024-01-01 00:00:01")),
+      (2L, 20.0, Timestamp.valueOf("2024-01-01 00:00:02")),
+      (7L, 30.0, Timestamp.valueOf("2024-01-01 00:00:03"))) // no dim row
+    val mem = MemoryStream[(Long, Double, Timestamp)]
+    val streamDf = mem.toDF().toDF("user_id", "value", "ts")
+    val enriched = graft.streaming.StreamEnrich.withDim(
+      streamDf, dim,
+      streamDf("user_id") === dim("user_id")).drop(dim("user_id"))
+    val q = enriched.writeStream.format("memory").queryName("se_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("se_out").select("user_id", "value", "tier")
+        .as[(Long, Double, Option[String])].collect().toSet
+      // facts without a dim row pass through (left semantics)
+      assert(got == Set((1L, 10.0, Some("gold")), (2L, 20.0, Some("basic")),
+        (7L, 30.0, None)))
+      // zero stateful operators: the static side is broadcast, not keyed state
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"))
+    } finally q.stop()
+  }
+}
