@@ -1364,28 +1364,28 @@ object SparkEntry {
     }),
 
     "check_constraints" -> ((s, dir) => {
-      // declarative data-quality audit (the Deequ/dbt-test primitive):
-      // each constraint is a tiny aggregate or anti-join; the union of
-      // single-row frames costs one job, every leg partial-aggregated
+      // declarative data-quality audit (the Deequ/dbt-test primitive).
+      // The three single-table rules share ONE aggregation pass over
+      // customer (same no-per-column-rescans standard as
+      // profile_columns) and unpivot via stack; only the FK rule needs
+      // its own (anti-join) leg.
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
-      val uniq = c.agg((count(lit(1)) - countDistinct(col("c_custkey")))
-        .as("n_violations"))
-        .select(lit("customer_custkey_unique").as("constraint_name"),
-          col("n_violations"))
-      val nonnull = c.agg(count(when(col("c_name").isNull, 1))
-        .as("n_violations"))
-        .select(lit("customer_name_nonnull").as("constraint_name"),
-          col("n_violations"))
+      val scalar = c.agg(
+          (count(lit(1)) - countDistinct(col("c_custkey"))).as("uniq_v"),
+          count(when(col("c_name").isNull, 1)).as("nonnull_v"),
+          count(when(!col("c_acctbal").between(-1000, 10000), 1))
+            .as("range_v"))
+        .select(expr("stack(3, " +
+          "'customer_custkey_unique', uniq_v, " +
+          "'customer_name_nonnull', nonnull_v, " +
+          "'customer_acctbal_range', range_v) " +
+          "as (constraint_name, n_violations)"))
       val fk = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
         .select(lit("orders_custkey_fk").as("constraint_name"),
           col("n_violations"))
-      val range = c.agg(count(when(!col("c_acctbal").between(-1000, 10000), 1))
-        .as("n_violations"))
-        .select(lit("customer_acctbal_range").as("constraint_name"),
-          col("n_violations"))
-      uniq.unionByName(nonnull).unionByName(fk).unionByName(range)
+      scalar.unionByName(fk)
     }),
 
     "events_resample" -> ((s, dir) => {
@@ -1396,7 +1396,10 @@ object SparkEntry {
       val day = expr("ts DIV 1000 DIV 86400000000")
       val d = Tables.events(s, dir).select(col("user_id"), day.as("day"))
       val counts = d.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
-      val grid = d.groupBy("user_id")
+      // bounds from the day-deduplicated counts, not the raw events: a
+      // second groupBy over d would shuffle every event again under a
+      // different key; this re-aggregates the tiny (user, day) frame
+      val grid = counts.groupBy("user_id")
         .agg(min("day").as("lo"), max("day").as("hi"))
         .select(col("user_id"),
           explode(sequence(col("lo"), col("hi"))).as("day"))
@@ -2701,15 +2704,19 @@ object SparkEntry {
           |  (SELECT count(*) FROM s2) AS n_view,
           |  (SELECT count(*) FROM s3) AS n_purchase""".stripMargin,
 
+      // total = sum of the five pivoted columns, NOT count(*): the Spark
+      // side pivots an explicit value list, so a sixth event type must
+      // stay excluded from total in BOTH engines or the oracle drifts
       "events_pivot" ->
-        """SELECT user_id,
+        """SELECT user_id, click, view, purchase, signup, error,
+          |  click + view + purchase + signup + error AS total
+          |FROM (SELECT user_id,
           |  count(*) FILTER (event_type = 'click') AS click,
           |  count(*) FILTER (event_type = 'view') AS view,
           |  count(*) FILTER (event_type = 'purchase') AS purchase,
           |  count(*) FILTER (event_type = 'signup') AS signup,
-          |  count(*) FILTER (event_type = 'error') AS error,
-          |  count(*) AS total
-          |FROM events GROUP BY 1""".stripMargin,
+          |  count(*) FILTER (event_type = 'error') AS error
+          |FROM events GROUP BY 1)""".stripMargin,
 
       "rollup_agg" ->
         """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
@@ -2846,8 +2853,9 @@ object SparkEntry {
           |  (SELECT count(*) FROM customer WHERE c_name IS NULL)
           |UNION ALL
           |SELECT 'orders_custkey_fk',
-          |  (SELECT count(*) FROM orders
-          |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+          |  (SELECT count(*) FROM orders o
+          |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+          |     WHERE c.c_custkey = o.o_custkey))
           |UNION ALL
           |SELECT 'customer_acctbal_range',
           |  (SELECT count(*) FROM customer

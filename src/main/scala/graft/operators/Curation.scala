@@ -248,6 +248,33 @@ object Curation {
     * `alpha = 1` reproduces plain proportional sampling; `alpha = 0.5`
     * (default) upsamples rare strata.
     */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+                       targetFrac: Double = 0.4,
+                       alpha: Double = 0.5): DataFrame = {
+    // n^alpha via sqrt when alpha = 0.5 (the common temperature): sqrt is
+    // IEEE correctly-rounded in every engine, pow(x, 0.5) is only
+    // 1-ulp-accurate and may differ between libm implementations
+    def weight(n: Column): Column =
+      if (alpha == 0.5) sqrt(n.cast("double")) else pow(n.cast("double"), alpha)
+    val stats = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val totals = stats.agg(sum("__n").as("__total"),
+      sum(weight(col("__n"))).as("__sumw"))
+    // rate_s = min(1, targetFrac * total * n_s^alpha / sumw / n_s),
+    // evaluated left to right and rounded to 6 dp so an external engine
+    // reproduces the comparison exactly (the rounding also absorbs any
+    // last-ulp difference in the sumw summation order)
+    val rates = stats.crossJoin(broadcast(totals))
+      .select(col(strataCol),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("__total") * weight(col("__n")) /
+            col("__sumw") / col("__n")), 6).as("__rate"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") / 16777216.0
+    docs.join(broadcast(rates), strataCol)
+      .filter(u < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Size-balanced shard assignment for corpus export: rank documents
     * by descending size and deal them round-robin over `numShards`
     * output shards — the classic LPT-style balance (largest items
@@ -286,7 +313,10 @@ object Curation {
   def packGreedy(docs: DataFrame, idCol: String, sizeCol: String,
                  langCol: String, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(langCol).orderBy(idCol)
+    // window keys reference the POST-rename frame ("lang"/"sz"): keyed
+    // on langCol the plan only resolves when the caller happens to pass
+    // the literal name "lang"
+    val w = Window.partitionBy("lang").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(langCol).as("lang"), col(idCol), col(sizeCol).as("sz"))
@@ -294,32 +324,5 @@ object Curation {
       .withColumn("bin_id", expr(s"(cum - sz) div $budget"))
       .groupBy("lang", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("bin_chars"))
-  }
-
-  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
-                       targetFrac: Double = 0.4,
-                       alpha: Double = 0.5): DataFrame = {
-    // n^alpha via sqrt when alpha = 0.5 (the common temperature): sqrt is
-    // IEEE correctly-rounded in every engine, pow(x, 0.5) is only
-    // 1-ulp-accurate and may differ between libm implementations
-    def weight(n: Column): Column =
-      if (alpha == 0.5) sqrt(n.cast("double")) else pow(n.cast("double"), alpha)
-    val stats = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-    val totals = stats.agg(sum("__n").as("__total"),
-      sum(weight(col("__n"))).as("__sumw"))
-    // rate_s = min(1, targetFrac * total * n_s^alpha / sumw / n_s),
-    // evaluated left to right and rounded to 6 dp so an external engine
-    // reproduces the comparison exactly (the rounding also absorbs any
-    // last-ulp difference in the sumw summation order)
-    val rates = stats.crossJoin(broadcast(totals))
-      .select(col(strataCol),
-        round(least(lit(1.0),
-          lit(targetFrac) * col("__total") * weight(col("__n")) /
-            col("__sumw") / col("__n")), 6).as("__rate"))
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
-      .cast("double") / 16777216.0
-    docs.join(broadcast(rates), strataCol)
-      .filter(u < col("__rate"))
-      .drop("__rate")
   }
 }

@@ -41,13 +41,17 @@ object Scd2 {
     val open = history.where(col("valid_to").isNull)
 
     val h = open.select((key ++ attrs).map(c => col(c).as(s"h_$c")) :+
-      col("valid_from").as("h_valid_from"): _*)
-    val s = snapshot.select((key ++ attrs).map(c => col(c).as(s"s_$c")): _*)
+      col("valid_from").as("h_valid_from") :+ lit(true).as("h_present"): _*)
+    val s = snapshot.select((key ++ attrs).map(c => col(c).as(s"s_$c")) :+
+      lit(true).as("s_present"): _*)
     val joinCond = key.map(k => col(s"h_$k") <=> col(s"s_$k")).reduce(_ && _)
     val j = h.join(s, joinCond, "full_outer")
 
-    val inHistory = col(s"h_${key.head}").isNotNull
-    val inSnapshot = col(s"s_${key.head}").isNotNull
+    // explicit presence markers, NOT key-column nullability: the join is
+    // null-safe (<=>), so a legitimately-NULL key part would otherwise
+    // read as "absent" on both sides and the version would vanish
+    val inHistory = col("h_present").isNotNull
+    val inSnapshot = col("s_present").isNotNull
     val changed = attrs.map(a => !(col(s"h_$a") <=> col(s"s_$a")))
       .reduce(_ || _)
 

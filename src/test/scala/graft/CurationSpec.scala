@@ -271,5 +271,11 @@ class CurationSpec extends AnyFunSuite {
     // an over-budget doc still starts bin 0 (overflow-by-one rule)
     assert(out == Set(("x", 0L, 3L, 12L), ("x", 1L, 2L, 8L),
       ("y", 0L, 1L, 11L)))
+    // the partition column need not literally be named "lang"
+    val renamed = Curation.packGreedy(
+        docs.withColumnRenamed("lang", "language"),
+        "doc_id", "n_chars", "language", 10L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(renamed == out)
   }
 }
