@@ -1200,6 +1200,36 @@ object SparkEntry {
           (col("ts_us") - col("asof_ts")).as("gap_us"))
     }),
 
+    "asof_join_fwd" -> ((s, dir) => {
+      // time-to-next-purchase after each signup: the forward as-of
+      // (earliest at-or-after) via the negated-ts reuse of asOfJoin
+      val e = Tables.events(s, dir)
+      val l = e.where(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"))
+      val r = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), expr("ts DIV 1000").as("pur_ts"))
+        .agg(max(col("event_id")).as("pur_id"))
+      EventOps.asOfJoinForward(l, r, "user_id", col("ts_us"), col("pur_ts"),
+          Seq("pur_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_ts").as("pur_ts"), col("asof_pur_id").as("pur_id"),
+          (col("asof_ts") - col("ts_us")).as("wait_us"))
+    }),
+
+    "cube_agg" -> ((s, dir) => {
+      // the cube twin of rollup_agg: all four grouping sets in one pass
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"), col("gid"))
+    }),
+
     "event_funnel" -> ((s, dir) => {
       // signup → view → purchase with a 4-hour conversion window per
       // stage (µs units to stay exact against the ns timestamps)
@@ -2689,6 +2719,25 @@ object SparkEntry {
           |  l.ts_us - r.view_ts AS gap_us
           |FROM l ASOF LEFT JOIN r
           |  ON l.user_id = r.user_id AND l.ts_us >= r.view_ts""".stripMargin,
+
+      "asof_join_fwd" ->
+        """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+          |  FROM events WHERE event_type = 'signup'),
+          |r AS (SELECT user_id, epoch_us(ts) AS pur_ts,
+          |  max(event_id) AS pur_id
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT l.event_id, l.user_id, l.ts_us, r.pur_ts, r.pur_id,
+          |  r.pur_ts - l.ts_us AS wait_us
+          |FROM l ASOF LEFT JOIN r
+          |  ON l.user_id = r.user_id AND l.ts_us <= r.pur_ts""".stripMargin,
+
+      "cube_agg" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+          |  coalesce(l_linestatus, 'ALL') AS lstatus,
+          |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem
+          |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
       "event_funnel" ->
         """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -95,6 +95,18 @@ object EventOps {
     }
   }
 
+  /** Forward as-of join: for every left row, the EARLIEST right row
+    * with the same key and `right.ts >= left.ts` (time-to-next-event —
+    * conversion latency, next-maintenance-window lookups). Implemented
+    * by running [[asOfJoin]] on negated timestamps: latest(-rt ≤ -lt)
+    * IS earliest(rt ≥ lt), so the backward machinery (and its one-
+    * exchange scaling argument) is reused unchanged, ties included. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: Column, rightTs: Column,
+                      carry: Seq[String]): DataFrame =
+    asOfJoin(left, right, key, -leftTs, -rightTs, carry)
+      .withColumn("asof_ts", -col("asof_ts"))
+
   /** First-order transition matrix of an event log: counts and row-
     * normalized shares of (previous type → next type) steps per user
     * stream. One window (lag over the user key) + one partial-agg

@@ -86,6 +86,28 @@ class EventOpsSpec extends AnyFunSuite {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (1L, 1L, 1L))
   }
 
+  test("asOfJoinForward attaches earliest right row at or after each left ts") {
+    val left = Seq(
+      (1L, 100L, "p1"), // r@150 is the earliest at/after -> 150
+      (1L, 150L, "p2"), // equal ts matches (at-or-after) -> 150
+      (1L, 200L, "p3"), // nothing after -> null
+      (2L, 10L, "p4")   // no right rows for user -> null
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, 20L, 1000L), (1L, 150L, 1001L))
+      .toDF("user_id", "ts", "rid")
+    val out = EventOps.asOfJoinForward(left, right, "user_id",
+        col("ts"), col("ts"), Seq("rid"))
+      .select($"tag", $"asof_ts", $"asof_rid")
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(out == Set(
+      ("p1", Some(150L), Some(1001L)),
+      ("p2", Some(150L), Some(1001L)),
+      ("p3", None, None),
+      ("p4", None, None)))
+  }
+
   test("asOfJoin equals the naive maximal-prior scan on random data") {
     val rnd = new scala.util.Random(42)
     // small key/ts spaces force equal-ts ties and missing-match cases
