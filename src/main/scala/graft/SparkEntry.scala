@@ -1217,6 +1217,20 @@ object SparkEntry {
           (col("asof_ts") - col("ts_us")).as("wait_us"))
     }),
 
+    "fuzzy_match" -> ((s, dir) => {
+      // record linkage: customers vs a digit-perturbed twin, blocked on
+      // a 16-char name prefix (bounded blocks — the 12-char prefix is
+      // near-constant here and degenerates to all-pairs), levenshtein
+      // verify, match counts per distance
+      val cust = Tables.customer(s, dir)
+      val a = cust.select(col("c_custkey"), col("c_name"))
+      val b = cust.select((col("c_custkey") + 1000000).as("c_custkey"),
+        regexp_replace(col("c_name"), "1", "7").as("c_name"))
+      Linkage.blockedFuzzyJoin(a, b, "c_custkey", "c_custkey",
+          "c_name", "c_name", t => substring(t, 1, 16), maxDist = 2)
+        .groupBy("dist").agg(count(lit(1)).as("n"))
+    }),
+
     "cube_agg" -> ((s, dir) => {
       // the cube twin of rollup_agg: all four grouping sets in one pass
       Tables.lineitem(s, dir)
@@ -2730,6 +2744,17 @@ object SparkEntry {
           |  r.pur_ts - l.ts_us AS wait_us
           |FROM l ASOF LEFT JOIN r
           |  ON l.user_id = r.user_id AND l.ts_us <= r.pur_ts""".stripMargin,
+
+      "fuzzy_match" ->
+        """WITH a AS (SELECT c_custkey AS a_id, c_name AS a_text,
+          |  substr(c_name, 1, 16) AS block FROM customer),
+          |b AS (SELECT c_custkey + 1000000 AS b_id,
+          |  replace(c_name, '1', '7') AS b_text,
+          |  substr(replace(c_name, '1', '7'), 1, 16) AS block FROM customer)
+          |SELECT dist, count(*) AS n FROM (
+          |  SELECT levenshtein(a_text, b_text) AS dist
+          |  FROM a JOIN b USING (block))
+          |WHERE dist <= 2 GROUP BY 1""".stripMargin,
 
       "cube_agg" ->
         """SELECT coalesce(l_returnflag, 'ALL') AS rflag,

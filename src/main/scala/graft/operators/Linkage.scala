@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage / entity resolution: fuzzy-match two tables on a text
+  * field without going quadratic.
+  *
+  * The classic two-stage shape: a cheap BLOCKING key (prefix, phonetic
+  * code, sorted-neighborhood bucket…) equi-joins the candidates, then
+  * the expensive edit-distance verifies only within blocks. At 100 TB
+  * the equi-join hash-partitions on the block key and the all-pairs
+  * cost is bounded by the largest block — the same
+  * candidates-then-verify discipline as the dedup/LSH family
+  * (Dedup.minhashCandidates), applied to joins. Pick the block so its
+  * size is bounded; a near-constant block degenerates to all-pairs
+  * (measured: a 12-char prefix over the synthetic customers put every
+  * row in one block — 2.25M candidate pairs instead of 120k at 16
+  * chars).
+  */
+object Linkage {
+
+  /** Blocked fuzzy join: pairs from `a` × `b` sharing `blockOf`(text)
+    * with levenshtein distance ≤ `maxDist`.
+    *
+    * Returns (a_id, b_id, a_text, b_text, dist). Deterministic (edit
+    * distance is exact, blocking is a pure function), so the match set
+    * is reproducible across engines and retries.
+    */
+  def blockedFuzzyJoin(a: DataFrame, b: DataFrame,
+                       aId: String, bId: String,
+                       aText: String, bText: String,
+                       blockOf: Column => Column,
+                       maxDist: Int): DataFrame = {
+    val left = a.select(col(aId).as("a_id"), col(aText).as("a_text"),
+      blockOf(col(aText)).as("block"))
+    val right = b.select(col(bId).as("b_id"), col(bText).as("b_text"),
+      blockOf(col(bText)).as("block"))
+    left.join(right, "block")
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text")))
+      .where(col("dist") <= maxDist)
+      .select("a_id", "b_id", "a_text", "b_text", "dist")
+  }
+}

@@ -492,3 +492,26 @@ class Scd2Spec extends AnyFunSuite {
     assert(twice.except(once).count() == 0L && once.except(twice).count() == 0L)
   }
 }
+
+class LinkageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Linkage
+
+  test("blockedFuzzyJoin verifies inside blocks only, cuts at maxDist") {
+    val a = Seq((1L, "alpha one"), (2L, "beta two"), (3L, "gamma three"))
+      .toDF("id", "name")
+    val b = Seq(
+      (10L, "alpha onX"),   // same block "alpha", dist 1 -> match
+      (11L, "alpha XYZW"),  // same block, dist 4 -> cut by maxDist
+      (12L, "beta two"),    // exact twin, dist 0 -> match
+      (13L, "delta three")  // dist to "gamma three" is small but the
+    ).toDF("id", "name")    // block differs -> never even a candidate
+
+    val out = Linkage.blockedFuzzyJoin(a, b, "id", "id", "name", "name",
+        t => org.apache.spark.sql.functions.substring(t, 1, 5), maxDist = 2)
+      .select("a_id", "b_id", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 10L, 1), (2L, 12L, 0)))
+  }
+}
