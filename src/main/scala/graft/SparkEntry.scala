@@ -91,6 +91,18 @@ object SparkEntry {
   private def docBlockCol: Column = concat(col("lang"), lit("|"),
     floor(col("n_chars") / 100).cast("long").cast("string"))
 
+  /** Shared projection of the rollup_agg / cube_agg grouping-sets pair
+    * (ONE definition so the gid cast / ALL labels cannot drift). */
+  private def groupingSetsAgg(
+      g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    g.agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"), col("gid"))
+
   /** The lineitem measure columns the profile_columns query audits —
     * ONE list driving both the Spark agg/stack build and the oracle's
     * UNION ALL, so the two cannot drift. */
@@ -1219,30 +1231,23 @@ object SparkEntry {
 
     "fuzzy_match" -> ((s, dir) => {
       // record linkage: customers vs a digit-perturbed twin, blocked on
-      // a 16-char name prefix (bounded blocks — the 12-char prefix is
-      // near-constant here and degenerates to all-pairs), levenshtein
-      // verify, match counts per distance
+      // a 17-char name prefix. Block selectivity IS the scale knob:
+      // 12 chars is near-constant here (all-pairs), 16 leaves 100-row
+      // blocks (10x the verifies for the same matches at sf0.1) —
+      // measured, not guessed. Levenshtein verify, counts per distance.
       val cust = Tables.customer(s, dir)
       val a = cust.select(col("c_custkey"), col("c_name"))
       val b = cust.select((col("c_custkey") + 1000000).as("c_custkey"),
-        regexp_replace(col("c_name"), "1", "7").as("c_name"))
+        translate(col("c_name"), "1", "7").as("c_name"))
       Linkage.blockedFuzzyJoin(a, b, "c_custkey", "c_custkey",
-          "c_name", "c_name", t => substring(t, 1, 16), maxDist = 2)
+          "c_name", "c_name", t => substring(t, 1, 17), maxDist = 2)
         .groupBy("dist").agg(count(lit(1)).as("n"))
     }),
 
-    "cube_agg" -> ((s, dir) => {
+    "cube_agg" -> ((s, dir) =>
       // the cube twin of rollup_agg: all four grouping sets in one pass
-      Tables.lineitem(s, dir)
-        .cube("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
-          count(lit(1)).as("n"),
-          grouping_id().as("gid"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
-          col("sum_qty"), col("n"), col("gid"))
-    }),
+      groupingSetsAgg(Tables.lineitem(s, dir).cube("l_returnflag",
+        "l_linestatus"))),
 
     "event_funnel" -> ((s, dir) => {
       // signup → view → purchase with a 4-hour conversion window per
@@ -1270,15 +1275,8 @@ object SparkEntry {
       // grouping-sets coverage: rollup emits (flag,status) / (flag) /
       // () grouping sets in ONE pass — one shuffle, partial aggregation
       // feeding all three levels; gid disambiguates NULL-as-ALL rows
-      Tables.lineitem(s, dir)
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
-          count(lit(1)).as("n"),
-          grouping_id().as("gid"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
-          col("sum_qty"), col("n"), col("gid"))
+      groupingSetsAgg(Tables.lineitem(s, dir).rollup("l_returnflag",
+        "l_linestatus"))
     }),
 
     "window_ranks" -> ((s, dir) => {
@@ -2747,10 +2745,10 @@ object SparkEntry {
 
       "fuzzy_match" ->
         """WITH a AS (SELECT c_custkey AS a_id, c_name AS a_text,
-          |  substr(c_name, 1, 16) AS block FROM customer),
+          |  substr(c_name, 1, 17) AS block FROM customer),
           |b AS (SELECT c_custkey + 1000000 AS b_id,
           |  replace(c_name, '1', '7') AS b_text,
-          |  substr(replace(c_name, '1', '7'), 1, 16) AS block FROM customer)
+          |  substr(replace(c_name, '1', '7'), 1, 17) AS block FROM customer)
           |SELECT dist, count(*) AS n FROM (
           |  SELECT levenshtein(a_text, b_text) AS dist
           |  FROM a JOIN b USING (block))

@@ -36,9 +36,13 @@ object Linkage {
       blockOf(col(aText)).as("block"))
     val right = b.select(col(bId).as("b_id"), col(bText).as("b_text"),
       blockOf(col(bText)).as("block"))
+    // threshold-bounded levenshtein (Spark 3.5+): bands the DP and
+    // early-exits above maxDist (returns -1), so a verify pair costs
+    // O(maxDist·n) instead of O(n·m) — the verify IS the dominant cost
     left.join(right, "block")
-      .withColumn("dist", levenshtein(col("a_text"), col("b_text")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("a_text"), col("b_text"), maxDist))
+      .where(col("dist") >= 0)
       .select("a_id", "b_id", "a_text", "b_text", "dist")
   }
 }
