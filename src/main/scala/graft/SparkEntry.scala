@@ -1229,6 +1229,23 @@ object SparkEntry {
           (col("asof_ts") - col("ts_us")).as("wait_us"))
     }),
 
+    "embedding_stats" -> ((s, dir) => {
+      // higher-order array functions on the graded surface: per-vector
+      // fold (aggregate lambda) + array_max, narrow per-row work; the
+      // per-vector sum is rounded and int-scaled BEFORE the per-label
+      // mean so the group aggregation is order-free (surprisal pattern)
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          expr("CAST(round(aggregate(embedding, 0D, " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE)) * 10000) AS BIGINT)")
+            .as("s4"),
+          expr("round(CAST(array_max(embedding) AS DOUBLE), 4)").as("mx"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s4")) / 10000.0 / count(lit(1)), 4).as("avg_sum"),
+          round(max(col("mx")), 4).as("max_comp"))
+    }),
+
     "fuzzy_match" -> ((s, dir) => {
       // record linkage: customers vs a digit-perturbed twin, blocked on
       // a 17-char name prefix. Block selectivity IS the scale knob:
@@ -2742,6 +2759,17 @@ object SparkEntry {
           |  r.pur_ts - l.ts_us AS wait_us
           |FROM l ASOF LEFT JOIN r
           |  ON l.user_id = r.user_id AND l.ts_us <= r.pur_ts""".stripMargin,
+
+      "embedding_stats" ->
+        """WITH v AS (SELECT label,
+          |  CAST(round(list_sum(CAST(embedding AS DOUBLE[])) * 10000)
+          |    AS BIGINT) AS s4,
+          |  round(list_max(CAST(embedding AS DOUBLE[])), 4) AS mx
+          |  FROM embeddings)
+          |SELECT label, count(*) AS n,
+          |  round(sum(s4)/10000.0/count(*), 4) AS avg_sum,
+          |  round(max(mx), 4) AS max_comp
+          |FROM v GROUP BY 1""".stripMargin,
 
       "fuzzy_match" ->
         """WITH a AS (SELECT c_custkey AS a_id, c_name AS a_text,
