@@ -2915,7 +2915,7 @@ object SparkEntry {
         """WITH c AS (SELECT doc_id, lang, n_chars,
           |  sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
           |    ROWS UNBOUNDED PRECEDING) AS cum FROM documents)
-          |SELECT lang, (cum - n_chars) // 4096 AS bin_id,
+          |SELECT lang, CAST((cum - n_chars) // 4096 AS BIGINT) AS bin_id,
           |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars
           |FROM c GROUP BY 1, 2""".stripMargin,
 
