@@ -11,11 +11,35 @@ object Bench {
     (paths.lastOption, names.toSet)
   }
 
+  /** Quiet-box floor for [[sentinelOnce]] (seconds, local[32], measured
+    * best-of-3 on an idle machine). A contended machine inflates the
+    * sentinel the same way it inflates every query, so
+    * sentinel > 2x floor marks the whole run's timings untrustworthy —
+    * BENCH_r06.json shipped 55x phantom regressions precisely because
+    * nothing in the artifact recorded the machine state. */
+  val SentinelFloorSec = 0.15
+
+  /** Fixed data-independent CPU-bound probe: same work every run, so its
+    * time moves only with machine contention, never with code under test. */
+  def sentinelOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(1L << 26).selectExpr("bit_xor(id * 2654435761) AS s")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def loadAvg1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val (pathArg, only) = parseArgs(args)
     val sfDir = pathArg.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // outside load, read before our own executors start contributing
+    val loadPre = loadAvg1()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,6 +49,9 @@ object Bench {
     // warm-up: session init, codegen compiler, parquet reader paths — so
     // per-query timings reflect steady state, not first-query startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // probe once warmed (so it measures contention, not codegen startup)
+    // and again after the suite; the min is the best view of outside load
+    val sentinelPre = math.min(sentinelOnce(spark), sentinelOnce(spark))
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       // queries that persist intermediates (corpus_mix) register plans in
@@ -52,7 +79,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sentinel = math.min(sentinelPre, sentinelOnce(spark))
+    val contaminated = sentinel > 2 * SentinelFloorSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_pre":$loadPre,"sentinel_sec":$sentinel,"sentinel_floor_sec":$SentinelFloorSec,"contaminated":$contaminated}""")
     spark.stop()
   }
 }
