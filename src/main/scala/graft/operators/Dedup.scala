@@ -270,49 +270,71 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
                           aCol: String = "id_a", bCol: String = "id_b",
                           maxIter: Int = 50): DataFrame = {
+    // no distinct(): min-label propagation is idempotent under duplicate
+    // edges (min of a multiset ignores multiplicity), the input pair list
+    // is already unique per (a,b), and the dedup shuffle was a whole
+    // extra exchange+job before the first round
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("group_id"))
       .localCheckpoint()
+    // Relabel in ONE exchange: a node's new label is min over {its own
+    // label} ∪ {neighbor labels}, so union the self rows with the
+    // edge-propagated rows and take one grouped min — replacing the
+    // r6 shape's nbr-min groupBy PLUS left-join-back-to-labels (two
+    // keyed exchanges) with a single groupBy(id). `old_gid` (the label
+    // at the last materialization point) rides through the aggregate on
+    // the self rows (each id has exactly one) so convergence stays a
+    // scan of the checkpointed result, not a join.
+    def relabel(df: DataFrame): DataFrame = {
+      val contrib = df
+        .select(col("id"), col("group_id"), col("old_gid"),
+          lit(true).as("self"))
+        .union(edges
+          .join(df.select(col("id").as("dst"), col("group_id")), "dst")
+          .select(col("src").as("id"), col("group_id"),
+            lit(null).cast("long").as("old_gid"), lit(false).as("self")))
+      contrib.groupBy(col("id")).agg(
+        min(col("group_id")).as("group_id"),
+        max(when(col("self"), col("old_gid"))).as("old_gid"))
+        .select(col("id"), col("old_gid"), col("group_id"))
+    }
+    // pointer jumping (label compression): follow your label's label.
+    // Pure neighbor propagation needs diameter rounds — a 50-link
+    // near-dup chain is 50 joins; compressing each round makes chains
+    // collapse exponentially, O(log diameter) rounds total. Labels are
+    // node ids, so the self-join always resolves. Fixpoint unchanged.
+    def jump(df: DataFrame): DataFrame = {
+      val comp = df.select(col("id").as("cid"), col("group_id").as("cgid"))
+      df.join(comp, df("group_id") === comp("cid"), "left")
+        .select(df("id"), col("old_gid"),
+          coalesce(col("cgid"), col("group_id")).as("group_id"))
+    }
     var it = 0
     var done = false
     while (!done && it < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("group_id").as("nbr")),
-          "dst")
-        .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
-      // NOT materialized before the jump self-join, deliberately: both
-      // jump sides derive from `next`, but ReuseExchange dedupes the
-      // shuffles underneath and the duplicated join+agg above them is
-      // cheaper than forcing a materialization point (A/B at sf0.1:
-      // unmaterialized 3.9s, localCheckpoint 5.8s, lazy persist 6.0s —
-      // both variants break whole-stage pipelining and pay cache costs
-      // every round).
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), col("group_id").as("old_gid"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id")))
-            .as("group_id"))
-      // pointer jumping (label compression): follow your label's label.
-      // Pure neighbor propagation needs diameter rounds — a 50-link
-      // near-dup chain is 50 joins; compressing each round makes chains
-      // collapse exponentially, O(log diameter) rounds total. Labels are
-      // node ids, so the self-join always resolves. Fixpoint unchanged.
-      val comp = next.select(col("id").as("cid"), col("group_id").as("cgid"))
-      // old_gid rides along so convergence is a scan of the checkpointed
-      // result, not another join per round
-      val jumped = next
-        .join(comp, next("group_id") === comp("cid"), "left")
-        .select(col("id"), col("old_gid"),
-          coalesce(col("cgid"), col("group_id")).as("group_id"))
-        .localCheckpoint()
-      done = jumped.filter(col("group_id") =!= col("old_gid")).count() == 0L
+      // LAZY localCheckpoint: the convergence count is the action that
+      // materializes the round's blocks, so each round is ONE job
+      // (checkpoint-then-count as two jobs was ~2x the fixed overhead;
+      // at sf0.1 a round's cost is job overhead, not data — measured
+      // change counts 2019→1268→358→29→0). Nesting two relabel+jump
+      // passes per checkpoint instead made rounds MORE expensive
+      // (3.8 s vs 3.3 s total): the jump self-join duplicates its
+      // unmaterialized input subtree, so lineage depth between
+      // checkpoints must stay at one pass.
+      val jumped = jump(relabel(
+        labels.withColumn("old_gid", col("group_id"))))
+        .localCheckpoint(eager = false)
+      val changed = jumped.filter(col("group_id") =!= col("old_gid")).count()
+      done = changed == 0L
       labels = jumped.drop("old_gid")
       it += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $it changed=$changed t=${System.nanoTime()}")
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    labels.select(col("id"), col("group_id"))
   }
 
   /** Sub-document exact dedup at fixed chunk granularity (the
