@@ -260,6 +260,68 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Shared q24/q32 derivation: synthetic variant + gene-model inputs fed
+    * through the full VariantPostProcessing-analog annotator. One builder
+    * (same rule as the shared oracle CTE builders) so the verifyAA audit
+    * necessarily sees exactly the rows the graded annotation query emits.
+    * Positions spread over a 10M space so gene density matches a real
+    * genome (~1-2 overlapping genes per position, not hundreds — q9/q15's
+    * dense intervals would make the variant×gene fan-out quadratic in
+    * coverage, which is a property of the data, not the plan).
+    * Variant identity = (chr,pos,ref,var), like the reference's natural
+    * key (lineitem rows are not unique on (orderkey, linenumber) in the
+    * synthetic data, so a row-derived id would collide).
+    * Returns (annotated rows incl. the stored-CDS columns, transcripts —
+    * the audit's strand lookup). */
+  private def annotatedVariantTranscripts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val variants = liVariants(s, dir)
+      .select(col("chr").cast("string").as("chr"),
+        ((col("l_orderkey") * 6151 + col("l_linenumber") * 131) % 10000000)
+          .cast("long").as("pos"),
+        col("ref_nuc"), col("var_nuc"))
+      .distinct()
+      .withColumn("var_id",
+        xxhash64(col("chr"), col("pos"), col("ref_nuc"), col("var_nuc")))
+    val sparseGenes = Tables.part(s, dir).select(
+      col("p_partkey").as("gene_id"),
+      (col("p_partkey") % 5).cast("long").as("chr"),
+      ((col("p_partkey") * 5137) % 10000000).cast("long").as("gstart"))
+      .withColumn("gstop",
+        col("gstart") + 50 + (col("gene_id") * 97) % 2000)
+    val genes = sparseGenes
+      .select(col("gene_id"), col("chr").cast("string").as("chr"),
+        col("gstart"), col("gstop"))
+    val transcripts = sparseGenes.select(
+      (col("gene_id") * 10).as("tr_id"), col("gene_id"),
+      when(col("gene_id") % 2 === 0, "+").otherwise("-").as("strand"),
+      (col("gene_id") % 17 === 0).as("non_coding"))
+    val nExons = (col("gene_id") % 3 + 1).cast("int")
+    val span = (col("gstop") - col("gstart")) ;
+    val exonLen = (span / nExons).cast("long")
+    val exons = sparseGenes
+      .select((col("gene_id") * 10).as("tr_id"), col("gene_id"),
+        col("gstart"), col("gstop"), nExons.as("n"), exonLen.as("elen"))
+      .withColumn("i", explode(sequence(lit(0), col("n") - 1)))
+      .select(col("tr_id"), lit("EXONS").as("ftype"),
+        (col("gstart") + col("i") * col("elen")).as("fstart"),
+        greatest(col("gstart") + col("i") * col("elen"),
+          col("gstart") + (col("i") + 1) * col("elen") - 5).as("fstop"))
+    val utrs = sparseGenes.filter(col("gstop") - col("gstart") > 60)
+      .select((col("gene_id") * 10).as("tr_id"), col("gstart"), col("gstop"))
+      .select(col("tr_id"),
+        explode(array(
+          struct(lit("5UTRS").as("ftype"), col("gstart").as("fstart"),
+            (col("gstart") + 10).as("fstop")),
+          struct(lit("3UTRS").as("ftype"), (col("gstop") - 10).as("fstart"),
+            col("gstop").as("fstop")))).as("u"))
+      .select(col("tr_id"), col("u.ftype"), col("u.fstart"), col("u.fstop"))
+    val features = exons.unionByName(utrs)
+    val ann = TranscriptAnnotator.annotate(variants, genes, transcripts,
+      features, TranscriptAnnotator.Md5Genome(), binWidth = 4096).toDF()
+    (ann, transcripts)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q1_pricing_summary" -> ((s, dir) => {
@@ -557,68 +619,30 @@ object SparkEntry {
     }),
 
     "q24_annotate_variants" -> ((s, dir) => {
-      // full VariantPostProcessing pipeline over synthetic gene models.
-      // Positions spread over a 10M space so gene density matches a real
-      // genome (~1-2 overlapping genes per position, not hundreds —
-      // q9/q15's dense intervals would make the variant×gene fan-out
-      // quadratic in coverage, which is a property of the data, not the
-      // plan).
-      // variant identity = (chr,pos,ref,var), like the reference's natural
-      // key (lineitem rows are not unique on (orderkey, linenumber) in the
-      // synthetic data, so a row-derived id would collide)
-      val variants = liVariants(s, dir)
-        .select(col("chr").cast("string").as("chr"),
-          ((col("l_orderkey") * 6151 + col("l_linenumber") * 131) % 10000000)
-            .cast("long").as("pos"),
-          col("ref_nuc"), col("var_nuc"))
-        .distinct()
-        .withColumn("var_id",
-          xxhash64(col("chr"), col("pos"), col("ref_nuc"), col("var_nuc")))
-      val sparseGenes = Tables.part(s, dir).select(
-        col("p_partkey").as("gene_id"),
-        (col("p_partkey") % 5).cast("long").as("chr"),
-        ((col("p_partkey") * 5137) % 10000000).cast("long").as("gstart"))
-        .withColumn("gstop",
-          col("gstart") + 50 + (col("gene_id") * 97) % 2000)
-      val genes = sparseGenes
-        .select(col("gene_id"), col("chr").cast("string").as("chr"),
-          col("gstart"), col("gstop"))
-      val transcripts = sparseGenes.select(
-        (col("gene_id") * 10).as("tr_id"), col("gene_id"),
-        when(col("gene_id") % 2 === 0, "+").otherwise("-").as("strand"),
-        (col("gene_id") % 17 === 0).as("non_coding"))
-      val nExons = (col("gene_id") % 3 + 1).cast("int")
-      val span = (col("gstop") - col("gstart")) ;
-      val exonLen = (span / nExons).cast("long")
-      val exons = sparseGenes
-        .select((col("gene_id") * 10).as("tr_id"), col("gene_id"),
-          col("gstart"), col("gstop"), nExons.as("n"), exonLen.as("elen"))
-        .withColumn("i", explode(sequence(lit(0), col("n") - 1)))
-        .select(col("tr_id"), lit("EXONS").as("ftype"),
-          (col("gstart") + col("i") * col("elen")).as("fstart"),
-          greatest(col("gstart") + col("i") * col("elen"),
-            col("gstart") + (col("i") + 1) * col("elen") - 5).as("fstop"))
-      val utrs = sparseGenes.filter(col("gstop") - col("gstart") > 60)
-        .select((col("gene_id") * 10).as("tr_id"), col("gstart"), col("gstop"))
-        .select(col("tr_id"),
-          explode(array(
-            struct(lit("5UTRS").as("ftype"), col("gstart").as("fstart"),
-              (col("gstart") + 10).as("fstop")),
-            struct(lit("3UTRS").as("ftype"), (col("gstop") - 10).as("fstart"),
-              col("gstop").as("fstop")))).as("u"))
-        .select(col("tr_id"), col("u.ftype"), col("u.fstart"), col("u.fstop"))
-      val features = exons.unionByName(utrs)
       // full row-level output (not an aggregate): every (variant,
       // transcript) annotation is hash-checked against the DuckDB twin,
       // which rebuilds the identical Md5Genome in SQL
-      TranscriptAnnotator.annotate(variants, genes, transcripts, features,
-          TranscriptAnnotator.Md5Genome(), binWidth = 4096)
-        .toDF()
+      annotatedVariantTranscripts(s, dir)._1
         .select(col("chr"), col("pos"), col("ref_nuc"), col("var_nuc"),
           col("tr_id").cast("long").as("tr_id"), col("location"),
           col("near_splice_site"), col("syn_status"), col("ref_aa"),
           col("var_aa"), col("aa_pos").cast("long").as("aa_pos"),
           col("triplet_error"), col("frame_shift"))
+    }),
+
+    "q32_verify_aa" -> ((s, dir) => {
+      // post-hoc AA audit (VariantPostProcessing.verifyAA, :1067-1280):
+      // re-derive the ref/var codon from the STORED CDS columns
+      // (full_ref_nuc, full_ref_nuc_pos) of every annotation that reached
+      // an AA call, translate, and tally agreement with the stored
+      // ref_aa/var_aa/syn_status — the annotation-family twin of q8/q30's
+      // recompute-and-compare fixups. Audited on SNV rows (the reference
+      // substitutes exactly one base; its var_nuc.charAt(0) on multi-base
+      // alleles is the JDBC loop's artifact, not a semantic).
+      // Strand comes from a join back to transcripts, as the reference
+      // looks it up per-row from the maps_data tables (getStrandForTranscript).
+      val (ann, trs) = annotatedVariantTranscripts(s, dir)
+      VerifyAa.audit(ann, trs)
     }),
 
     "q26_conservation_parse" -> ((s, dir) => {
@@ -1552,6 +1576,92 @@ object SparkEntry {
       "n_words >= 5 AND mean_word_len <= 12.0 AND dup_word_frac <= 0.6" +
         " AND top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.6"
 
+    // Shared q24/q32 CTE chain: synthetic variants + gene models +
+    // Md5Genome CDS rebuild through per-row ref/var AA (aa3). Both the
+    // row-level annotation oracle (q24) and the verifyAA audit oracle
+    // (q32) splice this, so the two derivations cannot drift.
+    val annotateAaCtes =
+      s"""vars AS (SELECT DISTINCT CAST(l_orderkey % 5 AS VARCHAR) AS chr,
+           |    CAST((l_orderkey*6151 + l_linenumber*131) % 10000000 AS BIGINT) AS pos,
+           |    ${baseOfSql("l_partkey")} AS ref_nuc, ${baseOfSql("l_suppkey")} AS var_nuc
+           |  FROM lineitem),
+           |trs AS (SELECT p_partkey AS gene_id, CAST(p_partkey % 5 AS VARCHAR) AS chr,
+           |    CAST((p_partkey*5137) % 10000000 AS BIGINT) AS gstart,
+           |    CAST((p_partkey*5137) % 10000000 + 50 + (p_partkey*97) % 2000 AS BIGINT) AS gstop,
+           |    CAST(p_partkey*10 AS BIGINT) AS tr_id,
+           |    CASE WHEN p_partkey % 2 = 0 THEN '+' ELSE '-' END AS strand,
+           |    p_partkey % 17 = 0 AS non_coding
+           |  FROM part),
+           |ex0 AS (SELECT tr_id, gstart + i*elen AS fstart,
+           |    greatest(gstart + i*elen, gstart + (i+1)*elen - 5) AS fstop
+           |  FROM (SELECT tr_id, gstart, gstop,
+           |      (gstop - gstart) // (gene_id % 3 + 1) AS elen,
+           |      unnest(generate_series(0, gene_id % 3)) AS i
+           |    FROM trs)),
+           |exi AS (SELECT tr_id, fstart, fstop,
+           |    row_number() OVER (PARTITION BY tr_id ORDER BY fstart) AS exon_idx,
+           |    count(*) OVER (PARTITION BY tr_id) AS n_exons FROM ex0),
+           |utr AS (SELECT tr_id, gstart AS u5s, gstart + 10 AS u5e,
+           |    gstop - 10 AS u3s, gstop AS u3e
+           |  FROM trs WHERE gstop - gstart > 60),
+           |vt AS (SELECT v.chr, v.pos, v.ref_nuc, v.var_nuc, t.tr_id, t.strand, t.non_coding
+           |  FROM vars v JOIN trs t ON v.chr = t.chr AND v.pos BETWEEN t.gstart AND t.gstop),
+           |fl AS (SELECT vt.chr, vt.pos, vt.ref_nuc, vt.var_nuc, vt.tr_id, vt.strand, vt.non_coding,
+           |    coalesce(bool_or(e.fstart <= vt.pos AND e.fstop >= vt.pos + 1), false) AS in_exon,
+           |    coalesce(bool_or((e.exon_idx <> 1 AND e.fstart - 10 <= vt.pos AND e.fstart + 10 >= vt.pos + 1)
+           |      OR (e.exon_idx <> e.n_exons AND e.fstop - 10 <= vt.pos AND e.fstop + 10 >= vt.pos + 1)), false) AS near_splice
+           |  FROM vt LEFT JOIN exi e ON e.tr_id = vt.tr_id
+           |  GROUP BY ALL),
+           |flu AS (SELECT f.*,
+           |    coalesce(u.u3s <= f.pos AND u.u3e >= f.pos + 1, false) AS in_u3,
+           |    coalesce(u.u5s <= f.pos AND u.u5e >= f.pos + 1, false) AS in_u5
+           |  FROM fl f LEFT JOIN utr u USING (tr_id)),
+           |tex AS (SELECT tr_id, t_start, t_stop FROM (
+           |    SELECT ei.tr_id,
+           |      CASE WHEN ei.e5e IS NULL OR ei.fstart > ei.e5e THEN ei.fstart
+           |           WHEN ei.fstop > ei.e5e THEN ei.e5e + 1 END AS t_start,
+           |      CASE WHEN ei.e3s IS NULL OR ei.fstop < ei.e3s THEN ei.fstop
+           |           WHEN ei.fstart < ei.e3s THEN ei.e3s - 1 END AS t_stop
+           |    FROM (SELECT e.tr_id, e.fstart, e.fstop,
+           |            CASE WHEN t.strand = '-' THEN u.u5s ELSE u.u3s END AS e3s,
+           |            CASE WHEN t.strand = '-' THEN u.u3e ELSE u.u5e END AS e5e
+           |          FROM exi e JOIN trs t USING (tr_id) LEFT JOIN utr u USING (tr_id)) ei)
+           |  WHERE t_start IS NOT NULL AND t_stop IS NOT NULL AND t_start <= t_stop),
+           |cont AS (SELECT f.*, x.t_start AS c_start
+           |  FROM flu f LEFT JOIN tex x ON x.tr_id = f.tr_id
+           |    AND x.t_start <= f.pos AND x.t_stop > f.pos + 1),
+           |cod AS (SELECT * FROM cont WHERE in_exon AND NOT non_coding AND c_start IS NOT NULL),
+           |rel AS (SELECT c.chr, c.pos, c.ref_nuc, c.var_nuc, c.tr_id, c.strand,
+           |    c.in_u3, c.in_u5, c.near_splice, c.c_start,
+           |    c.pos - (c.c_start - 1) + coalesce(sum(CASE WHEN x.t_start < c.c_start
+           |      THEN x.t_stop - x.t_start + 1 END), 0) AS rp
+           |  FROM cod c LEFT JOIN tex x ON x.tr_id = c.tr_id
+           |  GROUP BY c.chr, c.pos, c.ref_nuc, c.var_nuc, c.tr_id, c.strand,
+           |    c.in_u3, c.in_u5, c.near_splice, c.c_start),
+           |need AS (SELECT DISTINCT tr_id FROM cod),
+           |cdsp AS (SELECT tr_id, unnest(generate_series(t_start, t_stop)) AS p
+           |  FROM tex JOIN need USING (tr_id)),
+           |cdsb AS (SELECT c.tr_id, c.p,
+           |    translate(substr(md5(t.chr || ':' || CAST(c.p AS VARCHAR)), 1, 1),
+           |      '0123456789abcdef', 'ACGTACGTACGTACGT') AS b
+           |  FROM cdsp c JOIN trs t USING (tr_id)),
+           |cds AS (SELECT tr_id, string_agg(b, '' ORDER BY p) AS dna FROM cdsb GROUP BY tr_id),
+           |aa1 AS (SELECT r.*, length(d.dna) AS len,
+           |    CASE WHEN r.strand = '-' THEN length(d.dna) - r.rp + 1 ELSE r.rp END AS relp,
+           |    CASE WHEN r.strand = '-' THEN reverse(translate(d.dna, 'ACGT', 'TGCA')) ELSE d.dna END AS rdna,
+           |    CASE WHEN r.strand = '-' THEN reverse(translate(
+           |        substr(d.dna, 1, CAST(r.rp - 1 AS INT)) || r.var_nuc || substr(d.dna, CAST(r.rp + 1 AS INT)), 'ACGT', 'TGCA'))
+           |      ELSE substr(d.dna, 1, CAST(r.rp - 1 AS INT)) || r.var_nuc || substr(d.dna, CAST(r.rp + 1 AS INT)) END AS vdna
+           |  FROM rel r JOIN cds d USING (tr_id)),
+           |aa2 AS (SELECT *, CASE WHEN len % 3 <> 0 THEN 'T' ELSE 'F' END AS te,
+           |    1 + (relp - 1) // 3 AS ap, len // 3 AS n_aa FROM aa1),
+           |aa3 AS (SELECT *,
+           |    CASE WHEN ap >= 1 AND ap <= n_aa THEN
+           |      ${codonCase("substr(rdna, CAST((ap-1)*3+1 AS INT), 3)")} END AS ref_aa,
+           |    CASE WHEN ap >= 1 AND ap <= n_aa THEN
+           |      ${codonCase("substr(vdna, CAST((ap-1)*3+1 AS INT), 3)")} END AS var_aa
+           |  FROM aa2)""".stripMargin
+
     Map(
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
@@ -1766,86 +1876,7 @@ object SparkEntry {
       // relative-position walk, strand-aware mutate+translate, and the
       // INTRON / NON-CODING location rules — checked row-by-row.
       "q24_annotate_variants" ->
-        s"""WITH vars AS (SELECT DISTINCT CAST(l_orderkey % 5 AS VARCHAR) AS chr,
-           |    CAST((l_orderkey*6151 + l_linenumber*131) % 10000000 AS BIGINT) AS pos,
-           |    ${baseOfSql("l_partkey")} AS ref_nuc, ${baseOfSql("l_suppkey")} AS var_nuc
-           |  FROM lineitem),
-           |trs AS (SELECT p_partkey AS gene_id, CAST(p_partkey % 5 AS VARCHAR) AS chr,
-           |    CAST((p_partkey*5137) % 10000000 AS BIGINT) AS gstart,
-           |    CAST((p_partkey*5137) % 10000000 + 50 + (p_partkey*97) % 2000 AS BIGINT) AS gstop,
-           |    CAST(p_partkey*10 AS BIGINT) AS tr_id,
-           |    CASE WHEN p_partkey % 2 = 0 THEN '+' ELSE '-' END AS strand,
-           |    p_partkey % 17 = 0 AS non_coding
-           |  FROM part),
-           |ex0 AS (SELECT tr_id, gstart + i*elen AS fstart,
-           |    greatest(gstart + i*elen, gstart + (i+1)*elen - 5) AS fstop
-           |  FROM (SELECT tr_id, gstart, gstop,
-           |      (gstop - gstart) // (gene_id % 3 + 1) AS elen,
-           |      unnest(generate_series(0, gene_id % 3)) AS i
-           |    FROM trs)),
-           |exi AS (SELECT tr_id, fstart, fstop,
-           |    row_number() OVER (PARTITION BY tr_id ORDER BY fstart) AS exon_idx,
-           |    count(*) OVER (PARTITION BY tr_id) AS n_exons FROM ex0),
-           |utr AS (SELECT tr_id, gstart AS u5s, gstart + 10 AS u5e,
-           |    gstop - 10 AS u3s, gstop AS u3e
-           |  FROM trs WHERE gstop - gstart > 60),
-           |vt AS (SELECT v.chr, v.pos, v.ref_nuc, v.var_nuc, t.tr_id, t.strand, t.non_coding
-           |  FROM vars v JOIN trs t ON v.chr = t.chr AND v.pos BETWEEN t.gstart AND t.gstop),
-           |fl AS (SELECT vt.chr, vt.pos, vt.ref_nuc, vt.var_nuc, vt.tr_id, vt.strand, vt.non_coding,
-           |    coalesce(bool_or(e.fstart <= vt.pos AND e.fstop >= vt.pos + 1), false) AS in_exon,
-           |    coalesce(bool_or((e.exon_idx <> 1 AND e.fstart - 10 <= vt.pos AND e.fstart + 10 >= vt.pos + 1)
-           |      OR (e.exon_idx <> e.n_exons AND e.fstop - 10 <= vt.pos AND e.fstop + 10 >= vt.pos + 1)), false) AS near_splice
-           |  FROM vt LEFT JOIN exi e ON e.tr_id = vt.tr_id
-           |  GROUP BY ALL),
-           |flu AS (SELECT f.*,
-           |    coalesce(u.u3s <= f.pos AND u.u3e >= f.pos + 1, false) AS in_u3,
-           |    coalesce(u.u5s <= f.pos AND u.u5e >= f.pos + 1, false) AS in_u5
-           |  FROM fl f LEFT JOIN utr u USING (tr_id)),
-           |tex AS (SELECT tr_id, t_start, t_stop FROM (
-           |    SELECT ei.tr_id,
-           |      CASE WHEN ei.e5e IS NULL OR ei.fstart > ei.e5e THEN ei.fstart
-           |           WHEN ei.fstop > ei.e5e THEN ei.e5e + 1 END AS t_start,
-           |      CASE WHEN ei.e3s IS NULL OR ei.fstop < ei.e3s THEN ei.fstop
-           |           WHEN ei.fstart < ei.e3s THEN ei.e3s - 1 END AS t_stop
-           |    FROM (SELECT e.tr_id, e.fstart, e.fstop,
-           |            CASE WHEN t.strand = '-' THEN u.u5s ELSE u.u3s END AS e3s,
-           |            CASE WHEN t.strand = '-' THEN u.u3e ELSE u.u5e END AS e5e
-           |          FROM exi e JOIN trs t USING (tr_id) LEFT JOIN utr u USING (tr_id)) ei)
-           |  WHERE t_start IS NOT NULL AND t_stop IS NOT NULL AND t_start <= t_stop),
-           |cont AS (SELECT f.*, x.t_start AS c_start
-           |  FROM flu f LEFT JOIN tex x ON x.tr_id = f.tr_id
-           |    AND x.t_start <= f.pos AND x.t_stop > f.pos + 1),
-           |cod AS (SELECT * FROM cont WHERE in_exon AND NOT non_coding AND c_start IS NOT NULL),
-           |rel AS (SELECT c.chr, c.pos, c.ref_nuc, c.var_nuc, c.tr_id, c.strand,
-           |    c.in_u3, c.in_u5, c.near_splice, c.c_start,
-           |    c.pos - (c.c_start - 1) + coalesce(sum(CASE WHEN x.t_start < c.c_start
-           |      THEN x.t_stop - x.t_start + 1 END), 0) AS rp
-           |  FROM cod c LEFT JOIN tex x ON x.tr_id = c.tr_id
-           |  GROUP BY c.chr, c.pos, c.ref_nuc, c.var_nuc, c.tr_id, c.strand,
-           |    c.in_u3, c.in_u5, c.near_splice, c.c_start),
-           |need AS (SELECT DISTINCT tr_id FROM cod),
-           |cdsp AS (SELECT tr_id, unnest(generate_series(t_start, t_stop)) AS p
-           |  FROM tex JOIN need USING (tr_id)),
-           |cdsb AS (SELECT c.tr_id, c.p,
-           |    translate(substr(md5(t.chr || ':' || CAST(c.p AS VARCHAR)), 1, 1),
-           |      '0123456789abcdef', 'ACGTACGTACGTACGT') AS b
-           |  FROM cdsp c JOIN trs t USING (tr_id)),
-           |cds AS (SELECT tr_id, string_agg(b, '' ORDER BY p) AS dna FROM cdsb GROUP BY tr_id),
-           |aa1 AS (SELECT r.*, length(d.dna) AS len,
-           |    CASE WHEN r.strand = '-' THEN length(d.dna) - r.rp + 1 ELSE r.rp END AS relp,
-           |    CASE WHEN r.strand = '-' THEN reverse(translate(d.dna, 'ACGT', 'TGCA')) ELSE d.dna END AS rdna,
-           |    CASE WHEN r.strand = '-' THEN reverse(translate(
-           |        substr(d.dna, 1, CAST(r.rp - 1 AS INT)) || r.var_nuc || substr(d.dna, CAST(r.rp + 1 AS INT)), 'ACGT', 'TGCA'))
-           |      ELSE substr(d.dna, 1, CAST(r.rp - 1 AS INT)) || r.var_nuc || substr(d.dna, CAST(r.rp + 1 AS INT)) END AS vdna
-           |  FROM rel r JOIN cds d USING (tr_id)),
-           |aa2 AS (SELECT *, CASE WHEN len % 3 <> 0 THEN 'T' ELSE 'F' END AS te,
-           |    1 + (relp - 1) // 3 AS ap, len // 3 AS n_aa FROM aa1),
-           |aa3 AS (SELECT *,
-           |    CASE WHEN ap >= 1 AND ap <= n_aa THEN
-           |      ${codonCase("substr(rdna, CAST((ap-1)*3+1 AS INT), 3)")} END AS ref_aa,
-           |    CASE WHEN ap >= 1 AND ap <= n_aa THEN
-           |      ${codonCase("substr(vdna, CAST((ap-1)*3+1 AS INT), 3)")} END AS var_aa
-           |  FROM aa2),
+        s"""WITH $annotateAaCtes,
            |out1 AS (SELECT chr, pos, ref_nuc, var_nuc, tr_id,
            |    concat_ws(',', CASE WHEN in_u3 THEN '3UTRS' END,
            |      CASE WHEN in_u5 THEN '5UTRS' END, 'EXON') AS location,
@@ -1870,6 +1901,62 @@ object SparkEntry {
            |    'F' AS triplet_error, CAST(NULL AS VARCHAR) AS frame_shift
            |  FROM cont WHERE NOT (in_exon AND NOT non_coding AND c_start IS NOT NULL))
            |SELECT * FROM out1 UNION ALL SELECT * FROM out2""".stripMargin,
+
+      // verifyAA audit twin: re-derives the codon from the stored CDS
+      // (rdna = full_ref_nuc, relp = full_ref_nuc_pos) exactly as the
+      // Spark entry does from the Annotated stored columns, then tallies
+      // agreement with the stored ref_aa/var_aa/syn_status
+      "q32_verify_aa" ->
+        s"""WITH $annotateAaCtes,
+           |st AS (SELECT rdna, relp, ref_nuc, var_nuc, strand, ref_aa, var_aa,
+           |    CASE WHEN ref_aa IS NULL THEN NULL
+           |         WHEN ref_aa = 'X' OR var_aa = 'X' THEN 'unassignable'
+           |         WHEN ref_aa = var_aa THEN 'synonymous' ELSE 'nonsynonymous' END AS syn_status
+           |  FROM aa3),
+           |aud AS (SELECT *, CAST((relp - 1) % 3 AS INT) AS off FROM st
+           |  WHERE syn_status IS NOT NULL AND length(ref_nuc) = 1
+           |    AND var_nuc IN ('A','C','G','T')),
+           |acod AS (SELECT syn_status, ref_aa, var_aa, strand,
+           |    (relp - 1 - off) + 2 < length(rdna) AS ib,
+           |    substr(rdna, CAST(relp - off AS INT), 3) AS codon_ref,
+           |    substr(rdna, CAST(relp - off AS INT), CAST(off AS INT)) ||
+           |      CASE WHEN strand = '-' THEN translate(var_nuc, 'ACGT', 'TGCA')
+           |           ELSE var_nuc END ||
+           |      substr(rdna, CAST(relp + 1 AS INT),
+           |        CAST(2 - off AS INT)) AS codon_var
+           |  FROM aud),
+           |tr2 AS (SELECT syn_status, ref_aa, var_aa, strand, ib,
+           |    ${codonCase("codon_ref")} AS aa_ref_t,
+           |    ${codonCase("codon_var")} AS aa_var_t
+           |  FROM acod),
+           |fl2 AS (SELECT strand, syn_status, ref_aa, var_aa, ib,
+           |    (syn_status = 'synonymous' AND aa_ref_t <> aa_var_t)
+           |      OR (syn_status = 'nonsynonymous' AND aa_ref_t = aa_var_t) AS sp,
+           |    var_aa = aa_var_t AS m
+           |  FROM tr2)
+           |SELECT
+           |  CAST(sum(CASE WHEN strand IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS skipped_no_strand,
+           |  CAST(sum(CASE WHEN strand IS NOT NULL AND NOT ib THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS skipped_codon_bounds,
+           |  CAST(sum(CASE WHEN strand = '-' AND ib THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS neg_strand,
+           |  CAST(sum(CASE WHEN strand IS NOT NULL AND ib AND m THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS matches,
+           |  CAST(sum(CASE WHEN strand IS NOT NULL AND ib AND NOT m THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS mismatches,
+           |  CAST(sum(CASE WHEN strand IS NOT NULL AND ib AND NOT sp THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS syn_match,
+           |  CAST(sum(CASE WHEN strand IS NOT NULL AND ib AND sp
+           |    AND syn_status = 'synonymous' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS syn_mismatch,
+           |  CAST(sum(CASE WHEN strand IS NOT NULL AND ib AND sp
+           |    AND syn_status = 'nonsynonymous' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS nonsyn_mismatch,
+           |  CAST(sum(CASE WHEN strand IS NOT NULL AND ib AND sp AND m
+           |    AND (ref_aa = 'X' OR var_aa = 'X') THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS syn_xx_match
+           |FROM fl2""".stripMargin,
 
       "q26_conservation_parse" ->
         """WITH n AS (SELECT count(*) AS cnt FROM lineitem),

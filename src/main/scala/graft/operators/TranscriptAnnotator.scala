@@ -90,13 +90,21 @@ object TranscriptAnnotator {
   case class ExonIv(start: Long, stop: Long)
 
   /** Output row — the VARIANT_TRANSCRIPT analog (natural variant key
-    * carried through so results are joinable/verifiable without var_id). */
+    * carried through so results are joinable/verifiable without var_id).
+    * `full_ref_nuc` / `full_ref_nuc_pos` are the stored-CDS columns of the
+    * reference's VARIANT_TRANSCRIPT table (strand-adjusted untrimmed CDS
+    * and the variant's 1-based position within it) — populated only on
+    * rows that reached an AA call, which is exactly the
+    * `syn_status IS NOT NULL` set the post-hoc verifyAA audit
+    * (VariantPostProcessing.java:1067-1280) re-derives codons from. */
   case class Annotated(
       var_id: Long, chr: String, pos: Long, ref_nuc: String, var_nuc: String,
       tr_id: Long, location: String, near_splice_site: String,
       syn_status: Option[String], ref_aa: Option[String],
       var_aa: Option[String], aa_pos: Option[Int], triplet_error: String,
-      frame_shift: Option[String])
+      frame_shift: Option[String],
+      full_ref_nuc: Option[String] = None,
+      full_ref_nuc_pos: Option[Int] = None)
 
   /** '-' and null normalize to the empty sequence (the reference uses
     * both conventions for ins/del alleles). */
@@ -347,6 +355,7 @@ object TranscriptAnnotator {
     Annotated(v.var_id, v.chr, v.pos, v.ref_nuc, v.var_nuc, v.tr_id,
       parts.mkString(","), nearSplice,
       Some(syn), Some(refAa), Some(varAa), Some(aaPos), tripletError,
-      Some(frameShift))
+      Some(frameShift),
+      Some(refDna.toUpperCase), Some(relP))
   }
 }
