@@ -31,7 +31,8 @@ object Manager {
       |  VariantLoad3      --inputFile F --outDir D [--genders S1=M,S2=F] [--ADDP]
       |  ConservationScore --inputFile F --outDir D
       |  VariantTypeFixUp  --variants P --outDir D
-      |  FrameShiftFixUp   --variants P --outDir D""".stripMargin
+      |  FrameShiftFixUp   --variants P --outDir D
+      |  VariantRatLoaderFromDb --variants P [--batch P] [--chr C] --outDir D""".stripMargin
 
   def main(args: Array[String]): Unit = {
     // throw (non-zero exit) rather than print-and-return: a scripted
@@ -107,6 +108,30 @@ object Manager {
           .withColumn("frame_shift_computed",
             Fixups.frameShiftComputed(col("ref_nuc"), col("var_nuc"))),
           "frame_shift_fixup")
+
+      case "VariantRatLoaderFromDb" =>
+        // the re-load path (VariantRatLoaderFromDb.java:32-379): variants
+        // come from the existing store, not CommonFormat2 files, and flow
+        // through the same natural-key merge as a fresh load. No --batch
+        // means self re-load, whose contract is idempotence: every row
+        // classifies already_in_rgd and keeps its id, zero inserts. The
+        // reference's per-chromosome fan-out (--chr) is a partition
+        // filter here, not an orchestration loop.
+        val key = Seq("chr", "pos", "end_pos", "ref_nuc", "var_nuc",
+          "variant_type")
+        val existing = spark.read.parquet(opt("variants"))
+        val batch0 = opts.get("batch").map(spark.read.parquet(_))
+          .getOrElse(existing)
+        val batch = opts.get("chr")
+          .map(c => batch0.filter(col("chr") === c)).getOrElse(batch0)
+        val classified = VariantMerge.classify(
+          batch.select(key.map(col): _*).distinct(), existing, key,
+          "variant_id")
+          // matches keep their store id; misses are assigned the same
+          // deterministic natural-key id a fresh load would mint
+          .withColumn("assigned_id",
+            coalesce(col("existing_id"), xxhash64(key.map(col): _*)))
+        write(classified, "reload")
 
       case other =>
         throw new IllegalArgumentException(s"unknown tool: $other\n$usage")

@@ -81,6 +81,53 @@ class ManagerSpec extends AnyFunSuite {
     assert(fs("AC") == "T" && fs("A") == "F")
   }
 
+  test("VariantRatLoaderFromDb tool: self re-load is idempotent") {
+    val dir = tmpDir()
+    import spark.implicits._
+    Seq(("1", 100L, 101L, "A", "G", "snv", 11L),
+        ("1", 200L, 201L, "C", "T", "snv", 12L),
+        ("2", 300L, 303L, "ACG", "", "del", 13L))
+      .toDF("chr", "pos", "end_pos", "ref_nuc", "var_nuc", "variant_type",
+        "variant_id")
+      .write.parquet(s"$dir/store")
+    val out = tmpDir()
+    Manager.runTool(spark, "VariantRatLoaderFromDb",
+      Array("--variants", s"$dir/store", "--outDir", out))
+    val r = spark.read.parquet(s"$out/reload").collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[String]("merge_action") == "already_in_rgd"),
+      "self re-load must produce zero inserts")
+    assert(r.forall(x =>
+      x.getAs[Long]("assigned_id") == x.getAs[Long]("existing_id")),
+      "matches must keep their store ids")
+  }
+
+  test("VariantRatLoaderFromDb tool: new batch rows insert, --chr filters") {
+    val dir = tmpDir()
+    import spark.implicits._
+    Seq(("1", 100L, 101L, "A", "G", "snv", 11L))
+      .toDF("chr", "pos", "end_pos", "ref_nuc", "var_nuc", "variant_type",
+        "variant_id")
+      .write.parquet(s"$dir/store")
+    // batch: the stored variant + one novel + one on another chromosome
+    Seq(("1", 100L, 101L, "A", "G", "snv"),
+        ("1", 500L, 501L, "G", "C", "snv"),
+        ("2", 900L, 901L, "T", "A", "snv"))
+      .toDF("chr", "pos", "end_pos", "ref_nuc", "var_nuc", "variant_type")
+      .write.parquet(s"$dir/batch")
+    val out = tmpDir()
+    Manager.runTool(spark, "VariantRatLoaderFromDb",
+      Array("--variants", s"$dir/store", "--batch", s"$dir/batch",
+        "--chr", "1", "--outDir", out))
+    val r = spark.read.parquet(s"$out/reload").collect()
+    assert(r.length == 2, "--chr 1 must drop the chr-2 batch row")
+    val byPos = r.map(x => x.getAs[Long]("pos") -> x).toMap
+    assert(byPos(100L).getAs[String]("merge_action") == "already_in_rgd")
+    assert(byPos(100L).getAs[Long]("assigned_id") == 11L)
+    assert(byPos(500L).getAs[String]("merge_action") == "insert")
+    assert(byPos(500L).isNullAt(byPos(500L).fieldIndex("existing_id")))
+  }
+
   test("unknown tool and missing option fail with usage") {
     val e = intercept[IllegalArgumentException] {
       Manager.runTool(spark, "NoSuchTool", Array.empty)
