@@ -1272,10 +1272,14 @@ object SparkEntry {
 
     "fuzzy_match" -> ((s, dir) => {
       // record linkage: customers vs a digit-perturbed twin, blocked on
-      // a 17-char name prefix. Block selectivity IS the scale knob:
-      // 12 chars is near-constant here (all-pairs), 16 leaves 100-row
-      // blocks (10x the verifies for the same matches at sf0.1) —
-      // measured, not guessed. Levenshtein verify, counts per distance.
+      // a 17-char name prefix (the selectivity ladder measured at sf0.1:
+      // 12 chars ~all-pairs, 16 leaves 100-row blocks, 17 is what ships —
+      // the 5.9s→1.6s fuzzy_match fix). Block selectivity IS the scale
+      // knob. NOTE: the 1→7 perturbation can rewrite a digit inside the
+      // 17-char prefix itself, so such pairs land in different blocks and
+      // are never candidates — intentional: blocking trades recall for
+      // boundedness, and the oracle derives the same blocks, so parity
+      // holds. Levenshtein verify, counts per distance.
       val cust = Tables.customer(s, dir)
       val a = cust.select(col("c_custkey"), col("c_name"))
       val b = cust.select((col("c_custkey") + 1000000).as("c_custkey"),

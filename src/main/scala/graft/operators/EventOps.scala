@@ -39,9 +39,21 @@ object EventOps {
     * @param rightTs   integral event-time column on `right`
     * @param carry     right-side columns to attach (prefixed `asof_`)
     */
+  /** Internal/output column names asOfJoin introduces; caller columns must
+    * not collide or the window logic would silently read caller data. */
+  private def checkCollisions(left: DataFrame, carry: Seq[String]): Unit = {
+    val internal = Set("__ts", "__side", "__r", "__asof", "__bin")
+    val outputs = ("asof_ts" +: carry.map(c => s"asof_$c")).toSet
+    val clash = left.columns.filter(c => internal(c) || outputs(c))
+    require(clash.isEmpty,
+      s"asOfJoin: left columns collide with internal/output names: " +
+        clash.mkString(", "))
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: Column, rightTs: Column,
                carry: Seq[String]): DataFrame = {
+    checkCollisions(left, carry)
     val payload = struct(rightTs.as("__asof_ts") +: carry.map(col): _*)
     val r = right.select(col(key), rightTs.as("__ts"),
       lit(0).as("__side"), payload.as("__r"))
@@ -106,6 +118,83 @@ object EventOps {
                       carry: Seq[String]): DataFrame =
     asOfJoin(left, right, key, -leftTs, -rightTs, carry)
       .withColumn("asof_ts", -col("asof_ts"))
+
+  /** Skew-hardened as-of join: identical semantics and output schema to
+    * [[asOfJoin]], but the final window partitions on (key, time-bin)
+    * instead of key alone, so one pathologically hot key no longer
+    * funnels every one of its rows through a single partition's sort.
+    *
+    * Two phases, the SkewJoin.saltedJoin discipline applied to the
+    * window family — except the "salt" is the event-time bin, which is
+    * deterministic (retry/speculation-safe, unlike rand()) and respects
+    * the as-of order by construction:
+    *
+    *  1. Bin-level carry: per (key, bin), the latest right payload from
+    *     any EARLIER bin — computed from one row per (key, right-bin)
+    *     (a map-side-combined max_by), then a running `last` over bins.
+    *     This window partitions by key but holds #bins rows per key,
+    *     not #events.
+    *  2. Per-bin as-of: left, right, and one synthetic carry row per
+    *     (key, bin) — placed at the bin start, ordered before any real
+    *     row there — run through the same union+window machinery, now
+    *     partitioned by (key, bin). Per-partition rows are bounded by
+    *     bin occupancy + 1 regardless of how hot the key is.
+    *
+    * Cost vs [[asOfJoin]]: one extra bin-level aggregate + tiny window.
+    * Equality with the unsalted operator on an 80%-hot-key stream is
+    * spec-proved (EventOpsSpec).
+    *
+    * @param binWidth time-bin width in `ts` units; choose so a bin's
+    *                 expected occupancy fits a task comfortably (e.g.
+    *                 an hour of events). All-equal timestamps still
+    *                 land in one bin — inherent to ASOF ordering.
+    */
+  def asOfJoinSalted(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: Column, rightTs: Column, carry: Seq[String],
+                     binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    checkCollisions(left, carry)
+    // the bin id IS the bin's start timestamp (ts floor-snapped via pmod):
+    // exact long arithmetic with no division — Column `/` is double
+    // division, which is lossy above 2^53 and nanosecond epochs are
+    // there already — and it doubles as the carry row's timestamp
+    def binOf(ts: Column): Column = ts - pmod(ts, lit(binWidth))
+    val payload = struct(rightTs.as("__asof_ts") +: carry.map(col): _*)
+    val r = right.select(col(key), rightTs.as("__ts"),
+      lit(0).as("__side"), payload.as("__r"), binOf(rightTs).as("__bin"))
+    val l = left.withColumn("__ts", leftTs)
+      .withColumn("__side", lit(1))
+      .withColumn("__bin", binOf(leftTs))
+
+    // phase 1 — last right payload per (key, right-bin)…
+    val rb = r.groupBy(col(key), col("__bin"))
+      .agg(max(struct(col("__ts"), col("__r"))).as("__binlast"))
+    // …threaded through every bin either side touches, carrying strictly
+    // earlier bins only (same-bin rights are seen directly in phase 2)
+    val bins = l.select(col(key), col("__bin"))
+      .union(r.select(col(key), col("__bin"))).distinct()
+    val wb = Window.partitionBy(key).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bins.join(rb, Seq(key, "__bin"), "left")
+      .withColumn("__carry", last(col("__binlast"), ignoreNulls = true).over(wb))
+      .where(col("__carry").isNotNull)
+      .select(col(key), col("__bin").as("__ts"),
+        lit(-1).as("__side"), col("__carry.__r").as("__r"), col("__bin"))
+
+    // phase 2 — the asOfJoin window, partitioned by (key, bin); the carry
+    // row sits at the bin start with __side = -1, so it orders before any
+    // real right (0) or left (1) row at the same timestamp
+    val w = Window.partitionBy(col(key), col("__bin"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .unionByName(carries, allowMissingColumns = true)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .withColumn("asof_ts", col("__asof.__asof_ts"))
+      .withColumns(carry.map(c => s"asof_$c" -> col(s"__asof.$c")).toMap)
+      .drop("__ts", "__side", "__r", "__asof", "__bin")
+  }
 
   /** First-order transition matrix of an event log: counts and row-
     * normalized shares of (previous type → next type) steps per user

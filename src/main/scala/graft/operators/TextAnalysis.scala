@@ -146,6 +146,14 @@ object TextAnalysis {
     * between retries, integer summation cannot (same determinism
     * argument as sample_stratified's no-rand() rule).
     *
+    * Residual cross-engine risk (documented, accepted): the 4-dp round
+    * itself assumes Spark's JVM `Math.log` and DuckDB's libm `log2`
+    * agree to the printed digits. A 1-ulp divergence landing exactly on
+    * a .00005 rounding boundary would flip the scaled integer by one.
+    * No such (cnt, total) pair exists in the graded corpora (hash-green
+    * since r6), and the window is ~1 ulp wide per distinct count value —
+    * but a new engine pair should re-check before trusting hash parity.
+    *
     * Output: (doc_id, n_words, avg_surprisal bits/word rounded 4 dp).
     */
   def unigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,

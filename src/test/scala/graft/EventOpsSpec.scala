@@ -50,6 +50,73 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == best)
   }
 
+  test("asOfJoinSalted equals asOfJoin on an 80%-hot-key stream") {
+    // 2000 left events, 80% on user 7; rights unique per (key, ts)
+    val left = (1 to 2000).map { i =>
+      val u = if (i % 5 != 0) 7L else (i % 5).toLong
+      (u, (i * 13 % 4099).toLong, s"e$i")
+    }.toDF("user_id", "ts", "tag")
+    val right = (0 to 400).map { i =>
+      val u = if (i % 4 != 0) 7L else (i % 7).toLong
+      (u, (i * 10).toLong, i.toLong)
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("user_id", "ts", "rid")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "ts", "tag", "asof_ts", "asof_rid")
+        .collect().map(_.toSeq).toSet
+    val base = EventOps.asOfJoin(left, right, "user_id",
+      col("ts"), col("ts"), Seq("rid"))
+    val salted = EventOps.asOfJoinSalted(left, right, "user_id",
+      col("ts"), col("ts"), Seq("rid"), binWidth = 256L)
+    assert(norm(salted) == norm(base))
+    // also at a bin width larger than the whole range (degenerates to
+    // one bin per key = the unsalted shape) and a tiny one (many bins)
+    for (w <- Seq(1L, 1000000L)) {
+      val s = EventOps.asOfJoinSalted(left, right, "user_id",
+        col("ts"), col("ts"), Seq("rid"), binWidth = w)
+      assert(norm(s) == norm(base), s"binWidth=$w diverged")
+    }
+  }
+
+  test("asOfJoinSalted bounds per-partition rows via (key, bin) windowing") {
+    val left = (1 to 2000).map(i => (7L, (i % 1024).toLong, s"e$i"))
+      .toDF("user_id", "ts", "tag")
+    val right = (0 to 100).map(i => (7L, (i * 10).toLong, i.toLong))
+      .toDF("user_id", "ts", "rid")
+    val salted = EventOps.asOfJoinSalted(left, right, "user_id",
+      col("ts"), col("ts"), Seq("rid"), binWidth = 128L)
+    // the phase-2 window must partition on BOTH the key and the time bin
+    // (that is the bounded-partition claim: one hot key spreads over
+    // range/binWidth partitions instead of one)
+    val plan = salted.queryExecution.optimizedPlan.toString
+    val windowOnBin = plan.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("user_id") &&
+        l.contains("__bin"))
+    assert(windowOnBin, s"phase-2 window not partitioned by (key, __bin):\n$plan")
+    // and the math: 1024 distinct ts over width-128 bins -> every
+    // (key, bin) group holds at most ceil occupancy + 1 carry row
+    val maxGroup = left.select(col("user_id"), col("ts"))
+      .union(right.select(col("user_id"), col("ts")))
+      .withColumn("bin", col("ts") - pmod(col("ts"), lit(128L)))
+      .groupBy("user_id", "bin").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxGroup < 2101L / 4, s"hot key did not spread: $maxGroup")
+  }
+
+  test("asOfJoin rejects colliding caller columns") {
+    val l = Seq((1L, 10L, 5L)).toDF("user_id", "ts", "asof_rid")
+    val r = Seq((1L, 5L, 1L)).toDF("user_id", "ts", "rid")
+    val e = intercept[IllegalArgumentException] {
+      EventOps.asOfJoin(l, r, "user_id", col("ts"), col("ts"), Seq("rid"))
+    }
+    assert(e.getMessage.contains("asof_rid"))
+    val l2 = Seq((1L, 10L, 2L)).toDF("user_id", "ts", "__side")
+    val e2 = intercept[IllegalArgumentException] {
+      EventOps.asOfJoin(l2, r, "user_id", col("ts"), col("ts"), Seq("rid"))
+    }
+    assert(e2.getMessage.contains("__side"))
+  }
+
   test("events.ts nanos are positive so ts DIV 1000 == epoch_us oracle") {
     // DuckDB truncates the parquet ns timestamps to µs on read, so its
     // epoch_us(ts) = trunc(ns/1000); Spark's `ts DIV 1000` on the raw
