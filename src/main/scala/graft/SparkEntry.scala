@@ -1520,6 +1520,44 @@ object SparkEntry {
           .as("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"))
     }),
+
+    "text_bm25" -> ((s, dir) => {
+      // BM25 ranked retrieval against a fixed 3-term query (terms from
+      // the synthetic vocabulary, mixed selectivity)
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 20)
+    }),
+
+    "text_collocations" -> ((s, dir) => {
+      // PMI bigram collocation mining (Church & Hanks 1990)
+      Retrieval.pmiCollocations(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 5, topK = 50)
+    }),
+
+    "dsir_select" -> ((s, dir) => {
+      // DSIR importance scoring (Xie 2023) with lang='en' as the target
+      // domain and the whole corpus as the raw distribution
+      Selection.dsirScore(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", numBuckets = 64)
+    }),
+
+    "quality_classifier" -> ((s, dir) => {
+      // fastText-architecture hashed linear classifier; zero-shuffle scan
+      Selection.hashedLinearScore(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    "events_retention" -> ((s, dir) => {
+      // weekly cohort retention matrix; ns → µs via exact long DIV
+      Cohorts.retentionMatrix(Tables.events(s, dir), "user_id",
+        expr("ts DIV 1000"))
+    }),
+
+    "events_rfm" -> ((s, dir) => {
+      // RFM quintile segmentation; boundaries via exact percentile
+      // (broadcast), NOT an ntile window over every user
+      Cohorts.rfmSegments(Tables.events(s, dir), "user_id",
+        expr("ts DIV 1000"), col("value"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -3077,6 +3115,133 @@ object SparkEntry {
           |UNION ALL
           |SELECT k, sseg, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
           |FROM j WHERE in_s AND (NOT in_h OR hseg <> sseg)""".stripMargin,
+
+      // BM25: same Lucene idf and per-term contribution, 4 dp rounds at
+      // the libm ln, ×10⁴ int-scaled contributions before the doc sum
+      "text_bm25" ->
+        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |base AS (SELECT doc_id, t, length(string_split(t, ' ')) AS dl FROM t),
+           |w AS (SELECT doc_id, dl, unnest(string_split(t, ' ')) AS w FROM base),
+           |qw AS (SELECT * FROM w WHERE w IN ('spark', 'window', 'merge')),
+           |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM qw GROUP BY 1, 2, 3),
+           |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+           |st AS (SELECT count(*) AS n_docs,
+           |  round(CAST(sum(dl) AS DOUBLE) / count(*), 4) AS avgdl FROM base),
+           |idf AS (SELECT w, round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 4) AS idf
+           |  FROM df, st),
+           |c AS (SELECT doc_id, CAST(round(idf * ((tf * 2.2) /
+           |    (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) * 10000) AS BIGINT) AS c4
+           |  FROM tf JOIN idf USING (w), st)
+           |SELECT doc_id, count(*) AS n_hit, round(sum(c4) / 10000.0, 4) AS score
+           |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      // PMI: bigrams re-derived with multiplicity via 1-based list
+      // indexing (the Spark side's 0-based transform(sequence) twin)
+      "text_collocations" ->
+        s"""WITH t AS (SELECT $normTextSql AS t FROM documents),
+           |a AS (SELECT string_split(t, ' ') AS ws FROM t),
+           |bg AS (SELECT ws[CAST(i AS INT)] AS wa, ws[CAST(i AS INT) + 1] AS wb
+           |  FROM (SELECT ws, unnest(generate_series(1, length(ws) - 1)) AS i
+           |        FROM a WHERE length(ws) >= 2)),
+           |ugf AS (SELECT w FROM (SELECT unnest(ws) AS w FROM a) WHERE length(w) > 0),
+           |uc AS (SELECT w, count(*) AS n FROM ugf GROUP BY 1),
+           |bc AS (SELECT wa, wb, count(*) AS n_ab FROM bg
+           |  GROUP BY 1, 2 HAVING count(*) >= 5),
+           |tot AS (SELECT (SELECT count(*) FROM ugf) AS t_u,
+           |  (SELECT count(*) FROM bg) AS t_b)
+           |SELECT wa AS w_a, wb AS w_b, n_ab, ua.n AS n_a, ub.n AS n_b,
+           |  round(log2((CAST(n_ab AS DOUBLE) / t_b) /
+           |    ((CAST(ua.n AS DOUBLE) / t_u) * (CAST(ub.n AS DOUBLE) / t_u))), 4) AS pmi
+           |FROM bc JOIN uc ua ON bc.wa = ua.w JOIN uc ub ON bc.wb = ub.w, tot
+           |ORDER BY pmi DESC, w_a, w_b LIMIT 50""".stripMargin,
+
+      // DSIR: same md5-prefix hash buckets (the minhash discipline),
+      // add-1 smoothed bucket log-ratios int-scaled before the doc sum
+      "dsir_select" ->
+        s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $normTextSql AS t
+           |  FROM documents),
+           |w AS (SELECT doc_id, tgt, unnest(string_split(t, ' ')) AS w FROM t),
+           |wb AS (SELECT doc_id, tgt,
+           |  CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS b
+           |  FROM w WHERE length(w) > 0),
+           |m AS (SELECT b, count(*) AS r_cnt,
+           |  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_cnt FROM wb GROUP BY 1),
+           |tot AS (SELECT sum(r_cnt) AS r_tot, sum(t_cnt) AS t_tot FROM m),
+           |lut AS (SELECT b, CAST(round(log2(
+           |    (CAST(t_cnt + 1 AS DOUBLE) / (t_tot + 64)) /
+           |    (CAST(r_cnt + 1 AS DOUBLE) / (r_tot + 64))) * 10000) AS BIGINT) AS lr4
+           |  FROM m, tot)
+           |SELECT doc_id, count(*) AS n_words,
+           |  round(sum(lr4) / 10000.0 / count(*), 4) AS dsir_score,
+           |  round(sum(lr4) / 10000.0 / count(*), 4) > 0 AS keep
+           |FROM wb JOIN lut USING (b) GROUP BY 1""".stripMargin,
+
+      // hashed linear classifier: exact integer weights from the same
+      // md5-prefix hash — no libm anywhere, fully exact cross-engine
+      "quality_classifier" ->
+        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |d AS (SELECT doc_id,
+           |  list_filter(string_split(t, ' '), x -> length(x) > 0) AS toks FROM t),
+           |s AS (SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+           |  CAST(list_sum(list_transform(toks,
+           |    x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2001 - 1000))
+           |    AS BIGINT) AS wsum
+           |  FROM d WHERE length(toks) > 0)
+           |SELECT doc_id, n_tokens,
+           |  wsum / (n_tokens * 1000.0) AS clf_score,
+           |  wsum / (n_tokens * 1000.0) > 0 AS keep FROM s""".stripMargin,
+
+      // retention: absolute week bins by integer µs division; cohort =
+      // min week per user; offset-0 rows are the cohort sizes
+      "events_retention" ->
+        """WITH w AS (SELECT DISTINCT user_id AS u,
+          |  epoch_us(ts) // 604800000000 AS week FROM events),
+          |c AS (SELECT u, min(week) AS cohort_week FROM w GROUP BY 1),
+          |m AS (SELECT cohort_week, week - cohort_week AS week_offset,
+          |  count(*) AS n_users FROM w JOIN c USING (u) GROUP BY 1, 2),
+          |sz AS (SELECT cohort_week, n_users AS cohort_size FROM m
+          |  WHERE week_offset = 0)
+          |SELECT m.cohort_week, m.week_offset, m.n_users,
+          |  round(CAST(m.n_users AS DOUBLE) / cohort_size, 4) AS retention
+          |FROM m JOIN sz USING (cohort_week)""".stripMargin,
+
+      // RFM: exact integer metrics (day bins, counts, cents), quintile
+      // boundaries via quantile_cont rounded 4 dp (corpus_stats parity
+      // discipline), comparison-based scoring
+      "events_rfm" ->
+        """WITH u AS (SELECT user_id,
+          |  max(epoch_us(ts)) // 86400000000 AS rec_day, count(*) AS freq,
+          |  sum(CAST(round(value * 100) AS BIGINT)) AS mon_c
+          |  FROM events GROUP BY 1),
+          |b AS (SELECT
+          |  round(quantile_cont(rec_day, 0.2), 4) AS r0,
+          |  round(quantile_cont(rec_day, 0.4), 4) AS r1,
+          |  round(quantile_cont(rec_day, 0.6), 4) AS r2,
+          |  round(quantile_cont(rec_day, 0.8), 4) AS r3,
+          |  round(quantile_cont(freq, 0.2), 4) AS f0,
+          |  round(quantile_cont(freq, 0.4), 4) AS f1,
+          |  round(quantile_cont(freq, 0.6), 4) AS f2,
+          |  round(quantile_cont(freq, 0.8), 4) AS f3,
+          |  round(quantile_cont(mon_c, 0.2), 4) AS m0,
+          |  round(quantile_cont(mon_c, 0.4), 4) AS m1,
+          |  round(quantile_cont(mon_c, 0.6), 4) AS m2,
+          |  round(quantile_cont(mon_c, 0.8), 4) AS m3 FROM u),
+          |s AS (SELECT
+          |  1 + CASE WHEN rec_day > r0 THEN 1 ELSE 0 END
+          |    + CASE WHEN rec_day > r1 THEN 1 ELSE 0 END
+          |    + CASE WHEN rec_day > r2 THEN 1 ELSE 0 END
+          |    + CASE WHEN rec_day > r3 THEN 1 ELSE 0 END AS r_score,
+          |  1 + CASE WHEN freq > f0 THEN 1 ELSE 0 END
+          |    + CASE WHEN freq > f1 THEN 1 ELSE 0 END
+          |    + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+          |    + CASE WHEN freq > f3 THEN 1 ELSE 0 END AS f_score,
+          |  1 + CASE WHEN mon_c > m0 THEN 1 ELSE 0 END
+          |    + CASE WHEN mon_c > m1 THEN 1 ELSE 0 END
+          |    + CASE WHEN mon_c > m2 THEN 1 ELSE 0 END
+          |    + CASE WHEN mon_c > m3 THEN 1 ELSE 0 END AS m_score
+          |  FROM u, b)
+          |SELECT r_score, f_score, m_score, count(*) AS n_users
+          |FROM s GROUP BY 1, 2, 3""".stripMargin,
     )
   }
 }

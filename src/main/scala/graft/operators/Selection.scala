@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Dedup.normText
+
+/** Data-selection operators for training-corpus construction: DSIR
+  * importance scoring (Xie et al. 2023, "Data Selection for Language
+  * Models via Importance Resampling") and a fastText-style hashed
+  * linear quality classifier (Joulin et al. 2016 architecture — the
+  * CCNet / LLaMA-pipeline quality-filter shape).
+  *
+  * Both use the hashing trick: token features hash into a FIXED number
+  * of buckets, so the per-bucket model table is constant-size and
+  * broadcastable however large the corpus — the scale contrast to
+  * tfidf/surprisal, whose vocabulary tables must hash-partition. Token
+  * hashes are md5-derived (reproducible in any engine with md5 — the
+  * minhash family's discipline) rather than a JVM-private hash.
+  */
+object Selection {
+
+  /** 32-bit md5-prefix hash of a token, as an exact long in [0, 2³²). */
+  private def tokHash(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+
+  /** DSIR importance score per document: with hashed unigram features,
+    * score(doc) = (1/n) Σ_w log2( p_target(h(w)) / p_raw(h(w)) ) — the
+    * per-token log importance weight of the target distribution over the
+    * raw distribution, add-1 smoothed over `numBuckets` buckets.
+    * Documents whose token mix resembles the `isTarget` slice score > 0
+    * and would be kept by importance resampling.
+    *
+    * Scale shape: ONE token explode feeds both distribution counts; the
+    * bucket model is `numBuckets` rows — aggregated with map-side
+    * combine, then BROADCAST back for per-token lookup (the hashing
+    * trick's point: the model never grows with the corpus, unlike a
+    * vocabulary join); per-bucket log-ratios are rounded to 4 dp and
+    * ×10⁴-scaled to exact longs before the per-doc sum (order-free —
+    * the surprisal discipline, same documented libm residual risk).
+    *
+    * @param isTarget predicate over `docs` rows marking the target-domain
+    *                 sample (e.g. `col("lang") === "en"`)
+    * @return (doc_id, n_words, dsir_score, keep)
+    */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, numBuckets: Int = 64): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+      explode(split(normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("tgt"),
+        (tokHash(col("w")) % numBuckets).as("b"))
+    // one pass over the tokens builds both distributions: conditional
+    // counts per bucket (map-side combined; ≤ numBuckets result rows)
+    val model = words.groupBy("b").agg(
+      count(lit(1)).as("r_cnt"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("t_cnt"))
+    val totals = broadcast(model.agg(
+      sum("r_cnt").as("r_tot"), sum("t_cnt").as("t_tot")))
+    val lr4 = round(log2(
+      ((col("t_cnt") + 1).cast("double") / (col("t_tot") + numBuckets)) /
+        ((col("r_cnt") + 1).cast("double") / (col("r_tot") + numBuckets)))
+      * 10000).cast("long")
+    val lut = broadcast(model.crossJoin(totals)
+      .select(col("b"), lr4.as("lr4")))
+    words.join(lut, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("lr4").as("s4"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("s4") / 10000.0 / col("n_words"), 4).as("dsir_score"))
+      .withColumn("keep", col("dsir_score") > 0)
+  }
+
+  /** fastText-style linear text classifier over hashed bag-of-words
+    * features: score(doc) = (1/n) Σ_w weight(h(w)), with the weight
+    * table derived deterministically from the feature hash
+    * (weight ∈ [−1, 1] in exact 1/1000 steps). The weights stand in for
+    * trained coefficients — the PLUMBING (hashed features, linear
+    * scoring, threshold gate) is the production shape; swapping in a
+    * trained weight array changes one expression.
+    *
+    * Scale shape: ZERO shuffle — the whole score is a higher-order
+    * `aggregate` fold over the token array inside one projection
+    * (exact integer accumulator, so no float-order concerns at all:
+    * this operator has NO libm residual risk, unlike dsir/surprisal).
+    *
+    * @return (doc_id, n_tokens, clf_score, keep)
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val weightSum =
+      "aggregate(toks, 0L, (acc, x) -> acc + " +
+        "(CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000))"
+    docs.select(col(idCol).as("doc_id"),
+      filter(split(normText(col(textCol)), " "),
+        w => length(w) > 0).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        expr(weightSum).as("wsum"))
+      .filter(col("n_tokens") > 0)
+      // deliberately NOT rounded: wsum and n_tokens are exact integers
+      // and one IEEE division is bit-identical in any engine — while a
+      // 4 dp round can LAND on a .00005 tie (wsum/(1000n) is a finite
+      // decimal whenever n divides a power of 10), where Spark's
+      // BigDecimal HALF_UP and a binary-value round disagree (seen live:
+      // wsum=-2946, n=40 → -0.07365 → -0.0737 vs -0.0736)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("wsum") / (col("n_tokens") * 1000.0)).as("clf_score"))
+      .withColumn("keep", col("clf_score") > 0)
+  }
+}
