@@ -163,14 +163,14 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
-  /** Rare-shingle-blocked jaccard CTE block ending in
-    * `jp(id_a, id_b, n_inter, n_a, n_b, jaccard)` (confirmed near-dup
-    * pairs at threshold 0.2) — shared by the dedup_ngram_jaccard and
-    * dedup_groups oracles so the pair derivation cannot drift. Splice
-    * after `WITH`. */
-  private def jaccardPairCtes: String =
-    s"""t AS (SELECT doc_id,
-       |  lang || '|' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+  /** Rare-shingle candidate + intersection CTE prefix ending in
+    * `inter(id_a, id_b, n_inter)` + `sizes(doc_id, n_sh)`, parameterized
+    * by the blocking-key SQL — shared by the jaccard family (lang +
+    * length-band block) and the containment query (lang-only block: a
+    * contained doc and its container sit in different length bands by
+    * construction). Splice after `WITH`. */
+  private def shingleCtes(blockSql: String): String =
+    s"""t AS (SELECT doc_id, $blockSql AS block,
        |  $normTextSql AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, block, substr(t, CAST(i AS INT), 3) AS sh
        |  FROM (SELECT doc_id, block, t, unnest(generate_series(1, length(t)-2)) AS i
@@ -185,7 +185,20 @@ object SparkEntry {
        |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
        |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
        |  GROUP BY c.id_a, c.id_b),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** The documents-table jaccard blocking key as SQL (twin of
+    * [[docBlockCol]]). */
+  private val docBlockSql =
+    "lang || '|' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR)"
+
+  /** Rare-shingle-blocked jaccard CTE block ending in
+    * `jp(id_a, id_b, n_inter, n_a, n_b, jaccard)` (confirmed near-dup
+    * pairs at threshold 0.2) — shared by the dedup_ngram_jaccard and
+    * dedup_groups oracles so the pair derivation cannot drift. Splice
+    * after `WITH`. */
+  private def jaccardPairCtes: String =
+    s"""${shingleCtes(docBlockSql)},
        |jp AS (SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
        |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
@@ -1557,6 +1570,27 @@ object SparkEntry {
       // (broadcast), NOT an ntile window over every user
       Cohorts.rfmSegments(Tables.events(s, dir), "user_id",
         expr("ts DIV 1000"), col("value"))
+    }),
+
+    "dedup_containment" -> ((s, dir) => {
+      // Broder containment (asymmetric near-dup: short doc inside long
+      // doc) — lang-only block so cross-length-band pairs survive
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+          blockCol = col("lang"), n = 3, minContain = 0.5)
+        .select(col("id_a"), col("id_b"), col("n_inter"),
+          col("contain_a"), col("contain_b"))
+    }),
+
+    "sample_exact_k" -> ((s, dir) => {
+      // deterministic exact-k-per-stratum sample (md5-rank permutation)
+      Curation.sampleExactK(Tables.documents(s, dir), "doc_id", "lang",
+        k = 40)
+    }),
+
+    "event_anomalies" -> ((s, dir) => {
+      // z-score daily spike/drop detection per event type
+      EventOps.dailyAnomalies(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"), zThresh = 2.0)
     }),
   )
 
@@ -3242,6 +3276,39 @@ object SparkEntry {
           |  FROM u, b)
           |SELECT r_score, f_score, m_score, count(*) AS n_users
           |FROM s GROUP BY 1, 2, 3""".stripMargin,
+
+      // containment twin: same shingle/candidate machinery as the
+      // jaccard family but lang-only block; ratios unrounded (single
+      // IEEE divisions of exact integers — bit-identical cross-engine)
+      "dedup_containment" ->
+        s"""WITH ${shingleCtes("lang")},
+           |cp AS (SELECT id_a, id_b, n_inter,
+           |  n_inter / sa.n_sh AS contain_a,
+           |  n_inter / sb.n_sh AS contain_b
+           |  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b)
+           |SELECT id_a, id_b, n_inter, contain_a, contain_b FROM cp
+           |WHERE greatest(contain_a, contain_b) >= 0.5""".stripMargin,
+
+      "sample_exact_k" ->
+        """WITH r AS (SELECT lang, doc_id,
+          |  row_number() OVER (PARTITION BY lang
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents)
+          |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM r
+          |WHERE rk <= 40""".stripMargin,
+
+      // z-score anomaly days: mean/stddev rounded 4 dp once (stats_agg
+      // parity discipline), flag compares the already-rounded doubles
+      "event_anomalies" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |p AS (SELECT event_type, round(avg(n), 4) AS mean,
+          |  round(stddev_samp(n), 4) AS std FROM c GROUP BY 1)
+          |SELECT c.event_type, c.day, c.n, p.mean, p.std
+          |FROM c JOIN p USING (event_type)
+          |WHERE std IS NOT NULL AND abs(n - mean) > 2.0 * std""".stripMargin,
     )
   }
 }

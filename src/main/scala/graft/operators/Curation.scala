@@ -275,6 +275,30 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Deterministic EXACT-k-per-stratum sample — the reservoir-sampling
+    * contract (exactly k uniform picks per group) without reservoir
+    * state: rank each stratum's members by the md5 of their id (a
+    * uniform, engine-reproducible permutation — the no-rand() rule of
+    * [[stratifiedSample]], which is the rate-based twin) and keep the
+    * first k. Retries, speculation and cross-engine oracles all agree
+    * because the sample is a pure function of the ids.
+    *
+    * Scale shape: one shuffle on the stratum key; the rank ≤ k filter
+    * compiles to WindowGroupLimit (Spark 3.5+), which keeps a k-row heap
+    * per partition BEFORE the exchange — the full stratum never sorts.
+    *
+    * @return (strataCol, idCol, rk) — rk ∈ [1, k]
+    */
+  def sampleExactK(docs: DataFrame, idCol: String, strataCol: String,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    docs.select(col(strataCol), col(idCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Size-balanced shard assignment for corpus export: rank documents
     * by descending size and deal them round-robin over `numShards`
     * output shards — the classic LPT-style balance (largest items

@@ -243,6 +243,39 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Broder CONTAINMENT pairs (Broder 1997 §2 defines resemblance AND
+    * containment): c(A,B) = |S(A)∩S(B)| / |S(A)| — the asymmetric twin
+    * of jaccard that catches a short document duplicated INSIDE a longer
+    * one, where resemblance stays low (≈|A|/|B|) and the symmetric dedup
+    * family never fires.
+    *
+    * Same candidates-then-verify shape as [[ngramJaccardPairs]] (shared
+    * machinery — rare-shingle blocking, window df cut, array-intersect
+    * verify), but the block key must NOT include a length band: a
+    * contained document and its container sit in different bands by
+    * construction, so the jaccard family's (lang, length/100) block
+    * would split every true containment pair. Blocking on the language
+    * alone keeps candidates bounded purely by the rare-shingle df cut.
+    *
+    * Containment ratios ship UNROUNDED: they are single IEEE divisions
+    * of exact integers (bit-identical in any engine), while a 4 dp round
+    * can land on a .00005 HALF_UP-vs-binary tie (the quality_classifier
+    * lesson).
+    *
+    * @return (id_a, id_b, n_inter, contain_a, contain_b) where
+    *         max(contain_a, contain_b) ≥ minContain
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: Column, n: Int = 3,
+                       minContain: Double = 0.5,
+                       maxDf: Int = 8): DataFrame =
+    ngramJaccardPairs(docs, idCol, textCol, blockCol, n,
+      minJaccard = 0.0, maxDf = maxDf)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        (col("n_inter") / col("n_a")).as("contain_a"),
+        (col("n_inter") / col("n_b")).as("contain_b"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= minContain)
+
   /** Connected components over candidate near-dup pairs — the grouping
     * stage that turns pairwise hits into transitive dedup groups
     * (keep-lowest-id-per-group is then one filter).

@@ -39,6 +39,41 @@ object EventOps {
     * @param rightTs   integral event-time column on `right`
     * @param carry     right-side columns to attach (prefixed `asof_`)
     */
+  /** Daily spike/drop detection per event type: day-binned counts, a
+    * per-type mean/stddev profile, and the days whose count sits more
+    * than `zThresh` sample standard deviations from that type's mean —
+    * the classic z-score monitoring rule.
+    *
+    * Scale shape: one partial-agg shuffle to (type, day) counts; the
+    * per-type profile re-aggregates that tiny frame (vocabulary-sized)
+    * and joins back BROADCAST; flagging is a narrow comparison. Mean
+    * and stddev are rounded 4 dp once (the stats_agg parity discipline —
+    * stddev's accumulation order can differ by an ulp between engines),
+    * and the flag compares |n − mean| against zThresh·std on those
+    * already-rounded values, so both engines compare identical doubles.
+    * Types seen on a single day carry a NULL stddev and cannot flag.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, day, n, mean, std) — anomalous days only
+    */
+  def dailyAnomalies(events: DataFrame, typeCol: String, tsUs: Column,
+                     zThresh: Double = 3.0): DataFrame = {
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val profile = counts.groupBy("event_type")
+      .agg(round(avg("n"), 4).as("mean"),
+        round(stddev_samp(col("n")), 4).as("std"))
+    counts.join(broadcast(profile), "event_type")
+      .filter(col("std").isNotNull &&
+        abs(col("n") - col("mean")) > lit(zThresh) * col("std"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("mean"), col("std"))
+  }
+
   /** Internal/output column names asOfJoin introduces; caller columns must
     * not collide or the window logic would silently read caller data. */
   private def checkCollisions(left: DataFrame, carry: Seq[String]): Unit = {

@@ -125,6 +125,22 @@ class CurationSpec extends AnyFunSuite {
     assert(total > 900 * 0.3 && total < 900 * 0.5)
   }
 
+  test("sampleExactK: exactly k per stratum, deterministic, small strata kept whole") {
+    val docs = (0L until 300L).map(i =>
+      (i, if (i < 290) "big" else "tiny")).toDF("doc_id", "lang")
+    val s1 = Curation.sampleExactK(docs, "doc_id", "lang", k = 25)
+      .as[(String, Long, Long)].collect().toSet
+    val s2 = Curation.sampleExactK(docs, "doc_id", "lang", k = 25)
+      .as[(String, Long, Long)].collect().toSet
+    assert(s1 == s2) // pure function of the ids
+    val byLang = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byLang == Map("big" -> 25, "tiny" -> 10)) // min(k, |stratum|)
+    // rk is a 1..k dense rank within each stratum
+    assert(s1.filter(_._1 == "big").map(_._3).toSet == (1L to 25L).toSet)
+    // the pick is the md5-rank prefix, not the first-k ids
+    assert(s1.filter(_._1 == "big").map(_._2) != (0L until 25L).toSet)
+  }
+
   test("curateMix: dedup keeps lowest id, contaminated docs drop, strata survive") {
     val bench = Seq((100L, "secret benchmark phrase here today")).toDF("doc_id", "text")
       .withColumn("lang", lit("en"))

@@ -237,4 +237,23 @@ class EventOpsSpec extends AnyFunSuite {
     val short = Seq((9L, "tiny")).toDF("doc_id", "text")
     assert(Dedup.chunkDuplicates(short, "doc_id", "text", width = 100).count() == 0L)
   }
+
+  test("dailyAnomalies flags z-score outlier days, skips single-day types") {
+    val dayUs = 86400000000L
+    // type "a": 9 quiet days of 10 events + 1 spike day of 100
+    //   mean=19, stddev_samp≈28.46 -> z(spike)=(100-19)/28.46≈2.85
+    // type "b": one day only -> stddev NULL -> can never flag
+    val rows =
+      (0 until 9).flatMap(d => (0 until 10).map(i => ("a", d * dayUs + i))) ++
+        (0 until 100).map(i => ("a", 9 * dayUs + i)) ++
+        (0 until 50).map(i => ("b", i.toLong))
+    val ev = rows.toDF("event_type", "ts_us")
+    val out = EventOps.dailyAnomalies(ev, "event_type", col("ts_us"),
+        zThresh = 2.0)
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    assert(out == List(("a", 9L, 100L, 19.0, 28.4605)))
+    // at a stricter threshold the spike no longer clears the bar
+    assert(EventOps.dailyAnomalies(ev, "event_type", col("ts_us"),
+      zThresh = 3.0).count() == 0L)
+  }
 }

@@ -128,6 +128,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((1L, 3L)) > 0.7 && pairs((1L, 3L)) < 1.0)
     assert(pairs.getOrElse((1L, 4L), 0.0) < pairs((1L, 3L)))
   }
+
+  test("containmentPairs catches a short doc inside a long one") {
+    val short = "the quick brown fox jumps over the lazy dog"
+    val long = short + " " + (1 to 60).map(i => s"qz$i").mkString(" ")
+    val cdocs = Seq((1L, short), (2L, long), (3L, "completely different text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(cdocs, "doc_id", "text",
+        blockCol = lit("all"), n = 3, minContain = 0.9)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // doc 1's shingles are all inside doc 2 -> contain_a = 1.0, while
+    // the symmetric jaccard (≈ |1|/|2|) would stay far below threshold
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(out.head._4 == 1.0 && out.head._5 < 0.5)
+  }
 }
 
 class ConnectedComponentsSpec extends AnyFunSuite {
