@@ -1592,6 +1592,63 @@ object SparkEntry {
       EventOps.dailyAnomalies(Tables.events(s, dir), "event_type",
         expr("ts DIV 1000"), zThresh = 2.0)
     }),
+
+    "skew_join_salted" -> ((s, dir) => {
+      // the salted hot-key join graded against the PLAIN join oracle
+      // (salting must not change results): 1/3 of lineitem lands on
+      // key 0 by construction — the shape AQE skew splitting can't fix
+      // when the skew is in a build side or AQE is off
+      val large = Tables.lineitem(s, dir).select(
+        when(col("l_orderkey") % 3 === 0, lit(0L))
+          .otherwise(col("l_suppkey") % 25).cast("long").as("k"),
+        col("l_quantity"))
+      val small = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("k"), col("n_name"))
+      SkewJoin.saltedJoin(large, small, Seq("k"), buckets = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    "interval_coverage" -> ((s, dir) => {
+      // sweep-line coverage-depth histogram over the gene intervals
+      // (read-depth / feature-density primitive)
+      Intervals.coverageHistogram(partGenes(s, dir), Seq("chr"),
+        col("gstart"), col("gstop"))
+    }),
+
+    "embed_kmeans_step" -> ((s, dir) => {
+      // one full-corpus Lloyd iteration against the fixed quantizer
+      // (literal centroids, like ann_ivf, so the DuckDB twin re-derives
+      // assignment and means from the same constants)
+      Similarity.kmeansStep(Tables.embeddings(s, dir), "embedding",
+        Similarity.ivfQuantizer(16, 64))
+    }),
+
+    "quality_ppl_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail terciles over per-language surprisal
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      Selection.pplBuckets(scored, "doc_id", "lang", "avg_surprisal")
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("n_docs"))
+    }),
+
+    "vocab_growth" -> ((s, dir) => {
+      // Heaps-law vocabulary growth at 50-doc checkpoints over word
+      // BIGRAMS (the unigram vocabulary is closed and tiny by
+      // construction — only a composite unit grows)
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.wordBigrams(col("text")), step = 50L)
+    }),
+
+    "dna_kmer_spectrum" -> ((s, dir) => {
+      // 4-mer occurrence spectrum over the derived DNA sequences (the
+      // k-mer counting classic; spectrum = histogram of multiplicities)
+      Tables.documents(s, dir)
+        .select(explode(Dna.kmers(docDna, 4)).as("kmer"))
+        .groupBy("kmer").agg(count(lit(1)).as("n_occ"))
+        .groupBy("n_occ").agg(count(lit(1)).as("n_kmers"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -3309,6 +3366,93 @@ object SparkEntry {
           |SELECT c.event_type, c.day, c.n, p.mean, p.std
           |FROM c JOIN p USING (event_type)
           |WHERE std IS NOT NULL AND abs(n - mean) > 2.0 * std""".stripMargin,
+
+      // the oracle is the PLAIN join — salting must be invisible
+      "skew_join_salted" ->
+        """WITH l AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+          |  ELSE l_suppkey % 25 END AS k, l_quantity FROM lineitem),
+          |n AS (SELECT n_nationkey AS k, n_name FROM nation)
+          |SELECT n_name, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+          |FROM l JOIN n USING (k) GROUP BY 1""".stripMargin,
+
+      "interval_coverage" ->
+        s"""WITH g AS ($partGenesSql),
+           |del AS (SELECT chr, gstart AS pos, 1 AS d FROM g
+           |  UNION ALL SELECT chr, gstop + 1, -1 FROM g),
+           |bp AS (SELECT chr, pos, sum(d) AS delta FROM del
+           |  GROUP BY 1, 2 HAVING sum(d) <> 0),
+           |seg AS (SELECT chr, pos,
+           |  CAST(sum(delta) OVER (PARTITION BY chr ORDER BY pos
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth,
+           |  lead(pos) OVER (PARTITION BY chr ORDER BY pos) AS end_pos
+           |  FROM bp)
+           |SELECT depth, count(*) AS n_segments,
+           |  CAST(sum(end_pos - pos) AS BIGINT) AS total_bp
+           |FROM seg WHERE end_pos IS NOT NULL
+           |GROUP BY 1""".stripMargin,
+
+      // same coarse-assignment CTEs as ann_ivf; per-component sums as
+      // exact scaled integers (the order-free aggregation discipline)
+      "embed_kmeans_step" -> {
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+           |d AS (
+           |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),
+           |rnk AS (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
+           |asn AS (SELECT a.c, vv FROM rnk a
+           |  JOIN v ON v.vec_id = a.vec_id WHERE a.rn = 1),
+           |comp AS (SELECT c, u.i AS dim,
+           |  CAST(round(vv[CAST(u.i + 1 AS INT)] * 1000000) AS BIGINT) AS sx
+           |  FROM asn, LATERAL unnest(generate_series(0, len(vv) - 1)) u(i))
+           |SELECT CAST(c AS BIGINT) AS c, CAST(dim AS BIGINT) AS dim,
+           |  count(*) AS n,
+           |  CAST(sum(sx) AS DOUBLE) / count(*) / 1000000.0 AS mean
+           |FROM comp GROUP BY 1, 2""".stripMargin
+      },
+
+      // surprisal CTE chain (text_surprisal twin) + per-lang terciles
+      "quality_ppl_buckets" ->
+        s"""WITH d AS (SELECT doc_id, lang, $normTextSql AS t FROM documents),
+           |w AS (SELECT doc_id, uw.w FROM d,
+           |  LATERAL unnest(string_split(t, ' ')) uw(w) WHERE length(uw.w) > 0),
+           |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+           |s AS (SELECT w, CAST(round(-log2(CAST(cnt AS DOUBLE)/total) * 10000)
+           |  AS BIGINT) AS su4 FROM c, tot),
+           |sc AS (SELECT doc_id, round(sum(su4)/10000.0/count(*), 4) AS score
+           |  FROM w JOIN s USING (w) GROUP BY 1),
+           |scl AS (SELECT sc.doc_id, d.lang, score FROM sc
+           |  JOIN d ON d.doc_id = sc.doc_id),
+           |b AS (SELECT lang,
+           |  round(quantile_cont(score, 0.3333333333), 4) AS b1,
+           |  round(quantile_cont(score, 0.6666666667), 4) AS b2
+           |  FROM scl GROUP BY 1)
+           |SELECT scl.lang, CASE WHEN score <= b1 THEN 'head'
+           |  WHEN score <= b2 THEN 'middle' ELSE 'tail' END AS bucket,
+           |  count(*) AS n_docs
+           |FROM scl JOIN b USING (lang) GROUP BY 1, 2""".stripMargin,
+
+      "vocab_growth" ->
+        s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS ps
+           |  FROM documents),
+           |w AS (SELECT doc_id, ps[CAST(u.i AS INT)] || ' ' ||
+           |    ps[CAST(u.i + 1 AS INT)] AS w
+           |  FROM d, LATERAL unnest(generate_series(1, len(ps) - 1)) u(i)
+           |  WHERE len(ps) >= 2),
+           |f AS (SELECT w, min(doc_id) AS first_id FROM w GROUP BY 1),
+           |n AS (SELECT (first_id - first_id % 50) + 50 AS up_to_id,
+           |  count(*) AS new_tokens FROM f GROUP BY 1)
+           |SELECT up_to_id, new_tokens,
+           |  CAST(sum(new_tokens) OVER (ORDER BY up_to_id
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+           |FROM n""".stripMargin,
+
+      "dna_kmer_spectrum" ->
+        s"""WITH d AS (SELECT $docDnaSql AS dna FROM documents),
+           |km AS (SELECT substr(dna, CAST(u.i AS INT), 4) AS kmer FROM d,
+           |  LATERAL unnest(generate_series(1, length(dna) - 3)) u(i)),
+           |c AS (SELECT kmer, count(*) AS n_occ FROM km GROUP BY 1)
+           |SELECT n_occ, count(*) AS n_kmers FROM c GROUP BY 1""".stripMargin,
     )
   }
 }

@@ -118,4 +118,19 @@ object Dna {
     ColumnBridge.column(ReverseComplement(ColumnBridge.expression(c)))
   def translateDna(c: Column): Column =
     ColumnBridge.column(TranslateDna(ColumnBridge.expression(c)))
+
+  /** All overlapping k-mers of a sequence WITH multiplicity (order
+    * preserved) — the counting-path contrast to ShingleOps' distinct
+    * sets. Built-in `transform`/`sequence`/`substring` only, so the
+    * whole expansion stays in whole-stage codegen; sequences shorter
+    * than k yield an empty array (guarded — `sequence` would otherwise
+    * step BACKWARDS for a negative span). */
+  def kmers(dna: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{length, lit, sequence, transform, typedLit, when}
+    require(k > 0, "k must be positive")
+    when(length(dna) >= k,
+      transform(sequence(lit(1), length(dna) - (k - 1)),
+        i => dna.substr(i, lit(k))))
+      .otherwise(typedLit(Array.empty[String]))
+  }
 }

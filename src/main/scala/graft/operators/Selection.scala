@@ -24,6 +24,36 @@ object Selection {
   private def tokHash(w: Column): Column =
     conv(substring(md5(w), 1, 8), 16, 10).cast("long")
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    * every document with an LM, split the corpus at the per-language
+    * perplexity TERCILES into head/middle/tail, keep head+middle): takes
+    * any per-doc score frame (here: unigram surprisal as the self-
+    * contained LM), computes per-`groupCol` tercile boundaries, and
+    * labels each document by comparison.
+    *
+    * Scale shape: exact sort-based `percentile` per group — one shuffle
+    * of (group, score) pairs; the boundary table is vocabulary-sized and
+    * joins back BROADCAST; labeling is a narrow comparison pass. The
+    * boundaries round to 4 dp before comparison (events_rfm's parity
+    * discipline: both engines then compare identical doubles; a doc
+    * whose score EQUALS a rounded boundary goes to the lower bucket in
+    * both engines, `<=` semantics).
+    *
+    * @return (id, group, score, bucket) with bucket ∈ head|middle|tail
+    *         (head = LOWEST surprisal = most fluent, as in CCNet)
+    */
+  def pplBuckets(scored: DataFrame, idCol: String, groupCol: String,
+                 scoreCol: String): DataFrame = {
+    val b = scored.groupBy(col(groupCol).as("g"))
+      .agg(round(expr(s"percentile($scoreCol, 0.3333333333)"), 4).as("b1"),
+        round(expr(s"percentile($scoreCol, 0.6666666667)"), 4).as("b2"))
+    scored.join(broadcast(b), col(groupCol) === col("g"))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        when(col(scoreCol) <= col("b1"), "head")
+          .when(col(scoreCol) <= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** DSIR importance score per document: with hashed unigram features,
     * score(doc) = (1/n) Σ_w log2( p_target(h(w)) / p_raw(h(w)) ) — the
     * per-token log importance weight of the target distribution over the

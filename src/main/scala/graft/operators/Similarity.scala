@@ -287,6 +287,44 @@ object Similarity {
     s
   }
 
+  /** One distributed Lloyd iteration over the FULL corpus — the scale
+    * path k-means step that [[ivfTrain]]'s bounded driver-side sample
+    * deliberately avoids, expressed as a pure dataflow so it runs where
+    * the data lives: assign every vector to its nearest centroid (same
+    * argmin-over-literal-centroids kernel as [[ivfSearch]]'s coarse
+    * assignment — one narrow codegen'd pass), then recompute each
+    * cluster's mean per dimension.
+    *
+    * Scale shape: posexplode fans each vector to `dim` (cluster, dim,
+    * component) rows, and ONE partial-agg shuffle reduces them — the
+    * map-side combine collapses to ≤ numCentroids·dim rows per task
+    * before the exchange, so the shuffle moves a centroid matrix per
+    * task, not the corpus. Chained iterations = one job per step with
+    * the new means collected (numCentroids·dim values) into the next
+    * step's literals.
+    *
+    * Determinism: float summation order varies across partitions and
+    * retries, so components are scaled to EXACT integers first
+    * (round(x·10⁶) as long — one IEEE multiply and one half-away-from-
+    * zero round per element, bit-identical in any engine) and the sum
+    * runs in integer space; the mean divides the exact sum once. Same
+    * order-free-aggregation discipline as text_surprisal.
+    *
+    * @return (c, dim, n, mean): cluster id, 0-based dimension, cluster
+    *         size, and the un-scaled mean component
+    */
+  def kmeansStep(corpus: DataFrame, vecCol: String,
+                 centroids: Array[Array[Float]]): DataFrame =
+    corpus
+      .select(array_min(centroidDistStructs(col(vecCol), centroids))
+        .getField("c").cast("long").as("c"), col(vecCol).as("v"))
+      .select(col("c"), posexplode(col("v")))
+      .groupBy("c", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("col").cast("double") * 1000000).cast("long")).as("sx"))
+      .select(col("c"), col("pos").cast("long").as("dim"), col("n"),
+        (col("sx").cast("double") / col("n") / 1000000.0).as("mean"))
+
   /** IVF (inverted-file) ANN search against fixed centroids — the
     * coarse-quantizer scale path.
     *

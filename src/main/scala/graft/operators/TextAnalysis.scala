@@ -174,6 +174,53 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Vocabulary-growth curve (the Heaps-law diagnostic a corpus audit
+    * plots): distinct-token count of every prefix of the corpus in
+    * document-id order, sampled at `step`-document checkpoints. Takes a
+    * token-ARRAY column so the caller picks the unit (words, word
+    * n-grams, shingles — on a small closed word vocabulary only a
+    * composite unit actually grows).
+    *
+    * Naive prefix-distincts re-scan the corpus per checkpoint; instead
+    * each token's FIRST occurrence document (one min-agg shuffle on the
+    * token key — the only corpus-sized exchange) is binned to the
+    * checkpoint that first sees it, and a running sum over the tiny
+    * ordered checkpoint frame (≤ max_id/step rows — driver-scale, the
+    * single-partition window is on purpose) yields every prefix count
+    * in one pass. Exact integers end to end — no parity risk.
+    *
+    * @return (up_to_id, new_tokens, vocab): for each checkpoint, tokens
+    *         first seen in its step and cumulative vocabulary among
+    *         docs with id < up_to_id
+    */
+  def vocabGrowth(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  tokens: Column, step: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(step > 0, "checkpoint step must be positive")
+    val firstSeen = docs.select(col(idCol).cast("long").as("id"),
+        explode(tokens).as("w"))
+      .groupBy("w").agg(min(col("id")).as("first_id"))
+    firstSeen
+      .groupBy(((col("first_id") - pmod(col("first_id"), lit(step)))
+        + step).as("up_to_id"))
+      .agg(count(lit(1)).as("new_tokens"))
+      .withColumn("vocab", sum("new_tokens").over(
+        Window.orderBy("up_to_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Word-bigram token arrays of the normalized text — the composite
+    * vocabulary unit [[vocabGrowth]] grades on. Codegen-only built-ins;
+    * single-word docs yield an empty array (guarded — `sequence` steps
+    * backwards on a negative span). */
+  def wordBigrams(text: Column): Column = {
+    val ws = split(normText(text), " ")
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(typedLit(Array.empty[String]))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every k-gram of the
     * normalized text, slide a window of `window` consecutive hashes and
     * keep each window's minimum — any shared substring of length ≥
