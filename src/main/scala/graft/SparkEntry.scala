@@ -1649,6 +1649,35 @@ object SparkEntry {
         .groupBy("kmer").agg(count(lit(1)).as("n_occ"))
         .groupBy("n_occ").agg(count(lit(1)).as("n_kmers"))
     }),
+
+    "bpe_merge_step" -> ((s, dir) => {
+      // one BPE merge-selection step: corpus-weighted adjacent char-pair
+      // counts, top-20 merge candidates
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text", topK = 20)
+    }),
+
+    "quantile_stats" -> ((s, dir) => {
+      // exact per-group quantile family (sort-based percentile, NOT the
+      // sketch path — that's sketch_stats' bounded-error contract)
+      Tables.lineitem(s, dir).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 4).as("q1"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("q3"),
+          count(lit(1)).as("n"))
+        .withColumn("iqr", round(col("q3") - col("q1"), 4))
+    }),
+
+    "graph_degree_hist" -> ((s, dir) => {
+      // degree distribution of the confirmed near-dup graph — the graph
+      // shape audit run before trusting connected components (a heavy
+      // tail predicts mega-components)
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", blockCol = docBlockCol, n = 3, minJaccard = 0.2)
+      pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -3453,6 +3482,35 @@ object SparkEntry {
            |  LATERAL unnest(generate_series(1, length(dna) - 3)) u(i)),
            |c AS (SELECT kmer, count(*) AS n_occ FROM km GROUP BY 1)
            |SELECT n_occ, count(*) AS n_kmers FROM c GROUP BY 1""".stripMargin,
+
+      "bpe_merge_step" ->
+        s"""WITH wd AS (SELECT uw.w AS w
+           |  FROM (SELECT string_split($normTextSql, ' ') AS ps FROM documents),
+           |  LATERAL unnest(ps) uw(w) WHERE length(uw.w) > 1),
+           |f AS (SELECT w, count(*) AS freq FROM wd GROUP BY 1),
+           |p AS (SELECT substr(w, CAST(u.i AS INT), 2) AS pair, freq FROM f,
+           |  LATERAL unnest(generate_series(1, length(w) - 1)) u(i)),
+           |c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY 1)
+           |SELECT rank, pair, cnt FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+           |    AS BIGINT) AS rank, pair, cnt FROM c)
+           |WHERE rank <= 20""".stripMargin,
+
+      "quantile_stats" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_quantity, 0.25), 4) AS q1,
+          |  round(quantile_cont(l_quantity, 0.5), 4) AS med,
+          |  round(quantile_cont(l_quantity, 0.75), 4) AS q3,
+          |  count(*) AS n,
+          |  round(round(quantile_cont(l_quantity, 0.75), 4)
+          |    - round(quantile_cont(l_quantity, 0.25), 4), 4) AS iqr
+          |FROM lineitem GROUP BY 1""".stripMargin,
+
+      "graph_degree_hist" ->
+        s"""WITH $jaccardPairCtes,
+           |e AS (SELECT id_a AS id FROM jp UNION ALL SELECT id_b FROM jp),
+           |deg AS (SELECT id, count(*) AS degree FROM e GROUP BY 1)
+           |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
     )
   }
 }

@@ -209,6 +209,43 @@ object TextAnalysis {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** One BPE-training merge-selection step at corpus scale (Sennrich et
+    * al. 2016 §3.2: count adjacent symbol pairs across the corpus, the
+    * highest-frequency pair becomes the next merge): symbol = char
+    * (the initial BPE vocabulary), pair counts weighted by word
+    * frequency, top-`topK` candidates out. Iterated training re-runs
+    * the step with the merge table applied; the COUNTING pass here is
+    * the part that must scale — selection is a driver-scale sort.
+    *
+    * Scale shape: the word-frequency agg is the only corpus-sized
+    * shuffle (map-side combined); pairs then explode from the DISTINCT
+    * word frame (vocabulary-sized — each word's pairs are counted once
+    * and weighted, not re-derived per occurrence), and the pair domain
+    * is bounded by |alphabet|² — the final rank window runs on a frame
+    * that fits one partition BY CONSTRUCTION, like vocab_growth's
+    * checkpoint frame. Exact integers end to end.
+    *
+    * @return (rank, pair, cnt) — rank 1..topK by (cnt desc, pair asc)
+    */
+  def bpePairCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                    topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, "topK must be positive")
+    val words = docs
+      .select(explode(split(normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 1) // a 1-char word has no pairs
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("rank", "pair", "cnt")
+  }
+
   /** Word-bigram token arrays of the normalized text — the composite
     * vocabulary unit [[vocabGrowth]] grades on. Codegen-only built-ins;
     * single-word docs yield an empty array (guarded — `sequence` steps

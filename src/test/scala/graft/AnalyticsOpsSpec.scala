@@ -78,6 +78,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out == List((25L, 3L, 3L), (50L, 1L, 4L)))
   }
 
+  test("bpePairCounts: corpus-weighted pair counts with total-order ranks") {
+    // "ab ab abc d": pair 'ab' from ab(x2, freq-weighted) + abc(x1) = 3;
+    // 'bc' = 1; 1-char word d contributes nothing
+    val docs = Seq("ab ab abc", "d ab").toDF("text")
+    val out = TextAnalysis.bpePairCounts(docs, "text", topK = 10)
+      .as[(Long, String, Long)].collect().toList.sortBy(_._1)
+    assert(out == List((1L, "ab", 4L), (2L, "bc", 1L)))
+    // topK truncates on the (cnt desc, pair asc) total order
+    val top1 = TextAnalysis.bpePairCounts(docs, "text", topK = 1)
+      .as[(Long, String, Long)].collect().toList
+    assert(top1 == List((1L, "ab", 4L)))
+  }
+
   test("wordBigrams + Dna.kmers expansion and short-input guards") {
     val bg = Seq("one two  three", "solo", "").toDF("t")
       .select(TextAnalysis.wordBigrams(col("t")).as("b"))
