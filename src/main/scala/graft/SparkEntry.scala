@@ -1678,6 +1678,29 @@ object SparkEntry {
         .groupBy("id").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
     }),
+
+    "text_bigram_ppl" -> ((s, dir) => {
+      // bigram-LM surprisal (the KenLM perplexity-filter shape, one
+      // word of history up from text_surprisal)
+      TextAnalysis.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    "events_mad" -> ((s, dir) => {
+      // robust median/MAD anomaly twin of event_anomalies (a monster
+      // spike can't mask itself by inflating the scale estimate)
+      EventOps.dailyAnomaliesMad(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"), k = 2.0)
+    }),
+
+    "multimodal_audio_energy" -> ((s, dir) => {
+      // framed RMS energy over REAL synthesized 16-bit PCM WAVs; the
+      // oracle recomputes expected energies from the waveform formula,
+      // so the graded comparison validates the WAV encode/decode
+      // round-trip and framing exactly
+      Multimodal.audioEnergy(
+        Multimodal.syntheticAudio(Tables.documents(s, dir), "doc_id",
+          nSamples = 4000), frameSize = 512).toDF()
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -3511,6 +3534,60 @@ object SparkEntry {
            |e AS (SELECT id_a AS id FROM jp UNION ALL SELECT id_b FROM jp),
            |deg AS (SELECT id, count(*) AS degree FROM e GROUP BY 1)
            |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
+
+      // bigram twin of the text_surprisal chain: history counts
+      // re-aggregated from the bigram table, add-1 smoothing over the
+      // unigram vocabulary
+      "text_bigram_ppl" ->
+        s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS ps
+           |  FROM documents),
+           |bg AS (SELECT doc_id, ps[CAST(u.i AS INT)] || ' ' ||
+           |    ps[CAST(u.i + 1 AS INT)] AS bg
+           |  FROM d, LATERAL unnest(generate_series(1, len(ps) - 1)) u(i)
+           |  WHERE len(ps) >= 2),
+           |bgc AS (SELECT bg, count(*) AS c12,
+           |  split_part(bg, ' ', 1) AS w1 FROM bg GROUP BY 1),
+           |w1c AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+           |  FROM bgc GROUP BY 1),
+           |voc AS (SELECT count(DISTINCT uw.w) AS v FROM d,
+           |  LATERAL unnest(ps) uw(w) WHERE length(uw.w) > 0),
+           |m AS (SELECT bg,
+           |  CAST(round(-log2(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) * 10000)
+           |    AS BIGINT) AS su4
+           |  FROM bgc JOIN w1c USING (w1), voc)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(sum(su4)/10000.0/count(*), 4) AS avg_bits
+           |FROM bg JOIN m USING (bg) GROUP BY 1""".stripMargin,
+
+      // robust twin of event_anomalies: same (type, day) frame, median/
+      // MAD profile, identical literal sequence in the flag comparison
+      "events_mad" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT event_type, round(quantile_cont(n, 0.5), 4) AS med
+          |  FROM c GROUP BY 1),
+          |dv AS (SELECT c.event_type, day, n, med, abs(n - med) AS adev
+          |  FROM c JOIN m USING (event_type)),
+          |md AS (SELECT event_type, round(quantile_cont(adev, 0.5), 4) AS mad
+          |  FROM dv GROUP BY 1)
+          |SELECT dv.event_type, day, n, med, mad
+          |FROM dv JOIN md USING (event_type)
+          |WHERE mad > 0 AND adev > 2.0 * 1.4826 * mad""".stripMargin,
+
+      // the oracle recomputes expected frame energies straight from the
+      // synthetic waveform formula — grading the WAV encode → decode →
+      // frame round-trip against an independent derivation
+      "multimodal_audio_energy" ->
+        """WITH i AS (SELECT doc_id AS media_id, u.i AS i FROM documents,
+          |  LATERAL unnest(generate_series(0, 3999)) u(i)),
+          |v AS (SELECT media_id, i // 512 AS frame_idx,
+          |  ((media_id * 31 + i * 7) % 2003) - 1001 AS s FROM i)
+          |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+          |  CAST(count(*) AS INT) AS n_samples,
+          |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+          |  CAST(CAST(sum(s * s) AS BIGINT) AS DOUBLE) / count(*) AS mean_sq
+          |FROM v GROUP BY 1, 2""".stripMargin,
     )
   }
 }

@@ -74,6 +74,46 @@ object EventOps {
         col("mean"), col("std"))
   }
 
+  /** Robust twin of [[dailyAnomalies]]: median/MAD instead of mean/
+    * stddev (Leys et al. 2013 — the z-score's mean AND stddev are both
+    * corrupted by the very outliers being hunted, so a single monster
+    * spike can mask itself; the median absolute deviation breaks down
+    * only past 50% contamination). Flags days where
+    * |n − median| > k · 1.4826 · MAD, 1.4826 being the consistency
+    * constant that makes MAD estimate σ under normality.
+    *
+    * Scale shape: identical to the z-score path — one partial-agg
+    * shuffle to (type, day), two exact sort-based `percentile` passes
+    * over the vocabulary-sized counts frame, profiles broadcast back.
+    * Median and MAD round 4 dp once; the flag multiplies the SAME
+    * literal sequence (k · 1.4826 · mad) in both engines on those
+    * already-rounded values. All-flat types have MAD 0 and cannot flag
+    * (excluded — with a zero scale every nonzero deviation is infinite).
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, day, n, med, mad) — anomalous days only
+    */
+  def dailyAnomaliesMad(events: DataFrame, typeCol: String, tsUs: Column,
+                        k: Double = 3.0): DataFrame = {
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = counts.groupBy("event_type")
+      .agg(round(expr("percentile(n, 0.5)"), 4).as("med"))
+    val dev = counts.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("n") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0 &&
+        col("adev") > lit(k) * lit(1.4826) * col("mad"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("med"), col("mad"))
+  }
+
   /** Internal/output column names asOfJoin introduces; caller columns must
     * not collide or the window logic would silently read caller data. */
   private def checkCollisions(left: DataFrame, carry: Seq[String]): Unit = {

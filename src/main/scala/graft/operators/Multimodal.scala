@@ -186,6 +186,65 @@ object Multimodal {
       b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
     }
 
+    /** A complete mono-compatible 16-bit PCM WAV with sample data (the
+      * header-only [[wavBytes]] plus a real `data` chunk). Samples are
+      * interleaved if `channels` > 1 — the caller supplies the
+      * interleaved stream. */
+    def wavWithSamples(sampleRate: Int, channels: Int,
+                       samples: Array[Short]): Array[Byte] = {
+      val head = wavBytes(sampleRate, channels)
+      val b = new Array[Byte](44 + samples.length * 2)
+      System.arraycopy(head, 0, b, 0, 44)
+      putLe32(b, 4, 36 + samples.length * 2)
+      putLe32(b, 40, samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        b(44 + i * 2) = (samples(i) & 0xff).toByte
+        b(45 + i * 2) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      b
+    }
+
+    /** 16-bit PCM extraction from a WAV payload: walks the flat RIFF
+      * chunk list for `fmt ` (must be uncompressed 16-bit) and `data`.
+      * None for non-WAV / compressed / truncated input — quarantine,
+      * not failure. Returns (sampleRate, channels, samples). */
+    def wavSamples(p: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (!isRiff(p, "WAVE")) return None
+      var off = 12L
+      var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
+      var bits = 0
+      var data: Option[Array[Short]] = None
+      while (off + 8 <= p.length) {
+        val cid = fourCc(p, off)
+        val sz = le32u(p, (off + 4).toInt)
+        val end = math.min(off + 8 + sz, p.length.toLong)
+        val o = off.toInt
+        if (cid == "fmt " && off + 24 <= p.length) {
+          // fmt data layout: audioFormat@+8, channels@+10, rate@+12,
+          // byteRate@+16, blockAlign@+20, bitsPerSample@+22
+          fmt = Some((le16(p, o + 8), le16(p, o + 10), le32(p, o + 12)))
+          if (off + 24 <= p.length) bits = le16(p, o + 22)
+        } else if (cid == "data") {
+          val n = ((end - off - 8) / 2).toInt
+          val s = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            s(i) = ((p(o + 8 + i * 2) & 0xff) | (p(o + 9 + i * 2) << 8)).toShort
+            i += 1
+          }
+          data = Some(s)
+        }
+        off = end + (sz & 1) // RIFF chunks are word-aligned
+      }
+      for {
+        (af, ch, rate) <- fmt
+        if af == 1 && bits == 16 && ch >= 1
+        s <- data
+      } yield (rate, ch, s)
+    }
+
     /** A complete uncompressed 24-bit BMP with pixel data; `pixel(x, y)`
       * returns packed 0xRRGGBB, y = 0 at the TOP (rows are stored
       * bottom-up as the format requires). */
@@ -344,6 +403,59 @@ object Multimodal {
           case None => Iterator.empty // quarantine: unknown container
         }
       })
+  }
+
+  /** One fixed-size audio analysis frame: exact integer energy
+    * (`sum_sq` = Σ s², never lossy) plus the derived mean square —
+    * sufficient statistics for RMS/silence-gate/clipping checks. */
+  case class AudioFrame(media_id: Long, frame_idx: Int, n_samples: Int,
+                        sum_sq: Long, mean_sq: Double)
+
+  /** Framed audio energy over 16-bit PCM WAV payloads — the audio
+    * featurize step of the multimodal pipeline (silence trimming and
+    * loudness QC gate on exactly these statistics). Frames are
+    * `frameSize` samples, ragged tail kept (its n_samples says so).
+    *
+    * Spark shape: narrow per-partition decode (bytes never shuffle —
+    * the resize/frame-sample discipline), bounded fan-out of one small
+    * row per frame; energies are EXACT integer sums (≤ 2³⁰ per sample —
+    * no float accumulation, no overflow below 2³³ samples per frame),
+    * mean_sq one division. Non-WAV / compressed
+    * payloads quarantine to zero frames rather than failing. */
+  def audioEnergy(media: Dataset[MediaRow], frameSize: Int): Dataset[AudioFrame] = {
+    require(frameSize >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        MediaCodec.wavSamples(r.payload) match {
+          case Some((_, _, s)) =>
+            Iterator.range(0, s.length, frameSize).zipWithIndex.map {
+              case (start, idx) =>
+                val end = math.min(start + frameSize, s.length)
+                var sq = 0L
+                var i = start
+                while (i < end) { val v = s(i).toLong; sq += v * v; i += 1 }
+                val n = end - start
+                AudioFrame(r.media_id, idx, n, sq, sq.toDouble / n)
+            }
+          case None => Iterator.empty // quarantine: not 16-bit PCM WAV
+        }
+      })
+  }
+
+  /** Deterministic synthetic AUDIO corpus with real PCM payloads (the
+    * header-only [[syntheticMedia]] WAVs carry no samples): per id, a
+    * hash-derived waveform — reproducible across engines and retries. */
+  def syntheticAudio(df: DataFrame, idCol: String,
+                     nSamples: Int): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val s = Array.tabulate(nSamples)(i =>
+        (((id * 31 + i * 7) % 2003) - 1001).toShort)
+      MediaRow(id, "audio", MediaCodec.wavWithSamples(8000, 1, s))
+    }
   }
 
   /** Partition-parallel decode + feature extraction. */

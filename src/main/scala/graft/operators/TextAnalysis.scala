@@ -209,6 +209,47 @@ object TextAnalysis {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Bigram-LM surprisal per document — the KenLM-perplexity-filter
+    * shape (CCNet scores with a 5-gram model; the self-contained corpus-
+    * as-LM variant here conditions on one word of history, the unigram
+    * [[unigramSurprisal]]'s next step up): per-bigram surprisal
+    * −log2 p(w₂|w₁) with add-1 smoothing over the unigram vocabulary,
+    * p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V), averaged over each document's
+    * bigram occurrences.
+    *
+    * Scale shape: ONE bigram explode feeds both count tables (bigram
+    * counts, and history counts re-aggregated from the bigram table —
+    * vocabulary-sized, no second corpus pass); V rides in as a broadcast
+    * 1-row frame; the per-bigram model joins back on the bigram key
+    * (a 100 TB bigram vocabulary is not broadcastable — tfidf's honest
+    * shape). Per-bigram bits are 4 dp-rounded and ×10⁴-scaled to exact
+    * longs before the per-doc sum (the surprisal order-free discipline,
+    * same documented libm residual risk).
+    *
+    * @return (doc_id, n_bigrams, avg_bits) — docs with ≥ 1 bigram
+    */
+  def bigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(wordBigrams(col(textCol))).as("bg"))
+    val bgc = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val w1c = bgc.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = broadcast(docs.select(
+        explode(split(normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(countDistinct("w").as("v")))
+    val model = bgc.join(w1c, "w1").crossJoin(vocab)
+      .select(col("bg"),
+        round(-log2((col("c12") + 1).cast("double") / (col("c1") + col("v")))
+          * 10000).cast("long").as("su4"))
+    bg.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("su4").as("su_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("su_sum") / 10000.0 / col("n_bigrams"), 4).as("avg_bits"))
+  }
+
   /** One BPE-training merge-selection step at corpus scale (Sennrich et
     * al. 2016 §3.2: count adjacent symbol pairs across the corpus, the
     * highest-frequency pair becomes the next merge): symbol = char

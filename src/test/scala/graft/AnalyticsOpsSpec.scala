@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Dna
-import graft.operators.{Intervals, Selection, Similarity, TextAnalysis}
+import graft.operators.{EventOps, Intervals, Selection, Similarity, TextAnalysis}
 
 /** Specs for the round-7 analytics additions: interval coverage sweep,
   * full-corpus k-means step, perplexity bucketing, vocabulary growth,
@@ -89,6 +89,55 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val top1 = TextAnalysis.bpePairCounts(docs, "text", topK = 1)
       .as[(Long, String, Long)].collect().toList
     assert(top1 == List((1L, "ab", 4L)))
+  }
+
+  test("bigramSurprisal: add-1 smoothed conditional bits, hand-checked") {
+    // bigrams: "a b" x3, "a c" x1; V=3; c1(a)=4
+    // p(b|a)=(3+1)/(4+3) -> su4=round(log2(7/4)*1e4)=8074
+    // p(c|a)=(1+1)/7     -> su4=round(log2(7/2)*1e4)=18074
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 0.8074)) && out(2L) == out(1L))
+    assert(out(4L) == ((1L, 1.8074)))
+  }
+
+  test("dailyAnomaliesMad catches a spike the z-score's own outlier masks") {
+    val dayUs = 86400000000L
+    // per-day counts 8,9,10,11,12,100: the spike inflates stddev to
+    // ~36.8 so its z is only ~2.04 — but med=10.5, mad=1.5 flag it
+    val counts = Seq(8, 9, 10, 11, 12, 100)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => ("a", d * dayUs + i)) }
+    val ev = rows.toDF("event_type", "ts_us")
+    val mad = EventOps.dailyAnomaliesMad(ev, "event_type", col("ts_us"), k = 3.0)
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    assert(mad == List(("a", 5L, 100L, 10.5, 1.5)))
+    assert(EventOps.dailyAnomalies(ev, "event_type", col("ts_us"),
+      zThresh = 3.0).count() == 0L) // the z-score path is blind here
+  }
+
+  test("WAV PCM round-trip and framed energy, quarantine on non-audio") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaCodec, MediaRow}
+    val samples = Array[Short](3, -4, 1000, -32768)
+    val wav = MediaCodec.wavWithSamples(8000, 1, samples)
+    assert(MediaCodec.wavSamples(wav).contains((8000, 1, samples)) ||
+      MediaCodec.wavSamples(wav).exists { case (r, c, s) =>
+        r == 8000 && c == 1 && s.sameElements(samples) })
+    // header-only WAV decodes to ZERO samples (empty data chunk — and
+    // audioEnergy then emits zero frames); BMP payloads quarantine
+    assert(MediaCodec.wavSamples(MediaCodec.wavBytes(8000, 1))
+      .exists { case (_, _, s) => s.isEmpty })
+    assert(MediaCodec.wavSamples(MediaCodec.bmpBytes(4, 4)).isEmpty)
+    val media = Seq(MediaRow(7L, "audio", wav),
+      MediaRow(8L, "image", MediaCodec.bmpBytes(4, 4))).toDS()
+    val frames = Multimodal.audioEnergy(media, frameSize = 3)
+      .collect().map(f => (f.media_id, f.frame_idx, f.n_samples, f.sum_sq))
+      .toList
+    // frame 0: 9+16+1000000; ragged frame 1: 32768^2; image -> no rows
+    assert(frames == List((7L, 0, 3, 1000025L), (7L, 1, 1, 1073741824L)))
   }
 
   test("wordBigrams + Dna.kmers expansion and short-input guards") {
