@@ -1692,6 +1692,60 @@ object SparkEntry {
         expr("ts DIV 1000"), k = 2.0)
     }),
 
+    "hwe_test" -> ((s, dir) => {
+      // per-site Hardy–Weinberg chi-square over synthetic genotypes,
+      // rolled up per chr; the ×10⁴ integer statistic makes sums and
+      // the 3.841 (1 df, α=.05) threshold integer-exact
+      val g = (col("l_orderkey") * 13 + col("l_linenumber") * 17) % 10
+      val d = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") % 5).cast("long").as("chr"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000)
+          .cast("long").as("pos"),
+        when(g <= 4, 0).when(g <= 8, 1).otherwise(2).as("gt"))
+      val site = d.groupBy("chr", "pos").agg(count(lit(1)).as("n"),
+        sum(when(col("gt") === 0, 1).otherwise(0)).as("n0"),
+        sum(when(col("gt") === 1, 1).otherwise(0)).as("n1"),
+        sum(when(col("gt") === 2, 1).otherwise(0)).as("n2"))
+      val p = PopGen.altFreq(col("n"), col("n1"), col("n2"))
+      site.filter(p > 0 && p < 1)
+        .select(col("chr"),
+          PopGen.hweChi4(col("n"), col("n0"), col("n1"), col("n2"))
+            .as("chi4"))
+        .groupBy("chr").agg(count(lit(1)).as("n_sites"),
+          sum(when(col("chi4") > 38410, 1L).otherwise(0L)).as("n_reject"),
+          sum("chi4").as("sum_chi4"))
+    }),
+
+    "tstv_ratio" -> ((s, dir) => {
+      // transition/transversion ratio per chr — the one-number callset
+      // sanity check; ratio UNROUNDED (one division of exact ints)
+      val v = liVariants(s, dir).filter(col("ref_nuc") =!= col("var_nuc"))
+      v.groupBy("chr").agg(
+          sum(when(PopGen.isTransition(col("ref_nuc"), col("var_nuc")), 1L)
+            .otherwise(0L)).as("n_ts"),
+          sum(when(PopGen.isTransition(col("ref_nuc"), col("var_nuc")), 0L)
+            .otherwise(1L)).as("n_tv"))
+        .withColumn("tstv", col("n_ts") / col("n_tv"))
+    }),
+
+    "interval_overlap_join" -> ((s, dir) => {
+      // gene×gene overlap pairs (bedtools intersect) via the binned
+      // equi-join with the report-once bin rule — no dedup shuffle
+      val g = partGenes(s, dir)
+      val aSide = g.select(col("chr"), col("gene_id").as("id_a"),
+        col("gstart").as("a_start"), col("gstop").as("a_stop"))
+      val bSide = g.select(col("chr"), col("gene_id").as("id_b"),
+        col("gstart").as("b_start"), col("gstop").as("b_stop"))
+      RangeJoin.overlapJoined(aSide, bSide, "a_start", "a_stop",
+          "b_start", "b_stop", keys = Seq("chr"), binWidth = 4096)
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("chr")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("a_stop"), col("b_stop"))
+            - greatest(col("a_start"), col("b_start")) + 1)
+            .as("total_overlap"))
+    }),
+
     "multimodal_audio_energy" -> ((s, dir) => {
       // framed RMS energy over REAL synthesized 16-bit PCM WAVs; the
       // oracle recomputes expected energies from the waveform formula,
@@ -3574,6 +3628,60 @@ object SparkEntry {
           |SELECT dv.event_type, day, n, med, mad
           |FROM dv JOIN md USING (event_type)
           |WHERE mad > 0 AND adev > 2.0 * 1.4826 * mad""".stripMargin,
+
+      // HWE twin: the chi-square operation order mirrors PopGen.hweChi4
+      // term by term (load-bearing for the ×10⁴ round's parity)
+      "hwe_test" ->
+        """WITH d AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
+          |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT) AS pos,
+          |  CASE WHEN (l_orderkey*13 + l_linenumber*17) % 10 <= 4 THEN 0
+          |    WHEN (l_orderkey*13 + l_linenumber*17) % 10 <= 8 THEN 1
+          |    ELSE 2 END AS gt FROM lineitem),
+          |s AS (SELECT chr, pos, count(*) AS n,
+          |  sum(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS n0,
+          |  sum(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS n1,
+          |  sum(CASE WHEN gt = 2 THEN 1 ELSE 0 END) AS n2
+          |  FROM d GROUP BY 1, 2),
+          |h AS (SELECT chr, n, n0, n1, n2,
+          |  (2.0*n2 + n1) / (2.0*n) AS p FROM s),
+          |c AS (SELECT chr, CAST(round(
+          |  ((n0 - n*(1.0-p)*(1.0-p)) * (n0 - n*(1.0-p)*(1.0-p))
+          |     / (n*(1.0-p)*(1.0-p))
+          |   + (n1 - 2.0*n*p*(1.0-p)) * (n1 - 2.0*n*p*(1.0-p))
+          |     / (2.0*n*p*(1.0-p))
+          |   + (n2 - n*p*p) * (n2 - n*p*p) / (n*p*p)) * 10000)
+          |  AS BIGINT) AS chi4
+          |  FROM h WHERE p > 0 AND p < 1)
+          |SELECT chr, count(*) AS n_sites,
+          |  CAST(sum(CASE WHEN chi4 > 38410 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_reject,
+          |  CAST(sum(chi4) AS BIGINT) AS sum_chi4
+          |FROM c GROUP BY 1""".stripMargin,
+
+      "tstv_ratio" ->
+        s"""WITH v AS ($liVariantsSql),
+           |t AS (SELECT chr,
+           |  CASE WHEN (ref_nuc = 'A' AND var_nuc = 'G')
+           |    OR (ref_nuc = 'G' AND var_nuc = 'A')
+           |    OR (ref_nuc = 'C' AND var_nuc = 'T')
+           |    OR (ref_nuc = 'T' AND var_nuc = 'C') THEN 1 ELSE 0 END AS ts
+           |  FROM v WHERE ref_nuc <> var_nuc)
+           |SELECT chr, CAST(sum(ts) AS BIGINT) AS n_ts,
+           |  CAST(sum(1 - ts) AS BIGINT) AS n_tv,
+           |  CAST(sum(ts) AS BIGINT) / CAST(sum(1 - ts) AS BIGINT) AS tstv
+           |FROM t GROUP BY 1""".stripMargin,
+
+      // plain theta self-join twin of the binned overlap join (DuckDB
+      // plans it as an IEJoin; the binning is only Spark's equi-join
+      // strategy and must not change results)
+      "interval_overlap_join" ->
+        s"""WITH g AS ($partGenesSql)
+           |SELECT a.chr, count(*) AS n_pairs,
+           |  CAST(sum(least(a.gstop, b.gstop) - greatest(a.gstart, b.gstart)
+           |    + 1) AS BIGINT) AS total_overlap
+           |FROM g a JOIN g b ON a.chr = b.chr AND a.gene_id < b.gene_id
+           |  AND a.gstart <= b.gstop AND b.gstart <= a.gstop
+           |GROUP BY 1""".stripMargin,
 
       // the oracle recomputes expected frame energies straight from the
       // synthetic waveform formula — grading the WAV encode → decode →

@@ -56,4 +56,39 @@ object RangeJoin {
       Seq(ivBinned("__bin"), ptBinned("__bin")) ++ keys.map(ivBinned(_))
     dupCols.foldLeft(raw)(_ drop _)
   }
+
+  /** Interval × interval OVERLAP join (the bedtools-intersect primitive;
+    * gene×gene / feature×read overlap) — same bin-to-equi-join strategy
+    * as [[joined]], with the classic report-once rule instead of a
+    * distinct shuffle: a pair overlapping several shared bins is emitted
+    * ONLY in the bin of `max(a.start, b.start)` (the first bin where
+    * both intervals are present — exactly one bin satisfies this, so
+    * results are duplicate-free BY CONSTRUCTION and no dedup exchange
+    * ever runs).
+    *
+    * Left columns keep their names; right columns are the caller's to
+    * disambiguate (pass pre-renamed frames). Overlap predicate is the
+    * standard closed-interval `a.start ≤ b.stop AND b.start ≤ a.stop`.
+    */
+  def overlapJoined(
+      a: DataFrame,
+      b: DataFrame,
+      startA: String, stopA: String,
+      startB: String, stopB: String,
+      keys: Seq[String] = Nil,
+      binWidth: Long = 1000000L): DataFrame = {
+    val w = lit(binWidth)
+    val aB = a.withColumn("__bin",
+      explode(sequence(floor(col(startA) / w).cast("long"),
+        floor(col(stopA) / w).cast("long"))))
+    val bB = b.withColumn("__bin",
+      explode(sequence(floor(col(startB) / w).cast("long"),
+        floor(col(stopB) / w).cast("long"))))
+    val joinCond = (keys :+ "__bin")
+      .map(k => aB(k) === bB(k)).reduce(_ && _) &&
+      aB(startA) <= bB(stopB) && bB(startB) <= aB(stopA) &&
+      aB("__bin") === floor(greatest(aB(startA), bB(startB)) / w).cast("long")
+    val raw = aB.join(bB, joinCond, "inner")
+    (Seq(aB("__bin"), bB("__bin")) ++ keys.map(bB(_))).foldLeft(raw)(_ drop _)
+  }
 }

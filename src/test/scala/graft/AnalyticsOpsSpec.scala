@@ -36,6 +36,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(a == Set((0L, 1L, 10L, 1L, 9L)))
   }
 
+  test("overlapJoined equals the naive theta join, duplicate-free across bins") {
+    import graft.operators.RangeJoin
+    // intervals spanning multiple 10-wide bins force the report-once
+    // rule to matter: (1,25)x(8,40) share bins 0,1,2
+    val iv = Seq((0L, 1L, 1L, 25L), (0L, 2L, 8L, 40L), (0L, 3L, 26L, 30L),
+      (0L, 4L, 90L, 95L), (1L, 5L, 1L, 25L)).toDF("chr", "id", "s", "e")
+    val aSide = iv.select(col("chr"), col("id").as("id_a"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val bSide = iv.select(col("chr"), col("id").as("id_b"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    val got = RangeJoin.overlapJoined(aSide, bSide, "a_s", "a_e",
+        "b_s", "b_e", keys = Seq("chr"), binWidth = 10)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toList
+    // EXACTLY once each (toList, not toSet: duplicates must not hide)
+    assert(got.sorted == List((1L, 2L), (2L, 3L)))
+    // naive quadratic twin on the same data
+    val rows = iv.as[(Long, Long, Long, Long)].collect()
+    val naive = (for {
+      (c1, i1, s1, e1) <- rows; (c2, i2, s2, e2) <- rows
+      if c1 == c2 && i1 < i2 && s1 <= e2 && s2 <= e1
+    } yield (i1, i2)).toList.sorted
+    assert(got.sorted == naive)
+  }
+
   test("kmeansStep: exact per-cluster per-dim means against hand assignment") {
     // 2 centroids in 2-d: c0=(0,0), c1=(10,10); points split by geometry
     val cents = Array(Array(0f, 0f), Array(10f, 10f))
@@ -138,6 +163,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .toList
     // frame 0: 9+16+1000000; ragged frame 1: 32768^2; image -> no rows
     assert(frames == List((7L, 0, 3, 1000025L), (7L, 1, 1, 1073741824L)))
+  }
+
+  test("hweChi4 exact at equilibrium and against a hand-computed departure") {
+    import graft.operators.PopGen
+    val sites = Seq(
+      (1L, 100L, 36L, 48L, 16L), // p=0.4, perfectly at HWE -> chi2 = 0
+      (2L, 100L, 50L, 20L, 30L)  // p=0.4: 196/36 + 784/48 + 196/16
+    ).toDF("site", "n", "n0", "n1", "n2")
+    val out = sites.select(col("site"),
+        PopGen.hweChi4(col("n"), col("n0"), col("n1"), col("n2")).as("chi4"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == 340278L) // 34.02777... x 1e4
+    val ts = Seq(("A", "G"), ("G", "A"), ("C", "T"), ("T", "C"))
+    val tv = Seq(("A", "C"), ("A", "T"), ("G", "C"), ("G", "T"))
+    val tt = (ts ++ tv).toDF("r", "v")
+      .select(col("r"), col("v"),
+        PopGen.isTransition(col("r"), col("v")).as("is_ts"))
+      .as[(String, String, Boolean)].collect()
+    assert(tt.forall { case (r, v, f) => f == ts.contains((r, v)) })
   }
 
   test("wordBigrams + Dna.kmers expansion and short-input guards") {
