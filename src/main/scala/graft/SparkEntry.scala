@@ -3610,7 +3610,7 @@ object SparkEntry {
            |    AS BIGINT) AS su4
            |  FROM bgc JOIN w1c USING (w1), voc)
            |SELECT doc_id, count(*) AS n_bigrams,
-           |  round(sum(su4)/10000.0/count(*), 4) AS avg_bits
+           |  sum(su4)/10000.0/count(*) AS avg_bits
            |FROM bg JOIN m USING (bg) GROUP BY 1""".stripMargin,
 
       // robust twin of event_anomalies: same (type, day) frame, median/

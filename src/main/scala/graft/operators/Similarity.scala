@@ -325,6 +325,32 @@ object Similarity {
       .select(col("c"), col("pos").cast("long").as("dim"), col("n"),
         (col("sx").cast("double") / col("n") / 1000000.0).as("mean"))
 
+  /** Lloyd iterations over the FULL corpus by chaining [[kmeansStep]]:
+    * each round runs distributed (assignment + exact-integer means where
+    * the data lives) and only the new centroid matrix — k·dim values,
+    * bounded by construction like [[ivfTrain]]'s capped sample — comes
+    * back to the driver to become the next round's literals. Empty
+    * clusters keep their previous centroid (the [[ivfTrain]] rule).
+    * The scale contrast: ivfTrain k-means a BOUNDED SAMPLE driver-side;
+    * this trains on everything, one Spark job per iteration. */
+  def kmeansTrainFull(corpus: DataFrame, vecCol: String,
+                      init: Array[Array[Float]],
+                      iterations: Int): Array[Array[Float]] = {
+    require(iterations >= 0)
+    var cents = init
+    for (_ <- 0 until iterations) {
+      val next = cents.map(_.clone())
+      kmeansStep(corpus, vecCol, cents)
+        .select("c", "dim", "mean").collect() // ≤ k·dim rows, bounded
+        .foreach { r =>
+          next(r.getLong(0).toInt)(r.getLong(1).toInt) =
+            r.getDouble(2).toFloat
+        }
+      cents = next
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN search against fixed centroids — the
     * coarse-quantizer scale path.
     *

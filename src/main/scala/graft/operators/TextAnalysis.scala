@@ -224,7 +224,12 @@ object TextAnalysis {
     * (a 100 TB bigram vocabulary is not broadcastable — tfidf's honest
     * shape). Per-bigram bits are 4 dp-rounded and ×10⁴-scaled to exact
     * longs before the per-doc sum (the surprisal order-free discipline,
-    * same documented libm residual risk).
+    * same documented libm residual risk). The per-doc AVERAGE ships
+    * UNROUNDED: su_sum/10⁴/n is two IEEE divisions of exact integers —
+    * bit-identical in any engine — while a final 4 dp round LANDED on a
+    * .00005 HALF_UP-vs-binary tie at sf0.001 (avg 4.96015 → Spark
+    * 4.9602, DuckDB 4.9601; the quality_classifier lesson, seen live a
+    * second time).
     *
     * @return (doc_id, n_bigrams, avg_bits) — docs with ≥ 1 bigram
     */
@@ -247,7 +252,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("su4").as("su_sum"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("su_sum") / 10000.0 / col("n_bigrams"), 4).as("avg_bits"))
+        (col("su_sum") / 10000.0 / col("n_bigrams")).as("avg_bits"))
   }
 
   /** One BPE-training merge-selection step at corpus scale (Sennrich et

@@ -76,6 +76,54 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (1L, 0L) -> ((2L, 10.0)), (1L, 1L) -> ((2L, 9.5))))
   }
 
+  test("kmeansTrainFull converges to the true means from a bad init") {
+    val vecs = (Seq.tabulate(20)(i => Array(0f + i % 3, 1f + i % 3)) ++
+      Seq.tabulate(20)(i => Array(30f + i % 3, 31f + i % 3)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    // both init centroids sit in cluster 1's half-space, one closer to
+    // cluster 2 — Lloyd must walk it over
+    val init = Array(Array(0f, 0f), Array(8f, 8f))
+    val out = Similarity.kmeansTrainFull(vecs, "embedding", init, 5)
+    // per-cluster true mean of i%3 over 20 pts: (1*7 + 2*6)/20 = 0.95
+    // (the x1e6 integer scale divides exactly: 19e6/20 = 950000)
+    assert(out(0).toSeq == Seq(0.95f, 1.95f))
+    assert(out(1).toSeq == Seq(30.95f, 31.95f))
+    // zero iterations returns the init untouched
+    assert(Similarity.kmeansTrainFull(vecs, "embedding", init, 0)
+      .map(_.toSeq).toSeq == init.map(_.toSeq).toSeq)
+  }
+
+  test("StreamAnomaly scores before folding, independent of trigger chop") {
+    import graft.streaming.StreamAnomaly
+    import graft.streaming.StreamAnomaly.{Anomaly, Obs, Profile}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def st() = TestGroupState.create[Profile](
+      org.apache.spark.api.java.Optional.empty[Profile](),
+      GroupStateTimeout.NoTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val quiet = (0 until 9).map(d => Obs("a", d, 10.0 + (d % 3)))
+    val spike = Obs("a", 9, 100.0)
+    // one trigger with everything
+    val s1 = st()
+    val one = StreamAnomaly.update(3.0, 3)("a",
+      (quiet :+ spike).iterator, s1).toList
+    assert(one.map(a => (a.bin, a.value)) == List((9L, 100.0)))
+    // same stream chopped into three triggers -> same flags, same state
+    val s2 = st()
+    val chopped =
+      StreamAnomaly.update(3.0, 3)("a", quiet.take(4).iterator, s2).toList ++
+        StreamAnomaly.update(3.0, 3)("a", quiet.drop(4).iterator, s2).toList ++
+        StreamAnomaly.update(3.0, 3)("a", Iterator(spike), s2).toList
+    assert(chopped.map(a => (a.bin, a.value)) == List((9L, 100.0)))
+    assert(s1.get.n == s2.get.n && s1.get.mean == s2.get.mean &&
+      math.abs(s1.get.m2 - s2.get.m2) < 1e-9)
+    // under-history keys never flag
+    val s3 = st()
+    assert(StreamAnomaly.update(3.0, 3)("b",
+      Iterator(Obs("b", 0, 1.0), Obs("b", 1, 99.0)), s3).isEmpty)
+  }
+
   test("pplBuckets: tercile labels per group, boundary goes low") {
     val scored = (1 to 9).map(i => (i.toLong, "en", i.toDouble))
       .toDF("id", "lang", "score")
