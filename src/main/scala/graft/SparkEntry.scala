@@ -1692,6 +1692,64 @@ object SparkEntry {
         expr("ts DIV 1000"), k = 2.0)
     }),
 
+    "bpe_encode_tokens" -> ((s, dir) => {
+      // the tokenizer APPLY half (train half = bpe_merge_step): greedy
+      // ranked-merge encoding as a constant-model codegen kernel — no
+      // join, no shuffle in the encode itself. Rows-only by design:
+      // the iterative merge loop has no SQL twin (the spec proves the
+      // kernel against an independent reference implementation).
+      val model = graft.functions.BpeOps.BpeModel(Seq(
+        ("t", "a"), ("ta", "b"), ("s", "c"), ("a", "n"), ("sc", "an"),
+        ("r", "o"), ("ro", "w"), ("k", "e"), ("ke", "y"), ("a", "g")))
+      Tables.documents(s, dir)
+        .select(explode(graft.functions.Bpe.encode(col("text"), model))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_occ"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_occ").desc, col("token").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("rank", "token", "n_occ")
+    }),
+
+    "events_top_paths" -> ((s, dir) => {
+      // most-common opening event paths (first 3 events per user in
+      // (ts, event_id) total order — the funnel-discovery audit):
+      // per-user prefix via window, path assembly via array_sort (the
+      // collect_list order is NOT deterministic; the sort is what makes
+      // retries agree), counts over the type³-bounded path domain
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val firstN = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts DIV 1000").as("ts_us"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      val paths = firstN.groupBy("user_id")
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          s0 => s0.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+      paths.withColumn("rank", row_number().over(
+          Window.orderBy(col("n_users").desc, col("path").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("rank", "path", "n_users")
+    }),
+
+    "events_wow" -> ((s, dir) => {
+      // week-over-week growth per event type: weekly partial-agg counts,
+      // lag over the vocabulary-sized (type, week) frame; growth ratio
+      // UNROUNDED (one division of exact ints)
+      val week = expr("ts DIV 1000 DIV 604800000000")
+      val wk = Tables.events(s, dir)
+        .groupBy(col("event_type"), week.as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      wk.withColumn("prev_n", lag("n", 1).over(w))
+        .filter(col("prev_n").isNotNull)
+        .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+          ((col("n") - col("prev_n")) / col("prev_n")).as("wow"))
+    }),
+
     "hwe_test" -> ((s, dir) => {
       // per-site Hardy–Weinberg chi-square over synthetic genotypes,
       // rolled up per chr; the ×10⁴ integer statistic makes sums and
@@ -3628,6 +3686,30 @@ object SparkEntry {
           |SELECT dv.event_type, day, n, med, mad
           |FROM dv JOIN md USING (event_type)
           |WHERE mad > 0 AND adev > 2.0 * 1.4826 * mad""".stripMargin,
+
+      "events_top_paths" ->
+        """WITH o AS (SELECT user_id, event_type,
+          |  row_number() OVER (PARTITION BY user_id
+          |    ORDER BY epoch_us(ts), event_id) AS rn FROM events),
+          |p AS (SELECT user_id,
+          |  string_agg(event_type, '>' ORDER BY rn) AS path
+          |  FROM o WHERE rn <= 3 GROUP BY 1),
+          |c AS (SELECT path, count(*) AS n_users FROM p GROUP BY 1)
+          |SELECT rank, path, n_users FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY n_users DESC, path)
+          |    AS BIGINT) AS rank, path, n_users FROM c)
+          |WHERE rank <= 10""".stripMargin,
+
+      "events_wow" ->
+        """WITH wk AS (SELECT event_type,
+          |  epoch_us(ts) // 604800000000 AS week, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |l AS (SELECT event_type, week, n,
+          |  lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+          |  FROM wk)
+          |SELECT event_type, week, n, prev_n,
+          |  (n - prev_n) / prev_n AS wow
+          |FROM l WHERE prev_n IS NOT NULL""".stripMargin,
 
       // HWE twin: the chi-square operation order mirrors PopGen.hweChi4
       // term by term (load-bearing for the ×10⁴ round's parity)

@@ -151,6 +151,61 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out == List((25L, 3L, 3L), (50L, 1L, 4L)))
   }
 
+  test("BpeOps.encode: chained merges, rank priority, same-char pairs, word isolation") {
+    import graft.functions.BpeOps
+    import graft.functions.BpeOps.BpeModel
+    def enc(m: BpeModel, s: String): List[String] =
+      BpeOps.encode(org.apache.spark.unsafe.types.UTF8String.fromString(s), m)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toList
+    // chained: t+a -> ta, then ta+b -> tab
+    val chain = BpeModel(Seq(("t", "a"), ("ta", "b")))
+    assert(enc(chain, "tab") == List("tab"))
+    assert(enc(chain, "bat") == List("b", "a", "t")) // no pair present
+    // rank priority: ("a","b") outranks ("b","c") -> "abc" = ab + c
+    assert(enc(BpeModel(Seq(("a", "b"), ("b", "c"))), "abc") == List("ab", "c"))
+    assert(enc(BpeModel(Seq(("b", "c"), ("a", "b"))), "abc") == List("a", "bc"))
+    // same-char pair merges left-to-right non-overlapping
+    assert(enc(BpeModel(Seq(("a", "a"))), "aaaa") == List("aa", "aa"))
+    assert(enc(BpeModel(Seq(("a", "a"))), "aaa") == List("aa", "a"))
+    // words tokenize independently; normalization applies first
+    assert(enc(chain, "  TAB  ta ") == List("tab", "ta"))
+    // reference implementation cross-check over the synthetic vocabulary
+    val model = BpeModel(Seq(("t", "a"), ("ta", "b"), ("s", "c"), ("a", "n"),
+      ("sc", "an"), ("r", "o"), ("ro", "w"), ("k", "e"), ("ke", "y"), ("a", "g")))
+    def reference(word: String): List[String] = {
+      var parts = word.map(_.toString).toList
+      var changed = true
+      while (changed && parts.size > 1) {
+        val ranked = parts.zip(parts.tail).zipWithIndex.flatMap {
+          case ((x, y), i) =>
+            model.merges.indexOf((x, y)) match {
+              case -1 => Nil; case r => Seq((r, i))
+            }
+        }
+        if (ranked.isEmpty) changed = false
+        else {
+          val best = ranked.minBy(_._1)._1
+          val (a, b) = model.merges(best)
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var k = 0
+          while (k < parts.size) {
+            if (k < parts.size - 1 && parts(k) == a && parts(k + 1) == b) {
+              out += (a + b); k += 2
+            } else { out += parts(k); k += 1 }
+          }
+          parts = out.toList
+        }
+      }
+      parts
+    }
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "window", "spark", "tab")
+    vocab.foreach { w =>
+      assert(enc(model, w) == reference(w), s"word $w")
+    }
+  }
+
   test("bpePairCounts: corpus-weighted pair counts with total-order ranks") {
     // "ab ab abc d": pair 'ab' from ab(x2, freq-weighted) + abc(x1) = 3;
     // 'bc' = 1; 1-char word d contributes nothing
