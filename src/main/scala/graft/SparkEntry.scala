@@ -1692,6 +1692,13 @@ object SparkEntry {
         expr("ts DIV 1000"), k = 2.0)
     }),
 
+    "events_ewma" -> ((s, dir) => {
+      // exponential smoothing of daily counts (ordered fold — the
+      // inherently sequential recurrence run per vocabulary-sized key)
+      EventOps.dailyEwma(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"), alpha = 0.3)
+    }),
+
     "bpe_encode_tokens" -> ((s, dir) => {
       // the tokenizer APPLY half (train half = bpe_merge_step): greedy
       // ranked-merge encoding as a constant-model codegen kernel — no
@@ -3686,6 +3693,18 @@ object SparkEntry {
           |SELECT dv.event_type, day, n, med, mad
           |FROM dv JOIN md USING (event_type)
           |WHERE mad > 0 AND adev > 2.0 * 1.4826 * mad""".stripMargin,
+
+      // identical fold: list(…ORDER BY day) + list_reduce with the same
+      // lambda literals -> bit-identical unrounded double
+      "events_ewma" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type, count(*) AS n_days, max(day) AS last_day,
+          |  list(CAST(n AS DOUBLE) ORDER BY day) AS ser FROM c GROUP BY 1)
+          |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, last_day,
+          |  list_reduce(ser, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+          |FROM s""".stripMargin,
 
       "events_top_paths" ->
         """WITH o AS (SELECT user_id, event_type,

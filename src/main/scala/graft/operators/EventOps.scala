@@ -114,6 +114,41 @@ object EventOps {
         col("med"), col("mad"))
   }
 
+  /** Final EWMA of each type's daily count series — exponential
+    * smoothing s_t = α·x_t + (1−α)·s_{t−1}, s_0 = x_0 (the standard
+    * monitoring smoother; inherently SEQUENTIAL, so it cannot be a
+    * partial-aggregable Spark agg). The (type, day) frame is
+    * vocabulary-sized after the one partial-agg shuffle, so each type's
+    * ordered series fits a row: sort_array(collect_list) fixes the
+    * nondeterministic list order, and a codegen'd higher-order
+    * `aggregate` fold runs the recurrence left to right — the SQL twin
+    * is an ORDER BY list + list_reduce with the identical lambda, so
+    * the unrounded double matches bit for bit.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, n_days, last_day, ewma)
+    */
+  def dailyEwma(events: DataFrame, typeCol: String, tsUs: Column,
+                alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    events
+      .groupBy(col(typeCol).as("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("series"))
+      .select(col("event_type"),
+        size(col("series")).cast("long").as("n_days"),
+        element_at(col("series"), -1).getField("day").as("last_day"),
+        expr(s"""aggregate(slice(series, 2, size(series) - 1),
+                |  CAST(element_at(series, 1).n AS DOUBLE),
+                |  (acc, x) -> $alpha * CAST(x.n AS DOUBLE)
+                |    + ${1 - alpha} * acc)""".stripMargin).as("ewma"))
+  }
+
   /** Internal/output column names asOfJoin introduces; caller columns must
     * not collide or the window logic would silently read caller data. */
   private def checkCollisions(left: DataFrame, carry: Seq[String]): Unit = {

@@ -61,6 +61,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.sorted == naive)
   }
 
+  test("coverage conservation laws on random interval sets") {
+    // Σ depth·bp over segments == Σ interval lengths (every covered
+    // base is counted exactly its depth), per key — the sweep's
+    // accounting identity, on deterministic pseudo-random intervals
+    val rnd = new scala.util.Random(42)
+    val iv = Seq.tabulate(200) { i =>
+      val chr = (i % 3).toLong
+      val s = rnd.nextInt(1000).toLong
+      (chr, s, s + 1 + rnd.nextInt(120))
+    }.toDF("chr", "s", "e")
+    val segs = Intervals.coverageSegments(iv, Seq("chr"), col("s"), col("e"))
+    val lhs = segs.select(sum(col("depth") * col("bp"))).as[Long].head()
+    val rhs = iv.select(sum(col("e") - col("s") + 1)).as[Long].head()
+    assert(lhs == rhs)
+    // segments within a key tile the swept span without gap or overlap
+    val rows = segs.orderBy("chr", "pos")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).values.foreach { g =>
+      g.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 == b._2, s"tile break at $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("WAV round-trips arbitrary sample arrays bit-exactly") {
+    import graft.operators.Multimodal.MediaCodec
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 2, 255, 256, 1001)) {
+      val s = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val back = MediaCodec.wavSamples(MediaCodec.wavWithSamples(44100, 1, s))
+      assert(back.exists { case (r, c, got) =>
+        r == 44100 && c == 1 && got.sameElements(s) }, s"n=$n")
+    }
+  }
+
   test("kmeansStep: exact per-cluster per-dim means against hand assignment") {
     // 2 centroids in 2-d: c0=(0,0), c1=(10,10); points split by geometry
     val cents = Array(Array(0f, 0f), Array(10f, 10f))
@@ -229,6 +265,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out(1L) == ((1L, 0.8074)) && out(2L) == out(1L))
     assert(out(4L) == ((1L, 1.8074)))
+  }
+
+  test("dailyEwma runs the recurrence in day order with s0 = x0") {
+    val dayUs = 86400000000L
+    // days arrive out of order; counts per day: d0=10, d1=20, d2=40
+    val rows = (0 until 40).map(i => ("a", 2 * dayUs + i)) ++
+      (0 until 10).map(i => ("a", 0 * dayUs + i)) ++
+      (0 until 20).map(i => ("a", 1 * dayUs + i))
+    val out = EventOps.dailyEwma(rows.toDF("event_type", "ts_us"),
+        "event_type", col("ts_us"), alpha = 0.3)
+      .as[(String, Long, Long, Double)].collect().toList
+    val expected = 0.3 * 40.0 + 0.7 * (0.3 * 20.0 + 0.7 * 10.0)
+    assert(out == List(("a", 3L, 2L, expected)))
+    // single-day series: ewma = that day's count (the s0 rule)
+    val one = EventOps.dailyEwma(Seq(("b", 5L)).toDF("event_type", "ts_us"),
+        "event_type", col("ts_us"), alpha = 0.3)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(one == List(("b", 1L, 0L, 1.0)))
   }
 
   test("dailyAnomaliesMad catches a spike the z-score's own outlier masks") {
