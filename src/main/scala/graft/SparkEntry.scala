@@ -1692,6 +1692,22 @@ object SparkEntry {
         expr("ts DIV 1000"), k = 2.0)
     }),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // 2-iteration PageRank over the undirected near-dup graph (edge
+      // frame both directions); per-edge scaled-integer contributions
+      // make the propagation order-free, so the oracle chains the SAME
+      // two iterations in SQL and the doubles match bit for bit
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", blockCol = docBlockCol, n = 3, minJaccard = 0.2)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      Graphs.pagerank(edges, "src", "dst", iterations = 2)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pr").desc, col("id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select("rank", "id", "pr")
+    }),
+
     "events_ewma" -> ((s, dir) => {
       // exponential smoothing of daily counts (ordered fold — the
       // inherently sequential recurrence run per vocabulary-sized key)
@@ -3693,6 +3709,36 @@ object SparkEntry {
           |SELECT dv.event_type, day, n, med, mad
           |FROM dv JOIN md USING (event_type)
           |WHERE mad > 0 AND adev > 2.0 * 1.4826 * mad""".stripMargin,
+
+      // the same two chained iterations. The teleport term is written
+      // (CAST(1.0 AS DOUBLE) - 0.85): DuckDB evaluates bare numeric
+      // literals in exact DECIMAL, so (1.0 - 0.85) is decimal 0.15 —
+      // one ulp OFF Spark's double subtraction 0.15000000000000002
+      // (caught live at r7: ranks 2-3 hashed differently)
+      "graph_pagerank" ->
+        s"""WITH $jaccardPairCtes,
+           |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+           |  UNION ALL SELECT id_b, id_a FROM jp),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |nodes AS (SELECT DISTINCT src AS id FROM e),
+           |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+           |p0 AS (SELECT id, 1.0 / n_nodes AS pr FROM nodes, nn),
+           |c1 AS (SELECT dst, CAST(sum(CAST(round(pr / outdeg
+           |    * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s12
+           |  FROM e JOIN p0 ON p0.id = e.src JOIN deg USING (src)
+           |  GROUP BY 1),
+           |p1 AS (SELECT dst AS id, (CAST(1.0 AS DOUBLE) - 0.85) / n_nodes
+           |    + 0.85 * (s12 / 1000000000000.0) AS pr FROM c1, nn),
+           |c2 AS (SELECT dst, CAST(sum(CAST(round(pr / outdeg
+           |    * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s12
+           |  FROM e JOIN p1 ON p1.id = e.src JOIN deg USING (src)
+           |  GROUP BY 1),
+           |p2 AS (SELECT dst AS id, (CAST(1.0 AS DOUBLE) - 0.85) / n_nodes
+           |    + 0.85 * (s12 / 1000000000000.0) AS pr FROM c2, nn)
+           |SELECT rank, id, pr FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY pr DESC, id)
+           |    AS BIGINT) AS rank, id, pr FROM p2)
+           |WHERE rank <= 20""".stripMargin,
 
       // identical fold: list(…ORDER BY day) + list_reduce with the same
       // lambda literals -> bit-identical unrounded double

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge frames (the near-dup pair graph is the
+  * in-house instance: [[Dedup.connectedComponents]] does the grouping;
+  * this adds centrality). Spark-first shape: one edge-frame join per
+  * iteration, aggregation with map-side combine — never an adjacency
+  * matrix, never driver-side graph state.
+  */
+object Graphs {
+
+  /** Fixed-iteration PageRank over a DIRECTED edge list (pass both
+    * directions for an undirected graph). Nodes are the edge endpoints
+    * (no dangling-mass handling: every node in an undirected edge frame
+    * has out-degree ≥ 1 — callers with true sinks must add the
+    * redistribution term themselves).
+    *
+    * Scale shape: per iteration, ONE join of the edge frame against the
+    * (node, pr) frame on src (edges >> nodes, so this is the join to
+    * co-partition; Catalyst broadcasts the rank side when it is small)
+    * and one partial-agg shuffle on dst. Iterations chain as a lineage
+    * of narrow projections + these two exchanges — k iterations = k
+    * passes over the edges, the textbook dataflow PageRank.
+    *
+    * Cross-engine determinism: summing per-edge double contributions is
+    * order-dependent, so each edge's contribution pr(src)/outdeg(src)
+    * is rounded to a ×10¹² exact long FIRST (one IEEE division + one
+    * deterministic round per edge) and the per-dst sum runs in integer
+    * space — the surprisal discipline applied to graph propagation. The
+    * next rank (1−d)/N + d·(sum/10¹²) is then bit-identical in any
+    * engine, and an oracle can chain the SAME two iterations in SQL.
+    *
+    * @return (id, pr) after `iterations` rounds, pr unrounded
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val n = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    var pr = nodes.crossJoin(n)
+      .select(col("id"), (lit(1.0) / col("n_nodes")).as("pr"))
+    for (_ <- 0 until iterations) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          round(col("pr") / col("outdeg") * 1000000000000.0).cast("long")
+            .as("c12"))
+        .groupBy("dst").agg(sum("c12").as("s12"))
+      pr = contrib.withColumnRenamed("dst", "id").crossJoin(n)
+        .select(col("id"),
+          (lit(1.0 - damping) / col("n_nodes")
+            + lit(damping) * (col("s12") / 1000000000000.0)).as("pr"))
+    }
+    pr
+  }
+}

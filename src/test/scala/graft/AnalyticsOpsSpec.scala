@@ -160,6 +160,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       Iterator(Obs("b", 0, 1.0), Obs("b", 1, 99.0)), s3).isEmpty)
   }
 
+  test("pagerank: path-graph centrality, mass conservation, zero-iter init") {
+    import graft.operators.Graphs
+    // undirected path 1-2-3: the middle node collects from both ends
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val pr = Graphs.pagerank(edges, "src", "dst", iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(2L) > pr(1L) && pr(1L) == pr(3L)) // symmetry + centrality
+    // total mass stays ~1 (rounding loss bounded by edges x 1e-12)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    // zero iterations: the uniform init
+    val init = Graphs.pagerank(edges, "src", "dst", iterations = 0)
+      .as[(Long, Double)].collect().toMap
+    assert(init.values.forall(_ == 1.0 / 3))
+  }
+
   test("pplBuckets: tercile labels per group, boundary goes low") {
     val scored = (1 to 9).map(i => (i.toLong, "en", i.toDouble))
       .toDF("id", "lang", "score")
