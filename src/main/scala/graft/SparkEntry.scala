@@ -1692,6 +1692,42 @@ object SparkEntry {
         expr("ts DIV 1000"), k = 2.0)
     }),
 
+    "embed_power_iteration" -> ((s, dir) => {
+      // top principal direction after 2 distributed power iterations;
+      // the 64-value result frame is driver-built (the bounded-collect
+      // ivfTrain discipline), everything heavy ran as Spark jobs
+      import s.implicits._
+      Similarity.powerIteration(Tables.embeddings(s, dir), "embedding",
+          dim = 64, iterations = 2)
+        .zipWithIndex.map { case (x, d) => (d.toLong, x) }.toSeq
+        .toDF("dim", "loading")
+    }),
+
+    "embed_dim_variance" -> ((s, dir) => {
+      // per-dimension variance screen (feature selection: drop the
+      // lowest-variance embedding dims before indexing): mean and
+      // second moment as EXACT scaled-integer sums (x1e6 components,
+      // their squares summed as 1e12-scale longs — order-free; at true
+      // 100 TB row counts the square sums would need a 1e3 scale or a
+      // two-level agg to stay under 2^63, noted in kind), variance =
+      // E[x^2] - E[x]^2 assembled from the exact sums in one identical
+      // expression both engines
+      val emb = Tables.embeddings(s, dir)
+      val sx = emb.select(posexplode(col("embedding")))
+        .select(col("pos").cast("long").as("dim"),
+          round(col("col").cast("double") * 1000000).cast("long").as("xs"))
+        .groupBy("dim").agg(count(lit(1)).as("n"),
+          sum("xs").as("s1"), sum(col("xs") * col("xs")).as("s2"))
+      sx.select(col("dim"), col("n"),
+          (col("s2").cast("double") / col("n") / 1e12
+            - (col("s1").cast("double") / col("n") / 1e6)
+              * (col("s1").cast("double") / col("n") / 1e6)).as("variance"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("variance").desc, col("dim").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("rank", "dim", "n", "variance")
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       // 2-iteration PageRank over the undirected near-dup graph (edge
       // frame both directions); per-edge scaled-integer contributions
@@ -3709,6 +3745,51 @@ object SparkEntry {
           |SELECT dv.event_type, day, n, med, mad
           |FROM dv JOIN md USING (event_type)
           |WHERE mad > 0 AND adev > 2.0 * 1.4826 * mad""".stripMargin,
+
+      // the same two chained matvec iterations; v0 = [0.125]*64 exactly,
+      // norms via list_reduce over ORDER BY dim (mirrors the driver's
+      // dim-order fold; IEEE sqrt is correctly rounded, so the whole
+      // normalization chain is bit-exact)
+      "embed_power_iteration" -> {
+        val v0 = Seq.fill(64)("0.125").mkString("[", ", ", "]")
+        s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+           |r1 AS (SELECT vv, list_dot_product(vv, $v0) AS s FROM v),
+           |w1 AS (SELECT u.i AS dim, CAST(sum(CAST(round(
+           |    vv[CAST(u.i + 1 AS INT)] * s * 1e9) AS BIGINT)) AS BIGINT) AS w9
+           |  FROM r1, LATERAL unnest(generate_series(0, 63)) u(i) GROUP BY 1),
+           |n1 AS (SELECT sqrt(list_reduce(
+           |    list((CAST(w9 AS DOUBLE)/1e9) * (CAST(w9 AS DOUBLE)/1e9)
+           |      ORDER BY dim), (a, b) -> a + b)) AS nrm FROM w1),
+           |v1 AS (SELECT list(CAST(w9 AS DOUBLE)/1e9/nrm ORDER BY dim) AS vl
+           |  FROM w1, n1),
+           |r2 AS (SELECT vv, list_dot_product(vv, vl) AS s FROM v, v1),
+           |w2 AS (SELECT u.i AS dim, CAST(sum(CAST(round(
+           |    vv[CAST(u.i + 1 AS INT)] * s * 1e9) AS BIGINT)) AS BIGINT) AS w9
+           |  FROM r2, LATERAL unnest(generate_series(0, 63)) u(i) GROUP BY 1),
+           |n2 AS (SELECT sqrt(list_reduce(
+           |    list((CAST(w9 AS DOUBLE)/1e9) * (CAST(w9 AS DOUBLE)/1e9)
+           |      ORDER BY dim), (a, b) -> a + b)) AS nrm FROM w2)
+           |SELECT CAST(dim AS BIGINT) AS dim,
+           |  CAST(w9 AS DOUBLE)/1e9/nrm AS loading
+           |FROM w2, n2""".stripMargin
+      },
+
+      // e-notation literals (1e6/1e12) are DOUBLE in DuckDB — bare
+      // decimal literals would be DECIMAL (the pagerank lesson)
+      "embed_dim_variance" ->
+        """WITH x AS (SELECT CAST(u.i AS BIGINT) AS dim,
+          |  CAST(round(vv[CAST(u.i + 1 AS INT)] * 1e6) AS BIGINT) AS xs
+          |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+          |  LATERAL unnest(generate_series(0, len(vv) - 1)) u(i)),
+          |s AS (SELECT dim, count(*) AS n, CAST(sum(xs) AS BIGINT) AS s1,
+          |  CAST(sum(xs * xs) AS BIGINT) AS s2 FROM x GROUP BY 1),
+          |v AS (SELECT dim, n, CAST(s2 AS DOUBLE) / n / 1e12
+          |  - (CAST(s1 AS DOUBLE) / n / 1e6)
+          |    * (CAST(s1 AS DOUBLE) / n / 1e6) AS variance FROM s)
+          |SELECT rank, dim, n, variance FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY variance DESC, dim)
+          |    AS BIGINT) AS rank, dim, n, variance FROM v)
+          |WHERE rank <= 10""".stripMargin,
 
       // the same two chained iterations. The teleport term is written
       // (CAST(1.0 AS DOUBLE) - 0.85): DuckDB evaluates bare numeric

@@ -37,6 +37,21 @@ object VecKernels {
     }
     acc
   }
+
+  /** Float column against a FULL-PRECISION double vector (power-
+    * iteration projections: the iterate is a computed double vector —
+    * rounding it to float would diverge from the oracle's double CTE
+    * chain). Same left-to-right double accumulation. */
+  def dotFD(a: ArrayData, b: Array[Double]): Double = {
+    val n = math.min(a.numElements(), b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** `dot_f(a, b)` for `array<float>` columns. */
@@ -52,10 +67,28 @@ case class DotProductF(left: Expression, right: Expression)
       l: Expression, r: Expression): DotProductF = copy(l, r)
 }
 
+/** `dot_fd(vec)` against a constant double vector (reference object —
+  * 64 doubles rendered as literals would bloat the generated method). */
+case class DotProductFD(child: Expression, b: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.dotFD(a.asInstanceOf[ArrayData], b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotVec", b, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.dotFD($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): DotProductFD =
+    copy(child = c)
+}
+
 object Vec {
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dotFD(a: Column, b: Array[Double]): Column =
+    ColumnBridge.column(DotProductFD(ColumnBridge.expression(a), b))
 
   def lshBands(vec: Column, model: LshModel): Column =
     ColumnBridge.column(LshBandsExpr(ColumnBridge.expression(vec), model))

@@ -351,6 +351,51 @@ object Similarity {
     cents
   }
 
+  /** Top principal direction of the (uncentered) Gram matrix by POWER
+    * ITERATION — the PCA-at-scale primitive (Xᵀ(Xv) without ever
+    * materializing the d×d covariance, let alone X itself on one
+    * machine): per iteration, one narrow pass computes each row's
+    * projection s = x·v (the double-vector dot kernel), a posexplode +
+    * ONE partial-agg shuffle accumulates w_d = Σ x_d·s, and only the
+    * d-vector w returns to the driver for normalization — the
+    * kmeansTrainFull shape with a vector in place of a centroid matrix.
+    *
+    * Cross-engine determinism end to end: per-(row, dim) contributions
+    * round to ×10⁹ exact longs before summing (order-free); the norm
+    * folds the d squares IN DIM ORDER (an SQL twin mirrors it with
+    * list_reduce over ORDER BY dim — IEEE sqrt is correctly rounded,
+    * so even the normalization is bit-exact); v₀ is the uniform
+    * 1/√dim vector (exactly 0.125 for d = 64). The iterate stays a
+    * DOUBLE vector throughout — rounding it to float would diverge
+    * from an oracle's double arithmetic.
+    *
+    * @return the unit iterate after `iterations` rounds
+    */
+  def powerIteration(corpus: DataFrame, vecCol: String, dim: Int,
+                     iterations: Int): Array[Double] = {
+    require(dim > 0 && iterations >= 0)
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 0 until iterations) {
+      val s = graft.functions.Vec.dotFD(col(vecCol), v)
+      val w9 = new Array[Long](dim)
+      corpus.select(s.as("s"), posexplode(col(vecCol)))
+        .select(col("pos"),
+          round(col("col").cast("double") * col("s") * 1e9).cast("long")
+            .as("c9"))
+        .groupBy("pos").agg(sum("c9").as("w9"))
+        .collect() // ≤ dim rows, bounded
+        .foreach(r => w9(r.getInt(0)) = r.getLong(1))
+      val w = w9.map(_.toDouble / 1e9)
+      var ss = 0.0
+      var d = 0
+      while (d < dim) { ss += w(d) * w(d); d += 1 }
+      val nrm = math.sqrt(ss)
+      require(nrm > 0, "zero iterate: corpus is all-zero along v")
+      v = w.map(_ / nrm)
+    }
+    v
+  }
+
   /** IVF (inverted-file) ANN search against fixed centroids — the
     * coarse-quantizer scale path.
     *

@@ -97,6 +97,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("powerIteration converges to the dominant axis and stays unit-norm") {
+    // 30 vectors along x (magnitude 5) vs 5 along y (magnitude 1):
+    // the Gram matrix's top eigenvector is the x axis
+    val vecs = (Seq.fill(30)(Array(5f, 0f)) ++ Seq.fill(5)(Array(0f, 1f)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val v = Similarity.powerIteration(vecs, "embedding", dim = 2,
+      iterations = 6)
+    assert(math.abs(math.abs(v(0)) - 1.0) < 1e-6, v.toSeq.toString)
+    assert(math.abs(v(1)) < 1e-6)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12) // unit norm
+    // zero iterations: the uniform start vector
+    val v0 = Similarity.powerIteration(vecs, "embedding", 2, 0)
+    assert(v0.toSeq == Seq(1.0 / math.sqrt(2.0), 1.0 / math.sqrt(2.0)))
+  }
+
   test("kmeansStep: exact per-cluster per-dim means against hand assignment") {
     // 2 centroids in 2-d: c0=(0,0), c1=(10,10); points split by geometry
     val cents = Array(Array(0f, 0f), Array(10f, 10f))
