@@ -3308,7 +3308,7 @@ object SparkEntry {
            |s AS (SELECT w, CAST(round(-log2(CAST(cnt AS DOUBLE)/total) * 10000)
            |  AS BIGINT) AS su4 FROM c, tot)
            |SELECT doc_id, count(*) AS n_words,
-           |  round(sum(su4)/10000.0/count(*), 4) AS avg_surprisal
+           |  sum(su4)/10000.0/count(*) AS avg_surprisal
            |FROM w JOIN s USING (w) GROUP BY 1""".stripMargin,
 
       "event_transitions" ->
@@ -3486,8 +3486,8 @@ object SparkEntry {
            |    (CAST(r_cnt + 1 AS DOUBLE) / (r_tot + 64))) * 10000) AS BIGINT) AS lr4
            |  FROM m, tot)
            |SELECT doc_id, count(*) AS n_words,
-           |  round(sum(lr4) / 10000.0 / count(*), 4) AS dsir_score,
-           |  round(sum(lr4) / 10000.0 / count(*), 4) > 0 AS keep
+           |  sum(lr4) / 10000.0 / count(*) AS dsir_score,
+           |  sum(lr4) / 10000.0 / count(*) > 0 AS keep
            |FROM wb JOIN lut USING (b) GROUP BY 1""".stripMargin,
 
       // hashed linear classifier: exact integer weights from the same
@@ -3642,7 +3642,7 @@ object SparkEntry {
            |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
            |s AS (SELECT w, CAST(round(-log2(CAST(cnt AS DOUBLE)/total) * 10000)
            |  AS BIGINT) AS su4 FROM c, tot),
-           |sc AS (SELECT doc_id, round(sum(su4)/10000.0/count(*), 4) AS score
+           |sc AS (SELECT doc_id, sum(su4)/10000.0/count(*) AS score
            |  FROM w JOIN s USING (w) GROUP BY 1),
            |scl AS (SELECT sc.doc_id, d.lang, score FROM sc
            |  JOIN d ON d.doc_id = sc.doc_id),

@@ -97,7 +97,9 @@ object Selection {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("lr4").as("s4"))
       .select(col("doc_id"), col("n_words"),
-        round(col("s4") / 10000.0 / col("n_words"), 4).as("dsir_score"))
+        // UNROUNDED since r7 (the text_surprisal sf0.1 tie, same shape:
+        // s4/10⁴/n landed on -0.00015 → -0.0002 vs -0.0001)
+        (col("s4") / 10000.0 / col("n_words")).as("dsir_score"))
       .withColumn("keep", col("dsir_score") > 0)
   }
 

@@ -169,9 +169,11 @@ object TextAnalysis {
     words.join(surprisal, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("su4")).as("su_sum"))
+      // UNROUNDED since r7: the final 4 dp round hit a .00005
+      // HALF_UP-vs-binary tie at sf0.1 (avg 4.90605 → 4.9061 vs 4.906);
+      // su_sum/10⁴/n is two IEEE divisions of exact ints — bit-identical
       .select(col("doc_id"), col("n_words"),
-        round(col("su_sum") / 10000.0 / col("n_words"), 4)
-          .as("avg_surprisal"))
+        (col("su_sum") / 10000.0 / col("n_words")).as("avg_surprisal"))
   }
 
   /** Vocabulary-growth curve (the Heaps-law diagnostic a corpus audit
