@@ -3318,8 +3318,7 @@ object SparkEntry {
           |p AS (SELECT prev_type, event_type AS next_type, count(*) AS n
           |  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
           |SELECT prev_type, next_type, n,
-          |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 4)
-          |    AS share
+          |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS share
           |FROM p""".stripMargin,
 
       "stream_event_sliding" ->
@@ -3516,7 +3515,7 @@ object SparkEntry {
           |sz AS (SELECT cohort_week, n_users AS cohort_size FROM m
           |  WHERE week_offset = 0)
           |SELECT m.cohort_week, m.week_offset, m.n_users,
-          |  round(CAST(m.n_users AS DOUBLE) / cohort_size, 4) AS retention
+          |  CAST(m.n_users AS DOUBLE) / cohort_size AS retention
           |FROM m JOIN sz USING (cohort_week)""".stripMargin,
 
       // RFM: exact integer metrics (day bins, counts, cents), quintile

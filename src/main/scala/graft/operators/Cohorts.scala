@@ -58,8 +58,9 @@ object Cohorts {
     val sizes = matrix.filter(col("week_offset") === 0)
       .select(col("cohort_week"), col("n_users").as("cohort_size"))
     matrix.join(broadcast(sizes), "cohort_week")
+      // UNROUNDED since r7 (the su4-family .00005 tie rule)
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
-        round(col("n_users").cast("double") / col("cohort_size"), 4)
+        (col("n_users").cast("double") / col("cohort_size"))
           .as("retention"))
   }
 

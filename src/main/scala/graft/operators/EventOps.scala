@@ -325,8 +325,10 @@ object EventOps {
       .where(col("prev_type").isNotNull)
       .groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("n"))
+      // UNROUNDED since r7 (the su4-family .00005 tie rule): n/total is
+      // one IEEE division of exact ints — bit-identical cross-engine
       .withColumn("share",
-        round(col("n").cast("double") / sum(col("n")).over(share), 4))
+        col("n").cast("double") / sum(col("n")).over(share))
   }
 
   /** Funnel stage counts: how many users reached each stage in order. */

@@ -213,8 +213,8 @@ class EventOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getDouble(3))).toMap
     assert(out == Map(
-      ("a", "b") -> ((2L, 0.6667)),
-      ("a", "a") -> ((1L, 0.3333)),
+      ("a", "b") -> ((2L, 2.0 / 3.0)),
+      ("a", "a") -> ((1L, 1.0 / 3.0)),
       ("b", "a") -> ((1L, 1.0))))
   }
 
