@@ -1833,6 +1833,57 @@ object SparkEntry {
           sum("chi4").as("sum_chi4"))
     }),
 
+    "roh_runs" -> ((s, dir) => {
+      // runs of homozygosity: consecutive hom sites per chr in pos
+      // order, run-grouped by the lag/cumsum trick (the sessionize
+      // pattern on genomic coordinates), kept at length >= 5; rolled
+      // up per chr. One shuffle on chr, windows over pos order.
+      val g = (col("l_orderkey") * 13 + col("l_linenumber") * 17) % 10
+      val d = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 5).cast("long").as("chr"),
+          ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000)
+            .cast("long").as("pos"),
+          when(g <= 4, 0).when(g <= 8, 1).otherwise(2).as("gt"))
+        .groupBy("chr", "pos")
+        // collapse multi-sample sites deterministically: hom iff EVERY
+        // call at the site is hom (min/max over the gt codes)
+        .agg((min("gt") =!= 1 && max("gt") =!= 1).as("hom"))
+      val w = Window.partitionBy("chr").orderBy("pos")
+      val runs = d
+        .withColumn("brk",
+          when(lag(col("hom"), 1).over(w) === col("hom"), 0L).otherwise(1L))
+        .withColumn("run_id", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("hom"))
+        .groupBy("chr", "run_id")
+        .agg(count(lit(1)).as("n_sites"),
+          min("pos").as("run_start"), max("pos").as("run_stop"))
+        .filter(col("n_sites") >= 5)
+      runs.groupBy("chr")
+        .agg(count(lit(1)).as("n_runs"), sum("n_sites").as("total_sites"),
+          max("n_sites").as("longest"))
+    }),
+
+    "feature_winsorize" -> ((s, dir) => {
+      // winsorized per-group stats: clip at the exact p05/p95 quantiles
+      // (rounded 4 dp once — events_rfm discipline), then exact-integer
+      // sums of the clipped values (x100 cents scale) so the aggregate
+      // is order-free
+      val li = Tables.lineitem(s, dir)
+      val b = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(round(expr("percentile(l_extendedprice, 0.05)"), 4).as("lo"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("hi"))
+      li.join(broadcast(b), col("l_returnflag") === col("rf"))
+        .select(col("l_returnflag"),
+          round(greatest(least(col("l_extendedprice"), col("hi")),
+            col("lo")) * 100).cast("long").as("wc"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("wc").as("sum_wins_c"))
+        .select(col("l_returnflag"), col("n"), col("sum_wins_c"),
+          (col("sum_wins_c").cast("double") / col("n") / 100.0)
+            .as("mean_wins"))
+    }),
+
     "tstv_ratio" -> ((s, dir) => {
       // transition/transversion ratio per chr — the one-number callset
       // sanity check; ratio UNROUNDED (one division of exact ints)
@@ -3884,6 +3935,41 @@ object SparkEntry {
           |    AS n_reject,
           |  CAST(sum(chi4) AS BIGINT) AS sum_chi4
           |FROM c GROUP BY 1""".stripMargin,
+
+      "roh_runs" ->
+        """WITH d0 AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
+          |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT) AS pos,
+          |  CASE WHEN (l_orderkey*13 + l_linenumber*17) % 10 <= 4 THEN 0
+          |    WHEN (l_orderkey*13 + l_linenumber*17) % 10 <= 8 THEN 1
+          |    ELSE 2 END AS gt FROM lineitem),
+          |d AS (SELECT chr, pos, (min(gt) <> 1 AND max(gt) <> 1) AS hom
+          |  FROM d0 GROUP BY 1, 2),
+          |b AS (SELECT chr, pos, hom, CASE WHEN lag(hom) OVER
+          |    (PARTITION BY chr ORDER BY pos) = hom THEN 0 ELSE 1 END AS brk
+          |  FROM d),
+          |r AS (SELECT chr, pos, hom, sum(brk) OVER (PARTITION BY chr
+          |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id FROM b),
+          |runs AS (SELECT chr, run_id, count(*) AS n_sites
+          |  FROM r WHERE hom GROUP BY 1, 2 HAVING count(*) >= 5)
+          |SELECT chr, count(*) AS n_runs,
+          |  CAST(sum(n_sites) AS BIGINT) AS total_sites,
+          |  max(n_sites) AS longest
+          |FROM runs GROUP BY 1""".stripMargin,
+
+      "feature_winsorize" ->
+        """WITH b AS (SELECT l_returnflag AS rf,
+          |  round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+          |  round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+          |  FROM lineitem GROUP BY 1),
+          |w AS (SELECT l_returnflag,
+          |  CAST(round(greatest(least(l_extendedprice, hi), lo) * 100)
+          |    AS BIGINT) AS wc
+          |  FROM lineitem JOIN b ON l_returnflag = rf)
+          |SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(wc) AS BIGINT) AS sum_wins_c,
+          |  CAST(CAST(sum(wc) AS BIGINT) AS DOUBLE) / count(*) / 100.0
+          |    AS mean_wins
+          |FROM w GROUP BY 1""".stripMargin,
 
       "tstv_ratio" ->
         s"""WITH v AS ($liVariantsSql),
