@@ -1914,6 +1914,18 @@ object SparkEntry {
             .as("total_overlap"))
     }),
 
+    "multimodal_image_dedup" -> ((s, dir) => {
+      // perceptual image dedup: BMP decode → 8×8 aHash → pigeonhole-
+      // blocked hamming pairs; the oracle re-derives every hash from
+      // the pixel formula and brute-forces pairs, so the graded hash
+      // validates the whole codec + hash + blocking pipeline
+      val imgs = Multimodal.syntheticImages(Tables.documents(s, dir),
+        "doc_id")
+      Multimodal.imageNearDupPairs(Multimodal.imageHashes(imgs),
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+    }),
+
     "multimodal_audio_energy" -> ((s, dir) => {
       // framed RMS energy over REAL synthesized 16-bit PCM WAVs; the
       // oracle recomputes expected energies from the waveform formula,
@@ -3995,6 +4007,35 @@ object SparkEntry {
            |FROM g a JOIN g b ON a.chr = b.chr AND a.gene_id < b.gene_id
            |  AND a.gstart <= b.gstop AND b.gstart <= a.gstop
            |GROUP BY 1""".stripMargin,
+
+      // full hash re-derivation from the pixel formula (incl. the exact
+      // lum·64 > total threshold) + brute-force hamming pairs — the
+      // Spark side's pigeonhole blocking must be invisible. Bit 63 is
+      // the (-2^63) literal: DuckDB raises on 1::BIGINT << 63.
+      "multimodal_image_dedup" ->
+        """WITH ids AS (SELECT doc_id AS media_id FROM documents),
+          |cells AS (SELECT media_id, u.c AS cell FROM ids,
+          |  LATERAL unnest(generate_series(0, 63)) u(c)),
+          |lum AS (SELECT media_id, cell,
+          |  CASE WHEN ((CAST('0x' || substr(md5(
+          |        CAST(media_id // 4 AS VARCHAR) || ':' ||
+          |        CAST((cell % 8) * 2 AS VARCHAR) || ',' ||
+          |        CAST((cell // 8) * 2 AS VARCHAR)), 1, 1) AS BIGINT) < 8)
+          |    != ((media_id % 4 <> 0) AND (cell % 8) = (media_id % 4)
+          |      AND (cell // 8) = 0))
+          |  THEN 0 ELSE 765 END AS lum FROM cells),
+          |tot AS (SELECT media_id, CAST(sum(lum) AS BIGINT) AS total
+          |  FROM lum GROUP BY 1),
+          |hsh AS (SELECT l.media_id, bit_or(
+          |    CASE WHEN l.lum * 64 > t.total THEN
+          |      CASE WHEN l.cell = 0 THEN (-9223372036854775807 - 1)::BIGINT
+          |      ELSE 1::BIGINT << CAST(63 - l.cell AS INT) END
+          |    ELSE 0 END) AS ahash
+          |  FROM lum l JOIN tot t ON t.media_id = l.media_id GROUP BY 1)
+          |SELECT a.media_id AS id_a, b.media_id AS id_b,
+          |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+          |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
 
       // the oracle recomputes expected frame energies straight from the
       // synthetic waveform formula — grading the WAV encode → decode →

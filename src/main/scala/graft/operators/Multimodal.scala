@@ -245,6 +245,46 @@ object Multimodal {
       } yield (rate, ch, s)
     }
 
+    /** Average-hash (aHash) perceptual fingerprint of an uncompressed
+      * 24-bit BMP: nearest-neighbor downsample to 8×8 luma, threshold
+      * each cell against the mean, pack 64 bits row-major (bit 63 =
+      * top-left). Integer arithmetic only — luma = (r+g+b) (scale-free
+      * under the mean threshold, so no /3 rounding choice can bite),
+      * the mean comparison multiplied through by 64 to stay exact
+      * (cell·64 > total, strict — ties go 0). Hamming distance between
+      * aHashes survives small edits; None for non-BMP payloads
+      * (quarantine). */
+    def aHashBmp(p: Array[Byte]): Option[Long] = {
+      if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+      val w = le32(p, 18); val h = math.abs(le32(p, 22))
+      if (w < 8 || h < 8) return None
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      if (p.length < 54 + rowSize * h) return None
+      val cells = new Array[Long](64)
+      var total = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val x = cx * w / 8
+          val y = cy * h / 8
+          val off = 54 + (h - 1 - y) * rowSize + x * 3
+          val lum = (p(off) & 0xff) + (p(off + 1) & 0xff) + (p(off + 2) & 0xff)
+          cells(cy * 8 + cx) = lum.toLong
+          total += lum
+          cx += 1
+        }
+        cy += 1
+      }
+      var bitsOut = 0L
+      var i = 0
+      while (i < 64) {
+        if (cells(i) * 64L > total) bitsOut |= 1L << (63 - i)
+        i += 1
+      }
+      Some(bitsOut)
+    }
+
     /** A complete uncompressed 24-bit BMP with pixel data; `pixel(x, y)`
       * returns packed 0xRRGGBB, y = 0 at the TOP (rows are stored
       * bottom-up as the format requires). */
@@ -405,6 +445,57 @@ object Multimodal {
       })
   }
 
+  /** Per-image perceptual fingerprint row. */
+  case class ImageHash(media_id: Long, ahash: Long)
+
+  /** aHash every BMP image payload — narrow per-partition decode, bytes
+    * never shuffle, only (id, 64-bit hash) rows flow on; non-BMP and
+    * undersized images quarantine to zero rows. The dedup stage then
+    * works on the hash frame alone (the text-simhash discipline applied
+    * to pixels). */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions(_.flatMap(r =>
+        MediaCodec.aHashBmp(r.payload).map(ImageHash(r.media_id, _))))
+  }
+
+  /** Near-duplicate image pairs by pigeonhole-blocked hamming distance
+    * over aHashes: split 64 bits into `maxHamming + 1` blocks — any
+    * pair within the budget must agree EXACTLY on at least one block
+    * (pigeonhole), so candidates come from equi-joins on block values
+    * and the exact `bit_count(xor)` check runs only within buckets.
+    * Same exactness argument as the text simhash candidate stage.
+    *
+    * @return (id_a, id_b, hamming) with hamming ≤ maxHamming
+    */
+  def imageNearDupPairs(hashes: Dataset[ImageHash],
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      "maxHamming+1 must divide 64")
+    val nBlocks = maxHamming + 1
+    val bits = 64 / nBlocks
+    val sig = hashes.toDF()
+    val blocks = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("ahash"), b * bits)
+          .bitwiseAND(lit(if (bits == 64) -1L else (1L << bits) - 1))
+          .as("key"))
+    }
+    val exploded = sig.select(col("media_id").as("id"), col("ahash"),
+        explode(array(blocks: _*)).as("bk"))
+      .select(col("id"), col("ahash"),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** One fixed-size audio analysis frame: exact integer energy
     * (`sum_sq` = Σ s², never lossy) plus the derived mean square —
     * sufficient statistics for RMS/silence-gate/clipping checks. */
@@ -442,6 +533,33 @@ object Multimodal {
           case None => Iterator.empty // quarantine: not 16-bit PCM WAV
         }
       })
+  }
+
+  /** Deterministic synthetic IMAGE corpus with real pixel data: 16×16
+    * BMPs in groups of 4 near-duplicate variants — ids in the same
+    * id/4 group share a base pattern (black iff the first hex digit of
+    * md5("g:x,y") < 8 — the md5-uniform discipline; every arithmetic
+    * mixing tried first collapsed the groups into a handful of classes
+    * of IDENTICAL images, because any (A(g) op B(x,y)) mod m pattern
+    * carries only |classes(A)| bits of g) and variants v = id%4 ≠ 0
+    * flip the single pixel (2v, 0), so within-group aHash hamming is
+    * 1–2 and cross-group ≈ random (all 1250 sf0.1 groups distinct, zero
+    * spurious close pairs). md5 is reproducible in any engine, so an
+    * SQL oracle re-derives every expected hash without decoding a
+    * BMP — grading the encode → decode → hash round trip. */
+  def syntheticImages(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val g = id / 4; val v = (id % 4).toInt
+      val md = java.security.MessageDigest.getInstance("MD5")
+      MediaRow(id, "image", MediaCodec.bmpWithPixels(16, 16, (x, y) => {
+        val hex = md.digest(s"$g:$x,$y".getBytes("UTF-8"))
+        val base = ((hex(0) >> 4) & 0xf) < 8
+        val pert = v != 0 && x == 2 * v && y == 0
+        if (base ^ pert) 0x000000 else 0xFFFFFF
+      }))
+    }
   }
 
   /** Deterministic synthetic AUDIO corpus with real PCM payloads (the

@@ -86,6 +86,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash: hand image, perturbation locality, blocked pairs == brute force") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaCodec
+    // 8x8 image, left half black, right half white -> bits = right half
+    val half = MediaCodec.bmpWithPixels(8, 8,
+      (x, _) => if (x < 4) 0x000000 else 0xFFFFFF)
+    val h = MediaCodec.aHashBmp(half).get
+    assert(java.lang.Long.bitCount(h) == 32)
+    // row-major packing, bit 63 = top-left: each row byte is 0000 1111
+    assert(((h >>> 56) & 0xffL) == 0x0fL)
+    // all-same image -> no cell above the mean -> hash 0
+    assert(MediaCodec.aHashBmp(
+      MediaCodec.bmpWithPixels(8, 8, (_, _) => 0xFFFFFF)).contains(0L))
+    // undersized and non-BMP payloads quarantine
+    assert(MediaCodec.aHashBmp(MediaCodec.bmpBytes(4, 4)).isEmpty)
+    assert(MediaCodec.aHashBmp(MediaCodec.wavBytes(8000, 1)).isEmpty)
+    // a one-pixel flip moves hamming by at most a few bits
+    val flip = MediaCodec.bmpWithPixels(8, 8,
+      (x, y) => if (x < 4 ^ (x == 0 && y == 0)) 0x000000 else 0xFFFFFF)
+    val hf = MediaCodec.aHashBmp(flip).get
+    assert(java.lang.Long.bitCount(h ^ hf) <= 2)
+    // blocked candidate pairs equal the brute-force hamming join
+    val imgs = Multimodal.syntheticImages(
+      spark.range(0, 48).toDF("doc_id"), "doc_id")
+    val hashes = Multimodal.imageHashes(imgs)
+    val hs = hashes.collect().map(r => r.media_id -> r.ahash).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.imageNearDupPairs(hashes, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.size == 12 * 6) // 12 groups x C(4,2) within-group pairs
+  }
+
   test("WAV round-trips arbitrary sample arrays bit-exactly") {
     import graft.operators.Multimodal.MediaCodec
     val rnd = new scala.util.Random(7)
