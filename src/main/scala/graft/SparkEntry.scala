@@ -1151,6 +1151,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // incremental ingest: batch docs surviving near-dup screening
+      // against the existing corpus (batch bands broadcast, corpus
+      // never shuffles — decontam with build/probe swapped)
+      val docs = Tables.documents(s, dir)
+      Curation.dedupIncremental(docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          minSharedBands = 3)
+        .select("doc_id", "lang")
+    }),
+
     "pii_scrub" -> ((s, dir) => {
       // synthetic PII injected deterministically from (doc_id, source) —
       // the documents table itself is PII-free word soup — then detected
@@ -3108,6 +3119,20 @@ object SparkEntry {
            |SELECT doc_id, CAST(count(DISTINCT band) AS BIGINT) AS n_bands
            |FROM bands JOIN bb USING (band, k0, k1, k2, k3)
            |WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin,
+
+      // band-match against the corpus slice, survivors anti-joined; the
+      // oracle joins raw band minhashes (Spark's xxhash64 bucket is a
+      // shuffle-key compaction — the dedup_minhash_pairs precedent)
+      "dedup_incremental" ->
+        s"""WITH $minhashBandCtes,
+           |cb AS (SELECT DISTINCT band, k0, k1, k2, k3 FROM bands
+           |  WHERE doc_id % 20 <> 0),
+           |dropped AS (SELECT doc_id FROM (
+           |    SELECT DISTINCT doc_id, band FROM bands
+           |    JOIN cb USING (band, k0, k1, k2, k3) WHERE doc_id % 20 = 0)
+           |  GROUP BY 1 HAVING count(*) >= 3)
+           |SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0
+           |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
       "pii_scrub" -> {
         val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,4}"

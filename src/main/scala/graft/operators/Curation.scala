@@ -168,6 +168,40 @@ object Curation {
       .agg(countDistinct(col("band")).as("n_bands"))
   }
 
+  /** Incremental ingest dedup — the other direction of
+    * [[decontaminateFuzzy]]: keep the NEW batch's docs that are not
+    * near-dups of the EXISTING corpus (any shared minhash band drops
+    * the doc; identical docs share every band, so exact dups are
+    * subsumed). Build/probe sides are chosen for the incremental shape:
+    * ingest batches are small, so the BATCH bands broadcast and the
+    * corpus bands stream map-side — the corpus (the 100 TB side) is
+    * never shuffled, and re-running the ingest is idempotent
+    * (re-offered survivors band-match the corpus copy once absorbed).
+    */
+  /** `minSharedBands` tunes the drop threshold: 1 = any band (the
+    * aggressive LSH screen — on a narrow-vocabulary corpus where
+    * baseline jaccard is already high, this drops nearly everything),
+    * numBands = all bands (≈ exact-dup only). The ingest default is
+    * conservative: only docs matching MOST of a corpus doc's signature
+    * drop. */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, numHashes: Int = 16,
+                       rowsPerBand: Int = 4, shingleLen: Int = 3,
+                       minSharedBands: Int = 3): DataFrame = {
+    require(minSharedBands >= 1, "minSharedBands must be >= 1")
+    val batchBands = broadcast(Dedup.bandBuckets(batch, idCol, textCol,
+        numHashes, rowsPerBand, shingleLen)
+      .select(col(idCol).as("__bid"), col("band"), col("bucket")))
+    val matched = Dedup.bandBuckets(corpus, idCol, textCol, numHashes,
+        rowsPerBand, shingleLen)
+      .join(batchBands, Seq("band", "bucket"))
+      .select(col("__bid"), col("band")).distinct()
+      .groupBy("__bid").agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") >= minSharedBands)
+      .select(col("__bid").as(idCol))
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** The full curate-and-mix flow, composed: exact dedup (keep the
     * lowest id per normalized-text fingerprint) → repetition quality
     * gate → benchmark decontamination (drop docs overlapping `bench` on

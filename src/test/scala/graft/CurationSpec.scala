@@ -125,6 +125,24 @@ class CurationSpec extends AnyFunSuite {
     assert(total > 900 * 0.3 && total < 900 * 0.5)
   }
 
+  test("dedupIncremental drops corpus near-dups, keeps novel batch docs") {
+    val corp = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "entirely different corpus content about spark plans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // exact dup
+      (11L, "zq unique glyph sequence xw nothing shared qz wv"))  // novel
+      .toDF("doc_id", "text")
+    val out = Curation.dedupIncremental(corp, batch, "doc_id", "text",
+        minSharedBands = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L)) // the exact dup shares ALL bands and drops
+    // at an impossible threshold nothing can drop
+    assert(Curation.dedupIncremental(corp, batch, "doc_id", "text",
+      minSharedBands = 99).count() == 2L)
+  }
+
   test("sampleExactK: exactly k per stratum, deterministic, small strata kept whole") {
     val docs = (0L until 300L).map(i =>
       (i, if (i < 290) "big" else "tiny")).toDF("doc_id", "lang")
