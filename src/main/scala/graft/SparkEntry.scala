@@ -1021,6 +1021,27 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "knn_classify" -> ((s, dir) => {
+      // kNN classification: label each held-out vector by majority vote
+      // of its 5 nearest labeled neighbors (vote ties break to the
+      // lower label — a total order both engines share); brute-force
+      // cosine is the graded baseline, the IVF path is the scale route
+      val emb = Tables.embeddings(s, dir)
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+      val queries0 = emb.filter(col("vec_id") % 50 === 0)
+      val nn = Similarity.cosineTopK(corpus, queries0, "vec_id",
+          "embedding", k = 5)
+        .join(corpus.select(col("vec_id").as("corpus_id"), col("label")),
+          "corpus_id")
+      nn.groupBy("query_id", "label").agg(count(lit(1)).as("n_votes"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("n_votes").desc, col("label").asc)))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("label").cast("long").as("predicted"),
+          col("n_votes"))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       // IVF search against fixed md5-derived quantizer points, so the
       // DuckDB oracle can embed the centroids as literals (production
@@ -1753,6 +1774,35 @@ object SparkEntry {
           Window.orderBy(col("pr").desc, col("id").asc)).cast("long"))
         .filter(col("rank") <= 20)
         .select("rank", "id", "pr")
+    }),
+
+    "events_assoc_rules" -> ((s, dir) => {
+      // market-basket association between event types at user
+      // granularity (support + lift): per-user distinct type sets are
+      // vocabulary-bounded, so the self-join expansion is |types|² per
+      // user, not events²; type totals and the user count broadcast;
+      // lift UNROUNDED (one division of exact integer products)
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val nUsers = broadcast(ut.agg(
+        countDistinct("user_id").as("n_users")))
+      val tc = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(tc.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(tc.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b"))), "type_b")
+        .crossJoin(nUsers)
+        .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          (col("n_ab").cast("double") * col("n_users")
+            / (col("n_a") * col("n_b"))).as("lift"))
     }),
 
     "events_ewma" -> ((s, dir) => {
@@ -3041,6 +3091,31 @@ object SparkEntry {
           |    ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank FROM s)
           |WHERE rank <= 5""".stripMargin,
 
+      // same scoring CTEs, corpus restricted to labeled rows, majority
+      // vote with the (votes desc, label asc) total order
+      "knn_classify" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id AS corpus_id, label,
+          |  CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id % 50 <> 0),
+          |s AS (SELECT query_id, corpus_id, label,
+          |  round(CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) > 0
+          |    THEN list_dot_product(qv,cv) /
+          |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+          |    ELSE 0 END, 6) AS cos_sim
+          |  FROM q, c),
+          |nn AS (SELECT query_id, label FROM (
+          |  SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_sim DESC, corpus_id) AS rank FROM s)
+          |  WHERE rank <= 5),
+          |v AS (SELECT query_id, label, count(*) AS n_votes
+          |  FROM nn GROUP BY 1, 2)
+          |SELECT query_id, CAST(label AS BIGINT) AS predicted, n_votes
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY n_votes DESC, label) AS rk FROM v)
+          |WHERE rk = 1""".stripMargin,
+
       "text_lang_id" -> {
         val caseChain = langScore.toSeq.sortBy(_._1)
           .map { case (lang, _) => s"WHEN top > 0 AND s_$lang = top THEN '$lang'" }
@@ -3907,6 +3982,20 @@ object SparkEntry {
            |  SELECT CAST(row_number() OVER (ORDER BY pr DESC, id)
            |    AS BIGINT) AS rank, id, pr FROM p2)
            |WHERE rank <= 20""".stripMargin,
+
+      "events_assoc_rules" ->
+        """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+          |n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+          |tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+          |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |    count(*) AS n_ab
+          |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+          |    AND a.event_type < b.event_type
+          |  GROUP BY 1, 2)
+          |SELECT type_a, type_b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+          |  CAST(n_ab AS DOUBLE) * n_users / (ta.n_t * tb.n_t) AS lift
+          |FROM p JOIN tc ta ON ta.event_type = type_a
+          |JOIN tc tb ON tb.event_type = type_b, n""".stripMargin,
 
       // identical fold: list(…ORDER BY day) + list_reduce with the same
       // lambda literals -> bit-identical unrounded double
