@@ -1894,6 +1894,35 @@ object SparkEntry {
           sum("chi4").as("sum_chi4"))
     }),
 
+    "liftover_positions" -> ((s, dir) => {
+      // assembly liftover: positions inside a chain interval map to
+      // target coordinates via the binned range join; a position under
+      // several (overlapping) chains lifts through the LOWEST chain id
+      // — deterministic where real chain files guarantee disjointness
+      // the chain pick depends only on (chr, pos), so variants
+      // pre-aggregate to distinct positions WITH multiplicity before
+      // the range join (the q9 shrink, ~6×) and the min-chain pick is
+      // a PARTIAL-AGGREGABLE min(struct) — map-side combine collapses
+      // the ~40 overlapping chains per position before the exchange
+      // (the row_number-window formulation shuffled the whole 24M-row
+      // join output: 13.9 s → 2.6 s at sf0.1)
+      val pts = liVariants(s, dir).groupBy("chr", "pos")
+        .agg(count(lit(1)).as("cnt"))
+      val chains = partGenes(s, dir).select(col("chr"), col("gene_id"),
+        col("gstart"), col("gstop"),
+        ((col("gstart") * 7) % 1000000).as("tstart"))
+      RangeJoin.joined(pts, chains, "pos", "gstart", "gstop",
+          keys = Seq("chr"), binWidth = 4096)
+        .groupBy("chr", "pos")
+        .agg(min(struct(col("gene_id"), col("gstart"), col("tstart")))
+          .as("c"), max("cnt").as("cnt"))
+        .select(col("chr"), col("cnt"),
+          (col("pos") - col("c.gstart") + col("c.tstart")).as("tpos"))
+        .groupBy("chr")
+        .agg(sum("cnt").as("n_mapped"),
+          sum(col("tpos") * col("cnt")).as("sum_target"))
+    }),
+
     "roh_runs" -> ((s, dir) => {
       // runs of homozygosity: consecutive hom sites per chr in pos
       // order, run-grouped by the lag/cumsum trick (the sessionize
@@ -4061,6 +4090,25 @@ object SparkEntry {
           |    AS n_reject,
           |  CAST(sum(chi4) AS BIGINT) AS sum_chi4
           |FROM c GROUP BY 1""".stripMargin,
+
+      // per-POSITION chain pick weighted by multiplicity: every variant
+      // row lifts (the synthetic lineitem key is NOT unique — a
+      // per-row-key dedup silently dropped 14k genuine rows, caught
+      // live when the position-level rewrite disagreed)
+      "liftover_positions" ->
+        s"""WITH v AS (SELECT chr, pos FROM ($liVariantsSql)),
+           |c AS (SELECT chr, pos, count(*) AS cnt FROM v GROUP BY 1, 2),
+           |g AS (SELECT chr, gene_id, gstart, gstop,
+           |  (gstart * 7) % 1000000 AS tstart FROM ($partGenesSql)),
+           |j AS (SELECT c.chr, c.pos, c.cnt, g.gstart, g.tstart,
+           |  row_number() OVER (PARTITION BY c.chr, c.pos
+           |    ORDER BY g.gene_id) AS rk
+           |  FROM c JOIN g ON c.chr = g.chr
+           |    AND c.pos BETWEEN g.gstart AND g.gstop)
+           |SELECT chr, CAST(sum(cnt) AS BIGINT) AS n_mapped,
+           |  CAST(sum((pos - gstart + tstart) * cnt) AS BIGINT)
+           |    AS sum_target
+           |FROM j WHERE rk = 1 GROUP BY 1""".stripMargin,
 
       "roh_runs" ->
         """WITH d0 AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
