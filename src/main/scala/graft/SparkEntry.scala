@@ -1750,13 +1750,11 @@ object SparkEntry {
           round(col("col").cast("double") * 1000000).cast("long").as("xs"))
         .groupBy("dim").agg(count(lit(1)).as("n"),
           sum("xs").as("s1"), sum(col("xs") * col("xs")).as("s2"))
-      sx.select(col("dim"), col("n"),
+      TopK.ranked(sx.select(col("dim"), col("n"),
           (col("s2").cast("double") / col("n") / 1e12
             - (col("s1").cast("double") / col("n") / 1e6)
-              * (col("s1").cast("double") / col("n") / 1e6)).as("variance"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("variance").desc, col("dim").asc)).cast("long"))
-        .filter(col("rank") <= 10)
+              * (col("s1").cast("double") / col("n") / 1e6)).as("variance")),
+          10, col("variance").desc, col("dim").asc)
         .select("rank", "dim", "n", "variance")
     }),
 
@@ -1769,10 +1767,8 @@ object SparkEntry {
         "doc_id", "text", blockCol = docBlockCol, n = 3, minJaccard = 0.2)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      Graphs.pagerank(edges, "src", "dst", iterations = 2)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("pr").desc, col("id").asc)).cast("long"))
-        .filter(col("rank") <= 20)
+      TopK.ranked(Graphs.pagerank(edges, "src", "dst", iterations = 2),
+          20, col("pr").desc, col("id").asc)
         .select("rank", "id", "pr")
     }),
 
@@ -1821,13 +1817,11 @@ object SparkEntry {
       val model = graft.functions.BpeOps.BpeModel(Seq(
         ("t", "a"), ("ta", "b"), ("s", "c"), ("a", "n"), ("sc", "an"),
         ("r", "o"), ("ro", "w"), ("k", "e"), ("ke", "y"), ("a", "g")))
-      Tables.documents(s, dir)
-        .select(explode(graft.functions.Bpe.encode(col("text"), model))
-          .as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n_occ"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n_occ").desc, col("token").asc)).cast("long"))
-        .filter(col("rank") <= 20)
+      TopK.ranked(Tables.documents(s, dir)
+          .select(explode(graft.functions.Bpe.encode(col("text"), model))
+            .as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n_occ")),
+          20, col("n_occ").desc, col("token").asc)
         .select("rank", "token", "n_occ")
     }),
 
@@ -1849,9 +1843,7 @@ object SparkEntry {
           array_sort(collect_list(struct(col("rn"), col("event_type")))),
           s0 => s0.getField("event_type"))).as("path"))
         .groupBy("path").agg(count(lit(1)).as("n_users"))
-      paths.withColumn("rank", row_number().over(
-          Window.orderBy(col("n_users").desc, col("path").asc)).cast("long"))
-        .filter(col("rank") <= 10)
+      TopK.ranked(paths, 10, col("n_users").desc, col("path").asc)
         .select("rank", "path", "n_users")
     }),
 

@@ -12,30 +12,39 @@ import org.apache.spark.sql.functions._
 object Graphs {
 
   /** Fixed-iteration PageRank over a DIRECTED edge list (pass both
-    * directions for an undirected graph). Nodes are the edge endpoints
-    * (no dangling-mass handling: every node in an undirected edge frame
-    * has out-degree ≥ 1 — callers with true sinks must add the
-    * redistribution term themselves).
+    * directions for an undirected graph). Nodes are the edge endpoints.
+    * Every node survives every iteration: contributions are left-joined
+    * back onto the full node frame, so a zero-in-degree node keeps
+    * emitting its (teleport-only) mass instead of silently vanishing
+    * after iteration 1. Sink nodes (out-degree 0) lose their mass by
+    * default — the textbook simplification, fine for undirected edge
+    * frames where sinks cannot exist; pass `handleDangling = true` for
+    * general directed graphs and the lost mass is redistributed
+    * uniformly each iteration (total mass then stays 1).
     *
     * Scale shape: per iteration, ONE join of the edge frame against the
     * (node, pr) frame on src (edges >> nodes, so this is the join to
-    * co-partition; Catalyst broadcasts the rank side when it is small)
-    * and one partial-agg shuffle on dst. Iterations chain as a lineage
-    * of narrow projections + these two exchanges — k iterations = k
-    * passes over the edges, the textbook dataflow PageRank.
+    * co-partition; Catalyst broadcasts the rank side when it is small),
+    * one partial-agg shuffle on dst, and one node-frame left join to
+    * re-attach rankless nodes. The dangling term is a 1-row aggregate
+    * broadcast by crossJoin. Iterations chain as a lineage of narrow
+    * projections + these exchanges — k iterations = k passes over the
+    * edges, the textbook dataflow PageRank.
     *
     * Cross-engine determinism: summing per-edge double contributions is
     * order-dependent, so each edge's contribution pr(src)/outdeg(src)
     * is rounded to a ×10¹² exact long FIRST (one IEEE division + one
     * deterministic round per edge) and the per-dst sum runs in integer
     * space — the surprisal discipline applied to graph propagation. The
-    * next rank (1−d)/N + d·(sum/10¹²) is then bit-identical in any
-    * engine, and an oracle can chain the SAME two iterations in SQL.
+    * dangling sum uses the same ×10¹² longs. The next rank
+    * (1−d)/N + d·(sum/10¹² [+ (dang/10¹²)/N]) is then bit-identical in
+    * any engine, and an oracle can chain the SAME iterations in SQL.
     *
     * @return (id, pr) after `iterations` rounds, pr unrounded
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, damping: Double = 0.85): DataFrame = {
+               iterations: Int, damping: Double = 0.85,
+               handleDangling: Boolean = false): DataFrame = {
     require(iterations >= 0)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -52,10 +61,29 @@ object Graphs {
           round(col("pr") / col("outdeg") * 1000000000000.0).cast("long")
             .as("c12"))
         .groupBy("dst").agg(sum("c12").as("s12"))
-      pr = contrib.withColumnRenamed("dst", "id").crossJoin(n)
-        .select(col("id"),
-          (lit(1.0 - damping) / col("n_nodes")
-            + lit(damping) * (col("s12") / 1000000000000.0)).as("pr"))
+      val base = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(n)
+        .select(col("id"), coalesce(col("s12"), lit(0L)).as("s12"),
+          col("n_nodes"))
+      pr =
+        if (handleDangling) {
+          // mass parked on sinks this round, as the same ×10¹² exact
+          // longs (coalesce: a sink-free graph aggregates zero rows →
+          // NULL); 1-row frame, broadcast by crossJoin
+          val dang = broadcast(pr
+            .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+            .agg(coalesce(sum(round(col("pr") * 1000000000000.0)
+              .cast("long")), lit(0L)).as("d12")))
+          base.crossJoin(dang)
+            .select(col("id"),
+              (lit(1.0 - damping) / col("n_nodes")
+                + lit(damping) * (col("s12") / 1000000000000.0
+                  + col("d12") / 1000000000000.0 / col("n_nodes"))).as("pr"))
+        } else
+          base.select(col("id"),
+            (lit(1.0 - damping) / col("n_nodes")
+              + lit(damping) * (col("s12") / 1000000000000.0)).as("pr"))
     }
     pr
   }

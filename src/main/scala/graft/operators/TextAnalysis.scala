@@ -268,29 +268,27 @@ object TextAnalysis {
     * Scale shape: the word-frequency agg is the only corpus-sized
     * shuffle (map-side combined); pairs then explode from the DISTINCT
     * word frame (vocabulary-sized — each word's pairs are counted once
-    * and weighted, not re-derived per occurrence), and the pair domain
-    * is bounded by |alphabet|² — the final rank window runs on a frame
-    * that fits one partition BY CONSTRUCTION, like vocab_growth's
-    * checkpoint frame. Exact integers end to end.
+    * and weighted, not re-derived per occurrence), and the final
+    * selection is a [[TopK.ranked]] sort+limit (TakeOrderedAndProject —
+    * per-partition heaps, no single-partition window even though the
+    * |alphabet|²-bounded pair domain would tolerate one). Exact
+    * integers end to end.
     *
     * @return (rank, pair, cnt) — rank 1..topK by (cnt desc, pair asc)
     */
   def bpePairCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
                     topK: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(topK > 0, "topK must be positive")
     val words = docs
       .select(explode(split(normText(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 1) // a 1-char word has no pairs
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    words
-      .select(col("freq"), explode(transform(
-        sequence(lit(1), length(col("w")) - 1),
-        i => col("w").substr(i, lit(2)))).as("pair"))
-      .groupBy("pair").agg(sum("freq").as("cnt"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("pair").asc)).cast("long"))
-      .filter(col("rank") <= topK)
+    TopK.ranked(words
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt")),
+        topK, col("cnt").desc, col("pair").asc)
       .select("rank", "pair", "cnt")
   }
 

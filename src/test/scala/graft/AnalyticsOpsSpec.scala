@@ -229,6 +229,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(init.values.forall(_ == 1.0 / 3))
   }
 
+  test("pagerank: directed chain keeps zero-in-degree nodes; dangling " +
+      "flag conserves mass through a sink") {
+    import graft.operators.Graphs
+    // 1 -> 2 -> 3: node 1 has no in-edges, node 3 is a sink
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graphs.pagerank(edges, "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    // the zero-in-degree source survives every iteration at teleport-only
+    // mass (it used to vanish after iteration 1)
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(pr(1L) - 0.05) < 1e-12)
+    // default (no dangling handling): the sink swallows mass
+    assert(pr.values.sum < 1.0 - 1e-3)
+    // dangling redistribution: total mass stays 1 every round
+    val prd = Graphs.pagerank(edges, "src", "dst", iterations = 3,
+      handleDangling = true).as[(Long, Double)].collect().toMap
+    assert(math.abs(prd.values.sum - 1.0) < 1e-9)
+    // hand-checked first iteration: pr'(2) = 0.05 + 0.85*(1/3 + (1/3)/3)
+    val pr1 = Graphs.pagerank(edges, "src", "dst", iterations = 1,
+      handleDangling = true).as[(Long, Double)].collect().toMap
+    assert(math.abs(pr1(2L) - (0.05 + 0.85 * (1.0 / 3 + 1.0 / 9))) < 1e-9)
+    assert(math.abs(pr1(1L) - (0.05 + 0.85 / 9)) < 1e-9)
+  }
+
+  test("TopK.ranked: window-free rank matches the row_number contract " +
+      "and plans as TakeOrderedAndProject") {
+    import graft.operators.TopK
+    val df = Seq(("a", 3L), ("b", 9L), ("c", 9L), ("d", 1L), ("e", 5L))
+      .toDF("k", "v")
+    val top = TopK.ranked(df, 3, col("v").desc, col("k").asc)
+      .as[(Long, String, Long)].collect().toList
+    assert(top == List((1L, "b", 9L), (2L, "c", 9L), (3L, "e", 5L)))
+    // the heavy part is a sort+limit -> per-partition heaps, never a
+    // single-partition window
+    val plan = df.orderBy(col("v").desc, col("k").asc).limit(3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // k past the row count: every row ranked, no padding
+    assert(TopK.ranked(df, 99, col("v").desc, col("k").asc).count() == 5)
+  }
+
   test("pplBuckets: tercile labels per group, boundary goes low") {
     val scored = (1 to 9).map(i => (i.toLong, "en", i.toDouble))
       .toDF("id", "lang", "score")

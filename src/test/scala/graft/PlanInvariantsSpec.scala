@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-level plan invariants over EVERY graded query — the properties
+  * a 100 TB deployment depends on, asserted structurally (on the
+  * optimized logical plan) rather than by grepping execution logs, so a
+  * regression fails a test instead of a warning scroll.
+  *
+  * The one whitelisted unpartitioned window is vocab_growth's running
+  * sum over its checkpoint frame (TextAnalysis.vocabGrowth): the frame
+  * is ≤ max_id/step rows BY CONSTRUCTION (driver-scale, documented
+  * deliberate). Every rank-top-k shape that used to run as a global
+  * `row_number` window now goes through [[graft.operators.TopK.ranked]]
+  * (sort+limit → TakeOrderedAndProject) and must stay that way.
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val whitelist = Set("vocab_growth")
+
+  test("no unpartitioned window in any graded query outside the whitelist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.optimizedPlan
+        val global = plan.collect {
+          case w: Window if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) Some(name) else None
+    }
+    assert(offenders.toSet.subsetOf(whitelist),
+      s"unpartitioned window in: ${offenders.filterNot(whitelist).sorted}")
+    // the whitelist itself stays honest: drop entries that no longer
+    // carry a global window so the list cannot rot into a blanket pass
+    assert(whitelist.subsetOf(offenders.toSet),
+      s"stale whitelist entries: ${whitelist -- offenders.toSet}")
+  }
+}
