@@ -80,7 +80,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sentinel = math.min(sentinelPre, sentinelOnce(spark))
-    val contaminated = sentinel > 2 * SentinelFloorSec
+    // strict on purpose: BENCH_r07 carried sentinel 1.35x floor at
+    // loadavg 5.62 yet stamped clean, and 11 sub-second queries read
+    // >2x their floors from box load alone. Either signal poisons the
+    // artifact: sentinel over 1.25x its quiet floor, or pre-existing
+    // load above cpus/4 before our executors started.
+    val contaminated = sentinel > 1.25 * SentinelFloorSec ||
+      (loadPre >= 0 && loadPre > Runtime.getRuntime.availableProcessors / 4.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_pre":$loadPre,"sentinel_sec":$sentinel,"sentinel_floor_sec":$SentinelFloorSec,"contaminated":$contaminated}""")
     spark.stop()
   }

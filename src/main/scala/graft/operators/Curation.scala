@@ -181,9 +181,12 @@ object Curation {
   /** `minSharedBands` tunes the drop threshold: 1 = any band (the
     * aggressive LSH screen — on a narrow-vocabulary corpus where
     * baseline jaccard is already high, this drops nearly everything),
-    * numBands = all bands (≈ exact-dup only). The ingest default is
-    * conservative: only docs matching MOST of a corpus doc's signature
-    * drop. */
+    * numBands = all bands (≈ exact-dup only). Bands are counted across
+    * the WHOLE corpus (distinct batch-doc bands matched by ANY corpus
+    * doc): a batch doc matching one band each of three different corpus
+    * docs drops at minSharedBands=3 — a recall-leaning screen; count
+    * per corpus doc (group on the corpus id too) for the stricter
+    * single-counterpart reading. */
   def dedupIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, numHashes: Int = 16,
                        rowsPerBand: Int = 4, shingleLen: Int = 3,

@@ -256,7 +256,11 @@ object Multimodal {
       * (quarantine). */
     def aHashBmp(p: Array[Byte]): Option[Long] = {
       if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
-      val w = le32(p, 18); val h = math.abs(le32(p, 22))
+      // negative stored height = top-down row order (valid per the
+      // format): same hash, row offset indexed from the top instead of
+      // the bottom-up (h-1-y) formula
+      val hRaw = le32(p, 22)
+      val w = le32(p, 18); val h = math.abs(hRaw)
       if (w < 8 || h < 8) return None
       val rowSize = ((w * 3 + 3) / 4) * 4
       if (p.length < 54 + rowSize * h) return None
@@ -268,7 +272,8 @@ object Multimodal {
         while (cx < 8) {
           val x = cx * w / 8
           val y = cy * h / 8
-          val off = 54 + (h - 1 - y) * rowSize + x * 3
+          val row = if (hRaw < 0) y else h - 1 - y
+          val off = 54 + row * rowSize + x * 3
           val lum = (p(off) & 0xff) + (p(off + 1) & 0xff) + (p(off + 2) & 0xff)
           cells(cy * 8 + cx) = lum.toLong
           total += lum

@@ -107,6 +107,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (x, y) => if (x < 4 ^ (x == 0 && y == 0)) 0x000000 else 0xFFFFFF)
     val hf = MediaCodec.aHashBmp(flip).get
     assert(java.lang.Long.bitCount(h ^ hf) <= 2)
+    // top-down BMP (negative stored height, rows first-to-last): same
+    // image, same hash — not a vertical flip
+    val gradient = MediaCodec.bmpWithPixels(8, 8,
+      (x, y) => if (y < 2 || x + y > 9) 0xFFFFFF else 0x000000)
+    val td = gradient.clone()
+    val negH = -8
+    td(22) = (negH & 0xff).toByte; td(23) = ((negH >> 8) & 0xff).toByte
+    td(24) = ((negH >> 16) & 0xff).toByte; td(25) = ((negH >> 24) & 0xff).toByte
+    val rowSize = 24 // 8px * 3B, already word-aligned
+    for (r <- 0 until 4; i <- 0 until rowSize) {
+      val a = 54 + r * rowSize + i; val b = 54 + (7 - r) * rowSize + i
+      val t = td(a); td(a) = td(b); td(b) = t
+    }
+    assert(MediaCodec.aHashBmp(td) == MediaCodec.aHashBmp(gradient))
+    assert(MediaCodec.aHashBmp(gradient).get != 0L)
     // blocked candidate pairs equal the brute-force hamming join
     val imgs = Multimodal.syntheticImages(
       spark.range(0, 48).toDF("doc_id"), "doc_id")
