@@ -6,20 +6,26 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 
 /** CLI dispatch — the reference's Manager.java `--tool <name> <args>`
-  * wrapper, re-expressed as path-in → parquet-out Spark flows.
+  * wrapper (Manager.java:30-84 dispatch table), re-expressed as
+  * path-in → parquet-out Spark flows. Every tool name the reference
+  * dispatches, dispatches here.
   *
   * The reference's per-chromosome/per-sample shell fan-out
   * (`Manager.java:163`, dist scripts) exists because its tools are
   * single-threaded JDBC loops; here each tool is one declarative plan
   * that partitions over all chromosomes and samples at once, so the
-  * orchestration surface shrinks to tool selection + paths. Converters
-  * that need a caller-supplied column mapping (ClinVar2Vcf etc.) remain
-  * library calls on [[graft.operators.SourceConverters]] — a CLI cannot
-  * carry a schema contract.
+  * orchestration surface shrinks to tool selection + paths. The
+  * converters (ClinVar2Vcf / DbSnp2Vcf / GwasCat2Vcf) take their input
+  * as a parquet with CANONICAL column names (documented per tool in
+  * `usage`) — the CLI's substitute for the library API's caller-supplied
+  * Column mapping; the reference pins the same contract to its JDBC
+  * source queries.
   *
-  * Tools: VcfConverter2, Vcf8ColConverter2, GenotypeCounts,
-  * VariantLoad3 (parse + score), ConservationScore, VariantTypeFixUp,
-  * FrameShiftFixUp.
+  * Tool aliases: `Polyphen2` runs the Polyphen flow and
+  * `PolyphenLoader2` the PolyphenLoader flow — the reference pairs
+  * differ only in which database schema/table generation they read
+  * (Polyphen2.java / PolyphenLoader2.java), a distinction with no
+  * analog in a path-in/parquet-out world.
   */
 object Manager {
 
@@ -32,6 +38,20 @@ object Manager {
       |  ConservationScore --inputFile F --outDir D
       |  VariantTypeFixUp  --variants P --outDir D
       |  FrameShiftFixUp   --variants P --outDir D
+      |  GenicStatusFixUp  --variants P --genes P --outDir D
+      |                    (variants: chr,pos,...; genes: chr,gstart,gstop)
+      |  VariantPostProcessing --variants P --gff3 F --fasta F --outDir D [--verifyIfInRgd P]
+      |                    (variants: var_id,chr,pos,ref_nuc,var_nuc)
+      |  Polyphen          --annotations P --outDir D   (alias: Polyphen2)
+      |                    (annotations: variant_id,tr_id,protein_id,aa_pos,
+      |                     ref_aa,var_aa,gene_symbol,strand,protein_seq,syn_status)
+      |  PolyphenFasta     --attempted P --known P --outDir D
+      |                    (attempted: protein_id,protein_seq; known: protein_id)
+      |  PolyphenLoader    --results F --info P --outDir D   (alias: PolyphenLoader2)
+      |                    (info: protein_id,aa_pos,ref_aa,var_aa,payload...)
+      |  ClinVar2Vcf       --input P --outDir D  (chr,pos,rgd_id,name,ref_nuc,var_nuc,rs_id)
+      |  DbSnp2Vcf         --input P --outDir D  (chr,pos,snp_name,ref_nuc,var_nuc)
+      |  GwasCat2Vcf       --input P --outDir D  (chr,pos,snps,ref_nuc,var_nuc)
       |  VariantRatLoaderFromDb --variants P [--batch P] [--chr C] --outDir D""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -63,6 +83,11 @@ object Manager {
         s"missing --$k for tool $tool\n$usage"))
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"${opt("outDir")}/$name")
+    // the …2Vcf family emits VCF LINES — text part-files, the scalable
+    // analog of the reference's single output file
+    def writeVcf(df: DataFrame): Unit =
+      df.select("line").write.mode("overwrite")
+        .text(s"${opt("outDir")}/vcf")
     val addp = flags("ADDP")
     val sameAsRef = flags("processVariantsSameAsRef")
 
@@ -108,6 +133,74 @@ object Manager {
           .withColumn("frame_shift_computed",
             Fixups.frameShiftComputed(col("ref_nuc"), col("var_nuc"))),
           "frame_shift_fixup")
+
+      case "GenicStatusFixUp" =>
+        // GenicStatusFixUp.java: recompute genic/intergenic against the
+        // gene ranges; emit the fixup action where a stored
+        // genic_status column exists (recompute-and-compare, like the
+        // type/frameshift fixups)
+        val variants = spark.read.parquet(opt("variants"))
+        val fixed = Fixups.withGenicStatus(variants,
+          spark.read.parquet(opt("genes")))
+        write(
+          if (variants.columns.contains("genic_status"))
+            fixed.withColumn("fixup_action", Fixups.fixupAction(
+              col("genic_status"), col("genic_status_computed")))
+          else fixed,
+          "genic_status_fixup")
+
+      case "VariantPostProcessing" =>
+        // the full variant↔transcript annotation flow
+        // (VariantPostProcessing.java:168-668): gene models from GFF3,
+        // reference sequence from FASTA (driver-guarded broadcast),
+        // optional --verifyIfInRgd drops already-loaded pairs
+        val models = graft.sources.Gff3.modelTables(
+          spark.read.textFile(opt("gff3")))
+        val genome = graft.sources.FastaGenome.fromLines(spark,
+          spark.read.textFile(opt("fasta")))
+        val ann = TranscriptAnnotator.annotate(
+          spark.read.parquet(opt("variants")),
+          models.genes, models.transcripts, models.features, genome)
+        val kept = opts.get("verifyIfInRgd") match {
+          case Some(p) => TranscriptAnnotator.verifyIfInRgd(
+            ann, spark.read.parquet(p))
+          case None => ann
+        }
+        write(kept.toDF(), "variant_transcripts")
+
+      case "Polyphen" | "Polyphen2" =>
+        // Polyphen.java:206-251 input generation; Polyphen2 differs
+        // only in its JDBC source generation — same flow here
+        write(Polyphen.inputRecords(
+          spark.read.parquet(opt("annotations"))), "polyphen_input")
+
+      case "PolyphenFasta" =>
+        write(Polyphen.fastaForMissing(
+          spark.read.parquet(opt("attempted")),
+          spark.read.parquet(opt("known"))), "polyphen_fasta")
+
+      case "PolyphenLoader" | "PolyphenLoader2" =>
+        // parse prediction TSV, join back onto the info table
+        // (PolyphenLoader.java:104-196)
+        write(Polyphen.loadPredictions(
+          Polyphen.parseResults(spark.read.textFile(opt("results"))),
+          spark.read.parquet(opt("info"))), "polyphen_predictions")
+
+      case "ClinVar2Vcf" =>
+        writeVcf(SourceConverters.clinVarToVcf(
+          spark.read.parquet(opt("input")), col("chr"), col("pos"),
+          col("rgd_id"), col("name"), col("ref_nuc"), col("var_nuc"),
+          col("rs_id")))
+
+      case "DbSnp2Vcf" =>
+        writeVcf(SourceConverters.dbSnpToVcf(
+          spark.read.parquet(opt("input")), col("chr"), col("pos"),
+          col("snp_name"), col("ref_nuc"), col("var_nuc")))
+
+      case "GwasCat2Vcf" =>
+        writeVcf(SourceConverters.gwasCatToVcf(
+          spark.read.parquet(opt("input")), col("chr"), col("pos"),
+          col("snps"), col("ref_nuc"), col("var_nuc")))
 
       case "VariantRatLoaderFromDb" =>
         // the re-load path (VariantRatLoaderFromDb.java:32-379): variants

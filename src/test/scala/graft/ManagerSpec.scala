@@ -128,6 +128,162 @@ class ManagerSpec extends AnyFunSuite {
     assert(byPos(500L).isNullAt(byPos(500L).fieldIndex("existing_id")))
   }
 
+  test("GenicStatusFixUp tool: recompute + fixup action vs stored column") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // pos 150 sits inside the gene range, 500 does not; the stored
+    // column is wrong for the second row
+    Seq(("1", 150L, "genic"), ("1", 500L, "genic"))
+      .toDF("chr", "pos", "genic_status").write.parquet(s"$dir/v")
+    Seq(("1", 100L, 200L)).toDF("chr", "gstart", "gstop")
+      .write.parquet(s"$dir/g")
+    val out = tmpDir()
+    Manager.runTool(spark, "GenicStatusFixUp",
+      Array("--variants", s"$dir/v", "--genes", s"$dir/g", "--outDir", out))
+    val r = spark.read.parquet(s"$out/genic_status_fixup")
+      .collect().map(x => x.getAs[Long]("pos") ->
+        (x.getAs[String]("genic_status_computed"),
+          x.getAs[String]("fixup_action"))).toMap
+    assert(r == Map(150L -> ("genic", "up_to_date"),
+      500L -> ("intergenic", "update")))
+  }
+
+  test("VariantPostProcessing tool: GFF3 + FASTA to variant_transcripts; " +
+      "--verifyIfInRgd drops loaded pairs") {
+    import spark.implicits._
+    // chr 1: 100 A's, then ATG GGG TAA (CDS 101-109), coding '+' transcript
+    val fasta = writeText("g.fa", ">1\n" + ("A" * 100) + "ATGGGGTAA\n")
+    val gff = writeText("m.gff3", Seq(
+      "##gff-version 3",
+      "1\tx\tgene\t101\t109\t.\t+\t.\tID=g1",
+      "1\tx\tmRNA\t101\t109\t.\t+\t.\tID=t1;Parent=g1",
+      "1\tx\texon\t101\t109\t.\t+\t.\tID=e1;Parent=t1").mkString("\n") + "\n")
+    val dir = tmpDir()
+    // A->G at pos 101: ATG -> GTG, M -> V nonsynonymous
+    Seq((1L, "1", 101L, "A", "G"))
+      .toDF("var_id", "chr", "pos", "ref_nuc", "var_nuc")
+      .write.parquet(s"$dir/v")
+    val out = tmpDir()
+    Manager.runTool(spark, "VariantPostProcessing",
+      Array("--variants", s"$dir/v", "--gff3", gff, "--fasta", fasta,
+        "--outDir", out))
+    val r = spark.read.parquet(s"$out/variant_transcripts").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("ref_aa") == "M")
+    assert(r.head.getAs[String]("var_aa") == "V")
+    assert(r.head.getAs[String]("syn_status") == "nonsynonymous")
+    // feeding the output back as the loaded set drops everything
+    val out2 = tmpDir()
+    Manager.runTool(spark, "VariantPostProcessing",
+      Array("--variants", s"$dir/v", "--gff3", gff, "--fasta", fasta,
+        "--outDir", out2, "--verifyIfInRgd", s"$out/variant_transcripts"))
+    assert(spark.read.parquet(s"$out2/variant_transcripts").count() == 0)
+  }
+
+  test("Polyphen + PolyphenFasta + PolyphenLoader tools: the round trip") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // one nonsynonymous record (kept) and one synonymous (dropped)
+    Seq((1L, 10L, "P1", 3L, "M", "V", "Gx", "+", "AAMRR", "nonsynonymous"),
+        (2L, 10L, "P2", 1L, "K", "K", "Gy", "+", "KRR", "synonymous"))
+      .toDF("variant_id", "tr_id", "protein_id", "aa_pos", "ref_aa",
+        "var_aa", "gene_symbol", "strand", "protein_seq", "syn_status")
+      .write.parquet(s"$dir/ann")
+    val out = tmpDir()
+    Manager.runTool(spark, "Polyphen",
+      Array("--annotations", s"$dir/ann", "--outDir", out))
+    val in = spark.read.parquet(s"$out/polyphen_input").collect()
+    assert(in.length == 1)
+    assert(in.head.getAs[String]("input_line") == "P1 3 M V")
+    // the alias dispatches the same flow
+    val outAlias = tmpDir()
+    Manager.runTool(spark, "Polyphen2",
+      Array("--annotations", s"$dir/ann", "--outDir", outAlias))
+    assert(spark.read.parquet(s"$outAlias/polyphen_input").count() == 1)
+    // PolyphenFasta: P2 missing from the known set -> one FASTA record
+    Seq(("P1", "AAMRR"), ("P2", "KRR")).toDF("protein_id", "protein_seq")
+      .write.parquet(s"$dir/att")
+    Seq(Tuple1("P1")).toDF("protein_id").write.parquet(s"$dir/known")
+    val outF = tmpDir()
+    Manager.runTool(spark, "PolyphenFasta",
+      Array("--attempted", s"$dir/att", "--known", s"$dir/known",
+        "--outDir", outF))
+    val fa = spark.read.parquet(s"$outF/polyphen_fasta")
+      .orderBy("line_no").collect().map(_.getAs[String]("line"))
+    assert(fa.toSeq == Seq(">P2", "KRR"))
+    // PolyphenLoader: 16-column TSV joins back on (protein,pos,aa1,aa2)
+    val cols = Array.fill(16)("")
+    cols(0) = "P1"; cols(1) = "3"; cols(2) = "M"; cols(3) = "V"
+    cols(5) = "U1"; cols(7) = "M"; cols(8) = "V"; cols(11) = "probably damaging"
+    cols(12) = "alignment"; cols(13) = "x"; cols(14) = "damaging"
+    cols(15) = "0.98"
+    val tsv = writeText("r.tsv",
+      "#header\n" + cols.mkString("\t") + "\n")
+    Seq(("P1", 3L, "M", "V", 1L))
+      .toDF("protein_id", "aa_pos", "ref_aa", "var_aa", "variant_id")
+      .write.parquet(s"$dir/info")
+    val outL = tmpDir()
+    Manager.runTool(spark, "PolyphenLoader",
+      Array("--results", tsv, "--info", s"$dir/info", "--outDir", outL))
+    val pred = spark.read.parquet(s"$outL/polyphen_predictions").collect()
+    assert(pred.length == 1)
+    assert(pred.head.getAs[String]("prediction") == "probably damaging")
+    assert(pred.head.getAs[Long]("variant_id") == 1L)
+  }
+
+  test("ClinVar2Vcf / DbSnp2Vcf / GwasCat2Vcf tools: VCF text lines out") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // second row fails allele QC (non-ACGTN ref) and must drop
+    Seq(("1", 100L, 7L, "nm", "A", "G", "rs5"),
+        ("1", 200L, 8L, "nm2", "XX", "G", null))
+      .toDF("chr", "pos", "rgd_id", "name", "ref_nuc", "var_nuc", "rs_id")
+      .write.parquet(s"$dir/cv")
+    val out = tmpDir()
+    Manager.runTool(spark, "ClinVar2Vcf",
+      Array("--input", s"$dir/cv", "--outDir", out))
+    val lines = spark.read.textFile(s"$out/vcf").collect()
+    assert(lines.length == 1)
+    assert(lines.head.startsWith("1\t100\tRGDID:7;nm\tA\tG\tPASS\t"))
+    assert(lines.head.contains("DB:rs5"))
+    // dbSnp: ID = snp name, empty INFO slot
+    Seq(("2", 300L, "rs9", "C", "T"))
+      .toDF("chr", "pos", "snp_name", "ref_nuc", "var_nuc")
+      .write.parquet(s"$dir/ds")
+    val out2 = tmpDir()
+    Manager.runTool(spark, "DbSnp2Vcf",
+      Array("--input", s"$dir/ds", "--outDir", out2))
+    val l2 = spark.read.textFile(s"$out2/vcf").collect()
+    assert(l2.length == 1 && l2.head.startsWith("2\t300\trs9\tC\tT\t"))
+    // gwas: same line shape keyed by the snps field
+    Seq(("3", 400L, "rs11", "G", "A"))
+      .toDF("chr", "pos", "snps", "ref_nuc", "var_nuc")
+      .write.parquet(s"$dir/gw")
+    val out3 = tmpDir()
+    Manager.runTool(spark, "GwasCat2Vcf",
+      Array("--input", s"$dir/gw", "--outDir", out3))
+    assert(spark.read.textFile(s"$out3/vcf").collect()
+      .head.startsWith("3\t400\trs11\tG\tA\t"))
+  }
+
+  test("every reference Manager.java tool name dispatches") {
+    // Manager.java:30-84's switch: each name must be wired (anything
+    // unknown throws "unknown tool"; missing-arg errors prove dispatch)
+    val refTools = Seq("VariantRatLoaderFromDb", "VcfConverter2",
+      "Vcf8ColConverter2", "VariantLoad3", "VariantPostProcessing",
+      "Polyphen", "Polyphen2", "PolyphenFasta", "PolyphenLoader",
+      "PolyphenLoader2", "VariantTypeFixUp", "FrameShiftFixUp",
+      "GenicStatusFixUp", "ClinVar2Vcf", "DbSnp2Vcf", "ConservationScore",
+      "GwasCat2Vcf")
+    for (t <- refTools) {
+      val e = intercept[IllegalArgumentException] {
+        Manager.runTool(spark, t, Array.empty)
+      }
+      assert(e.getMessage.startsWith("missing --"),
+        s"$t did not dispatch: ${e.getMessage.linesIterator.next()}")
+    }
+  }
+
   test("unknown tool and missing option fail with usage") {
     val e = intercept[IllegalArgumentException] {
       Manager.runTool(spark, "NoSuchTool", Array.empty)
