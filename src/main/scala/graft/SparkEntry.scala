@@ -91,6 +91,16 @@ object SparkEntry {
   private def docBlockCol: Column = concat(col("lang"), lit("|"),
     floor(col("n_chars") / 100).cast("long").cast("string"))
 
+  /** The confirmed near-dup pair frame (3-shingle jaccard ≥ 0.2 inside
+    * [[docBlockCol]] blocks) — ONE Spark-side derivation for every
+    * registration grading against the shared `jaccardPairCtes` oracle
+    * CTEs (dedup_ngram_jaccard, dedup_groups, graph_degree_hist,
+    * graph_pagerank), mirroring the oracle-side sharing so the pair
+    * graph cannot drift between its consumers. */
+  private def docJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      blockCol = docBlockCol, n = 3, minJaccard = 0.2)
+
   /** Shared projection of the rollup_agg / cube_agg grouping-sets pair
     * (ONE definition so the gid cast / ALL labels cannot drift). */
   private def groupingSetsAgg(
@@ -965,9 +975,7 @@ object SparkEntry {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          blockCol = docBlockCol, n = 3, minJaccard = 0.2)
+      docJaccardPairs(s, dir)
         .select(col("id_a"), col("id_b"), col("n_inter").cast("long"),
           col("n_a").cast("long"), col("n_b").cast("long"), col("jaccard"))
     }),
@@ -993,11 +1001,8 @@ object SparkEntry {
       // ~50k confirmed at sf0.1). Every document gets its component's
       // lowest doc_id as group_id (singletons keep their own id) — the
       // assignment a keep-one-per-group dedup filters on
-      val docs = Tables.documents(s, dir)
-      Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          blockCol = docBlockCol, n = 3, minJaccard = 0.2),
-        docs, "doc_id")
+      Dedup.connectedComponents(docJaccardPairs(s, dir),
+        Tables.documents(s, dir), "doc_id")
         .select(col("id").as("doc_id"), col("group_id"))
     }),
 
@@ -1703,8 +1708,7 @@ object SparkEntry {
       // degree distribution of the confirmed near-dup graph — the graph
       // shape audit run before trusting connected components (a heavy
       // tail predicts mega-components)
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
-        "doc_id", "text", blockCol = docBlockCol, n = 3, minJaccard = 0.2)
+      val pairs = docJaccardPairs(s, dir)
       pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -1763,8 +1767,7 @@ object SparkEntry {
       // frame both directions); per-edge scaled-integer contributions
       // make the propagation order-free, so the oracle chains the SAME
       // two iterations in SQL and the doubles match bit for bit
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
-        "doc_id", "text", blockCol = docBlockCol, n = 3, minJaccard = 0.2)
+      val pairs = docJaccardPairs(s, dir)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       TopK.ranked(Graphs.pagerank(edges, "src", "dst", iterations = 2),
@@ -1887,29 +1890,53 @@ object SparkEntry {
     }),
 
     "liftover_positions" -> ((s, dir) => {
-      // assembly liftover: positions inside a chain interval map to
-      // target coordinates via the binned range join; a position under
-      // several (overlapping) chains lifts through the LOWEST chain id
-      // — deterministic where real chain files guarantee disjointness
-      // the chain pick depends only on (chr, pos), so variants
-      // pre-aggregate to distinct positions WITH multiplicity before
-      // the range join (the q9 shrink, ~6×) and the min-chain pick is
-      // a PARTIAL-AGGREGABLE min(struct) — map-side combine collapses
-      // the ~40 overlapping chains per position before the exchange
-      // (the row_number-window formulation shuffled the whole 24M-row
-      // join output: 13.9 s → 2.6 s at sf0.1)
+      import s.implicits._
+      // assembly liftover through REAL UCSC chain-format input: chain
+      // TEXT is synthesized deterministically from part (the q26
+      // synthesize-then-parse discipline — the actual ChainFile parser
+      // runs at scale, exercising multi-block chains with source/target
+      // gaps AND negative-strand targets), parsed into ungapped blocks,
+      // and DISTINCT variant positions lift with multiplicity through
+      // their containing block (the q9 shrink). Overlapping chains
+      // resolve to the LOWEST chain id via a PARTIAL-AGGREGABLE
+      // min(struct) — map-side combine collapses the overlap before the
+      // exchange (a row_number window over the join output shuffled the
+      // whole 24M-row frame: 13.9 s → 2.0 s at sf0.1). A '-' strand
+      // block lifts to t_first + dir·(pos − s_start) with dir = −1 —
+      // the target walks DESCENDING, mirrored term-for-term in the
+      // oracle. All exact integers.
+      val p = col("p_partkey").cast("long")
+      val size1 = lit(20L) + (p * 13) % 30
+      val dt1 = lit(1L) + (p * 7) % 10
+      val dq1 = (p * 3) % 8
+      val size2 = lit(10L) + (p * 11) % 20
+      val s0 = (p * 137) % 100000
+      val q0 = (p * 7) % 1000000
+      val strand = when(p % 3 === 0, "-").otherwise("+")
+      val lines = Tables.part(s, dir).select(explode(array(
+        concat_ws(" ", lit("chain"), ((p % 1000) + 1).cast("string"),
+          concat(lit("chr"), (p % 5).cast("string")), lit("1000000"),
+          lit("+"), s0.cast("string"),
+          (s0 + size1 + dt1 + size2).cast("string"),
+          lit("chrT"), lit("2000000"), strand, q0.cast("string"),
+          (q0 + size1 + dq1 + size2).cast("string"), p.cast("string")),
+        concat_ws(" ", size1.cast("string"), dt1.cast("string"),
+          dq1.cast("string")),
+        size2.cast("string"),
+        lit(""))).as("line")).as[String]
+      val blocks = graft.sources.ChainFile.blocks(lines)
+        .select(col("chain_id"), col("s_chr").cast("long").as("chr"),
+          col("s_start"), col("s_stop"), col("t_first"), col("dir"))
       val pts = liVariants(s, dir).groupBy("chr", "pos")
         .agg(count(lit(1)).as("cnt"))
-      val chains = partGenes(s, dir).select(col("chr"), col("gene_id"),
-        col("gstart"), col("gstop"),
-        ((col("gstart") * 7) % 1000000).as("tstart"))
-      RangeJoin.joined(pts, chains, "pos", "gstart", "gstop",
+      RangeJoin.joined(pts, blocks, "pos", "s_start", "s_stop",
           keys = Seq("chr"), binWidth = 4096)
         .groupBy("chr", "pos")
-        .agg(min(struct(col("gene_id"), col("gstart"), col("tstart")))
-          .as("c"), max("cnt").as("cnt"))
+        .agg(min(struct(col("chain_id"), col("s_start"), col("t_first"),
+          col("dir"))).as("c"), max("cnt").as("cnt"))
         .select(col("chr"), col("cnt"),
-          (col("pos") - col("c.gstart") + col("c.tstart")).as("tpos"))
+          (col("c.t_first") + col("c.dir") * (col("pos") - col("c.s_start")))
+            .as("tpos"))
         .groupBy("chr")
         .agg(sum("cnt").as("n_mapped"),
           sum(col("tpos") * col("cnt")).as("sum_target"))
@@ -4086,19 +4113,41 @@ object SparkEntry {
       // per-POSITION chain pick weighted by multiplicity: every variant
       // row lifts (the synthetic lineitem key is NOT unique — a
       // per-row-key dedup silently dropped 14k genuine rows, caught
-      // live when the position-level rewrite disagreed)
+      // live when the position-level rewrite disagreed). The oracle
+      // derives the ungapped blocks ARITHMETICALLY from part — the same
+      // numbers the Spark side serializes into chain text and re-parses
+      // — so the comparison also proves the chain parser's offset math,
+      // negative strand included.
       "liftover_positions" ->
         s"""WITH v AS (SELECT chr, pos FROM ($liVariantsSql)),
            |c AS (SELECT chr, pos, count(*) AS cnt FROM v GROUP BY 1, 2),
-           |g AS (SELECT chr, gene_id, gstart, gstop,
-           |  (gstart * 7) % 1000000 AS tstart FROM ($partGenesSql)),
-           |j AS (SELECT c.chr, c.pos, c.cnt, g.gstart, g.tstart,
+           |pp AS (SELECT CAST(p_partkey AS BIGINT) AS p,
+           |  CAST(p_partkey % 5 AS BIGINT) AS chr,
+           |  20 + (CAST(p_partkey AS BIGINT) * 13) % 30 AS size1,
+           |  1 + (CAST(p_partkey AS BIGINT) * 7) % 10 AS dt1,
+           |  (CAST(p_partkey AS BIGINT) * 3) % 8 AS dq1,
+           |  10 + (CAST(p_partkey AS BIGINT) * 11) % 20 AS size2,
+           |  (CAST(p_partkey AS BIGINT) * 137) % 100000 AS s0,
+           |  (CAST(p_partkey AS BIGINT) * 7) % 1000000 AS q0,
+           |  CASE WHEN p_partkey % 3 = 0 THEN -1 ELSE 1 END AS dir
+           |  FROM part),
+           |b AS (
+           |  SELECT p AS chain_id, chr, s0 + 1 AS s_start,
+           |    s0 + size1 AS s_stop,
+           |    CASE WHEN dir = 1 THEN q0 + 1 ELSE 2000000 - q0 END
+           |      AS t_first, dir FROM pp
+           |  UNION ALL
+           |  SELECT p, chr, s0 + size1 + dt1 + 1,
+           |    s0 + size1 + dt1 + size2,
+           |    CASE WHEN dir = 1 THEN q0 + size1 + dq1 + 1
+           |      ELSE 2000000 - (q0 + size1 + dq1) END, dir FROM pp),
+           |j AS (SELECT c.chr, c.pos, c.cnt, b.s_start, b.t_first, b.dir,
            |  row_number() OVER (PARTITION BY c.chr, c.pos
-           |    ORDER BY g.gene_id) AS rk
-           |  FROM c JOIN g ON c.chr = g.chr
-           |    AND c.pos BETWEEN g.gstart AND g.gstop)
+           |    ORDER BY b.chain_id, b.s_start) AS rk
+           |  FROM c JOIN b ON c.chr = b.chr
+           |    AND c.pos BETWEEN b.s_start AND b.s_stop)
            |SELECT chr, CAST(sum(cnt) AS BIGINT) AS n_mapped,
-           |  CAST(sum((pos - gstart + tstart) * cnt) AS BIGINT)
+           |  CAST(sum((t_first + dir * (pos - s_start)) * cnt) AS BIGINT)
            |    AS sum_target
            |FROM j WHERE rk = 1 GROUP BY 1""".stripMargin,
 

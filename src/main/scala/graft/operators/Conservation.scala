@@ -61,45 +61,12 @@ object Conservation {
       .cache()
 
     // Each block ends at the NEXT declaration (any chromosome — wiggle
-    // blocks may interleave chrs, so a per-chr lead would be wrong). An
-    // unpartitioned lead would funnel every declaration through one task
-    // — fatal when 100 TB of wiggle carries GBs of declarations. Instead,
-    // a two-level lead:
-    //   1. lead within idx-chunks of `chunkWidth` (partitioned window —
-    //      resolves every declaration except the last of each chunk);
-    //   2. stitch chunk boundaries with a per-chunk firsts table (one row
-    //      per non-empty chunk, bounded by maxIdx/chunkWidth), where a
-    //      deliberate single-partition lead over the bounded table is safe.
-    val chunked = decls
-      .withColumn("chunk", floor(col("decl_idx") / chunkWidth).cast("long"))
-    val inChunkNext = lead("decl_idx", 1)
-      .over(Window.partitionBy("chunk").orderBy("decl_idx"))
-    // deliberate single-partition pass over the BOUNDED per-chunk table
-    // (≤ maxIdx/chunkWidth rows): sort, then stream a sliding successor —
-    // an explicit bounded coalesce, not an accidental unpartitioned window
-    val nextChunkFirst = chunked
-      .groupBy("chunk").agg(min("decl_idx").as("first_idx"))
-      .as[(Long, Long)]
-      .repartition(1).sortWithinPartitions("chunk")
-      .mapPartitions { it =>
-        new Iterator[(Long, Option[Long])] {
-          private var cur = if (it.hasNext) Some(it.next()) else None
-          def hasNext: Boolean = cur.isDefined
-          def next(): (Long, Option[Long]) = {
-            val chunk = cur.get._1
-            val nxt = if (it.hasNext) Some(it.next()) else None
-            val out = (chunk, nxt.map(_._2))
-            cur = nxt
-            out
-          }
-        }
-      }
-      .toDF("chunk", "next_chunk_first")
-    val blocks = chunked
-      .withColumn("in_chunk_next", inChunkNext)
-      .join(broadcast(nextChunkFirst), Seq("chunk"), "left")
-      .withColumn("next_idx",
-        coalesce(col("in_chunk_next"), col("next_chunk_first"), lit(maxIdx + 1)))
+    // blocks may interleave chrs, so a per-chr lead would be wrong).
+    // Successor resolution via the shared two-level lead
+    // ([[graft.sources.LineBlocks]] — hoisted from here when the chain
+    // parser needed the identical machinery).
+    val blocks = graft.sources.LineBlocks
+      .withNextIdx(decls, maxIdx, chunkWidth)
       .select(col("chr"), col("wstart"), col("step"),
         (col("decl_idx") + 1).as("bstart"), (col("next_idx") - 1).as("bstop"),
         col("decl_idx"))

@@ -56,6 +56,62 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- ChainFile.blocks ----
+
+  test("chain: multi-block offsets, negative strand, optional id, " +
+      "quarantined t-strand") {
+    import graft.sources.ChainFile
+    val lines = Seq(
+      // 2 blocks with gaps (dt=5 source, dq=3 target), '+' strand, id 7
+      "chain 100 chr1 1000 + 10 40 chrQ 100 + 5 33 7",
+      "15 5 3",
+      "10",
+      "",
+      // '-' strand single block, NO trailing id (falls back to line idx)
+      "chain 50 chr2 500 + 0 20 chrQ2 100 - 10 30",
+      "20",
+      "",
+      // malformed t-strand: dropped entirely
+      "chain 9 chr3 500 - 0 5 chrQ3 100 + 0 5 8",
+      "5").toDS()
+    val b = ChainFile.blocks(lines).collect()
+      .map(r => (r.getAs[Long]("chain_id"), r.getAs[String]("s_chr"),
+        r.getAs[Long]("s_start"), r.getAs[Long]("s_stop"),
+        r.getAs[Long]("t_first"), r.getAs[Long]("dir"))).toSet
+    assert(b == Set(
+      // chain 7 block 1: src 0-based 10..25 -> 1-based [11,25], q 5 -> 6
+      (7L, "1", 11L, 25L, 6L, 1L),
+      // block 2: src 10+15+5=30 -> [31,40], q 5+15+3=23 -> 24
+      (7L, "1", 31L, 40L, 24L, 1L),
+      // '-' chain (id = header line idx 4): src [1,20]; strand-coord q
+      // [10,30) on the reversed seq = forward [71,90] 1-based, source
+      // start pairing with the HIGHEST forward position: 100-10 = 90
+      (4L, "2", 1L, 20L, 90L, -1L)))
+    // lifting through the '-' block walks the target descending:
+    // p=1 -> 90, p=20 -> 71; '+' block 2: p=31 -> 24, p=40 -> 33
+    def lift(p: Long, blk: (Long, String, Long, Long, Long, Long)) =
+      blk._5 + blk._6 * (p - blk._3)
+    val neg = b.find(_._1 == 4L).get
+    assert(lift(1L, neg) == 90L && lift(20L, neg) == 71L)
+    val b2 = b.find(x => x._1 == 7L && x._3 == 31L).get
+    assert(lift(31L, b2) == 24L && lift(40L, b2) == 33L)
+  }
+
+  test("chain: chunked lead stitches chains across chunk boundaries") {
+    import graft.sources.ChainFile
+    val lines = Seq(
+      "chain 1 chr1 1000 + 0 4 chrQ 100 + 0 4 1",
+      "4",
+      "chain 1 chr1 1000 + 50 54 chrQ 100 + 10 14 2",
+      "4").toDS()
+    for (cw <- Seq(1L, 2L, 1L << 20)) {
+      val b = ChainFile.blocks(lines, chunkWidth = cw).collect()
+        .map(r => (r.getAs[Long]("chain_id"), r.getAs[Long]("s_start"),
+          r.getAs[Long]("t_first"))).toSet
+      assert(b == Set((1L, 1L, 1L), (2L, 51L, 11L)), s"chunkWidth=$cw")
+    }
+  }
+
   test("wiggle: empty input yields empty output (no NPE)") {
     assert(Conservation.parseFixedStep(spark.emptyDataset[String]).count() == 0)
   }
