@@ -30,7 +30,9 @@ import graft.operators._
 object Manager {
 
   val usage: String =
-    """usage: Manager --tool <name> [tool args]
+    """usage: Manager --tool <name> [tool args] [--props F]
+      |  (--props: java-properties defaults for any arg, key `<tool>.<arg>`
+      |   or bare `<arg>`; precedence CLI > scoped > bare; flags as `=true`)
       |  VcfConverter2     --inputFile F --outDir D [--ADDP] [--processVariantsSameAsRef]
       |  Vcf8ColConverter2 --inputFile F --outDir D [--processVariantsSameAsRef]
       |  GenotypeCounts    --inputFile F --outDir D [--ADDP]
@@ -70,16 +72,34 @@ object Manager {
   }
 
   /** Dispatch one tool; separated from `main` so tests drive it with an
-    * existing session. */
+    * existing session.
+    *
+    * `--props F` loads java-properties defaults for any tool argument —
+    * the standalone analog of the reference's `properties/` XML config
+    * that its dist scripts pass to every run (AppConfigure.xml via
+    * VariantProcessingBase). Keys are either `<tool>.<arg>` (scoped) or
+    * bare `<arg>` (every tool); precedence CLI > scoped > bare. Boolean
+    * flags (ADDP, processVariantsSameAsRef) come from props as
+    * `...=true`. */
   def runTool(spark: SparkSession, tool: String, toolArgs: Array[String]): Unit = {
     val flags = toolArgs.filter(_.startsWith("--"))
       .map(_.drop(2)).toSet
-    val opts = toolArgs.sliding(2).collect {
+    val cli = toolArgs.sliding(2).collect {
       case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
         k.drop(2) -> v
     }.toMap
+    val props: Map[String, String] = cli.get("props").map { path =>
+      val p = new java.util.Properties()
+      val in = new java.io.FileInputStream(path)
+      try p.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      p.asScala.toMap
+    }.getOrElse(Map.empty)
+    def fromProps(k: String): Option[String] =
+      props.get(s"$tool.$k").orElse(props.get(k))
+    def optGet(k: String): Option[String] = cli.get(k).orElse(fromProps(k))
     def opt(k: String): String =
-      opts.getOrElse(k, throw new IllegalArgumentException(
+      optGet(k).getOrElse(throw new IllegalArgumentException(
         s"missing --$k for tool $tool\n$usage"))
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"${opt("outDir")}/$name")
@@ -88,8 +108,10 @@ object Manager {
     def writeVcf(df: DataFrame): Unit =
       df.select("line").write.mode("overwrite")
         .text(s"${opt("outDir")}/vcf")
-    val addp = flags("ADDP")
-    val sameAsRef = flags("processVariantsSameAsRef")
+    def flag(k: String): Boolean =
+      flags(k) || fromProps(k).exists(_.equalsIgnoreCase("true"))
+    val addp = flag("ADDP")
+    val sameAsRef = flag("processVariantsSameAsRef")
 
     tool match {
       case "VcfConverter2" =>
@@ -106,7 +128,7 @@ object Manager {
           processLinesWithMissingADDP = addp), "genotype_counts")
 
       case "VariantLoad3" =>
-        val genders = opts.get("genders").map(_.split(",").map { kv =>
+        val genders = optGet("genders").map(_.split(",").map { kv =>
           kv.split("=", 2) match {
             case Array(s, g) if s.nonEmpty => s -> g
             case _ => throw new IllegalArgumentException(
@@ -161,7 +183,7 @@ object Manager {
         val ann = TranscriptAnnotator.annotate(
           spark.read.parquet(opt("variants")),
           models.genes, models.transcripts, models.features, genome)
-        val kept = opts.get("verifyIfInRgd") match {
+        val kept = optGet("verifyIfInRgd") match {
           case Some(p) => TranscriptAnnotator.verifyIfInRgd(
             ann, spark.read.parquet(p))
           case None => ann
@@ -213,9 +235,9 @@ object Manager {
         val key = Seq("chr", "pos", "end_pos", "ref_nuc", "var_nuc",
           "variant_type")
         val existing = spark.read.parquet(opt("variants"))
-        val batch0 = opts.get("batch").map(spark.read.parquet(_))
+        val batch0 = optGet("batch").map(spark.read.parquet(_))
           .getOrElse(existing)
-        val batch = opts.get("chr")
+        val batch = optGet("chr")
           .map(c => batch0.filter(col("chr") === c)).getOrElse(batch0)
         val classified = VariantMerge.classify(
           batch.select(key.map(col): _*).distinct(), existing, key,

@@ -284,6 +284,45 @@ class ManagerSpec extends AnyFunSuite {
     }
   }
 
+  test("--props supplies defaults: scoped beats bare, CLI beats both, " +
+      "flags load as =true") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq(("AC", "A")).toDF("ref_nuc", "var_nuc").write.parquet(s"$dir/scoped")
+    Seq(("A", "G")).toDF("ref_nuc", "var_nuc").write.parquet(s"$dir/bare")
+    val outScoped = tmpDir()
+    val props = writeText("m.properties", Seq(
+      s"variants=$dir/bare",
+      s"FrameShiftFixUp.variants=$dir/scoped",
+      s"outDir=$outScoped",
+      "VcfConverter2.ADDP=true").mkString("\n") + "\n")
+    // no CLI args beyond --props: the scoped variants path wins
+    Manager.runTool(spark, "FrameShiftFixUp", Array("--props", props))
+    assert(spark.read.parquet(s"$outScoped/frame_shift_fixup")
+      .collect().head.getAs[String]("ref_nuc") == "AC")
+    // CLI overrides the props value
+    val outCli = tmpDir()
+    Manager.runTool(spark, "FrameShiftFixUp",
+      Array("--props", props, "--variants", s"$dir/bare", "--outDir", outCli))
+    assert(spark.read.parquet(s"$outCli/frame_shift_fixup")
+      .collect().head.getAs[String]("ref_nuc") == "A")
+    // a flag arriving via props: ADDP lets an AD/DP-less variant line
+    // through the converter (dropped without the flag)
+    val vcf = writeText("p.vcf",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n" +
+        "1\t100\t.\tA\tC\t10\tPASS\t.\tGT\t0/1\n")
+    val outF = tmpDir()
+    Manager.runTool(spark, "VcfConverter2",
+      Array("--props", props, "--inputFile", vcf, "--outDir", outF))
+    assert(spark.read.parquet(s"$outF/common_format2").count() == 1,
+      "props-supplied ADDP flag must let the DP-less line through")
+    val outNoF = tmpDir()
+    Manager.runTool(spark, "VcfConverter2",
+      Array("--inputFile", vcf, "--outDir", outNoF))
+    assert(spark.read.parquet(s"$outNoF/common_format2").count() == 0,
+      "without the flag the DP-less line drops")
+  }
+
   test("unknown tool and missing option fail with usage") {
     val e = intercept[IllegalArgumentException] {
       Manager.runTool(spark, "NoSuchTool", Array.empty)
