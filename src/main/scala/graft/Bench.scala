@@ -79,7 +79,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val sentinel = math.min(sentinelPre, sentinelOnce(spark))
+    // the probe is JIT-sensitive (fresh ~0.18-0.24 s, hot ~0.09-0.18 s
+    // on a QUIET box) so a single post sample is a loose floor
+    // estimator; min over three hot samples tightens it below the
+    // 1.25x threshold whenever the box genuinely is quiet
+    val sentinel = math.min(sentinelPre,
+      Seq.fill(3)(sentinelOnce(spark)).min)
     // strict on purpose: BENCH_r07 carried sentinel 1.35x floor at
     // loadavg 5.62 yet stamped clean, and 11 sub-second queries read
     // >2x their floors from box load alone. Either signal poisons the
