@@ -2048,6 +2048,53 @@ object SparkEntry {
         Multimodal.syntheticAudio(Tables.documents(s, dir), "doc_id",
           nSamples = 4000), frameSize = 512).toDF()
     }),
+
+    "interval_merge" -> ((s, dir) => {
+      // bedtools-merge: fuse overlapping-or-adjacent gene intervals into
+      // maximal disjoint blocks per chromosome (gaps-and-islands —
+      // per-chr windows + one partial-agg shuffle on the block key)
+      Intervals.mergeIntervals(partGenes(s, dir), Seq("chr"),
+        col("gstart"), col("gstop"))
+    }),
+
+    "sample_reservoir" -> ((s, dir) => {
+      // weighted reservoir (Efraimidis-Spirakis A-ES) over documents,
+      // weight = n_chars: k largest u^(1/w) ⇔ k SMALLEST −ln(u)/w, as
+      // ×10⁶-scaled exact longs (md5-derived u — deterministic draw),
+      // selected by TakeOrderedAndProject per-partition heaps
+      Curation.weightedReservoir(Tables.documents(s, dir), "doc_id",
+        col("n_chars"), k = 100)
+    }),
+
+    "text_kn_ppl" -> ((s, dir) => {
+      // interpolated Kneser-Ney bigram surprisal (continuation-count
+      // backoff, D = 0.75) — the KenLM-smoothing twin of text_bigram_ppl
+      TextAnalysis.knBigramSurprisal(Tables.documents(s, dir), "doc_id",
+        "text")
+    }),
+
+    "dedup_substr" -> ((s, dir) => {
+      // per-doc duplicated-substring coverage (Lee et al. exact-substr
+      // dedup signal): stride-25 50-char grams, hashed before the only
+      // corpus shuffle; dup_frac = shared-gram fraction per doc
+      Dedup.substrDupCoverage(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    "embed_covariance" -> ((s, dir) => {
+      // leading-8-dims covariance matrix (upper triangle) — the
+      // pre-whitening redundancy screen; exact ×10⁶/×10¹² scaled-long
+      // moments, dims²-bounded output
+      Similarity.dimCovariance(Tables.embeddings(s, dir), "embedding",
+        dims = 8)
+    }),
+
+    "events_cusum" -> ((s, dir) => {
+      // one-sided CUSUM drift track per event type (Page 1954) via the
+      // cumsum-minus-running-min prefix identity — catches sustained
+      // small shifts the per-day z-score test cannot
+      EventOps.cusumTrack(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -4257,6 +4304,129 @@ object SparkEntry {
           |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
           |  CAST(CAST(sum(s * s) AS BIGINT) AS DOUBLE) / count(*) AS mean_sq
           |FROM v GROUP BY 1, 2""".stripMargin,
+
+      // gaps-and-islands twin: same (start, stop)-ordered per-chr
+      // windows — running max stop decides block opens, prefix-sum of
+      // opens is the block id
+      "interval_merge" ->
+        s"""WITH g AS ($partGenesSql),
+           |o AS (SELECT chr, gstart, gstop,
+           |  CASE WHEN max(gstop) OVER (PARTITION BY chr
+           |      ORDER BY gstart, gstop
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    IS NULL THEN 1
+           |  WHEN gstart > max(gstop) OVER (PARTITION BY chr
+           |      ORDER BY gstart, gstop
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+           |    THEN 1 ELSE 0 END AS op FROM g),
+           |b AS (SELECT chr, gstart, gstop,
+           |  sum(op) OVER (PARTITION BY chr ORDER BY gstart, gstop
+           |    ROWS UNBOUNDED PRECEDING) AS blk FROM o)
+           |SELECT chr, CAST(min(gstart) AS BIGINT) AS mstart,
+           |  CAST(max(gstop) AS BIGINT) AS mstop,
+           |  count(*) AS n_intervals,
+           |  CAST(max(gstop) - min(gstart) + 1 AS BIGINT) AS span
+           |FROM b GROUP BY chr, blk""".stripMargin,
+
+      // A-ES keys re-derived from the md5 uniform; u = (24 hex bits +
+      // 0.5)/2^24 is EXACT in doubles (power-of-two divisor), ln is the
+      // only libm call and the ×10⁶ rounding absorbs its last ulp
+      "sample_reservoir" ->
+        """WITH k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+          |  CAST(round(-ln((CAST(CAST('0x' ||
+          |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+          |      AS DOUBLE) + 5e-1) / 16777216e0) / n_chars * 1e6)
+          |    AS BIGINT) AS key6 FROM documents)
+          |SELECT rank, doc_id, w, key6 FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY key6, doc_id)
+          |    AS BIGINT) AS rank, doc_id, w, key6 FROM k)
+          |WHERE rank <= 100""".stripMargin,
+
+      // interpolated Kneser-Ney: continuation/left-context type counts
+      // re-aggregated from the bigram-type table; P evaluates in the
+      // identical left-to-right literal sequence (7.5e-1 keeps the
+      // discount a DOUBLE — the DuckDB bare-decimal DECIMAL trap)
+      "text_kn_ppl" ->
+        s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS ps
+           |  FROM documents),
+           |bg AS (SELECT doc_id, ps[CAST(u.i AS INT)] || ' ' ||
+           |    ps[CAST(u.i + 1 AS INT)] AS bg
+           |  FROM d, LATERAL unnest(generate_series(1, len(ps) - 1)) u(i)
+           |  WHERE len(ps) >= 2),
+           |bgc AS (SELECT bg, count(*) AS c12,
+           |  split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+           |  FROM bg GROUP BY 1),
+           |w1c AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+           |  count(*) AS n1f FROM bgc GROUP BY 1),
+           |w2c AS (SELECT w2, count(*) AS n1b FROM bgc GROUP BY 1),
+           |ty AS (SELECT count(*) AS nt FROM bgc),
+           |m AS (SELECT bg, CAST(round(-log2(
+           |    greatest(CAST(c12 AS DOUBLE) - 7.5e-1, 0e0) / c1
+           |    + 7.5e-1 * n1f / c1 * (CAST(n1b AS DOUBLE) / nt)
+           |  ) * 10000) AS BIGINT) AS su4
+           |  FROM bgc JOIN w1c USING (w1) JOIN w2c USING (w2), ty)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  sum(su4)/10000.0/count(*) AS avg_bits
+           |FROM bg JOIN m USING (bg) GROUP BY 1""".stripMargin,
+
+      // stride-sampled gram hashes -> doc frequency -> per-doc shared
+      // fraction; dup_frac is the single unrounded IEEE division
+      "dedup_substr" ->
+        s"""WITH t AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |g AS (SELECT doc_id, md5(substr(t, CAST(u.i AS INT), 50)) AS gh
+           |  FROM t, LATERAL unnest(generate_series(1, length(t) - 49, 25)) u(i)
+           |  WHERE length(t) >= 50),
+           |f AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+           |a AS (SELECT doc_id, count(*) AS n_grams,
+           |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           |  FROM g JOIN f USING (gh) GROUP BY 1)
+           |SELECT doc_id, n_grams, n_dup,
+           |  CAST(n_dup AS DOUBLE) / n_grams AS dup_frac FROM a""".stripMargin,
+
+      // upper-triangle covariance from the same ×10⁶ scaled-long
+      // components as embed_dim_variance; cross products sum exactly at
+      // ×10¹² scale, cov assembles in the identical literal sequence
+      "embed_covariance" ->
+        """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+          |p AS (SELECT ui.i AS i, uj.j AS j,
+          |  CAST(round(vv[CAST(ui.i + 1 AS INT)] * 1e6) AS BIGINT) AS xi,
+          |  CAST(round(vv[CAST(uj.j + 1 AS INT)] * 1e6) AS BIGINT) AS xj
+          |  FROM v, LATERAL unnest(generate_series(0, 7)) ui(i),
+          |  LATERAL unnest(generate_series(0, 7)) uj(j)
+          |  WHERE uj.j >= ui.i),
+          |s AS (SELECT i, j, count(*) AS n, CAST(sum(xi) AS BIGINT) AS si,
+          |  CAST(sum(xj) AS BIGINT) AS sj,
+          |  CAST(sum(xi * xj) AS BIGINT) AS sij FROM p GROUP BY 1, 2)
+          |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+          |  CAST(sij AS DOUBLE) / n / 1e12
+          |    - (CAST(si AS DOUBLE) / n / 1e6)
+          |      * (CAST(sj AS DOUBLE) / n / 1e6) AS cov
+          |FROM s""".stripMargin,
+
+      // CUSUM via the prefix identity S = C − min(0, running-min C);
+      // z rounds ×10⁴ once on the 4-dp-rounded profile (dailyAnomalies
+      // discipline), the track is exact integers end to end
+      "events_cusum" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |p AS (SELECT event_type, round(avg(n), 4) AS mean,
+          |  round(stddev_samp(n), 4) AS std FROM c GROUP BY 1),
+          |z AS (SELECT c.event_type, day, n,
+          |  CAST(round((n - mean) / std * 10000) AS BIGINT) - 5000 AS y4
+          |  FROM c JOIN p USING (event_type)
+          |  WHERE std IS NOT NULL AND std > 0),
+          |t AS (SELECT event_type, day, n,
+          |  CAST(sum(y4) OVER (PARTITION BY event_type ORDER BY day
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c4 FROM z),
+          |s AS (SELECT event_type, day, n, c4,
+          |  c4 - least(CAST(0 AS BIGINT), min(c4) OVER (
+          |    PARTITION BY event_type ORDER BY day
+          |    ROWS UNBOUNDED PRECEDING)) AS s4 FROM t)
+          |SELECT event_type, day, n, c4, s4,
+          |  CASE WHEN s4 > 40000 THEN CAST(1 AS BIGINT)
+          |    ELSE CAST(0 AS BIGINT) END AS alarm
+          |FROM s""".stripMargin,
     )
   }
 }

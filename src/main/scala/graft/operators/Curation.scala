@@ -336,6 +336,41 @@ object Curation {
       .filter(col("rk") <= k)
   }
 
+  /** Weighted reservoir sample — k picks WITHOUT replacement where a
+    * document's inclusion odds scale with a weight column (Efraimidis &
+    * Spirakis 2006 "A-ES": draw u ~ U(0,1) per item, keep the k
+    * largest u^(1/w), equivalently the k SMALLEST −ln(u)/w). The
+    * one-pass, mergeable selection behind "sample long documents
+    * proportionally more" in corpus mixing.
+    *
+    * Determinism discipline (the no-rand() rule of
+    * [[stratifiedSample]]): u derives from md5 of the id — 24 hex bits
+    * + 0.5, over 2^24, so u ∈ (0,1) exclusive and the division is
+    * EXACT (power-of-two divisor); every engine reproduces the draw.
+    * The A-ES key −ln(u)/w (positive) is rounded to a ×10⁶-scaled
+    * exact long BEFORE comparison (the su4 discipline: a last-ulp `ln`
+    * difference between libm implementations cannot flip an order
+    * decided on scaled integers), with the id as total-order tiebreak.
+    *
+    * Scale shape: one narrow pass computes keys; the global top-k is
+    * [[TopK.ranked]] (TakeOrderedAndProject — per-partition k-row
+    * heaps, one k-row merge). Nothing larger than k rows ever sits in
+    * one task; this IS reservoir sampling's distributed form.
+    *
+    * @param weightCol positive weights (heavier = more likely)
+    * @return (rank, idCol, w, key6) — rank 1..k by (key6 asc, id)
+    */
+  def weightedReservoir(docs: DataFrame, idCol: String, weightCol: Column,
+                        k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") + 0.5) / 16777216.0
+    val key6 = round(-log(u) / weightCol.cast("double") * 1e6).cast("long")
+    TopK.ranked(
+      docs.select(col(idCol), weightCol.cast("long").as("w"),
+        key6.as("key6")),
+      k, col("key6").asc, col(idCol).asc)
+  }
+
   /** Size-balanced shard assignment for corpus export: rank documents
     * by descending size and deal them round-robin over `numShards`
     * output shards — the classic LPT-style balance (largest items

@@ -404,4 +404,48 @@ object Dedup {
         min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Per-document duplicated-substring coverage — the doc-level signal
+    * behind exact-substring dedup (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" §3.1: long verbatim
+    * runs shared across documents mark boilerplate/mirrors that
+    * near-dup jaccard misses when the rest of the page differs).
+    * Their suffix array is replaced by the scalable approximation:
+    * fixed-width grams sampled every `stride` characters — any shared
+    * run of ≥ width+stride−1 chars is guaranteed to contribute at
+    * least one sampled gram in both documents.
+    *
+    * Where [[chunkDuplicates]] reports the corpus view (which chunks
+    * recur), this reports the per-document decision input: what
+    * fraction of a doc's sampled grams also appear verbatim elsewhere.
+    *
+    * Scale shape: ≤ len/stride grams per doc, hashed before the ONLY
+    * corpus-sized shuffle (gram-hash groupBy, map-side combined — text
+    * never shuffles); the doc-frequency frame joins back on the hash
+    * key. dup_frac ships as the single unrounded IEEE division of two
+    * exact counts.
+    *
+    * @return (doc_id, n_grams, n_dup, dup_frac) for docs with ≥ 1 gram
+    */
+  def substrDupCoverage(docs: DataFrame, idCol: String, textCol: String,
+                        width: Int = 50, stride: Int = 25): DataFrame = {
+    val t = normText(col(textCol))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), t.as("t"))
+      .where(length(col("t")) >= width)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("t")) - (width - 1),
+          lit(stride))).as("pos"),
+        col("t"))
+      .select(col("doc_id"),
+        md5(col("t").substr(col("pos"), lit(width))).as("gh"))
+    val docFreq = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    grams.join(docFreq, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+  }
 }

@@ -114,6 +114,57 @@ object EventOps {
         col("med"), col("mad"))
   }
 
+  /** CUSUM change-point track over each type's daily count series
+    * (Page 1954) — the drift detector that catches what
+    * [[dailyAnomalies]]'s per-day z-score cannot: a sustained small
+    * shift (say +1σ for a week) never trips a 2σ single-day test, but
+    * its CUSUM accumulates. One-sided upper CUSUM on standardized
+    * counts, S_t = max(0, S_{t−1} + z_t − k), alarm when S_t > h.
+    *
+    * The sequential recurrence is rewritten by the prefix identity
+    * S_t = C_t − min(0, min_{j≤t} C_j) with C = Σ(z − k): a cumulative
+    * sum plus a running min — two stock window frames — instead of a
+    * stateful scan, so it stays in whole-stage codegen. z rounds to a
+    * ×10⁴-scaled exact long once (mean/std pre-rounded 4 dp — the
+    * dailyAnomalies parity discipline); everything downstream is exact
+    * integer arithmetic, alarms compare scaled longs.
+    *
+    * Scale shape: ONE partial-agg shuffle to the (type, day) frame —
+    * bounded at types × days, never event-sized; both windows partition
+    * by type (per-type sequential is the honest dependency). All-flat
+    * types (std 0/NULL) cannot standardize and are excluded.
+    *
+    * @param tsUs   event time as exact epoch MICROSECONDS (long)
+    * @param slackK per-step slack in σ units (classic 0.5 = detect 1σ shifts)
+    * @param threshH alarm threshold in σ units (classic 4–5)
+    * @return (event_type, day, n, c4, s4, alarm) — the FULL track
+    *         (c4/s4 ×10⁴-scaled), alarm ∈ {0,1}
+    */
+  def cusumTrack(events: DataFrame, typeCol: String, tsUs: Column,
+                 slackK: Double = 0.5, threshH: Double = 4.0): DataFrame = {
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val profile = counts.groupBy("event_type")
+      .agg(round(avg("n"), 4).as("mean"),
+        round(stddev_samp(col("n")), 4).as("std"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.join(broadcast(profile), "event_type")
+      .filter(col("std").isNotNull && col("std") > 0)
+      .withColumn("y4",
+        round((col("n") - col("mean")) / col("std") * 10000).cast("long")
+          - lit(math.round(slackK * 10000)))
+      .withColumn("c4", sum("y4").over(w))
+      .withColumn("s4", col("c4") - least(lit(0L), min("c4").over(w)))
+      .select(col("event_type"), col("day"), col("n"), col("c4"), col("s4"),
+        when(col("s4") > lit(math.round(threshH * 10000)), 1L).otherwise(0L)
+          .as("alarm"))
+  }
+
   /** Final EWMA of each type's daily count series — exponential
     * smoothing s_t = α·x_t + (1−α)·s_{t−1}, s_0 = x_0 (the standard
     * monitoring smoother; inherently SEQUENTIAL, so it cannot be a

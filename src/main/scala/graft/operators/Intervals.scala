@@ -70,4 +70,48 @@ object Intervals {
     coverageSegments(intervals, keys, startCol, stopCol)
       .groupBy("depth")
       .agg(count(lit(1)).as("n_segments"), sum("bp").as("total_bp"))
+
+  /** Merge overlapping-or-adjacent closed intervals into maximal
+    * disjoint blocks per key group (bedtools-merge semantics: [1,5] and
+    * [6,9] touch, so they fuse into [1,9]) — the interval-union
+    * primitive behind target-region BED consolidation and the
+    * "collapse transcripts to gene footprint" step the reference's
+    * gene-region annotation implies.
+    *
+    * Gaps-and-islands: in (start, stop) order per key, an interval
+    * opens a new block iff its start clears the running max stop of
+    * everything before it by ≥ 2; the block id is the running count of
+    * those opens, and one grouped agg collapses each block.
+    *
+    * Scale shape: the windows are partitioned by the key columns (per-
+    * chromosome sequential is the honest dependency — block membership
+    * at p depends on every earlier interval), then ONE partial-agg
+    * shuffle on (keys, block). No global window; same per-key
+    * prefix-scan shape as [[coverageSegments]].
+    *
+    * @return keys ++ (mstart, mstop, n_intervals, span);
+    *         span = mstop − mstart + 1
+    */
+  def mergeIntervals(intervals: DataFrame, keys: Seq[String],
+                     startCol: Column, stopCol: Column): DataFrame = {
+    require(keys.nonEmpty, "interval merge needs at least one key column")
+    val k = keys.map(col)
+    val base = intervals.select(
+      k :+ startCol.cast("long").as("istart")
+        :+ stopCol.cast("long").as("istop"): _*)
+    val w = Window.partitionBy(k: _*).orderBy(col("istart"), col("istop"))
+    val prevMax = max("istop").over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    base
+      .withColumn("__open",
+        when(prevMax.isNull || col("istart") > prevMax + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("__blk", sum("__open").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys.head, keys.tail :+ "__blk": _*)
+      .agg(min("istart").as("mstart"), max("istop").as("mstop"),
+        count(lit(1)).as("n_intervals"))
+      .select(k ++ Seq(col("mstart"), col("mstop"), col("n_intervals"),
+        (col("mstop") - col("mstart") + 1L).as("span")): _*)
+  }
 }

@@ -396,6 +396,47 @@ object Similarity {
     v
   }
 
+  /** Covariance matrix of the leading `dims` embedding dimensions —
+    * the redundancy screen run before whitening/PCA (high off-diagonal
+    * covariance means dimensions carry duplicated signal; the
+    * [[powerIteration]] principal direction is its top eigenvector).
+    * Upper triangle only (i ≤ j); the i = j diagonal reproduces the
+    * per-dimension variance screen.
+    *
+    * Exact-sum discipline (the embed_dim_variance formulation, one
+    * moment up): components scale to ×10⁶ longs per element, cross
+    * products sum as ×10¹²-scale exact longs — order-free — and
+    * cov = E[xy] − E[x]·E[y] assembles from the exact sums in ONE
+    * identical literal sequence in both engines.
+    *
+    * Scale shape: one narrow pass explodes the dims²/2-bounded pair
+    * list per vector (structs of scaled longs — the raw vector never
+    * shuffles), then ONE partial-agg shuffle onto ≤ dims² keys. Output
+    * is dims-bounded, never corpus-sized. At true 100 TB row counts the
+    * ×10¹² product sums would need a coarser scale or a two-level agg
+    * to stay under 2⁶³ (the embed_dim_variance caveat, in kind).
+    *
+    * @return (i, j, n, cov) for 0 ≤ i ≤ j < dims
+    */
+  def dimCovariance(corpus: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val xs = transform(slice(col(vecCol), 1, dims),
+      x => round(x.cast("double") * 1000000).cast("long"))
+    val pairIdx = array((for { i <- 0 until dims; j <- i until dims }
+      yield struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"))): _*)
+    corpus.select(xs.as("xs"), explode(pairIdx).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        element_at(col("xs"), col("p.i").cast("int") + 1).as("xi"),
+        element_at(col("xs"), col("p.j").cast("int") + 1).as("xj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("xi").as("si"), sum("xj").as("sj"),
+        sum(col("xi") * col("xj")).as("sij"))
+      .select(col("i"), col("j"), col("n"),
+        (col("sij").cast("double") / col("n") / 1e12
+          - (col("si").cast("double") / col("n") / 1e6)
+            * (col("sj").cast("double") / col("n") / 1e6)).as("cov"))
+  }
+
   /** IVF (inverted-file) ANN search against fixed centroids — the
     * coarse-quantizer scale path.
     *

@@ -257,6 +257,54 @@ object TextAnalysis {
         (col("su_sum") / 10000.0 / col("n_bigrams")).as("avg_bits"))
   }
 
+  /** Interpolated Kneser–Ney bigram surprisal — the smoothing actually
+    * used by KenLM-style perplexity filters, one rung up from
+    * [[bigramSurprisal]]'s add-1: instead of backing off to raw unigram
+    * frequency, the lower-order term is the CONTINUATION probability
+    * (in how many distinct contexts does this word appear), which stops
+    * high-count-but-single-context words ("francisco") stealing mass
+    * (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.25, D fixed 0.75):
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/NT
+    *
+    * where N1+(w1·) / N1+(·w2) count distinct bigram types by left /
+    * right word and NT is the total bigram type count.
+    *
+    * Scale shape: identical to [[bigramSurprisal]] — ONE bigram explode
+    * feeds the type table; all three count frames re-aggregate from the
+    * vocabulary-sized types (never the corpus); the model joins back on
+    * the bigram key (vocabulary-keyed, the honest non-broadcast shape).
+    * Parity: P evaluates left-to-right in one literal sequence, bits
+    * round to ×10⁴ exact longs per bigram before the order-free sum.
+    *
+    * @return (doc_id, n_bigrams, avg_bits)
+    */
+  def knBigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(wordBigrams(col(textCol))).as("bg"))
+    val bgc = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val w1c = bgc.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+    val w2c = bgc.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = broadcast(bgc.agg(count(lit(1)).as("nt")))
+    val model = bgc.join(w1c, "w1").join(w2c, "w2").crossJoin(types)
+      .select(col("bg"),
+        round(-log2(
+          greatest(col("c12").cast("double") - lit(0.75), lit(0.0))
+            / col("c1")
+            + lit(0.75) * col("n1f") / col("c1")
+              * (col("n1b").cast("double") / col("nt"))
+        ) * 10000).cast("long").as("su4"))
+    bg.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("su4").as("su_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("su_sum") / 10000.0 / col("n_bigrams")).as("avg_bits"))
+  }
+
   /** One BPE-training merge-selection step at corpus scale (Sennrich et
     * al. 2016 §3.2: count adjacent symbol pairs across the corpus, the
     * highest-frequency pair becomes the next merge): symbol = char
