@@ -52,7 +52,9 @@ object Bench {
     // probe once warmed (so it measures contention, not codegen startup)
     // and again after the suite; the min is the best view of outside load
     val sentinelPre = math.min(sentinelOnce(spark), sentinelOnce(spark))
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       // queries that persist intermediates (corpus_mix) register plans in
       // the CacheManager, which matches by logical plan — without this a
@@ -60,7 +62,13 @@ object Bench {
       // best-of-3 would report a mostly-cached time
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a throwing query must NOT time as a fast success — the r8
+      // events-family breakage benchmarked as 14 sub-0.1 s "wins"
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          if (failed.add(name))
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // best of three runs per query: the first pays Janino compilation of
@@ -74,11 +82,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-        name -> Seq.fill(3)(timeOnce(fn)).min
+        name -> Seq.fill(3)(timeOnce(name, fn)).min
       }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def fmt(v: Double): String =
+      "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // the probe is JIT-sensitive (fresh ~0.18-0.24 s, hot ~0.09-0.18 s
     // on a QUIET box) so a single post sample is a loose floor
     // estimator; min over three hot samples tightens it below the
@@ -92,7 +102,32 @@ object Bench {
     // load above cpus/4 before our executors started.
     val contaminated = sentinel > 1.25 * SentinelFloorSec ||
       (loadPre >= 0 && loadPre > Runtime.getRuntime.availableProcessors / 4.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_pre":$loadPre,"sentinel_sec":$sentinel,"sentinel_floor_sec":$SentinelFloorSec,"contaminated":$contaminated}""")
+    val meta = s""""sf":"$sfDir","loadavg_pre":$loadPre,"sentinel_sec":$sentinel,"sentinel_floor_sec":$SentinelFloorSec,"contaminated":$contaminated,"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    // Full per-query map to a file: the driver records only the LAST
+    // 2000 chars of this run's output, and 140 queries at full double
+    // precision are ~4.5 KB — every BENCH_r{1..8}.json shipped with
+    // parsed:null because the one JSON line never fit the capture
+    // window (ADVICE r8). The file carries the complete map; stdout
+    // carries a compact line that provably fits.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta}""".getBytes("UTF-8"))
+    // Compact final line: slowest queries first (the ones perf grading
+    // cares about), 4 dp each, cut off at a byte budget that leaves
+    // room for the sbt epilogue inside the 2000-char tail window.
+    val entryBudget = 1400
+    val sb = new StringBuilder
+    var kept = 0
+    var keptSec = 0.0
+    val bySlowest = results.toSeq.sortBy { case (n, s) => (-s, n) }
+    bySlowest.iterator.takeWhile { case (n, s) =>
+      val piece = (if (kept == 0) "" else ",") + "\"" + n + "\":" + fmt(s)
+      val fits = sb.length + piece.length <= entryBudget
+      if (fits) { sb.append(piece); kept += 1; keptSec += s }
+      fits
+    }.foreach(_ => ())
+    val omitted = results.size - kept
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$sb},"n_queries":${results.size},"omitted_fastest":$omitted,"omitted_sec":${fmt(total - keptSec)},"full":"BENCH_FULL.json",$meta}""")
     spark.stop()
   }
 }

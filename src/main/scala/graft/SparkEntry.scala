@@ -2095,6 +2095,51 @@ object SparkEntry {
       EventOps.cusumTrack(Tables.events(s, dir), "event_type",
         expr("ts DIV 1000"))
     }),
+
+    "graph_triangles" -> ((s, dir) => {
+      // triangle census of the confirmed near-dup graph — the cluster-
+      // cohesion audit (triangle-dense neighborhoods are safe for
+      // transitive grouping; a wedge-only graph predicts chain
+      // over-merge); degree-ordered orientation bounds the wedge join
+      Graphs.triangles(docJaccardPairs(s, dir), "id_a", "id_b")
+    }),
+
+    "events_entropy" -> ((s, dir) => {
+      // per-day Shannon entropy of the event-type mix — the class-
+      // balance audit; su4 discipline on the log terms
+      EventOps.dailyEntropy(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"))
+    }),
+
+    "events_dow_profile" -> ((s, dir) => {
+      // day-of-week seasonal index per event type; idx = n_dow*7/total
+      // ships as ONE unrounded division of exact ints
+      EventOps.dowProfile(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"))
+    }),
+
+    "events_ab_test" -> ((s, dir) => {
+      // two-proportion z-test over the md5-parity user split,
+      // conversion = ≥1 purchase; unrounded z via a pinned SE chain
+      EventOps.abTestConversion(Tables.events(s, dir), "user_id",
+        "event_type", "purchase")
+    }),
+
+    "text_chi2_terms" -> ((s, dir) => {
+      // χ² term–class feature selection (class: lang = 'en'), top-50
+      // by the unrounded statistic via TopK.ranked
+      TextAnalysis.chi2Terms(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", minDf = 5L, k = 50)
+    }),
+
+    "bloom_prefilter" -> ((s, dir) => {
+      // md5-derived Bloom runtime filter: build from BUILDING-segment
+      // customers, probe every orders key, tally candidates vs truth
+      // (n_missed pinned 0 — Bloom filters have no false negatives)
+      BloomJoin.prefilterStats(Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING"), "c_custkey")
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -4427,6 +4472,154 @@ object SparkEntry {
           |  CASE WHEN s4 > 40000 THEN CAST(1 AS BIGINT)
           |    ELSE CAST(0 AS BIGINT) END AS alarm
           |FROM s""".stripMargin,
+
+      // triangle census over the shared jaccard pair graph: the same
+      // degree-ordered orientation, wedge join and closing-edge probe
+      "graph_triangles" ->
+        s"""WITH $jaccardPairCtes,
+           |e AS (SELECT id_a AS u, id_b AS v FROM jp),
+           |dg AS (SELECT id, count(*) AS deg FROM (
+           |  SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+           |  GROUP BY 1),
+           |o AS (SELECT
+           |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+           |    THEN e.u ELSE e.v END AS src,
+           |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+           |    THEN e.v ELSE e.u END AS dst
+           |  FROM e JOIN dg du ON du.id = e.u JOIN dg dv ON dv.id = e.v),
+           |w AS (SELECT o1.src AS s, o1.dst AS w1, o2.dst AS w2
+           |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+           |tri AS (SELECT * FROM w WHERE EXISTS (SELECT 1 FROM e
+           |  WHERE e.u = least(w.w1, w.w2) AND e.v = greatest(w.w1, w.w2)))
+           |SELECT (SELECT count(*) FROM dg) AS n_nodes,
+           |  (SELECT count(*) FROM e) AS n_edges,
+           |  (SELECT count(*) FROM tri) AS n_triangles""".stripMargin,
+
+      // per-day entropy: log2 rounded 4 dp ONCE, term ×10⁴-scaled to
+      // an exact BIGINT before the order-free per-day sum (su4); the
+      // scale literal is e-notation (bare decimals are DECIMAL here)
+      "events_entropy" ->
+        """WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+          |  event_type, count(*) AS n FROM events GROUP BY 1, 2),
+          |tt AS (SELECT day, CAST(sum(n) AS BIGINT) AS n_events,
+          |  count(*) AS n_types FROM c GROUP BY 1),
+          |j AS (SELECT c.day, n, n_events, n_types,
+          |  CAST(n AS DOUBLE) / CAST(n_events AS DOUBLE) AS p
+          |  FROM c JOIN tt USING (day)),
+          |t AS (SELECT day, n_events, n_types,
+          |  CAST(round(p * round(log2(p), 4) * (-1e4)) AS BIGINT) AS t4
+          |  FROM j)
+          |SELECT day, max(n_events) AS n_events,
+          |  max(n_types) AS n_types,
+          |  CAST(sum(t4) AS BIGINT) AS entropy4
+          |FROM t GROUP BY day""".stripMargin,
+
+      // dow profile: (epoch_day + 4) % 7, idx as the single unrounded
+      // IEEE division of exact ints
+      "events_dow_profile" ->
+        """WITH c AS (SELECT event_type,
+          |  ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+          |  count(*) AS n FROM events GROUP BY 1, 2),
+          |tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+          |  FROM c GROUP BY 1)
+          |SELECT c.event_type, dow, n,
+          |  CAST(n * 7 AS DOUBLE) / CAST(total AS DOUBLE) AS idx
+          |FROM c JOIN tt USING (event_type)""".stripMargin,
+
+      // two-proportion z: md5-parity arms, the SE chain mirrored in
+      // the exact Spark operation order (1e0 literals — the DECIMAL
+      // trap), significance vs CAST(1.96 AS DOUBLE)
+      "events_ab_test" ->
+        """WITH u AS (SELECT user_id,
+          |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |    AS conv FROM events GROUP BY 1),
+          |a AS (SELECT user_id, conv,
+          |  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6)
+          |    AS BIGINT) % 2 AS arm FROM u),
+          |s AS (SELECT
+          |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          |  CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS k_a,
+          |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          |  CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS k_b
+          |  FROM a),
+          |z AS (SELECT n_a, k_a, n_b, k_b,
+          |  (CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          |    - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+          |  / sqrt(CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+          |    * (1e0 - CAST(k_a + k_b AS DOUBLE)
+          |        / CAST(n_a + n_b AS DOUBLE))
+          |    * (1e0 / CAST(n_a AS DOUBLE) + 1e0 / CAST(n_b AS DOUBLE)))
+          |    AS z FROM s)
+          |SELECT n_a, k_a, n_b, k_b, z,
+          |  CASE WHEN abs(z) > CAST(1.96 AS DOUBLE) THEN CAST(1 AS BIGINT)
+          |    ELSE CAST(0 AS BIGINT) END AS significant
+          |FROM z""".stripMargin,
+
+      // χ² feature selection: presence cells are exact ints, ad/bc
+      // multiply as doubles (overflow-safe at 100 TB counts), the χ²
+      // chain mirrors the Spark left-to-right order term by term
+      "text_chi2_terms" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS cls,
+           |  $normTextSql AS t FROM documents),
+           |pres AS (SELECT DISTINCT doc_id, cls, u.w AS term
+           |  FROM t, LATERAL unnest(string_split(t, ' ')) u(w)
+           |  WHERE length(u.w) > 0),
+           |cells AS (SELECT term, CAST(sum(cls) AS BIGINT) AS a,
+           |  count(*) AS df FROM pres GROUP BY 1 HAVING count(*) >= 5),
+           |tot AS (SELECT count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_pos FROM documents),
+           |sc0 AS (SELECT term, df, a, n_docs, n_pos,
+           |  CAST(a AS DOUBLE) * CAST(n_docs - n_pos - (df - a) AS DOUBLE)
+           |    - CAST(df - a AS DOUBLE) * CAST(n_pos - a AS DOUBLE) AS diff
+           |  FROM cells CROSS JOIN tot WHERE df < n_docs),
+           |sc AS (SELECT term, df, a,
+           |  CAST(n_docs AS DOUBLE) * diff * diff
+           |    / CAST(df AS DOUBLE) / CAST(n_docs - df AS DOUBLE)
+           |    / CAST(n_pos AS DOUBLE) / CAST(n_docs - n_pos AS DOUBLE)
+           |    AS chi2 FROM sc0)
+           |SELECT CAST(row_number() OVER (ORDER BY chi2 DESC, term ASC)
+           |    AS BIGINT) AS rank, term, df, a, chi2
+           |FROM sc ORDER BY chi2 DESC, term ASC LIMIT 50""".stripMargin,
+
+      // Bloom prefilter audit: identical md5-window probe positions,
+      // 32-bit word packing (1<<63 overflows signed BIGINT), bit_or
+      // build, 3-probe AND, ground truth from the exact key join
+      "bloom_prefilter" ->
+        """WITH dk AS (SELECT DISTINCT c_custkey AS k FROM customer
+          |  WHERE c_mktsegment = 'BUILDING'),
+          |dpos AS (SELECT k, CAST('0x' ||
+          |    substr(md5(CAST(k AS VARCHAR)), i*4 + 1, 4) AS BIGINT) AS h
+          |  FROM dk, LATERAL unnest(generate_series(0, 2)) u(i)),
+          |bloom AS (SELECT h // 32 AS word,
+          |  bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
+          |  FROM dpos GROUP BY 1),
+          |fk AS (SELECT o_custkey AS k, count(*) AS mult
+          |  FROM orders GROUP BY 1),
+          |fpos AS (SELECT k, mult, CAST('0x' ||
+          |    substr(md5(CAST(k AS VARCHAR)), i*4 + 1, 4) AS BIGINT) AS h
+          |  FROM fk, LATERAL unnest(generate_series(0, 2)) u(i)),
+          |probe AS (SELECT k, mult,
+          |  min(CASE WHEN bits IS NOT NULL AND (bits & mask) = mask
+          |    THEN 1 ELSE 0 END) AS pass
+          |  FROM (SELECT k, mult, h // 32 AS word,
+          |    CAST(1 AS BIGINT) << CAST(h % 32 AS INT) AS mask FROM fpos) f
+          |  LEFT JOIN bloom USING (word) GROUP BY k, mult),
+          |fin AS (SELECT p.k, p.mult, p.pass,
+          |  CASE WHEN dk.k IS NOT NULL THEN 1 ELSE 0 END AS in_dim
+          |  FROM probe p LEFT JOIN dk ON dk.k = p.k)
+          |SELECT CAST(sum(mult) AS BIGINT) AS n_fact_rows,
+          |  count(*) AS n_fact_keys,
+          |  CAST(sum(CASE WHEN pass = 1 THEN mult ELSE 0 END) AS BIGINT)
+          |    AS n_candidate_rows,
+          |  CAST(sum(CASE WHEN pass = 1 AND in_dim = 1 THEN mult ELSE 0 END)
+          |    AS BIGINT) AS n_true_rows,
+          |  CAST(sum(CASE WHEN pass = 1 AND in_dim = 0 THEN mult ELSE 0 END)
+          |    AS BIGINT) AS n_false_pos_rows,
+          |  CAST(sum(CASE WHEN pass = 0 AND in_dim = 1 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_missed
+          |FROM fin""".stripMargin,
     )
   }
 }

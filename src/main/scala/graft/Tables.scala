@@ -20,12 +20,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as raw nanos (exact long arithmetic downstream —
-    * double division of 1e18-scale nanos would lose whole seconds). */
+  /** events.ts has shipped in two physical layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read as raw nanos) and, since round 9, plain
+    * TIMESTAMP(MICROS). Both normalize to ONE contract the event
+    * operators rely on: `ts` = exact epoch NANOS as long (exact long
+    * arithmetic downstream — double division of 1e18-scale nanos would
+    * lose whole seconds). DuckDB reads the same file as a µs TIMESTAMP
+    * either way (it truncates ns→µs on read), so `ts DIV 1000` ==
+    * `epoch_us(ts)` under both layouts. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        // µs-precision TIMESTAMP[_NTZ]: pin the session zone so the
+        // NTZ→TZ cast is the identity, then rescale the raw µs to the
+        // nano contract — no zone shift, exact integers
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

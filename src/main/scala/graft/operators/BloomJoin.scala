@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter join prefilter — the RUNTIME-FILTER primitive (Bloom
+  * 1970; the shape behind Spark's own InjectRuntimeFilter, Databricks
+  * bloom indexes, and semi-join pushdown in every warehouse): a
+  * kilobyte-scale bit-array summary of the dim-side keys is broadcast
+  * to the fact scan, and fact rows whose key provably isn't in the dim
+  * set drop BEFORE the join shuffle. At 100 TB the exchange is the
+  * cost — a 1 % selective dim filter means ~99 % of fact bytes never
+  * shuffle, for an 8 KB broadcast instead of a broadcast of the full
+  * key set.
+  *
+  * This implementation is deliberately ENGINE-REPRODUCIBLE (the
+  * no-rand() discipline applied to hashing): probe positions come from
+  * md5 of the key's decimal string — not Spark's private xxhash bloom —
+  * so a DuckDB oracle can rebuild the identical filter bit-for-bit and
+  * the whole build→broadcast→probe chain is gradeable, not trust-me.
+  * m = 65536 bits packed as 2048×32-bit words (shifts stay < 32 — a
+  * `1 << 63` overflows DuckDB's signed BIGINT), k = 3 probes.
+  */
+object BloomJoin {
+
+  val Bits = 65536       // m: filter size in bits
+  val WordBits = 32L     // packed 32 per word → 2048 words, 8 KB
+  val Probes = 3         // k: md5-derived positions per key
+
+  /** The k probe bit-positions for a key (16 bits each from disjoint
+    * md5 hex windows — the dedup_minhash md5-window family idiom). */
+  private def positions(key: Column): Seq[Column] =
+    (0 until Probes).map { i =>
+      conv(substring(md5(key.cast("string")), i * 4 + 1, 4), 16, 10)
+        .cast("long")
+    }
+
+  /** Build the packed filter from the (deduped) dim keys: one bounded
+    * partial-agg shuffle onto ≤ 2048 word keys. */
+  def build(dimKeys: DataFrame, keyCol: String): DataFrame =
+    dimKeys.select(explode(array(positions(col(keyCol)): _*)).as("h"))
+      .groupBy((col("h") - pmod(col("h"), lit(WordBits))).divide(WordBits)
+        .cast("long").as("word"))
+      .agg(expr(s"bit_or(shiftleft(1L, CAST(h % $WordBits AS INT)))")
+        .as("bits"))
+
+  /** End-to-end prefilter audit over a fact⋈dim pair: build the filter
+    * from the dim keys, probe every fact key, and tally what the
+    * prefilter would pass against ground truth from the exact join.
+    *
+    * Scale shape: fact keys PRE-AGGREGATE to (key, multiplicity) — the
+    * q9 shrink; probes for a key are a narrow projection; the ≤2048-row
+    * filter joins BROADCAST on the word key; ground truth is one left
+    * join against the deduped dim keys. The fact table itself never
+    * shuffles — only its distinct-key frame moves.
+    *
+    * `n_missed` counts true dim matches the filter rejected — a Bloom
+    * filter has NO false negatives, so any nonzero value is a bug; the
+    * output row carries it as a self-check (and the spec pins it to 0).
+    *
+    * @return one row: (n_fact_rows, n_fact_keys, n_candidate_rows,
+    *         n_true_rows, n_false_pos_rows, n_missed)
+    */
+  def prefilterStats(fact: DataFrame, factKey: String,
+                     dim: DataFrame, dimKey: String): DataFrame = {
+    val dimKeys = dim.select(col(dimKey).as("k")).distinct()
+    val bloom = broadcast(build(dimKeys, "k"))
+    val factKeys = fact.groupBy(col(factKey).as("k"))
+      .agg(count(lit(1)).as("mult"))
+    val probed = factKeys
+      .select(col("k"), col("mult"),
+        explode(array(positions(col("k")): _*)).as("h"))
+      .select(col("k"), col("mult"),
+        (col("h") - pmod(col("h"), lit(WordBits))).divide(WordBits)
+          .cast("long").as("word"),
+        expr(s"shiftleft(1L, CAST(h % $WordBits AS INT))").as("mask"))
+      .join(bloom, Seq("word"), "left")
+      .groupBy("k", "mult")
+      .agg(min(when(col("bits").isNotNull &&
+          col("bits").bitwiseAND(col("mask")) === col("mask"), 1L)
+        .otherwise(0L)).as("pass"))
+    probed
+      .join(dimKeys.withColumn("in_dim", lit(1L)), Seq("k"), "left")
+      .agg(sum("mult").as("n_fact_rows"),
+        count(lit(1)).as("n_fact_keys"),
+        sum(when(col("pass") === 1, col("mult")).otherwise(0L))
+          .as("n_candidate_rows"),
+        sum(when(col("pass") === 1 && col("in_dim").isNotNull, col("mult"))
+          .otherwise(0L)).as("n_true_rows"),
+        sum(when(col("pass") === 1 && col("in_dim").isNull, col("mult"))
+          .otherwise(0L)).as("n_false_pos_rows"),
+        sum(when(col("pass") === 0 && col("in_dim").isNotNull, 1L)
+          .otherwise(0L)).as("n_missed"))
+  }
+}

@@ -200,6 +200,124 @@ object EventOps {
                 |    + ${1 - alpha} * acc)""".stripMargin).as("ewma"))
   }
 
+  /** Per-day Shannon entropy of the event-type distribution — the
+    * label/class-balance audit a training-data pipeline runs per batch
+    * (a collapsing entropy flags a source suddenly dominated by one
+    * type). −Σ p·log₂p with the su4 parity discipline: log₂p is
+    * rounded 4 dp ONCE (libm log2 may differ by an ulp between
+    * engines; after the round both sides multiply identical doubles),
+    * each term ×10⁴-scales to an exact long, and the per-day sum runs
+    * in integer space — order-free, so partial aggregation cannot
+    * drift the result.
+    *
+    * Scale shape: ONE partial-agg shuffle to the (day, type) frame —
+    * bounded at days × |types|, never event-sized; the per-day total
+    * re-aggregates that tiny frame and joins back CO-PARTITIONED on
+    * the day key (exchange reuse, no second event scan).
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (day, n_events, n_types, entropy4) — entropy ×10⁴-scaled
+    */
+  def dailyEntropy(events: DataFrame, typeCol: String, tsUs: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    val counts = events
+      .groupBy(day.as("day"), col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("day")
+      .agg(sum("n").as("n_events"), count(lit(1)).as("n_types"))
+    counts.join(totals, "day")
+      .withColumn("p", col("n").cast("double") / col("n_events").cast("double"))
+      .withColumn("t4",
+        round(col("p") * round(log2(col("p")), 4) * lit(-10000.0))
+          .cast("long"))
+      .groupBy("day")
+      .agg(max("n_events").as("n_events"), max("n_types").as("n_types"),
+        sum("t4").as("entropy4"))
+  }
+
+  /** Per-type day-of-week seasonality profile — the weekly-cycle audit
+    * behind resampling/anomaly thresholds (a Monday-heavy type needs a
+    * Monday baseline, not a flat one). idx = n_dow·7/total: the
+    * numerator stays an exact long product and the ONE IEEE division
+    * ships unrounded — bit-identical cross-engine (the
+    * quality_classifier rule: never round a derived ratio at output).
+    * idx ≈ 1 = flat; 7 = everything on one weekday.
+    *
+    * Scale shape: one partial-agg shuffle to the |types|×7-bounded
+    * frame; totals re-aggregate it and join back co-partitioned.
+    *
+    * Day-of-week by exact integer arithmetic, dow 0 = Sunday
+    * (1970-01-01 was a Thursday, hence the +4).
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, dow, n, idx)
+    */
+  def dowProfile(events: DataFrame, typeCol: String, tsUs: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"),
+        pmod(day + lit(4L), lit(7L)).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum("n").as("total"))
+    counts.join(totals, "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        ((col("n") * lit(7L)).cast("double") / col("total").cast("double"))
+          .as("idx"))
+  }
+
+  /** Two-proportion z-test over a DETERMINISTIC 50/50 user split — the
+    * A/B-experiment readout (conversion = the user emitted `convType`
+    * at least once). Arm assignment is the md5-parity of the user id
+    * (the no-rand() rule: retries, speculation and the oracle agree),
+    * the classic stand-in for a hash-bucketed experiment config.
+    *
+    * Parity: every count is an exact long; p̂ terms are single IEEE
+    * divisions of exact ints; the pooled SE chain (multiplies, one
+    * correctly-rounded sqrt) is evaluated in ONE pinned operation
+    * order mirrored term-by-term in the oracle, so the unrounded z is
+    * bit-identical cross-engine (the hwe_test discipline). The
+    * significance flag compares |z| against CAST(1.96 AS DOUBLE) in
+    * both engines (DuckDB bare decimals are exact DECIMAL — the
+    * pagerank ulp lesson).
+    *
+    * Scale shape: one partial-agg shuffle to the per-user frame, one
+    * to the 2-row arm frame, conditional-agg collapse to 1 row — no
+    * self-join of the derived arm frame (the r3 trap).
+    *
+    * @return one row: (n_a, k_a, n_b, k_b, z, significant)
+    */
+  def abTestConversion(events: DataFrame, userCol: String, typeCol: String,
+                       convType: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10)
+          .cast("long"), lit(2L)))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+    val one = arms.agg(
+      sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("k")).otherwise(0L)).as("k_a"),
+      sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("k")).otherwise(0L)).as("k_b"))
+    val pa = col("k_a").cast("double") / col("n_a").cast("double")
+    val pb = col("k_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("k_a") + col("k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double")
+        + lit(1.0) / col("n_b").cast("double")))
+    one.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        ((pa - pb) / se).as("z"))
+      .withColumn("significant",
+        when(abs(col("z")) > lit(1.96), 1L).otherwise(0L))
+  }
+
   /** Internal/output column names asOfJoin introduces; caller columns must
     * not collide or the window logic would silently read caller data. */
   private def checkCollisions(left: DataFrame, carry: Seq[String]): Unit = {

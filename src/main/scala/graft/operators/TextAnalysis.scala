@@ -131,6 +131,64 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** χ² term–class association, top-k (Yang & Pedersen 1997 — the
+    * classic supervised feature-selection screen; in a curation
+    * pipeline: which terms are most predictive of a class label, e.g.
+    * "is this document English" / "did the quality gate keep it").
+    * Contingency per term over DOCUMENT PRESENCE (a=class∧term,
+    * b=¬class∧term, c=class∧¬term, d=¬class∧¬term):
+    * χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)).
+    *
+    * Parity: all eight cells are exact longs; ad and bc multiply as
+    * IEEE doubles (deterministic cross-engine, and long·long would
+    * overflow at 100 TB document counts — noted, accepted precision
+    * trade); the χ² chain evaluates in ONE pinned left-to-right order
+    * mirrored in the oracle; the statistic ships UNROUNDED and the
+    * top-k order carries the term as a unique tiebreak.
+    *
+    * Scale shape: distinct (doc, term) presence via one (doc, term)
+    * shuffle; per-term cells from a term-key partial agg; class totals
+    * ride in as a broadcast 1-row frame; minDf prunes the tail BEFORE
+    * scoring; global top-k via [[TopK.ranked]] (TakeOrderedAndProject
+    * heaps — never a single-partition rank window).
+    *
+    * @param classCol boolean column on `docs` (the label)
+    * @return (rank, term, df, a, chi2) — `a` = class-positive docs
+    *         containing the term
+    */
+  def chi2Terms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, classCol: Column, minDf: Long,
+                k: Int): org.apache.spark.sql.DataFrame = {
+    val pres = docs.select(col(idCol).as("id"),
+        classCol.cast("long").as("cls"),
+        explode(split(normText(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val cells = pres.groupBy("term")
+      .agg(sum("cls").as("a"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val totals = broadcast(docs.agg(count(lit(1)).as("n_docs"),
+      sum(classCol.cast("long")).as("n_pos")))
+    val scored = cells.crossJoin(totals)
+      // terms present in every document carry no signal and would
+      // divide by zero at (c + d) = 0
+      .filter(col("df") < col("n_docs"))
+      .withColumn("b", col("df") - col("a"))
+      .withColumn("c", col("n_pos") - col("a"))
+      .withColumn("d", col("n_docs") - col("n_pos") - col("b"))
+      .withColumn("diff",
+        col("a").cast("double") * col("d").cast("double")
+          - col("b").cast("double") * col("c").cast("double"))
+      .withColumn("chi2",
+        col("n_docs").cast("double") * col("diff") * col("diff")
+          / (col("a") + col("b")).cast("double")
+          / (col("c") + col("d")).cast("double")
+          / (col("a") + col("c")).cast("double")
+          / (col("b") + col("d")).cast("double"))
+    TopK.ranked(scored.select(col("term"), col("df"), col("a"), col("chi2")),
+      k, col("chi2").desc, col("term").asc)
+  }
+
   /** Unigram-LM surprisal per document — the perplexity-filter stage of
     * CCNet/CC-style curation (Wenzek et al. 2020 score with a wiki LM;
     * here the LM is the corpus's own unigram distribution, so the
