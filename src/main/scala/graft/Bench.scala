@@ -43,6 +43,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,21 +56,25 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timeOnce(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+        org.apache.spark.sql.DataFrame): Option[Double] = {
       // queries that persist intermediates (corpus_mix) register plans in
       // the CacheManager, which matches by logical plan — without this a
       // repeat run would read the previous run's cached blocks and
       // best-of-3 would report a mostly-cached time
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      // a throwing query must NOT time as a fast success — the r8
-      // events-family breakage benchmarked as 14 sub-0.1 s "wins"
-      try { fn(spark, sfDir).count() } catch {
+      // a throwing query must NOT time at all — the r8 events-family
+      // breakage benchmarked as 14 sub-0.1 s "wins", and even
+      // elapsed-to-throw contaminates the total (ADVICE r9); a failure
+      // surfaces ONLY through the errors array
+      try { fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
         case e: Throwable =>
           if (failed.add(name))
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // best of three runs per query: the first pays Janino compilation of
     // that query's generated code, and one extra repeat absorbs transient
@@ -79,10 +84,26 @@ object Bench {
     // a success-looking zero total
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted}")
+    // The r9 run shipped 16 >2x-floor flags that were almost certainly
+    // one mid-run load burst — invisible to a pre/post-only sentinel.
+    // Probe every ~20 queries so a burst lands in the artifact next to
+    // the band of queries it poisoned, and stamp each query with the
+    // 1-min loadavg at its start (diagnostic only: our own executors
+    // drive loadavg up, so it doesn't feed the contamination flag).
+    val midSentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    val loadPerQuery =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
+    var sinceProbe = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-        name -> Seq.fill(3)(timeOnce(name, fn)).min
+      .flatMap { case (name, fn) =>
+        if (sinceProbe >= 20) { midSentinels += sentinelOnce(spark)
+          sinceProbe = 0 }
+        sinceProbe += 1
+        loadPerQuery(name) = loadAvg1()
+        val times = Seq.fill(3)(timeOnce(name, fn)).flatten
+        // any throw disqualifies the query's number entirely
+        if (times.size == 3) Some(name -> times.min) else None
       }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -100,18 +121,27 @@ object Bench {
     // >2x their floors from box load alone. Either signal poisons the
     // artifact: sentinel over 1.25x its quiet floor, or pre-existing
     // load above cpus/4 before our executors started.
+    // mid-run probes are single hot samples under our own executor load,
+    // so they get a looser 2x threshold — they exist to catch the r9
+    // failure mode: an external burst BETWEEN the pre and post probes
+    val midMax = if (midSentinels.isEmpty) 0.0 else midSentinels.max
     val contaminated = sentinel > 1.25 * SentinelFloorSec ||
+      midMax > 2.0 * SentinelFloorSec ||
       (loadPre >= 0 && loadPre > Runtime.getRuntime.availableProcessors / 4.0)
-    val meta = s""""sf":"$sfDir","loadavg_pre":$loadPre,"sentinel_sec":$sentinel,"sentinel_floor_sec":$SentinelFloorSec,"contaminated":$contaminated,"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    def arr(xs: Seq[Double]): String =
+      xs.map(fmt).mkString("[", ",", "]")
+    val meta = s""""sf":"$sfDir","loadavg_pre":$loadPre,"sentinel_sec":$sentinel,"sentinel_floor_sec":$SentinelFloorSec,"sentinel_mid":${arr(midSentinels.toSeq)},"contaminated":$contaminated,"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // Full per-query map to a file: the driver records only the LAST
     // 2000 chars of this run's output, and 140 queries at full double
     // precision are ~4.5 KB — every BENCH_r{1..8}.json shipped with
     // parsed:null because the one JSON line never fit the capture
     // window (ADVICE r8). The file carries the complete map; stdout
     // carries a compact line that provably fits.
+    val loadQs = loadPerQuery.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"loadavg_per_query":$loadQs,$meta}""".getBytes("UTF-8"))
     // Compact final line: slowest queries first (the ones perf grading
     // cares about), 4 dp each, cut off at a byte budget that leaves
     // room for the sbt epilogue inside the 2000-char tail window.

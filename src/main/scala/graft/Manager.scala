@@ -66,6 +66,7 @@ object Manager {
         sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try runTool(spark, args(1), args.drop(2))
     finally spark.stop()

@@ -4543,13 +4543,16 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS k_b
           |  FROM a),
           |z AS (SELECT n_a, k_a, n_b, k_b,
+          |  CASE WHEN n_a = 0 OR n_b = 0 OR k_a + k_b = 0
+          |      OR k_a + k_b = n_a + n_b THEN NULL
+          |  ELSE
           |  (CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
           |    - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
           |  / sqrt(CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
           |    * (1e0 - CAST(k_a + k_b AS DOUBLE)
           |        / CAST(n_a + n_b AS DOUBLE))
           |    * (1e0 / CAST(n_a AS DOUBLE) + 1e0 / CAST(n_b AS DOUBLE)))
-          |    AS z FROM s)
+          |  END AS z FROM s)
           |SELECT n_a, k_a, n_b, k_b, z,
           |  CASE WHEN abs(z) > CAST(1.96 AS DOUBLE) THEN CAST(1 AS BIGINT)
           |    ELSE CAST(0 AS BIGINT) END AS significant
@@ -4573,7 +4576,8 @@ object SparkEntry {
            |sc0 AS (SELECT term, df, a, n_docs, n_pos,
            |  CAST(a AS DOUBLE) * CAST(n_docs - n_pos - (df - a) AS DOUBLE)
            |    - CAST(df - a AS DOUBLE) * CAST(n_pos - a AS DOUBLE) AS diff
-           |  FROM cells CROSS JOIN tot WHERE df < n_docs),
+           |  FROM cells CROSS JOIN tot
+           |  WHERE df < n_docs AND n_pos > 0 AND n_pos < n_docs),
            |sc AS (SELECT term, df, a,
            |  CAST(n_docs AS DOUBLE) * diff * diff
            |    / CAST(df AS DOUBLE) / CAST(n_docs - df AS DOUBLE)

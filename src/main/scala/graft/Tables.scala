@@ -35,9 +35,11 @@ object Tables {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
       case _ =>
-        // µs-precision TIMESTAMP[_NTZ]: pin the session zone so the
-        // NTZ→TZ cast is the identity, then rescale the raw µs to the
-        // nano contract — no zone shift, exact integers
+        // µs-precision TIMESTAMP[_NTZ]: the NTZ→TZ cast reads the wall
+        // time in the SESSION zone, so it is the identity only under
+        // UTC. Every entry point (Bench/Verify/Manager/Explain/tests)
+        // pins UTC at builder time; this set is a belt-and-braces for
+        // foreign sessions and is a no-op in ours.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr(

@@ -23,17 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  val Bits = 65536       // m: filter size in bits
+  val HexPerProbe = 4    // md5 hex chars per probe window (16 bits)
+  val Bits = 1 << (HexPerProbe * 4) // m = 65536, DERIVED from the
+                         // probe width so the two cannot drift apart
   val WordBits = 32L     // packed 32 per word → 2048 words, 8 KB
   val Probes = 3         // k: md5-derived positions per key
 
-  /** The k probe bit-positions for a key (16 bits each from disjoint
-    * md5 hex windows — the dedup_minhash md5-window family idiom). */
-  private def positions(key: Column): Seq[Column] =
+  /** The k probe bit-positions for a key (HexPerProbe·4 bits each from
+    * disjoint md5 hex windows — the dedup_minhash md5-window family
+    * idiom). md5 yields 32 hex chars, so k windows need k·HexPerProbe
+    * ≤ 32. */
+  private def positions(key: Column): Seq[Column] = {
+    require(Probes * HexPerProbe <= 32,
+      "md5 has 32 hex chars; probe windows must fit")
     (0 until Probes).map { i =>
-      conv(substring(md5(key.cast("string")), i * 4 + 1, 4), 16, 10)
-        .cast("long")
+      conv(substring(md5(key.cast("string")),
+        i * HexPerProbe + 1, HexPerProbe), 16, 10).cast("long")
     }
+  }
 
   /** Build the packed filter from the (deduped) dim keys: one bounded
     * partial-agg shuffle onto ≤ 2048 word keys. */

@@ -312,8 +312,18 @@ object EventOps {
     val se = sqrt(pp * (lit(1.0) - pp) *
       (lit(1.0) / col("n_a").cast("double")
         + lit(1.0) / col("n_b").cast("double")))
+    // Degenerate designs — an empty arm, or pooled conversion of
+    // exactly 0% or 100% (SE = 0) — have no defined z; ANSI division
+    // would throw DIVIDE_BY_ZERO. The guard tests the exact integer
+    // counts (SE = 0 ⟺ k = 0 ∨ k = n given both arms non-empty) so no
+    // division is ever evaluated on the degenerate path: z = NULL,
+    // significant = 0, mirrored by the same CASE in the oracle.
+    val degenerate = col("n_a") === 0L || col("n_b") === 0L ||
+      (col("k_a") + col("k_b")) === 0L ||
+      (col("k_a") + col("k_b")) === (col("n_a") + col("n_b"))
     one.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
-        ((pa - pb) / se).as("z"))
+        when(degenerate, lit(null).cast("double"))
+          .otherwise((pa - pb) / se).as("z"))
       .withColumn("significant",
         when(abs(col("z")) > lit(1.96), 1L).otherwise(0L))
   }

@@ -117,11 +117,15 @@ object Graphs {
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val toLarger = (col("du") < col("dv")) ||
       (col("du") === col("dv") && col("u") < col("v"))
+    // localCheckpoint: the oriented frame feeds BOTH sides of the wedge
+    // self-join — without it each side re-runs the two degree joins
+    // (self-joining a derived frame duplicates its whole subtree)
     val o = e
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
       .select(when(toLarger, col("u")).otherwise(col("v")).as("src"),
         when(toLarger, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint()
     // unordered wedge {w1, w2} at src, fixed by raw-id order so each
     // wedge appears once in the self-join product
     val wedges = o.select(col("src"), col("dst").as("w1"))

@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Re-project every column through an alias, minting fresh attribute
+    * IDs. When both join sides derive from the SAME base frame (a self
+    * range-join, e.g. gene×gene overlap), the key columns otherwise
+    * resolve to one shared attribute and Spark logs "trivially true
+    * equals predicate, 'chr == chr'" before falling back to heuristic
+    * self-join disambiguation — fresh IDs make the condition
+    * unambiguous by construction. The extra Project collapses in the
+    * optimizer; plan cost is zero. */
+  private def freshAttrs(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+
   /** Join `points` (with point column `pos`) to `intervals` (with
     * inclusive `start`/`stop` columns) on containment, equi-keyed by
     * `keys` (e.g. chromosome) plus the derived bin.
@@ -43,7 +54,7 @@ object RangeJoin {
       keys: Seq[String] = Nil,
       binWidth: Long = 1000000L): DataFrame = {
     val w = lit(binWidth)
-    val ivBinned = intervals.withColumn(
+    val ivBinned = freshAttrs(intervals).withColumn(
       "__bin",
       explode(sequence(floor(col(start) / w).cast("long"),
                        floor(col(stop) / w).cast("long"))))
@@ -81,7 +92,7 @@ object RangeJoin {
     val aB = a.withColumn("__bin",
       explode(sequence(floor(col(startA) / w).cast("long"),
         floor(col(stopA) / w).cast("long"))))
-    val bB = b.withColumn("__bin",
+    val bB = freshAttrs(b).withColumn("__bin",
       explode(sequence(floor(col(startB) / w).cast("long"),
         floor(col(stopB) / w).cast("long"))))
     val joinCond = (keys :+ "__bin")

@@ -159,8 +159,11 @@ object TextAnalysis {
   def chi2Terms(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, classCol: Column, minDf: Long,
                 k: Int): org.apache.spark.sql.DataFrame = {
-    val pres = docs.select(col(idCol).as("id"),
-        classCol.cast("long").as("cls"),
+    // NULL labels count as class-negative (when/otherwise, not a bare
+    // cast — a cast would null-propagate and diverge from the oracle's
+    // CASE WHEN, which lands in ELSE 0 for NULL).
+    val clsFlag = when(classCol, 1L).otherwise(0L)
+    val pres = docs.select(col(idCol).as("id"), clsFlag.as("cls"),
         explode(split(normText(col(textCol)), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .distinct()
@@ -168,11 +171,14 @@ object TextAnalysis {
       .agg(sum("cls").as("a"), count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     val totals = broadcast(docs.agg(count(lit(1)).as("n_docs"),
-      sum(classCol.cast("long")).as("n_pos")))
+      sum(clsFlag).as("n_pos")))
     val scored = cells.crossJoin(totals)
       // terms present in every document carry no signal and would
-      // divide by zero at (c + d) = 0
-      .filter(col("df") < col("n_docs"))
+      // divide by zero at (c + d) = 0; a degenerate class (empty or
+      // all-positive) zeroes (a+c) or (b+d) the same way — χ² is
+      // undefined for the whole run, so every term drops
+      .filter(col("df") < col("n_docs") &&
+        col("n_pos") > 0L && col("n_pos") < col("n_docs"))
       .withColumn("b", col("df") - col("a"))
       .withColumn("c", col("n_pos") - col("a"))
       .withColumn("d", col("n_docs") - col("n_pos") - col("b"))
