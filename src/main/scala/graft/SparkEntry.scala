@@ -2140,6 +2140,17 @@ object SparkEntry {
         Tables.customer(s, dir)
           .filter(col("c_mktsegment") === "BUILDING"), "c_custkey")
     }),
+
+    "sketch_cms_topk" -> ((s, dir) => {
+      // Count–Min heavy hitters over the token stream: 3×4096 grid from
+      // md5 windows, est = min over rows, audited vs the exact count
+      // (over = est − cnt ≥ 0 structurally — CMS never under-counts)
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(graft.operators.Dedup.normText(col("text")),
+          " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      Sketches.cmsTopK(toks, "term", 20)
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -4624,6 +4635,29 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN pass = 0 AND in_dim = 1 THEN 1 ELSE 0 END)
           |    AS BIGINT) AS n_missed
           |FROM fin""".stripMargin,
+
+      // Count–Min rebuild: identical md5 3-hex column windows, the
+      // bounded 3×4096 grid, min-over-rows estimate, exact-count audit
+      // ("over" is a DuckDB keyword → overcount)
+      "sketch_cms_topk" ->
+        s"""WITH toks AS (SELECT u.w AS term
+           |  FROM (SELECT $normTextSql AS t FROM documents) s,
+           |  LATERAL unnest(string_split(t, ' ')) u(w)
+           |  WHERE length(u.w) > 0),
+           |pos AS (SELECT term, i AS rw,
+           |  CAST('0x' || substr(md5(term), i*3 + 1, 3) AS BIGINT) AS cell
+           |  FROM toks, LATERAL unnest(generate_series(0, 2)) u(i)),
+           |grid AS (SELECT rw, cell, count(*) AS c FROM pos GROUP BY 1, 2),
+           |exact AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+           |probe AS (SELECT e.term, e.cnt, i AS rw,
+           |  CAST('0x' || substr(md5(e.term), i*3 + 1, 3) AS BIGINT) AS cell
+           |  FROM exact e, LATERAL unnest(generate_series(0, 2)) u(i)),
+           |est AS (SELECT term, cnt, min(c) AS est
+           |  FROM probe JOIN grid USING (rw, cell) GROUP BY 1, 2)
+           |SELECT CAST(row_number() OVER (ORDER BY est DESC, term ASC)
+           |    AS BIGINT) AS rank,
+           |  term, est, cnt, est - cnt AS overcount
+           |FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin,
     )
   }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+/** Round-10 additions. CMS heavy hitters: checked against an
+  * independent in-test rebuild of the grid (brute-force-twin
+  * convention), with enough keys to FORCE counter collisions so the
+  * over-count path is exercised, not just the collision-free case. */
+class RoundTenOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def cells(key: String): Seq[(Int, Long)] =
+    (0 until Sketches.Depth).map { i =>
+      i -> java.lang.Long.parseLong(
+        md5hex(key).substring(i * Sketches.HexPerCell,
+          (i + 1) * Sketches.HexPerCell), 16)
+    }
+
+  test("cmsTopK equals the hand-rebuilt grid; est never under-counts") {
+    // 6000 distinct keys over 4096 columns per row: pigeonhole forces
+    // collisions, so some estimate MUST over-count. Zipfish counts via
+    // repetition of the low ids.
+    val occ = (1 to 6000).flatMap { id =>
+      val n = if (id <= 5) 50 - id * 5 else 1
+      Seq.fill(n)(s"k$id")
+    }
+    val got = Sketches.cmsTopK(occ.toDF("term"), "term", 6000)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got.length == 6000)
+
+    // independent rebuild
+    val cnt = occ.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val grid = scala.collection.mutable.Map[(Int, Long), Long]()
+      .withDefaultValue(0L)
+    occ.foreach(k => cells(k).foreach(c => grid(c) += 1))
+    val expEst = cnt.keys.map(k =>
+      k -> cells(k).map(grid).min).toMap
+
+    got.foreach { case (_, term, est, c, over) =>
+      assert(c == cnt(term))
+      assert(est == expEst(term), s"$term")
+      assert(over == est - c && over >= 0L, s"$term under-counted")
+    }
+    // collisions actually happened (the test would silently weaken if
+    // the grid were ever widened past the key count)
+    assert(got.exists(_._5 > 0L), "no collision exercised the over path")
+    // rank order: est desc, term asc, dense 1..n
+    assert(got.map(_._1).toSeq == (1L to 6000L))
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+    case _ => }
+  }
+
+  test("CMS constants: width derives from the hex window, windows fit md5") {
+    assert(Sketches.Width == 1 << (Sketches.HexPerCell * 4))
+    assert(Sketches.Depth * Sketches.HexPerCell <= 32)
+  }
+
+  test("StreamEntropy's final rows match batch dailyEntropy across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamEntropy
+    import graft.operators.EventOps
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val dayUs = 86400000000L
+    // three days, mixed types, deliberately chopped so every multi-event
+    // day's counts accumulate ACROSS triggers
+    val t1 = Seq((0L, "a"), (0L, "a"), (2L, "a"), (2L, "a"))
+    val t2 = Seq((0L, "b"), (2L, "a"), (2L, "b"))
+    val t3 = Seq((0L, "b"), (1L, "a"), (2L, "c"))
+
+    val mem = MemoryStream[StreamEntropy.Ev]
+    val q = StreamEntropy.entropy(mem.toDS())
+      .writeStream.format("memory").queryName("se_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(t1.map(e => StreamEntropy.Ev(e._1, e._2)))
+      q.processAllAvailable()
+      mem.addData(t2.map(e => StreamEntropy.Ev(e._1, e._2)))
+      q.processAllAvailable()
+      mem.addData(t3.map(e => StreamEntropy.Ev(e._1, e._2)))
+      q.processAllAvailable()
+      // latest row per day (monotone n_events marks recency)
+      val streamed = spark.table("se_out")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (d, rows) => rows.maxBy(_._2) }
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val batch = EventOps.dailyEntropy(
+        (t1 ++ t2 ++ t3).map(e => (e._1 * dayUs + 5L, e._2))
+          .toDF("us", "event_type"), "event_type", col("us"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(streamed == batch)
+      assert(batch.keySet == Set(0L, 1L, 2L))
+    } finally q.stop()
+  }
+}
