@@ -121,12 +121,20 @@ object Bench {
     // >2x their floors from box load alone. Either signal poisons the
     // artifact: sentinel over 1.25x its quiet floor, or pre-existing
     // load above cpus/4 before our executors started.
-    // mid-run probes are single hot samples under our own executor load,
-    // so they get a looser 2x threshold — they exist to catch the r9
-    // failure mode: an external burst BETWEEN the pre and post probes
+    // Mid-run probes run in post-query heap/JIT state and measure
+    // 0.3-0.46 s even on a PROVABLY quiet box (r10: loadavg 0.63,
+    // pre/post sentinel 0.059) — an absolute threshold against the
+    // idle floor false-positives every run. A burst shows as a SPIKE
+    // against the run's own mid baseline (3x median), or as an
+    // extreme absolute sample (8x floor — the level a concurrent
+    // 32-thread job produces); uniform mid samples are just the
+    // steady mid-suite state.
     val midMax = if (midSentinels.isEmpty) 0.0 else midSentinels.max
+    val midMedian = if (midSentinels.isEmpty) 0.0
+      else midSentinels.toSeq.sorted.apply(midSentinels.size / 2)
     val contaminated = sentinel > 1.25 * SentinelFloorSec ||
-      midMax > 2.0 * SentinelFloorSec ||
+      (midSentinels.nonEmpty && (midMax > 3.0 * midMedian ||
+        midMax > 8.0 * SentinelFloorSec)) ||
       (loadPre >= 0 && loadPre > Runtime.getRuntime.availableProcessors / 4.0)
     def arr(xs: Seq[Double]): String =
       xs.map(fmt).mkString("[", ",", "]")
