@@ -2151,6 +2151,13 @@ object SparkEntry {
         .filter(length(col("term")) > 0)
       Sketches.cmsTopK(toks, "term", 20)
     }),
+
+    "sketch_hll_distinct" -> ((s, dir) => {
+      // HLL distinct users per event type, audited vs the exact count:
+      // 4096 md5-indexed registers, rho via bin()-length (no float
+      // log), exact dyadic register sum, 4 dp estimate
+      Sketches.hllDistinct(Tables.events(s, dir), "event_type", "user_id")
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -4658,6 +4665,42 @@ object SparkEntry {
            |    AS BIGINT) AS rank,
            |  term, est, cnt, est - cnt AS overcount
            |FROM est ORDER BY est DESC, term ASC LIMIT 20""".stripMargin,
+
+      // HLL rebuild: identical md5 bucket/rank derivation (rho via
+      // bin()-length — both engines' bin() is minimal binary), exact
+      // power-of-two register sum, the same pinned estimator chain
+      // (7.213e-1 etc. — DuckDB bare decimals are exact DECIMAL)
+      "sketch_hll_distinct" ->
+        """WITH base AS (SELECT event_type,
+          |  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+          |r AS (SELECT event_type,
+          |  CAST('0x' || substr(h, 1, 3) AS BIGINT) AS bucket,
+          |  CAST('0x' || substr(h, 4, 8) AS BIGINT) AS w FROM base),
+          |regs AS (SELECT event_type, bucket,
+          |  max(CASE WHEN w = 0 THEN 33
+          |    ELSE 33 - length(bin(w)) END) AS m
+          |  FROM r GROUP BY 1, 2),
+          |agg AS (SELECT event_type, count(*) AS n_regs,
+          |  sum(1e0 / CAST(CAST(1 AS BIGINT) << CAST(m AS INT) AS DOUBLE))
+          |    AS s_present
+          |  FROM regs GROUP BY 1),
+          |ex AS (SELECT event_type,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+          |  FROM events GROUP BY 1),
+          |fin AS (SELECT a.event_type, e.n_exact,
+          |  CAST(a.n_regs AS BIGINT) AS n_regs,
+          |  4096 - a.n_regs AS zeros,
+          |  a.s_present + CAST(4096 - a.n_regs AS DOUBLE) AS s
+          |  FROM agg a JOIN ex e USING (event_type)),
+          |est AS (SELECT event_type, n_exact, n_regs,
+          |  CASE WHEN (7.213e-1 / (1e0 + 1.079e0 / 4.096e3)) * 4.096e3
+          |        * 4.096e3 / s <= 2.5e0 * 4.096e3 AND zeros > 0
+          |    THEN 4.096e3 * ln(4.096e3 / CAST(zeros AS DOUBLE))
+          |    ELSE (7.213e-1 / (1e0 + 1.079e0 / 4.096e3)) * 4.096e3
+          |        * 4.096e3 / s END AS est
+          |  FROM fin)
+          |SELECT event_type, n_exact, n_regs, round(est, 4) AS est4
+          |FROM est""".stripMargin,
     )
   }
 }

@@ -64,6 +64,69 @@ object Sketches {
     * BROADCAST grid (≤ Depth·Width rows ≈ 12k) and takes the min;
     * global top-k via [[TopK.ranked]] heaps, never a global sort.
     */
+  val HllHexBucket = 3 // md5 hex chars for the register index
+  val HllM = 1 << (HllHexBucket * 4) // 4096 registers, DERIVED
+
+  /** HyperLogLog distinct-count per group, audited against the exact
+    * count (Flajolet et al. 2007 — the cardinality member of the
+    * sketch trio: [[BloomJoin]] membership, [[cmsTopK]] frequency,
+    * this): m = 4096 registers indexed by the first 3 md5 hex chars,
+    * rho = leading-zero rank of the NEXT 32 hash bits, register = max
+    * rho — idempotent under duplicates, so the build needs NO distinct
+    * shuffle: one partial agg onto ≤ groups·m register keys is the
+    * only exchange, map-side combine collapsing each partition first
+    * (the reason HLL exists: Spark's own approx_count_distinct has
+    * the same shape but a private hash no oracle can replay).
+    *
+    * Engine parity, the deliberate part:
+    *  - rho avoids float log entirely: for a 32-bit w > 0,
+    *    rho = 33 − length(bin(w)) — bin() strips leading zeros in both
+    *    engines, so the rank is a string-length integer; w = 0 → 33.
+    *  - the register sum Σ 2^−M_j uses exact power-of-two division
+    *    (1.0 / (1 << M_j)), never pow(); every partial sum is a dyadic
+    *    rational needing ≤ 45 mantissa bits (max 33-bit denominator,
+    *    ≤ m terms < 2^13) — the DOUBLE SUM IS EXACT in any order, so
+    *    partial aggregation cannot drift it.
+    *  - the estimator chain (alpha·m²/S, linear-counting branch
+    *    m·ln(m/V) when raw ≤ 2.5m and zeros V > 0) evaluates in ONE
+    *    pinned literal order mirrored in the oracle; ln is the one
+    *    libm call, confined to the small-range branch, and the
+    *    estimate ships rounded 4 dp ONCE (su4 discipline).
+    *
+    * @return (group, n_exact, n_regs, est4) — n_regs = non-zero
+    *         registers (= m − V), est4 the 4 dp HLL estimate; n_exact
+    *         is the audit twin, not the production path
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val h = md5(col(keyCol).cast("string"))
+    val bucket = conv(substring(h, 1, HllHexBucket), 16, 10).cast("long")
+    val w32 = conv(substring(h, HllHexBucket + 1, 8), 16, 10).cast("long")
+    val rho = when(w32 === 0L, lit(33L))
+      .otherwise(lit(33L) - length(bin(w32)).cast("long"))
+    val regs = df
+      .select(col(groupCol).as("grp"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("grp", "bucket").agg(max("rho").as("m"))
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(count_distinct(col(keyCol)).as("n_exact"))
+    val m = lit(HllM.toDouble)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    val byGrp = regs.groupBy("grp")
+      .agg(count(lit(1)).as("n_regs"),
+        // SQL-form shiftleft: the Scala API only shifts by literal ints
+        sum(lit(1.0) / expr("CAST(shiftleft(1L, CAST(m AS INT)) AS DOUBLE)"))
+          .as("s_present"))
+      .withColumn("zeros", lit(HllM.toLong) - col("n_regs"))
+      .withColumn("s", col("s_present") + col("zeros").cast("double"))
+      .withColumn("raw", alpha * m * m / col("s"))
+      .withColumn("est4", round(
+        when(col("raw") <= lit(2.5) * m && col("zeros") > 0L,
+          m * log(m / col("zeros").cast("double")))
+          .otherwise(col("raw")), 4))
+    exact.join(byGrp, "grp")
+      .select(col("grp").as(groupCol), col("n_exact"), col("n_regs"),
+        col("est4"))
+  }
+
   def cmsTopK(occurrences: DataFrame, keyCol: String, k: Int): DataFrame = {
     val grid = broadcast(cmsBuild(occurrences, keyCol))
     val exact = occurrences.groupBy(keyCol)

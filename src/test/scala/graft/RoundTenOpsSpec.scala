@@ -64,6 +64,50 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(Sketches.Depth * Sketches.HexPerCell <= 32)
   }
 
+  test("hllDistinct matches the hand-rebuilt registers on BOTH branches") {
+    // group "big": 30k distinct keys → raw HLL branch (raw > 2.5m);
+    // group "small": 200 distinct keys → linear-counting branch;
+    // duplicates added to prove the register max is idempotent
+    val rows = (1 to 30000).map(i => ("big", s"u$i")) ++
+      (1 to 200).flatMap(i => Seq(("small", s"v$i"), ("small", s"v$i")))
+    val got = graft.operators.Sketches
+      .hllDistinct(rows.toDF("grp", "k"), "grp", "k")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // independent register rebuild
+    def est(keys: Seq[String]): (Long, Double, Boolean) = {
+      val regs = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      keys.distinct.foreach { k =>
+        val h = md5hex(k)
+        val b = java.lang.Long.parseLong(h.take(3), 16)
+        val w = java.lang.Long.parseLong(h.substring(3, 11), 16)
+        val rho = if (w == 0L) 33L
+          else 33L - java.lang.Long.toBinaryString(w).length
+        regs(b) = math.max(regs(b), rho)
+      }
+      val m = 4096.0
+      val zeros = 4096 - regs.size
+      val s = regs.values.map(v => 1.0 / (1L << v)).sum + zeros.toDouble
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val raw = alpha * m * m / s
+      val linear = raw <= 2.5 * m && zeros > 0
+      val e = if (linear) m * math.log(m / zeros.toDouble) else raw
+      (regs.size.toLong,
+        BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        linear)
+    }
+    val (bigRegs, bigEst, bigLinear) = est((1 to 30000).map(i => s"u$i"))
+    val (smallRegs, smallEst, smallLinear) = est((1 to 200).map(i => s"v$i"))
+    assert(got("big") == ((30000L, bigRegs, bigEst)))
+    assert(got("small") == ((200L, smallRegs, smallEst)))
+    // the two groups must actually take different estimator branches
+    assert(!bigLinear && smallLinear)
+    // accuracy: 1.04/sqrt(4096) ≈ 1.6% std error; assert within 5%
+    assert(math.abs(bigEst - 30000.0) / 30000.0 < 0.05)
+    assert(math.abs(smallEst - 200.0) / 200.0 < 0.05)
+  }
+
   test("StreamEntropy's final rows match batch dailyEntropy across triggers") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamEntropy
