@@ -44,7 +44,17 @@ object Sketches {
 
   /** Build the depth×width counter grid from one row per OCCURRENCE.
     * The only corpus-sized exchange is the partial agg onto ≤
-    * Depth·Width cells — map-side combine does the heavy lifting. */
+    * Depth·Width cells — map-side combine does the heavy lifting.
+    *
+    * STREAMING: pass a streaming DataFrame and this IS the streaming
+    * CMS — a sketch is by definition a bounded, mergeable, order-free
+    * aggregate, so the stock streaming groupBy-count (state = one long
+    * per cell, ≤ Depth·Width forever; update/complete modes stream
+    * changed cells) is the correct and scale-right operator. Custom
+    * `flatMapGroupsWithState` would re-implement what the engine
+    * already does with codegen and map-side combine. A grid streamed
+    * in any trigger chop is cell-identical to the batch grid over the
+    * same occurrences — spec-proved across a three-trigger split. */
   def cmsBuild(occurrences: DataFrame, keyCol: String): DataFrame =
     occurrences
       .select(posexplode(array(cols(col(keyCol)): _*)).as(Seq("row", "cell")))

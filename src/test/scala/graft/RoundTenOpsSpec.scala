@@ -108,6 +108,27 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(math.abs(smallEst - 200.0) / 200.0 < 0.05)
   }
 
+  test("cmsBuild streams: final grid cell-identical to batch over any chop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = (1 to 900).map(i => s"k${i % 120}")
+    val mem = MemoryStream[String]
+    // complete mode: the grid is ≤ Depth·Width rows, snapshot-able
+    val q = Sketches.cmsBuild(mem.toDF().toDF("term"), "term")
+      .writeStream.format("memory").queryName("cms_grid")
+      .outputMode("complete").start()
+    try {
+      all.grouped(400).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+      val streamed = spark.table("cms_grid")
+        .as[(Int, Long, Long)].collect().toSet
+      val batch = Sketches.cmsBuild(all.toDF("term"), "term")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("StreamEntropy's final rows match batch dailyEntropy across triggers") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamEntropy
