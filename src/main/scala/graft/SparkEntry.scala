@@ -2158,6 +2158,14 @@ object SparkEntry {
       // log), exact dyadic register sum, 4 dp estimate
       Sketches.hllDistinct(Tables.events(s, dir), "event_type", "user_id")
     }),
+
+    "sketch_kmv_setops" -> ((s, dir) => {
+      // KMV sketch union/intersection of the click and purchase user
+      // sets, audited vs exact — mergeable distinct-count set algebra,
+      // libm-free (exact dyadic uniforms, single pinned divisions)
+      Sketches.kmvSetOps(Tables.events(s, dir), "event_type", "user_id",
+        "click", "purchase")
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -4701,6 +4709,38 @@ object SparkEntry {
           |  FROM fin)
           |SELECT event_type, n_exact, n_regs, round(est, 4) AS est4
           |FROM est""".stripMargin,
+
+      // KMV rebuild: same 48-bit dyadic uniforms, per-group K-smallest
+      // via a PARTITIONED rank, merged-K via ORDER BY + LIMIT, the two
+      // estimator divisions in the same pinned order (e-notation
+      // literals — the DuckDB bare-decimal DECIMAL trap)
+      "sketch_kmv_setops" ->
+        """WITH two AS (SELECT event_type AS grp, user_id AS key,
+          |  CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+          |    AS BIGINT) AS DOUBLE) / 281474976710656e0 AS u
+          |  FROM events WHERE event_type IN ('click', 'purchase')),
+          |vals AS (SELECT DISTINCT grp, u FROM two),
+          |sk AS (SELECT grp, u FROM (SELECT grp, u,
+          |  row_number() OVER (PARTITION BY grp ORDER BY u) AS rn
+          |  FROM vals) WHERE rn <= 128),
+          |merged AS (SELECT u, count(*) AS n_grps FROM sk
+          |  GROUP BY 1 ORDER BY u LIMIT 128),
+          |kth AS (SELECT max(u) AS u_k, count(*) AS k_used,
+          |  CAST(sum(CASE WHEN n_grps = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_both FROM merged),
+          |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_union,
+          |  CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_exact_inter
+          |  FROM (SELECT key, count(DISTINCT grp) AS g FROM two
+          |    GROUP BY 1))
+          |SELECT n_exact_union, n_exact_inter,
+          |  round(CASE WHEN k_used < 128 THEN CAST(n_exact_union AS DOUBLE)
+          |    ELSE 1.27e2 / u_k END, 4) AS est_union4,
+          |  round(CASE WHEN k_used < 128 THEN CAST(n_exact_inter AS DOUBLE)
+          |    ELSE CAST(n_both AS DOUBLE) / 1.28e2 * (1.27e2 / u_k) END, 4)
+          |    AS est_inter4,
+          |  CAST(k_used AS BIGINT) AS k_used
+          |FROM ex CROSS JOIN kth""".stripMargin,
     )
   }
 }

@@ -60,20 +60,6 @@ object Sketches {
       .select(posexplode(array(cols(col(keyCol)): _*)).as(Seq("row", "cell")))
       .groupBy("row", "cell").agg(count(lit(1)).as("c"))
 
-  /** Top-k keys by CMS-estimated frequency, audited against the exact
-    * count: (rank, <keyCol>, est, cnt, overcount). `overcount =
-    * est − cnt ≥ 0` always (CMS never under-counts; `over` itself is a
-    * DuckDB keyword); the exact-count join exists to GRADE the
-    * estimate — a production 100 TB run reads only the sketch path,
-    * the exact twin is the audit.
-    *
-    * Scale shape: grid build as above; candidates are the DISTINCT
-    * keys (one key-frame shuffle, the q9 shrink — at true scale the
-    * candidate set is external: trending keys, a sample, a prior
-    * window); each candidate probes its Depth cells against the
-    * BROADCAST grid (≤ Depth·Width rows ≈ 12k) and takes the min;
-    * global top-k via [[TopK.ranked]] heaps, never a global sort.
-    */
   val HllHexBucket = 3 // md5 hex chars for the register index
   val HllM = 1 << (HllHexBucket * 4) // 4096 registers, DERIVED
 
@@ -137,6 +123,88 @@ object Sketches {
         col("est4"))
   }
 
+  val KmvK = 128       // sketch size: k minimum hash values per group
+
+  /** KMV (k-minimum-values) sketch set operations — distinct-count
+    * UNION and INTERSECTION across two groups, audited against the
+    * exact counts (Bar-Yossef et al. 2002; the θ-sketch family's
+    * simplest member): each group keeps the K smallest md5-derived
+    * uniforms of its keys; the union sketch is the K smallest of the
+    * merged value sets, D̂_union = (K−1)/u_(K), and intersection comes
+    * from the Jaccard estimate |union-K ∩ both| / K — the standard
+    * mergeable-sketch answer to "distinct users across N partitioned
+    * sources without re-scanning" (sketches merge; raw scans do not).
+    *
+    * Engine parity is LIBM-FREE end to end: u = conv(first 12 md5 hex)
+    * / 2^48 is an exact dyadic rational (48 mantissa bits), the
+    * per-group K-smallest is an exact set under (u, deterministic
+    * order), and the two estimator divisions are single IEEE ops in a
+    * pinned order — no log, no pow, nothing rounded until the final
+    * 4 dp ship.
+    *
+    * Scale shape: one distinct shuffle onto (group, u) — the honest
+    * cost of hashing the key universe once; the K-smallest is a
+    * PARTITIONED rank window (per group, never global); everything
+    * after operates on ≤ 2K sketch rows collected per group pair.
+    *
+    * @return one row: (n_exact_union, n_exact_inter, est_union4,
+    *         est_inter4, k_used)
+    */
+  def kmvSetOps(df: DataFrame, groupCol: String, keyCol: String,
+                groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 2^48, exact division
+    val two = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("grp"), col(keyCol).as("key"), u.as("u"))
+    val vals = two.select(col("grp"), col("u")).distinct()
+    val w = Window.partitionBy("grp").orderBy("u")
+    val sketches = vals.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+    // merged K-smallest over the DISTINCT union of both value sets —
+    // orderBy+limit plans TakeOrderedAndProject heaps (the TopK.ranked
+    // shape), never a global rank window; u_k = max of the limited set
+    val merged = sketches.select(col("u"), col("grp")).groupBy("u")
+      .agg(count(lit(1)).as("n_grps"))
+      .orderBy("u").limit(KmvK)
+    val kth = merged.agg(max(col("u")).as("u_k"),
+      count(lit(1)).as("k_used"),
+      sum(when(col("n_grps") === 2, 1L).otherwise(0L)).as("n_both"))
+    val exact = two.groupBy("key")
+      .agg(count_distinct(col("grp")).as("g"))
+      .agg(count(lit(1)).as("n_exact_union"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("n_exact_inter"))
+    // fewer than K distinct values → the sketch IS the exact value set:
+    // estimates equal the exact counts by construction
+    exact.crossJoin(broadcast(kth))
+      .select(col("n_exact_union"), col("n_exact_inter"),
+        round(when(col("k_used") < KmvK,
+            col("n_exact_union").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) / col("u_k")), 4)
+          .as("est_union4"),
+        round(when(col("k_used") < KmvK,
+            col("n_exact_inter").cast("double"))
+          .otherwise(col("n_both").cast("double") / lit(KmvK.toDouble)
+            * (lit((KmvK - 1).toDouble) / col("u_k"))), 4)
+          .as("est_inter4"),
+        col("k_used"))
+  }
+
+  /** Top-k keys by CMS-estimated frequency, audited against the exact
+    * count: (rank, <keyCol>, est, cnt, overcount). `overcount =
+    * est − cnt ≥ 0` always (CMS never under-counts; `over` itself is a
+    * DuckDB keyword); the exact-count join exists to GRADE the
+    * estimate — a production 100 TB run reads only the sketch path,
+    * the exact twin is the audit.
+    *
+    * Scale shape: grid build as above; candidates are the DISTINCT
+    * keys (one key-frame shuffle, the q9 shrink — at true scale the
+    * candidate set is external: trending keys, a sample, a prior
+    * window); each candidate probes its Depth cells against the
+    * BROADCAST grid (≤ Depth·Width rows ≈ 12k) and takes the min;
+    * global top-k via [[TopK.ranked]] heaps, never a global sort.
+    */
   def cmsTopK(occurrences: DataFrame, keyCol: String, k: Int): DataFrame = {
     val grid = broadcast(cmsBuild(occurrences, keyCol))
     val exact = occurrences.groupBy(keyCol)

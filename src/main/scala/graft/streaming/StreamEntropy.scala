@@ -19,6 +19,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * semantics), each term ×10⁴-scaled to an exact long, summed in
   * integer space — so a day's final streaming row is bit-identical to
   * the batch operator on the same events regardless of trigger chop.
+  *
+  * State is bounded per DAY but days accumulate: a production
+  * deployment evicts closed days via an event-time timeout against
+  * the stream's watermark (the q20-sessionize eviction pattern —
+  * state then holds only the watermark-open days). This twin keeps
+  * `NoTimeout` so the spec can replay without a timestamp column; the
+  * entropy fold itself is eviction-agnostic.
   */
 object StreamEntropy {
 

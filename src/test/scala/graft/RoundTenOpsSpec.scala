@@ -108,6 +108,42 @@ class RoundTenOpsSpec extends AnyFunSuite {
     assert(math.abs(smallEst - 200.0) / 200.0 < 0.05)
   }
 
+  test("kmvSetOps matches the hand-merged sketches; saturated + exact-fallback") {
+    // groups A (keys 1..2000) and B (1001..3000): union 3000, inter 1000;
+    // duplicates in the input prove the distinct collapses them
+    val rows = (1 to 2000).map(i => ("A", s"k$i")) ++
+      (1001 to 3000).flatMap(i => Seq(("B", s"k$i"), ("B", s"k$i")))
+    val got = graft.operators.Sketches
+      .kmvSetOps(rows.toDF("g", "k"), "g", "k", "A", "B")
+      .as[(Long, Long, Double, Double, Long)].collect().head
+
+    def u(key: String): Double =
+      java.lang.Long.parseLong(md5hex(key).take(12), 16).toDouble /
+        281474976710656.0
+    val K = graft.operators.Sketches.KmvK
+    val skA = (1 to 2000).map(i => u(s"k$i")).sorted.take(K).toSet
+    val skB = (1001 to 3000).map(i => u(s"k$i")).sorted.take(K).toSet
+    val mergedK = (skA ++ skB).toSeq.sorted.take(K)
+    val uK = mergedK.last
+    val nBoth = mergedK.count(v => skA(v) && skB(v))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val estU = (K - 1).toDouble / uK
+    val estI = nBoth.toDouble / K.toDouble * ((K - 1).toDouble / uK)
+    assert(got == ((3000L, 1000L, r4(estU), r4(estI), K.toLong)))
+    // accuracy: std error ~1/sqrt(K-1) ≈ 8.9%; assert within 3 sigma
+    assert(math.abs(estU - 3000.0) / 3000.0 < 0.27)
+    assert(math.abs(estI - 1000.0) / 1000.0 < 0.55) // jaccard noise adds
+
+    // under-K union → the sketch IS the value set: estimates exact
+    val tiny = (1 to 30).map(i => ("A", s"t$i")) ++
+      (20 to 50).map(i => ("B", s"t$i"))
+    val g2 = graft.operators.Sketches
+      .kmvSetOps(tiny.toDF("g", "k"), "g", "k", "A", "B")
+      .as[(Long, Long, Double, Double, Long)].collect().head
+    assert(g2 == ((50L, 11L, 50.0, 11.0, 50L)))
+  }
+
   test("cmsBuild streams: final grid cell-identical to batch over any chop") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
