@@ -93,15 +93,23 @@ object Sketches {
     *         registers (= m − V), est4 the 4 dp HLL estimate; n_exact
     *         is the audit twin, not the production path
     */
-  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+  /** The HLL register build alone: (grp, bucket, m). Like [[cmsBuild]]
+    * this is a bounded, mergeable, order-free aggregation — pass a
+    * STREAMING frame and it is the streaming HLL (state = one long per
+    * (group, bucket), ≤ groups·m forever; max is the mergeable op);
+    * spec-proved grid-identical to batch across a trigger chop. */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val h = md5(col(keyCol).cast("string"))
     val bucket = conv(substring(h, 1, HllHexBucket), 16, 10).cast("long")
     val w32 = conv(substring(h, HllHexBucket + 1, 8), 16, 10).cast("long")
     val rho = when(w32 === 0L, lit(33L))
       .otherwise(lit(33L) - length(bin(w32)).cast("long"))
-    val regs = df
-      .select(col(groupCol).as("grp"), bucket.as("bucket"), rho.as("rho"))
+    df.select(col(groupCol).as("grp"), bucket.as("bucket"), rho.as("rho"))
       .groupBy("grp", "bucket").agg(max("rho").as("m"))
+  }
+
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val regs = hllRegisters(df, groupCol, keyCol)
     val exact = df.groupBy(col(groupCol).as("grp"))
       .agg(count_distinct(col(keyCol)).as("n_exact"))
     val m = lit(HllM.toDouble)

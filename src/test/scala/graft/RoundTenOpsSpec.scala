@@ -165,6 +165,29 @@ class RoundTenOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("HLL registers stream: stock max-agg, final grid identical to batch") {
+    // like the CMS grid, the HLL register build is a bounded streaming
+    // aggregation (max is order-free and mergeable): state = one long
+    // per (group, bucket), ≤ groups·4096 forever
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = (1 to 600).map(i => ("g" + (i % 2), s"u${i % 250}"))
+    val mem = MemoryStream[(String, String)]
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "g", "k")
+    val q = regs(mem.toDF().toDF("g", "k"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      all.grouped(250).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("hll_regs")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = regs(all.toDF("g", "k")).as[(String, Long, Long)]
+        .collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("StreamEntropy's final rows match batch dailyEntropy across triggers") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamEntropy
