@@ -108,13 +108,13 @@ object Sketches {
       .groupBy("grp", "bucket").agg(max("rho").as("m"))
   }
 
-  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
-    val regs = hllRegisters(df, groupCol, keyCol)
-    val exact = df.groupBy(col(groupCol).as("grp"))
-      .agg(count_distinct(col(keyCol)).as("n_exact"))
+  /** Estimate per `grp` from a (grp, bucket, m) register frame — the
+    * standard HLL chain (α·m²/S with linear-counting fallback), shared
+    * by [[hllDistinct]] and any MERGED grid: (grp, n_regs, est4). */
+  def hllEstimate(regs: DataFrame): DataFrame = {
     val m = lit(HllM.toDouble)
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
-    val byGrp = regs.groupBy("grp")
+    regs.groupBy("grp")
       .agg(count(lit(1)).as("n_regs"),
         // SQL-form shiftleft: the Scala API only shifts by literal ints
         sum(lit(1.0) / expr("CAST(shiftleft(1L, CAST(m AS INT)) AS DOUBLE)"))
@@ -126,7 +126,24 @@ object Sketches {
         when(col("raw") <= lit(2.5) * m && col("zeros") > 0L,
           m * log(m / col("zeros").cast("double")))
           .otherwise(col("raw")), 4))
-    exact.join(byGrp, "grp")
+      .select(col("grp"), col("n_regs"), col("est4"))
+  }
+
+  /** Sketch UNION: merge per-group register grids into one grid under
+    * a new label — register-wise max. This is the property that makes
+    * HLL matter at 100 TB: per-source sketches combine into the
+    * distinct-count of the union WITHOUT rescanning any source, and
+    * the merge is EXACT (registers of the union = max of registers —
+    * spec-proved equal, not approximately, to sketching the pooled
+    * data directly). */
+  def hllMerge(regs: DataFrame, label: String): DataFrame =
+    regs.groupBy("bucket").agg(max("m").as("m"))
+      .select(lit(label).as("grp"), col("bucket"), col("m"))
+
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(count_distinct(col(keyCol)).as("n_exact"))
+    exact.join(hllEstimate(hllRegisters(df, groupCol, keyCol)), "grp")
       .select(col("grp").as(groupCol), col("n_exact"), col("n_regs"),
         col("est4"))
   }

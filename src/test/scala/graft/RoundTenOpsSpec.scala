@@ -165,6 +165,25 @@ class RoundTenOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hllMerge: merged per-group sketches EQUAL the pooled-data sketch") {
+    // the mergeability law: registers(A ∪ B) = max(registers(A),
+    // registers(B)) — exact equality, the reason per-source sketches
+    // combine without rescanning
+    val a = (1 to 4000).map(i => ("A", s"k$i"))
+    val b = (3001 to 7000).map(i => ("B", s"k$i"))
+    val perGroup = graft.operators.Sketches
+      .hllRegisters((a ++ b).toDF("g", "k"), "g", "k")
+    val merged = graft.operators.Sketches.hllMerge(perGroup, "all")
+    val pooled = graft.operators.Sketches.hllRegisters(
+      (a ++ b).map(t => ("all", t._2)).toDF("g", "k"), "g", "k")
+    assert(merged.as[(String, Long, Long)].collect().toSet ==
+      pooled.as[(String, Long, Long)].collect().toSet)
+    // and the estimate off the merged grid tracks the true union (7000)
+    val est = graft.operators.Sketches.hllEstimate(merged)
+      .as[(String, Long, Double)].collect().head._3
+    assert(math.abs(est - 7000.0) / 7000.0 < 0.05)
+  }
+
   test("HLL registers stream: stock max-agg, final grid identical to batch") {
     // like the CMS grid, the HLL register build is a bounded streaming
     // aggregation (max is order-free and mergeable): state = one long
