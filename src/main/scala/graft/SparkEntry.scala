@@ -2166,6 +2166,21 @@ object SparkEntry {
       Sketches.kmvSetOps(Tables.events(s, dir), "event_type", "user_id",
         "click", "purchase")
     }),
+
+    "multimodal_frame_sample" -> ((s, dir) => {
+      // every-2nd-frame sampling through the REAL RIFF/AVI walk
+      // (MediaCodec.aviFrameRanges): the synthetic frames are md5
+      // digests, so md5(frame bytes) equals the generator's hex only
+      // if the parser's byte offsets are exactly right — the oracle
+      // re-derives the sampled grid arithmetically (every id%3==2
+      // video has 3 frames; every-2 sampling keeps 0 and 2)
+      Multimodal.sampleFrames(
+        Multimodal.syntheticMedia(
+          Tables.documents(s, dir).select("doc_id"), "doc_id"),
+        everyN = 2)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          lower(hex(col("frame"))).as("frame_hex"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -4741,6 +4756,17 @@ object SparkEntry {
           |    AS est_inter4,
           |  CAST(k_used AS BIGINT) AS k_used
           |FROM ex CROSS JOIN kth""".stripMargin,
+
+      // arithmetic re-derivation of the sampled frame grid: every
+      // id%3==2 video carries frames 0..2 whose BYTES are the md5
+      // digest of 'id:i' — hex(frame) can only equal md5('id:i') if
+      // the RIFF walk returned exactly the right byte ranges
+      "multimodal_frame_sample" ->
+        """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+          |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))
+          |    AS frame_hex
+          |FROM documents, LATERAL unnest(generate_series(0, 2, 2)) u(i)
+          |WHERE doc_id % 3 = 2""".stripMargin,
     )
   }
 }
