@@ -2167,6 +2167,20 @@ object SparkEntry {
         "click", "purchase")
     }),
 
+    "multimodal_image_resize" -> ((s, dir) => {
+      // nearest-neighbor 16×16 → 8×8 through the REAL BMP codec; the
+      // oracle rebuilds the ENTIRE output file hex arithmetically
+      // (patched 54-byte header + file-order pixel rows: file row y
+      // samples input image row 15−2y — bottom-up rows make the
+      // resample bottom-anchored in image space) so every byte of
+      // decode → resample → re-encode is graded
+      Multimodal.resizeImages(
+        Multimodal.syntheticImages(
+          Tables.documents(s, dir).select("doc_id"), "doc_id"), 8, 8)
+        .toDF()
+        .select(col("media_id"), lower(hex(col("payload"))).as("bmp_hex"))
+    }),
+
     "multimodal_frame_sample" -> ((s, dir) => {
       // every-2nd-frame sampling through the REAL RIFF/AVI walk
       // (MediaCodec.aviFrameRanges): the synthetic frames are md5
@@ -4756,6 +4770,29 @@ object SparkEntry {
           |    AS est_inter4,
           |  CAST(k_used AS BIGINT) AS k_used
           |FROM ex CROSS JOIN kth""".stripMargin,
+
+      // full-file BMP rebuild: header pieces concatenated (size 246,
+      // pixOff 54, 8×8, 24bpp) + 64 pixels in FILE order; output file
+      // row y samples input image row 15−2y (bottom-up anchoring), so
+      // the single-pixel id%4 perturbation at image row 0 never
+      // survives the resample — pixels are pure base pattern
+      "multimodal_image_resize" ->
+        """WITH px AS (SELECT d.doc_id AS media_id, y.y AS y, x.x AS x,
+          |  CASE WHEN substr(md5(CAST(d.doc_id // 4 AS VARCHAR) || ':' ||
+          |      CAST(2 * x.x AS VARCHAR) || ',' ||
+          |      CAST(15 - 2 * y.y AS VARCHAR)), 1, 1)
+          |      BETWEEN '0' AND '7'
+          |    THEN '000000' ELSE 'ffffff' END AS h
+          |  FROM documents d,
+          |    LATERAL unnest(generate_series(0, 7)) y(y),
+          |    LATERAL unnest(generate_series(0, 7)) x(x)),
+          |agg AS (SELECT media_id,
+          |  string_agg(h, '' ORDER BY y, x) AS pix FROM px GROUP BY 1)
+          |SELECT media_id,
+          |  '424d' || 'f6000000' || '00000000' || '36000000' ||
+          |  '28000000' || '08000000' || '08000000' || '0100' || '1800' ||
+          |  repeat('00', 24) || pix AS bmp_hex
+          |FROM agg""".stripMargin,
 
       // arithmetic re-derivation of the sampled frame grid: every
       // id%3==2 video carries frames 0..2 whose BYTES are the md5
