@@ -168,9 +168,17 @@ object Sketches {
     * 4 dp ship.
     *
     * Scale shape: one distinct shuffle onto (group, u) — the honest
-    * cost of hashing the key universe once; the K-smallest is a
-    * PARTITIONED rank window (per group, never global); everything
-    * after operates on ≤ 2K sketch rows collected per group pair.
+    * cost of hashing the key universe once. The per-group K-smallest
+    * is TWO-PHASE SALTED (the skew-join discipline applied to top-K):
+    * a naive rank window partitioned by group alone would sort each
+    * group's whole distinct-hash universe in ONE task (two groups =
+    * two tasks at any scale); instead phase 1 ranks within (group,
+    * salt = h mod 64) — 64-way parallel, deterministic salt from the
+    * hash integer itself — and phase 2 re-ranks the ≤ 64·K survivors
+    * per group (a BOUNDED frame, single task is fine). The K smallest
+    * of the per-salt K-smallest are exactly the K smallest overall,
+    * so the sketch is identical to the naive derivation. Everything
+    * after operates on ≤ 2K sketch rows per group pair.
     *
     * @return one row: (n_exact_union, n_exact_inter, est_union4,
     *         est_inter4, k_used)
@@ -178,14 +186,20 @@ object Sketches {
   def kmvSetOps(df: DataFrame, groupCol: String, keyCol: String,
                 groupA: String, groupB: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
-      .cast("double") / lit(281474976710656.0) // 2^48, exact division
+    val h48 = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
     val two = df
       .filter(col(groupCol).isin(groupA, groupB))
-      .select(col(groupCol).as("grp"), col(keyCol).as("key"), u.as("u"))
-    val vals = two.select(col("grp"), col("u")).distinct()
-    val w = Window.partitionBy("grp").orderBy("u")
-    val sketches = vals.withColumn("rn", row_number().over(w))
+      .select(col(groupCol).as("grp"), col(keyCol).as("key"),
+        (h48.cast("double") / lit(281474976710656.0)) // 2^48, exact
+          .as("u"),
+        pmod(h48, lit(64L)).as("salt"))
+    val vals = two.select(col("grp"), col("u"), col("salt")).distinct()
+    val wLocal = Window.partitionBy("grp", "salt").orderBy("u")
+    val survivors = vals.withColumn("rn", row_number().over(wLocal))
+      .filter(col("rn") <= KmvK).drop("rn", "salt")
+    val wGrp = Window.partitionBy("grp").orderBy("u")
+    val sketches = survivors.withColumn("rn", row_number().over(wGrp))
       .filter(col("rn") <= KmvK)
     // merged K-smallest over the DISTINCT union of both value sets —
     // orderBy+limit plans TakeOrderedAndProject heaps (the TopK.ranked
