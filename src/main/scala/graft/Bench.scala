@@ -33,6 +33,47 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** The contamination decision, pure so a spec can drive it directly
+    * (a synthetic slow mid-sentinel must flip it — the whole point of
+    * the probes is that a poisoned run self-identifies in the
+    * artifact). Strict on purpose: BENCH_r07 carried sentinel 1.35x
+    * floor at loadavg 5.62 yet stamped clean, and 11 sub-second
+    * queries read >2x their floors from box load alone. Signals:
+    *  - pre/post sentinel over 1.25x its quiet floor;
+    *  - a mid-run SPIKE: >3x the run's own mid-median (mid probes run
+    *    in post-query heap/JIT state and read 0.26-0.49 s even on a
+    *    provably quiet box, so an absolute test against the idle floor
+    *    would false-positive every run) or an extreme absolute sample
+    *    >8x the idle floor — the level a concurrent 32-thread job
+    *    produces;
+    *  - pre-existing load above cpus/4 before our executors started.
+    */
+  def contaminatedFlag(sentinelSec: Double, midSentinels: Seq[Double],
+      loadPre: Double, cpus: Int): Boolean = {
+    val midMax = if (midSentinels.isEmpty) 0.0 else midSentinels.max
+    val midMedian = if (midSentinels.isEmpty) 0.0
+      else midSentinels.sorted.apply(midSentinels.size / 2)
+    sentinelSec > 1.25 * SentinelFloorSec ||
+      (midSentinels.nonEmpty && (midMax > 3.0 * midMedian ||
+        midMax > 8.0 * SentinelFloorSec)) ||
+      (loadPre >= 0 && loadPre > cpus / 4.0)
+  }
+
+  /** Per-table row counts of the benched dataset — the artifact's data
+    * fingerprint. The driver regenerates /root/testdata each round, so
+    * a BASELINE.md floor is only meaningful against the volume it was
+    * measured at; r10 adjudicated four >2x "regressions" that were
+    * byte-identical code against bigger data. Floors are recorded as
+    * (fingerprint, seconds) pairs; a mismatched fingerprint means
+    * re-floor, not regression. Parquet row counts come from footer
+    * metadata, so this is cheap even at large sf. */
+  def fingerprint(spark: SparkSession, sfDir: String): Seq[(String, Long)] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").flatMap { t =>
+      try Some(t -> spark.read.parquet(s"$sfDir/$t.parquet").count())
+      catch { case _: Throwable => None }
+    }
+
   def main(args: Array[String]): Unit = {
     val (pathArg, only) = parseArgs(args)
     val sfDir = pathArg.getOrElse(
@@ -105,7 +146,12 @@ object Bench {
         // any throw disqualifies the query's number entirely
         if (times.size == 3) Some(name -> times.min) else None
       }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failed queries ship as explicit nulls (ADVICE r10): a consumer
+    // diffing `queries` across runs sees the hole instead of a silently
+    // shrunken map, and `value` totals are flagged non-comparable by
+    // the same nulls plus the errors array
+    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
+      failed.map(n => "\"" + n + "\":null"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String =
@@ -116,29 +162,14 @@ object Bench {
     // 1.25x threshold whenever the box genuinely is quiet
     val sentinel = math.min(sentinelPre,
       Seq.fill(3)(sentinelOnce(spark)).min)
-    // strict on purpose: BENCH_r07 carried sentinel 1.35x floor at
-    // loadavg 5.62 yet stamped clean, and 11 sub-second queries read
-    // >2x their floors from box load alone. Either signal poisons the
-    // artifact: sentinel over 1.25x its quiet floor, or pre-existing
-    // load above cpus/4 before our executors started.
-    // Mid-run probes run in post-query heap/JIT state and measure
-    // 0.3-0.46 s even on a PROVABLY quiet box (r10: loadavg 0.63,
-    // pre/post sentinel 0.059) — an absolute threshold against the
-    // idle floor false-positives every run. A burst shows as a SPIKE
-    // against the run's own mid baseline (3x median), or as an
-    // extreme absolute sample (8x floor — the level a concurrent
-    // 32-thread job produces); uniform mid samples are just the
-    // steady mid-suite state.
-    val midMax = if (midSentinels.isEmpty) 0.0 else midSentinels.max
-    val midMedian = if (midSentinels.isEmpty) 0.0
-      else midSentinels.toSeq.sorted.apply(midSentinels.size / 2)
-    val contaminated = sentinel > 1.25 * SentinelFloorSec ||
-      (midSentinels.nonEmpty && (midMax > 3.0 * midMedian ||
-        midMax > 8.0 * SentinelFloorSec)) ||
-      (loadPre >= 0 && loadPre > Runtime.getRuntime.availableProcessors / 4.0)
+    val contaminated = contaminatedFlag(sentinel, midSentinels.toSeq,
+      loadPre, Runtime.getRuntime.availableProcessors)
     def arr(xs: Seq[Double]): String =
       xs.map(fmt).mkString("[", ",", "]")
-    val meta = s""""sf":"$sfDir","loadavg_pre":$loadPre,"sentinel_sec":$sentinel,"sentinel_floor_sec":$SentinelFloorSec,"sentinel_mid":${arr(midSentinels.toSeq)},"contaminated":$contaminated,"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val fp = fingerprint(spark, sfDir)
+      .map { case (t, n) => s"\"" + t + "\":" + n }
+      .mkString("{", ",", "}")
+    val meta = s""""sf":"$sfDir","fingerprint":$fp,"loadavg_pre":$loadPre,"sentinel_sec":$sentinel,"sentinel_floor_sec":$SentinelFloorSec,"sentinel_mid":${arr(midSentinels.toSeq)},"contaminated":$contaminated,"errors":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // Full per-query map to a file: the driver records only the LAST
     // 2000 chars of this run's output, and 140 queries at full double
     // precision are ~4.5 KB — every BENCH_r{1..8}.json shipped with
@@ -153,7 +184,10 @@ object Bench {
     // Compact final line: slowest queries first (the ones perf grading
     // cares about), 4 dp each, cut off at a byte budget that leaves
     // room for the sbt epilogue inside the 2000-char tail window.
-    val entryBudget = 1400
+    // budget shrunk 1400→1150 when the ~230-char fingerprint joined the
+    // meta: line total must stay under the 2000-char capture window
+    // with room for the sbt epilogue
+    val entryBudget = 1150
     val sb = new StringBuilder
     var kept = 0
     var keptSec = 0.0

@@ -4766,7 +4766,8 @@ object SparkEntry {
           |  round(CASE WHEN k_used < 128 THEN CAST(n_exact_union AS DOUBLE)
           |    ELSE 1.27e2 / u_k END, 4) AS est_union4,
           |  round(CASE WHEN k_used < 128 THEN CAST(n_exact_inter AS DOUBLE)
-          |    ELSE CAST(n_both AS DOUBLE) / 1.28e2 * (1.27e2 / u_k) END, 4)
+          |    ELSE CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)
+          |      * (1.27e2 / u_k) END, 4)
           |    AS est_inter4,
           |  CAST(k_used AS BIGINT) AS k_used
           |FROM ex CROSS JOIN kth""".stripMargin,

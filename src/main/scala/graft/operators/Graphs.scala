@@ -110,29 +110,41 @@ object Graphs {
     *
     * @return one row: (n_nodes, n_edges, n_triangles)
     */
+  /** Materialize a multiply-read derived frame. In LOCAL mode an eager
+    * `localCheckpoint` (lineage truncation, executor-local blocks) is
+    * the cheapest cut and loss-safe (one JVM). On a CLUSTER
+    * localCheckpoint blocks die with their executor and, being
+    * lineage-truncating, CANNOT be recomputed — a lost executor fails
+    * the query — so there we `persist` instead: lazily cached, lineage
+    * kept, recomputed on block loss, and the blocks are dropped by the
+    * ContextCleaner when the frame is GC'd (or by catalog.clearCache).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint()
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // localCheckpoint the normalized edge frame: it feeds deg, the
+    // materialize the normalized edge frame: it feeds deg, the
     // orientation, the closing-edge semi probe AND the n_edges
     // aggregate — when `edges` is itself an expensive derivation (the
     // graded query passes the LSH-verified near-dup pair join), every
-    // un-checkpointed reuse re-runs that whole subtree
-    val e = edges.select(least(col(srcCol), col(dstCol)).as("u"),
-      greatest(col(srcCol), col(dstCol)).as("v"))
-      .localCheckpoint()
-    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+    // un-materialized reuse re-runs that whole subtree
+    val e = materialize(edges.select(least(col(srcCol), col(dstCol)).as("u"),
+      greatest(col(srcCol), col(dstCol)).as("v")))
+    val deg = materialize(e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // read twice by the orientation, once by n_nodes
+      ) // read twice by the orientation, once by n_nodes
     val toLarger = (col("du") < col("dv")) ||
       (col("du") === col("dv") && col("u") < col("v"))
-    // localCheckpoint: the oriented frame feeds BOTH sides of the wedge
+    // materialize: the oriented frame feeds BOTH sides of the wedge
     // self-join — without it each side re-runs the two degree joins
     // (self-joining a derived frame duplicates its whole subtree)
-    val o = e
+    val o = materialize(e
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
       .select(when(toLarger, col("u")).otherwise(col("v")).as("src"),
-        when(toLarger, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint()
+        when(toLarger, col("v")).otherwise(col("u")).as("dst")))
     // unordered wedge {w1, w2} at src, fixed by raw-id order so each
     // wedge appears once in the self-join product
     val wedges = o.select(col("src"), col("dst").as("w1"))

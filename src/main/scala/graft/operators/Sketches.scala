@@ -116,8 +116,14 @@ object Sketches {
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
     regs.groupBy("grp")
       .agg(count(lit(1)).as("n_regs"),
-        // SQL-form shiftleft: the Scala API only shifts by literal ints
-        sum(lit(1.0) / expr("CAST(shiftleft(1L, CAST(m AS INT)) AS DOUBLE)"))
+        // regs("m") binds STRUCTURALLY to this frame's attribute (an
+        // expr("m") string would re-resolve by name and could catch a
+        // differently-cased stray column — ADVICE r10); the Scala
+        // shiftleft helper only shifts by literal ints, so the
+        // column-shift goes through call_function, which builds the
+        // same codegen'd ShiftLeft expression
+        sum(lit(1.0) / call_function("shiftleft", lit(1L),
+          regs("m").cast("int")).cast("double"))
           .as("s_present"))
       .withColumn("zeros", lit(HllM.toLong) - col("n_regs"))
       .withColumn("s", col("s_present") + col("zeros").cast("double"))
@@ -222,9 +228,15 @@ object Sketches {
             col("n_exact_union").cast("double"))
           .otherwise(lit((KmvK - 1).toDouble) / col("u_k")), 4)
           .as("est_union4"),
+        // Jaccard denominator is the merged sketch's OWN k_used, not
+        // the constant K (ADVICE r10): on the saturated branch they are
+        // equal, but tying the estimator to the sketch it came from
+        // keeps it self-consistent if the exact-fallback branch is ever
+        // relaxed
         round(when(col("k_used") < KmvK,
             col("n_exact_inter").cast("double"))
-          .otherwise(col("n_both").cast("double") / lit(KmvK.toDouble)
+          .otherwise(col("n_both").cast("double")
+            / col("k_used").cast("double")
             * (lit((KmvK - 1).toDouble) / col("u_k"))), 4)
           .as("est_inter4"),
         col("k_used"))

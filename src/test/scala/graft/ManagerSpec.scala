@@ -343,4 +343,33 @@ class ManagerSpec extends AnyFunSuite {
     assert(Bench.parseArgs(Array("ann_pq", "/data/sf1", "ann_ivf")) ==
       ((Some("/data/sf1"), Set("ann_pq", "ann_ivf"))))
   }
+
+  test("Bench contamination: a slow mid-sentinel flips the flag") {
+    val F = Bench.SentinelFloorSec
+    // the r10 quiet-box run: pre/post sentinel well under 1.25x floor,
+    // mid probes in their normal post-query 0.26-0.49 s band, loadavg
+    // low before launch — clean
+    val quietMids = Seq(0.31, 0.28, 0.42, 0.35, 0.30, 0.44, 0.27)
+    assert(!Bench.contaminatedFlag(0.06, quietMids, 0.6, 32))
+    // ONE mid-run load burst (a concurrent 32-thread job lands a probe
+    // at multiples of the idle floor) must stamp the artifact — the r9
+    // failure mode: 16 phantom >2x flags and nothing in the artifact
+    // recording the burst. Both spike tests fire here: 3.2 s is >3x the
+    // run's own mid-median and >8x the idle floor.
+    assert(Bench.contaminatedFlag(0.06, quietMids :+ 3.2, 0.6, 32))
+    // a spike relative to the run's own baseline flags even when it
+    // stays under the absolute 8x-floor bar
+    assert(Bench.contaminatedFlag(0.06, Seq(0.30, 0.28, 0.31, 1.0), 0.6, 32))
+    // uniform mid samples at the steady post-query level do NOT flag
+    // (absolute thresholds against the idle floor false-positive every
+    // run — the r10 calibration)
+    assert(!Bench.contaminatedFlag(0.06, Seq(0.45, 0.49, 0.46), 0.6, 32))
+    // the two non-mid signals still fire on their own: slow pre/post
+    // sentinel; pre-existing box load above cpus/4
+    assert(Bench.contaminatedFlag(1.26 * F, quietMids, 0.6, 32))
+    assert(Bench.contaminatedFlag(0.06, quietMids, 9.0, 32))
+    // no mids at all (short filtered runs probe nothing) → pre/post
+    // sentinel alone decides
+    assert(!Bench.contaminatedFlag(0.06, Nil, 0.6, 32))
+  }
 }
