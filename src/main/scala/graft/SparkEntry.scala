@@ -2167,6 +2167,16 @@ object SparkEntry {
         "click", "purchase")
     }),
 
+    "sketch_quantiles" -> ((s, dir) => {
+      // mergeable order-statistic sketch: per-type value quantiles from
+      // the bottom-1024 rows by md5(event_id) uniform, audited vs the
+      // exact nearest-rank quantiles — the GRADED twin of the
+      // engine-native sketch_stats (whose KLL no oracle can replay);
+      // estimates are raw data values, so the compare is bit-exact
+      Sketches.kmvQuantiles(Tables.events(s, dir), "event_type",
+        "event_id", "value", Seq(0.5, 0.95, 0.99))
+    }),
+
     "multimodal_image_resize" -> ((s, dir) => {
       // nearest-neighbor 16×16 → 8×8 through the REAL BMP codec; the
       // oracle rebuilds the ENTIRE output file hex arithmetically
@@ -4771,6 +4781,56 @@ object SparkEntry {
           |    AS est_inter4,
           |  CAST(k_used AS BIGINT) AS k_used
           |FROM ex CROSS JOIN kth""".stripMargin,
+
+      // order-statistic sketch rebuild: identical 48-bit md5 uniforms
+      // of event_id, bottom-1024 per type via a partitioned rank with
+      // the same (u, v) tie-break, nearest-rank pick 1 + floor(q·(k−1))
+      // as the same single IEEE multiply + floor; estimates and exact
+      // twins are raw data values — bit-exact compare, no rounding
+      "sketch_quantiles" ->
+        """WITH base AS (SELECT event_type AS grp, value AS v,
+          |  CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+          |    AS BIGINT) AS u
+          |  FROM events),
+          |sample AS (SELECT grp, v FROM (SELECT grp, v,
+          |  row_number() OVER (PARTITION BY grp ORDER BY u, v) AS rn
+          |  FROM base) WHERE rn <= 1024),
+          |k AS (SELECT grp, CAST(count(*) AS BIGINT) AS k_used
+          |  FROM sample GROUP BY 1),
+          |sr AS (SELECT grp, v,
+          |  row_number() OVER (PARTITION BY grp ORDER BY v) AS vr
+          |  FROM sample),
+          |est AS (SELECT s.grp, k.k_used,
+          |  max(CASE WHEN s.vr = CAST(floor(5e-1 *
+          |    CAST(k.k_used - 1 AS DOUBLE)) AS BIGINT) + 1
+          |    THEN s.v END) AS q50_est,
+          |  max(CASE WHEN s.vr = CAST(floor(9.5e-1 *
+          |    CAST(k.k_used - 1 AS DOUBLE)) AS BIGINT) + 1
+          |    THEN s.v END) AS q95_est,
+          |  max(CASE WHEN s.vr = CAST(floor(9.9e-1 *
+          |    CAST(k.k_used - 1 AS DOUBLE)) AS BIGINT) + 1
+          |    THEN s.v END) AS q99_est
+          |  FROM sr s JOIN k USING (grp) GROUP BY 1, 2),
+          |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+          |  FROM base GROUP BY 1),
+          |fr AS (SELECT grp, v,
+          |  row_number() OVER (PARTITION BY grp ORDER BY v) AS vr
+          |  FROM base),
+          |ex AS (SELECT f.grp, n.n,
+          |  max(CASE WHEN f.vr = CAST(floor(5e-1 *
+          |    CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1
+          |    THEN f.v END) AS q50_exact,
+          |  max(CASE WHEN f.vr = CAST(floor(9.5e-1 *
+          |    CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1
+          |    THEN f.v END) AS q95_exact,
+          |  max(CASE WHEN f.vr = CAST(floor(9.9e-1 *
+          |    CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1
+          |    THEN f.v END) AS q99_exact
+          |  FROM fr f JOIN n USING (grp) GROUP BY 1, 2)
+          |SELECT e.grp AS event_type, x.n, e.k_used,
+          |  e.q50_est, x.q50_exact, e.q95_est, x.q95_exact,
+          |  e.q99_est, x.q99_exact
+          |FROM est e JOIN ex x USING (grp)""".stripMargin,
 
       // full-file BMP rebuild: header pieces concatenated (size 246,
       // pixOff 54, 8×8, 24bpp) + 64 pixels in FILE order; output file

@@ -242,6 +242,103 @@ object Sketches {
         col("k_used"))
   }
 
+  val QuantK = 1024    // quantile sketch size: bottom-K rows by id-hash
+
+  /** Mergeable ORDER-STATISTIC sketch: per-group quantile estimates
+    * from the bottom-[[QuantK]] rows by a 48-bit md5 uniform of the
+    * row id — a uniform random row sample whose sorted values answer
+    * any quantile by nearest rank (Bar-Yossef et al. 2002's bottom-k
+    * machinery pointed at ranks instead of cardinality; the graded
+    * twin of [[graft.SparkEntry]]'s engine-native `sketch_stats`,
+    * whose percentile_approx is a private KLL no oracle can replay).
+    *
+    * Why this matters at 100 TB: the EXACT per-group quantile sorts
+    * each group's full value set in one window task — the thing that
+    * cannot scale past one executor per group. The sketch path keeps
+    * only K rows per group, chosen by a hash order that is (a)
+    * data-independent, (b) MERGEABLE — the bottom-K of a union is the
+    * bottom-K of the per-partition bottom-Ks, so per-shard sketches
+    * combine without re-scanning (the KMV/HLL merge property, here
+    * for ranks) — and (c) engine-reproducible: u = conv(first 12 md5
+    * hex)/2^48 is the [[kmvSetOps]] dyadic uniform, so a DuckDB
+    * oracle rebuilds the identical sample row-for-row.
+    *
+    * Estimator is FLOAT-SAFE end to end: the only non-integer step is
+    * rank r(q,k) = 1 + floor(q·(k−1)) — one IEEE multiply + floor,
+    * pinned identically in the oracle — and the estimate is a raw
+    * data value (no interpolation), so the graded compare is
+    * bit-exact. The exact quantiles ride along as the audit twin
+    * (the hllDistinct n_exact discipline), NOT the production path.
+    *
+    * Scale shape: the bottom-K is TWO-PHASE SALTED like [[kmvSetOps]]
+    * — phase 1 ranks within (grp, salt = u mod 64), 64-way parallel;
+    * phase 2 re-ranks the ≤ 64·K survivors per group (bounded). The
+    * sample sort for ranks is a ≤ K-row window per group. Only the
+    * audit twin touches the full data with a per-group window.
+    *
+    * @param qs quantiles in (0,1); output columns `q<pct>_est` /
+    *           `q<pct>_exact` per entry, plus (grp, n, k_used)
+    */
+  /** The bottom-[[QuantK]] row sample behind [[kmvQuantiles]]:
+    * (grp, id, v), the K rows with the smallest 48-bit md5(id) uniform
+    * per group. Exposed because the MERGE property lives here —
+    * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) (the hash
+    * order is a property of the row, not the partition), spec-proved,
+    * so per-shard samples combine without rescanning. Two-phase
+    * salted rank as in [[kmvSetOps]]. */
+  def kmvSample(df: DataFrame, groupCol: String, idCol: String,
+                valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(valCol).as("v"), h48.as("u"), pmod(h48, lit(64L)).as("salt"))
+    val wLocal = Window.partitionBy("grp", "salt").orderBy("u", "v")
+    val survivors = base.withColumn("rn", row_number().over(wLocal))
+      .filter(col("rn") <= QuantK).drop("rn", "salt")
+    // (u, v) tie-break keeps the boundary row deterministic even under
+    // a 48-bit hash collision; the oracle mirrors ORDER BY u, v
+    val wGrp = Window.partitionBy("grp").orderBy("u", "v")
+    survivors.withColumn("rn", row_number().over(wGrp))
+      .filter(col("rn") <= QuantK).drop("rn", "u")
+  }
+
+  def kmvQuantiles(df: DataFrame, groupCol: String, idCol: String,
+                   valCol: String, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0))
+    def pct(q: Double): String = s"q${math.round(q * 100)}"
+    // nearest-rank-lower: 1 + floor(q·(count−1)), count a LONG column
+    def rank(q: Double, n: Column): Column =
+      floor(lit(q) * (n - 1).cast("double")).cast("long") + 1L
+    val sample = kmvSample(df, groupCol, idCol, valCol).drop("id")
+    val kUsed = sample.groupBy("grp").agg(count(lit(1)).as("k_used"))
+    val sampleRanked = sample
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("grp").orderBy("v")))
+      .join(kUsed, "grp")
+    val estCols = qs.map(q => max(when(col("vr") === rank(q, col("k_used")),
+      col("v"))).as(s"${pct(q)}_est"))
+    val est = sampleRanked.groupBy("grp", "k_used")
+      .agg(estCols.head, estCols.tail: _*)
+    // audit twin: exact nearest-rank quantiles over the FULL data —
+    // the one full-group window in the operator, present to grade the
+    // sketch, never the 100 TB path
+    val full = df.select(col(groupCol).as("grp"), col(valCol).as("v"))
+    val fullRanked = full
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("grp").orderBy("v")))
+      .join(full.groupBy("grp").agg(count(lit(1)).as("n")), "grp")
+    val exactCols = qs.map(q => max(when(col("vr") === rank(q, col("n")),
+      col("v"))).as(s"${pct(q)}_exact"))
+    val exact = fullRanked.groupBy("grp", "n")
+      .agg(exactCols.head, exactCols.tail: _*)
+    est.join(exact, "grp")
+      .select(col("grp").as(groupCol) +: col("n") +: col("k_used") +:
+        qs.flatMap(q => Seq(col(s"${pct(q)}_est"),
+          col(s"${pct(q)}_exact"))): _*)
+  }
+
   /** Top-k keys by CMS-estimated frequency, audited against the exact
     * count: (rank, <keyCol>, est, cnt, overcount). `overcount =
     * est − cnt ≥ 0` always (CMS never under-counts; `over` itself is a

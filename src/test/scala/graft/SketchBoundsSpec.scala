@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Sketches
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -56,5 +57,62 @@ class SketchBoundsSpec extends AnyFunSuite {
       assert(approx >= lo - 1e-4 && approx <= hi + 1e-4,
         s"$et p$p: approx $approx outside exact rank window [$lo, $hi] (n=$n)")
     }
+  }
+
+  // sf0.01: ~2000 events per type, so the 1024-row sample genuinely
+  // subsamples (sf0.001 groups fit inside K and the sketch degenerates
+  // to exact — no bound would be exercised)
+  private val dir01 = "/root/testdata/sf0.01"
+
+  test("kmvQuantiles: estimates inside the bottom-k sampling rank window") {
+    assume(new java.io.File(dir01).isDirectory, "testdata unavailable here")
+    val out = SparkEntry.queries("sketch_quantiles")(spark, dir01).collect()
+    val byType = Tables.events(spark, dir01)
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(out.map(_.getString(0)).toSet == byType.keySet)
+    for (r <- out) {
+      val sorted = byType(r.getString(0))
+      val n = sorted.length
+      val k = r.getLong(2).toDouble
+      for ((q, i) <- Seq(0.5 -> 3, 0.95 -> 5, 0.99 -> 7)) {
+        // a uniform k-sample's q-quantile has rank sd n·sqrt(q(1−q)/k);
+        // 4 sd + one order statistic of slack — generous but still
+        // tight enough to catch a broken rank pick or biased sample
+        val eps = 4.0 * math.sqrt(q * (1 - q) / k) + 2.0 / n
+        val lo = sorted(math.max(0, math.floor((q - eps) * (n - 1)).toInt))
+        val hi = sorted(math.min(n - 1, math.ceil((q + eps) * (n - 1)).toInt))
+        val est = r.getDouble(i)
+        assert(est >= lo && est <= hi,
+          s"${r.getString(0)} q$q: est $est outside [$lo, $hi] (n=$n, k=$k)")
+      }
+    }
+  }
+
+  test("kmvSample merges: bottom-k of shard bottom-ks = bottom-k of union") {
+    // the property that makes the quantile sketch a sketch: per-shard
+    // samples combine WITHOUT rescanning, because the hash order is a
+    // property of the row. 3000 rows in one group forces real
+    // truncation at K=1024 in every shard and in the merge.
+    val rows = (1L to 3000L).map(i => ("g", i, (i * 37 % 1000).toDouble))
+    val df = rows.toDF("grp", "id", "v")
+    val whole = Sketches.kmvSample(df, "grp", "id", "v")
+      .as[(String, Long, Double)].collect().toSet
+    val shards = Seq(df.filter($"id" % 2 === 0), df.filter($"id" % 2 === 1))
+      .map(Sketches.kmvSample(_, "grp", "id", "v"))
+    val merged = Sketches.kmvSample(shards.reduce(_ union _), "grp", "id", "v")
+      .as[(String, Long, Double)].collect().toSet
+    assert(merged == whole && whole.size == Sketches.QuantK)
+    // and the two-phase salted rank is exactly the naive bottom-K: the
+    // K smallest md5 uniforms, independently re-derived
+    val naive = rows.map { case (g, i, v) =>
+      val u = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString)
+          .substring(0, 12), 16)
+      (g, i, v, u)
+    }.sortBy(t => (t._4, t._3)).take(Sketches.QuantK)
+      .map(t => (t._1, t._2, t._3)).toSet
+    assert(whole == naive)
   }
 }
