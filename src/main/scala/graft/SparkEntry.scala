@@ -271,6 +271,44 @@ object SparkEntry {
        |FROM g JOIN b USING (gram) WHERE doc_id % 20 <> 0 GROUP BY 1""".stripMargin
   }
 
+  /** Chained-CTE replay of [[graft.operators.TextAnalysis.bpeTrain]]'s
+    * rounds: per round r, pair counts from the round r−1 states (`c`),
+    * the argmax with the (cnt desc, a, b) tie-break (`m`), and the
+    * one-string-replace merge application (`s`). String replace is
+    * left-to-right non-overlapping in both engines and the doubled
+    * `|` delimiter makes consecutive matches disjoint, so round states
+    * are character-identical to the Spark frame's. */
+  private def bpeTrainCtes(numMerges: Int): String = {
+    // every CTE here is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // s_r references s_{r-1} through both c_r and three m_r scalar
+    // subqueries — un-materialized, the inlined tree grows ~4^rounds
+    // and re-opens documents.parquet at every leaf ("Too many open
+    // files" at 10 rounds)
+    val head =
+      s"""wd AS MATERIALIZED (SELECT uw.w AS w
+         |  FROM (SELECT string_split($normTextSql, ' ') AS ps FROM documents),
+         |  LATERAL unnest(ps) uw(w)
+         |  WHERE length(uw.w) > 1 AND NOT contains(uw.w, '|')),
+         |s0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '|\\1|', 'g')
+         |  AS state, count(*) AS freq FROM wd GROUP BY 1)""".stripMargin
+    val rounds = (1 to numMerges).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT t[CAST(u.i AS INT)] AS a,
+         |  t[CAST(u.i AS INT) + 1] AS b,
+         |  CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(state, '|'), '||') AS t, freq
+         |    FROM s${r - 1}),
+         |  LATERAL unnest(generate_series(1, len(t) - 1)) u(i)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT a, b, cnt FROM c$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT replace(state,
+         |    '|' || (SELECT a FROM m$r) || '||' || (SELECT b FROM m$r) || '|',
+         |    '|' || (SELECT a FROM m$r) || (SELECT b FROM m$r) || '|') AS state,
+         |  freq FROM s${r - 1})""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   /** Deterministic DNA string from a document's md5. */
   private def docDna: Column =
     translate(md5(col("text")), "0123456789abcdef", "ACGTACGTACGTACGT")
@@ -1811,15 +1849,32 @@ object SparkEntry {
         expr("ts DIV 1000"), alpha = 0.3)
     }),
 
+    "bpe_train" -> ((s, dir) => {
+      // full BPE training (Sennrich learn_bpe): 10 rounds of
+      // distributed pair counts over the vocabulary-sized state frame,
+      // ONE argmax row to the driver per round — the kmeansTrainFull
+      // discipline. GRADED: the oracle replays every round as a
+      // chained CTE (count → argmax → replace), so selection order,
+      // tie-breaks and counts are all checked.
+      val merges = TextAnalysis.bpeTrain(Tables.documents(s, dir),
+        "text", numMerges = 10)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+        .toDF("rank", "a", "b", "cnt")
+    }),
+
     "bpe_encode_tokens" -> ((s, dir) => {
-      // the tokenizer APPLY half (train half = bpe_merge_step): greedy
-      // ranked-merge encoding as a constant-model codegen kernel — no
-      // join, no shuffle in the encode itself. Rows-only by design:
-      // the iterative merge loop has no SQL twin (the spec proves the
-      // kernel against an independent reference implementation).
-      val model = graft.functions.BpeOps.BpeModel(Seq(
-        ("t", "a"), ("ta", "b"), ("s", "c"), ("a", "n"), ("sc", "an"),
-        ("r", "o"), ("ro", "w"), ("k", "e"), ("ke", "y"), ("a", "g")))
+      // the tokenizer APPLY half, CHAINED to the training half: the
+      // merge list is bpe_train's output (VERDICT r10 item 4), fed
+      // into the constant-model codegen kernel — no join, no shuffle
+      // in the encode itself. Graded since r11: the oracle re-trains
+      // the same 10 merges in chained CTEs, then replays the greedy
+      // lowest-rank-first merge loop as a recursive CTE over the
+      // word vocabulary.
+      val model = graft.functions.BpeOps.BpeModel(
+        TextAnalysis.bpeTrain(Tables.documents(s, dir), "text",
+          numMerges = 10).map(m => (m._1, m._2)))
       TopK.ranked(Tables.documents(s, dir)
           .select(explode(graft.functions.Bpe.encode(col("text"), model))
             .as("token"))
@@ -4059,6 +4114,61 @@ object SparkEntry {
            |SELECT rank, pair, cnt FROM (
            |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
            |    AS BIGINT) AS rank, pair, cnt FROM c)
+           |WHERE rank <= 20""".stripMargin,
+
+      // full training replay: 10 chained (count → argmax → replace)
+      // rounds — selection order, tie-breaks AND counts all graded
+      "bpe_train" ->
+        s"""WITH ${bpeTrainCtes(10)}
+           |SELECT rank, a, b, cnt FROM (${(1 to 10)
+          .map(r => s"SELECT CAST($r AS BIGINT) AS rank, a, b, cnt FROM m$r")
+          .mkString("\n  UNION ALL ")})""".stripMargin,
+
+      // train (chained CTEs) + APPLY: the greedy lowest-rank-first
+      // merge loop as a recursive CTE — each step finds the best
+      //-ranked pair present in the word (contains-join against mg,
+      // min_by rank; no join match → word stops recursing) and merges
+      // ALL its non-overlapping occurrences via one replace, exactly
+      // the BpeOps.encodeWord loop; final state = last iteration per
+      // word. Two DuckDB-1.0 landmines shaped this SQL: the training
+      // CTEs NEST inside mg's own WITH (a recursive WITH carrying the
+      // long materialized chain silently never iterates — max_it
+      // stays 0), and the recursive term uses join+min_by instead of
+      // a LATERAL ORDER BY rank LIMIT 1 (the correlated form sees mg
+      // empty when mg is computed, same silent non-iteration)
+      "bpe_encode_tokens" ->
+        s"""WITH RECURSIVE mg AS MATERIALIZED (
+           |  WITH ${bpeTrainCtes(10)}
+           |  SELECT * FROM (${(1 to 10)
+          .map(r => s"SELECT CAST($r AS BIGINT) AS rank, a, b FROM m$r")
+          .mkString("\n    UNION ALL ")})),
+           |af AS MATERIALIZED (SELECT uw.w AS w, count(*) AS freq
+           |  FROM (SELECT string_split($normTextSql, ' ') AS ps FROM documents),
+           |  LATERAL unnest(ps) uw(w) WHERE length(uw.w) > 0
+           |  GROUP BY 1),
+           |app AS (
+           |  SELECT w, freq, regexp_replace(w, '(.)', '|\\1|', 'g') AS state,
+           |    0 AS it FROM af
+           |  UNION ALL
+           |  SELECT w, freq,
+           |    replace(state, '|' || a || '||' || b || '|',
+           |      '|' || a || b || '|') AS state, it + 1
+           |  FROM (
+           |    SELECT app.w, app.freq, app.state, app.it,
+           |      min_by(mg.a, mg.rank) AS a, min_by(mg.b, mg.rank) AS b
+           |    FROM app JOIN mg
+           |      ON contains(app.state, '|' || mg.a || '||' || mg.b || '|')
+           |    GROUP BY 1, 2, 3, 4)),
+           |fin AS (SELECT w, freq, state FROM (SELECT w, freq, state,
+           |  row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+           |  FROM app) WHERE rn = 1),
+           |tok AS (SELECT u.t AS token, freq FROM fin,
+           |  LATERAL unnest(string_split(trim(state, '|'), '||')) u(t)),
+           |cnt AS (SELECT token, CAST(sum(freq) AS BIGINT) AS n_occ
+           |  FROM tok GROUP BY 1)
+           |SELECT rank, token, n_occ FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, token)
+           |    AS BIGINT) AS rank, token, n_occ FROM cnt)
            |WHERE rank <= 20""".stripMargin,
 
       "quantile_stats" ->

@@ -404,6 +404,83 @@ object TextAnalysis {
       .select("rank", "pair", "cnt")
   }
 
+  /** BPE TRAINING (Sennrich et al. 2016 §3.2 `learn_bpe`) — the loop
+    * that [[bpePairCounts]] is one selection step of, chained to a full
+    * ranked merge list that [[graft.functions.BpeOps.BpeModel]] (the
+    * apply kernel) consumes directly.
+    *
+    * Distributed with the kmeansTrainFull discipline: the corpus-sized
+    * work happens ONCE (the word-frequency agg — the only corpus-wide
+    * shuffle); training then iterates on the VOCABULARY-sized
+    * (state, freq) frame, and per round exactly ONE row (the argmax
+    * pair) returns to the driver to become the next round's literals.
+    * Word states are `|`-delimited token strings (`|t||h||e|`), so
+    * applying the chosen merge is ONE narrow `replace` of
+    * `|a||b|` → `|ab|` — string replace is left-to-right
+    * non-overlapping in both engines, exactly Sennrich's merge pass,
+    * and the doubled delimiter makes consecutive matches share no
+    * characters (`|a||b||a||b|` → `|ab||ab|`). Incremental states ARE
+    * the training semantics (Sennrich mutates the vocab per round) —
+    * no re-encode, no train-vs-apply equivalence assumption.
+    *
+    * Determinism: pair counts are exact longs; the argmax tie-breaks
+    * (cnt desc, a asc, b asc) — binary string order, identical in
+    * DuckDB on this corpus — so the whole merge list is reproducible
+    * and the oracle replays each round as a chained CTE. Words
+    * containing the delimiter are excluded up front (none exist in the
+    * a-z corpus; the filter keeps the operator total), as are 1-char
+    * words (no pairs, states never change — dropping them is exact).
+    *
+    * A selected pair can never recur: a merge only concatenates
+    * adjacent tokens, so two tokens can become adjacent only by the
+    * span between them collapsing to a single token — never to zero —
+    * and round r removed every (a,b) adjacency; the merge list is
+    * duplicate-free by construction.
+    *
+    * @return ranked merges (a, b, cnt) — cnt the pair's corpus count
+    *         at selection time; fewer than numMerges entries only if
+    *         the corpus runs out of pairs
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               numMerges: Int): Seq[(String, String, Long)] = {
+    require(numMerges > 0, "numMerges must be positive")
+    val init = docs
+      .select(explode(split(normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 1 && !col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("state"),
+        col("freq"))
+      .persist() // re-read every round; ≤ vocab rows
+    try {
+      var cur: org.apache.spark.sql.DataFrame = init
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var done = false
+      for (_ <- 0 until numMerges if !done) {
+        val t = split(col("state").substr(lit(2), length(col("state")) - 2),
+          "\\|\\|")
+        val best = cur.select(col("freq"), t.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), size(col("t")) - 1),
+              i => struct(element_at(col("t"), i).as("a"),
+                element_at(col("t"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1).collect() // ONE bounded row per round
+        if (best.isEmpty) done = true
+        else {
+          val (a, b) = (best(0).getString(0), best(0).getString(1))
+          merges += ((a, b, best(0).getLong(2)))
+          cur = cur.withColumn("state",
+            call_function("replace", col("state"),
+              lit("|" + a + "||" + b + "|"), lit("|" + a + b + "|")))
+        }
+      }
+      merges.toSeq
+    } finally init.unpersist()
+  }
+
   /** Word-bigram token arrays of the normalized text — the composite
     * vocabulary unit [[vocabGrowth]] grades on. Codegen-only built-ins;
     * single-word docs yield an empty array (guarded — `sequence` steps

@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.BpeOps
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 operators: BPE training proved against an independent
+  * reference implementation (Sennrich et al. 2016 §3.2 `learn_bpe`,
+  * re-implemented here driver-side with plain collections — no shared
+  * code with the distributed path), and the train→apply chain: the
+  * merges bpeTrain learns drive the BpeEncode kernel to exactly the
+  * token states training itself ended in.
+  */
+class RoundElevenOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Sennrich merge pass: ALL non-overlapping occurrences, left to
+    * right. */
+  private def mergePass(toks: Vector[String],
+                        a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Independent learn_bpe: word-freq table, n rounds of (count pairs,
+    * argmax with (cnt desc, a asc, b asc) tie-break, merge pass).
+    * Returns the merge list and the final per-word token states. */
+  private def refLearn(corpus: Seq[String], n: Int)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    val wordFreq = corpus.flatMap(_.split(" ")).filter(_.length > 1)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var states = wordFreq.map { case (w, f) =>
+      w -> ((w.map(_.toString).toVector, f))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    for (_ <- 0 until n if !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      states.values.foreach { case (toks, f) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          counts((toks(i), toks(i + 1))) += f; i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b, c))
+        states = states.map { case (w, (toks, f)) =>
+          w -> ((mergePass(toks, a, b), f))
+        }
+      }
+    }
+    (merges.toSeq, states.map { case (w, (t, _)) => w -> t })
+  }
+
+  // lowercase single-space corpus: normalization is the identity, so
+  // the reference needs no normText mirror. Engineered so that (a)
+  // multi-char merges chain off earlier ones, (b) at least one round
+  // has a count TIE that only the (a, b) lexicographic tie-break
+  // resolves, (c) words repeat with different frequencies.
+  private val corpus = Seq(
+    "the cat sat on the mat the cat sat",
+    "that rat ate the cake that rat made",
+    "banana bandana cabana the banana stand",
+    "low lower lowest low low slow slower",
+    "newer newest new news the newt knew")
+
+  test("bpeTrain matches the independent learn_bpe merge for merge") {
+    val got = TextAnalysis.bpeTrain(corpus.toDF("text"), "text", 12)
+    val (want, _) = refLearn(corpus, 12)
+    assert(got == want,
+      s"merge lists diverge:\n got=$got\nwant=$want")
+  }
+
+  test("trained merges drive the kernel to the training's own states") {
+    val merges = TextAnalysis.bpeTrain(corpus.toDF("text"), "text", 12)
+    val (_, refStates) = refLearn(corpus, 12)
+    val model = BpeOps.BpeModel(merges.map(m => (m._1, m._2)))
+    val words = refStates.keys.toSeq.sorted
+    val encoded = words.toDF("w")
+      .select(col("w"), graft.functions.Bpe.encode(col("w"), model).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- words)
+      assert(encoded(w).toVector == refStates(w),
+        s"'$w': kernel ${encoded(w)} vs training state ${refStates(w)}")
+  }
+
+  test("bpeTrain stops early when the corpus runs out of pairs") {
+    // two 2-char words: round 1 merges (a,b) [tie with (c,d) broken
+    // lexicographically... no — distinct pairs, both count 1, (a,b)
+    // wins the tie]; round 2 merges (c,d); round 3 has no pairs left
+    val tiny = Seq("ab cd").toDF("text")
+    val merges = TextAnalysis.bpeTrain(tiny, "text", 10)
+    assert(merges == Seq(("a", "b", 1L), ("c", "d", 1L)))
+  }
+}
