@@ -96,6 +96,76 @@ class RoundElevenOpsSpec extends AnyFunSuite {
         s"'$w': kernel ${encoded(w)} vs training state ${refStates(w)}")
   }
 
+  test("StreamKmv: state across any trigger chop equals the batch bottom-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamKmv
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val K = 16
+    // 40 distinct keys per group (> K forces real truncation), with
+    // duplicates WITHIN and ACROSS triggers so the set-union semantics
+    // are exercised both ways; group g2 stays under K to exercise the
+    // exact fallback
+    val keys = (1 to 40).map(i => s"user$i")
+    val t1 = keys.take(20).map(k => StreamKmv.Rec("g1", k)) ++
+      Seq("a", "b", "a").map(k => StreamKmv.Rec("g2", k))
+    val t2 = keys.slice(10, 30).map(k => StreamKmv.Rec("g1", k)) ++
+      Seq("b", "c").map(k => StreamKmv.Rec("g2", k))
+    val t3 = keys.slice(25, 40).map(k => StreamKmv.Rec("g1", k))
+
+    val mem = MemoryStream[StreamKmv.Rec]
+    val q = StreamKmv.sketch(mem.toDS(), K)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("append").start()
+    try {
+      Seq(t1, t2, t3).foreach { t =>
+        mem.addData(t); q.processAllAvailable()
+      }
+      // latest row per group (kUsed grows monotonically; the last
+      // trigger's row is the one with the largest us-set... not
+      // necessarily — take the row from the final trigger by batch id
+      // proxy: rows arrive in trigger order, so the LAST row per group
+      // in arrival order is the final state)
+      val rows = spark.table("kmv_out")
+        .as[(String, Int, Vector[Long], Double)].collect()
+      val finalByGrp = rows.zipWithIndex
+        .groupBy(_._1._1).map { case (g, rs) => g -> rs.maxBy(_._2)._1 }
+      // batch twin DERIVED THROUGH SPARK SQL functions — this also
+      // proves the JVM digest in h48 is bit-identical to
+      // conv(substring(md5(..), 1, 12), 16, 10)
+      val all = (t1 ++ t2 ++ t3).map(r => (r.grp, r.key))
+      val batch = all.toDF("grp", "key")
+        .select(col("grp"),
+          conv(substring(md5(col("key")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .distinct().as[(String, Long)].collect()
+        .groupBy(_._1).map { case (g, hs) =>
+          g -> hs.map(_._2).toVector.sorted.take(K)
+        }
+      assert(finalByGrp.keySet == Set("g1", "g2"))
+      for (g <- finalByGrp.keySet) {
+        val (_, kUsed, us, est4) = finalByGrp(g)
+        assert(us == batch(g), s"$g: streamed state != batch bottom-k")
+        assert(kUsed == batch(g).size)
+        // bounded-state contract: never more than K uniforms
+        assert(us.size <= K)
+        // estimator: exact fallback under K, (K-1)/u_k at saturation,
+        // 4 dp HALF_UP — the kmvSetOps chain
+        val want =
+          if (us.size < K) us.size.toDouble
+          else BigDecimal((K - 1).toDouble /
+            (us.last.toDouble / 281474976710656.0))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(est4 == want, s"$g: est4 $est4 != $want")
+      }
+      // g1 truncated for real; g2 on the exact branch
+      assert(finalByGrp("g1")._3.size == K)
+      assert(finalByGrp("g2")._3.size == 3 &&
+        finalByGrp("g2")._4 == 3.0)
+    } finally q.stop()
+  }
+
   test("bpeTrain stops early when the corpus runs out of pairs") {
     // two 2-char words: round 1 merges (a,b) [tie with (c,d) broken
     // lexicographically... no — distinct pairs, both count 1, (a,b)
