@@ -166,6 +166,56 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("connectedComponents: mega-component labels exact; jump is salted") {
+    import graft.operators.Dedup
+    // one 3000-node mega-component with both a long chain (forces
+    // pointer-jumping rounds) and a hot star hub (forces label fan-in:
+    // after round 1 thousands of nodes carry the SAME label — the
+    // exact shape whose jump join single-tasks unsalted), plus a
+    // second small component and singletons
+    val chain = (0L until 1500L).map(i => (i, i + 1))
+    val star = (1502L until 3000L).map(i => (1500L, i))
+    val bridge = Seq((1500L, 1501L), (1501L, 1502L))
+    val second = Seq((5000L, 5001L), (5001L, 5002L))
+    val edges = (chain ++ star ++ bridge ++ second).toDF("id_a", "id_b")
+    val nodes = ((0L until 3000L) ++ Seq(5000L, 5001L, 5002L, 7777L))
+      .toDF("id")
+    // saltThreshold 100 << the 3000-node component: the loop's own
+    // fan-in statistic must engage the salted jump from round 2 on
+    val labels = Dedup.connectedComponents(edges, nodes, "id",
+        saltThreshold = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 3004)
+    assert((0L until 3000L).forall(labels(_) == 0L),
+      "mega-component must collapse to min id 0")
+    assert(Seq(5000L, 5001L, 5002L).forall(labels(_) == 5000L))
+    assert(labels(7777L) == 7777L, "singleton keeps its own id")
+
+    // the salted-shape claim, asserted on the plan: labelJump's lookup
+    // join must key on (group_id, __salt) with the bucketed replicate
+    // on the other side — not a plain group_id self-join
+    val df = nodes.select(col("id"), col("id").as("old_gid"),
+      (col("id") % 10).as("group_id"))
+    val plan = Dedup.labelJump(df, salted = true)
+      .queryExecution.optimizedPlan.toString
+    // the join condition must carry BOTH the label key and the salt
+    // (pmod itself constant-folds away over a LocalRelation, so the
+    // condition line is the stable signature)
+    val saltedJoinLine = plan.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("group_id") && l.contains("__salt"))
+    assert(saltedJoinLine, s"jump join not salted:\n$plan")
+    // and BOTH jump paths resolve labels identically through the salt
+    val tiny = Seq((1L, 1L, 2L), (2L, 2L, 3L), (3L, 3L, 3L))
+      .toDF("id", "old_gid", "group_id")
+    for (salted <- Seq(true, false)) {
+      val jumped = Dedup.labelJump(tiny, salted)
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, _, g) => (i, g) }.toMap
+      assert(jumped == Map(1L -> 3L, 2L -> 3L, 3L -> 3L),
+        s"salted=$salted diverged")
+    }
+  }
+
   test("bpeTrain stops early when the corpus runs out of pairs") {
     // two 2-char words: round 1 merges (a,b) [tie with (c,d) broken
     // lexicographically... no — distinct pairs, both count 1, (a,b)
