@@ -45,9 +45,18 @@ object Fixups {
                       binWidth: Long = 1 << 20): DataFrame = {
     // probe with DISTINCT positions: variants repeat positions and genes
     // overlap heavily, so deduping before the interval join divides its
-    // fan-out by the position multiplicity (measured 6x at sf0.1)
+    // fan-out by the position multiplicity (measured 6x at sf0.1).
+    // Genic status is an EXISTENCE test, so the gene set is first
+    // collapsed to its disjoint union spans (Intervals.mergeIntervals):
+    // at ~42x interval overlap density (sf0.1 partGenes) the raw join
+    // emits ~42 gene rows per covered point just to distinct them away —
+    // merged spans are disjoint, so each point matches at most one and
+    // the intermediate shrinks by the full overlap factor (3.6 s -> see
+    // BASELINE.md r11 re-floor).
     val points = variants.select((keys :+ posCol).map(col): _*).distinct()
-    val hits = RangeJoin.joined(points, genes, posCol, startCol, stopCol,
+    val spans = Intervals.mergeIntervals(genes, keys, col(startCol),
+      col(stopCol))
+    val hits = RangeJoin.joined(points, spans, posCol, "mstart", "mstop",
         keys, binWidth)
       .select((keys :+ posCol).map(col): _*).distinct()
       .withColumn("__genic", lit(true))

@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator: replicates an existing testdata sf
+  * directory `factor`x with key-consistent offsets, so the same bench
+  * queries run unmodified at 10x the volume (VERDICT r10 next-round #3:
+  * "every 100 TB claim is a plan argument proved at sf0.1 — turn it
+  * into a curve").
+  *
+  * Replication is NOT naive row duplication — that would change
+  * operator semantics, not just volume:
+  *  - every foreign key gets the SAME per-copy offset on both sides
+  *    (orders.o_custkey and customer.c_custkey shift together), so join
+  *    selectivities are preserved;
+  *  - document text gets a per-copy word-suffix rewrite (`w` -> `w~i`),
+  *    so copies share NO shingles/grams — otherwise every doc would
+  *    acquire factor-1 exact near-dups and the dedup family's candidate
+  *    volume would grow quadratically instead of linearly;
+  *  - embeddings get a per-copy cyclic rotation (norm-preserving), so
+  *    ANN clusters scale in count, not density;
+  *  - event user_ids shift per copy but timestamps stay in the same
+  *    window: the stream gets denser in users, matching how a bigger
+  *    corpus actually looks (more users, same wall-clock span).
+  *
+  * Dim tables region/nation stay fixed (they are bounded vocabularies,
+  * like chromosome lists — scale does not grow them).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <factor>
+  */
+object ScaleUp {
+  /** Key offset between copies: far above any real key, divisible by
+    * most small moduli the queries use for synthetic column derivation
+    * (2..13 all divide 720720 = lcm(1..13)*?; actually 720720 =
+    * 2^4*3^2*5*7*11*13) so `key % m` distributions are IDENTICAL per
+    * copy for every modulus m <= 13 and 16 used in the query bodies. */
+  val Offset = 720720L * 100L // 72,072,000
+
+  private def copies(spark: SparkSession, factor: Int): DataFrame =
+    spark.range(factor).select(col("id").cast("int").as("__copy"))
+
+  /** Cross-join the frame with copy ids 0..factor-1; caller then maps
+    * per-copy columns. The copy frame is 1-row-per-copy and broadcast,
+    * so the replication is a narrow map over the source scan. */
+  private def replicate(df: DataFrame, factor: Int): DataFrame =
+    df.crossJoin(broadcast(copies(df.sparkSession, factor)))
+
+  private def off(c: String) = col(c) + col("__copy") * Offset
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val cpus = Runtime.getRuntime.availableProcessors
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$dst/$name.parquet")
+
+    // fixed dims: copy through unchanged
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    write(replicate(read("customer"), factor)
+      .select(off("c_custkey").as("c_custkey"),
+        concat(col("c_name"), lit("_"), col("__copy")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      "customer", 4)
+
+    write(replicate(read("supplier"), factor)
+      .select(off("s_suppkey").as("s_suppkey"),
+        concat(col("s_name"), lit("_"), col("__copy")).as("s_name"),
+        col("s_nationkey"), col("s_acctbal")),
+      "supplier", 2)
+
+    write(replicate(read("part"), factor)
+      .select(off("p_partkey").as("p_partkey"),
+        concat(col("p_name"), lit("_"), col("__copy")).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
+      "part", 4)
+
+    write(replicate(read("orders"), factor)
+      .select(off("o_orderkey").as("o_orderkey"),
+        off("o_custkey").as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")),
+      "orders", 8)
+
+    write(replicate(read("lineitem"), factor)
+      .select(off("l_orderkey").as("l_orderkey"),
+        off("l_partkey").as("l_partkey"),
+        off("l_suppkey").as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate")),
+      "lineitem", 32)
+
+    write(replicate(read("events"), factor)
+      .select(off("event_id").as("event_id"), col("ts"),
+        off("user_id").as("user_id"),
+        col("event_type"), col("value"), col("props")),
+      "events", 16)
+
+    // word-suffix rewrite: copy 0 is the original corpus verbatim; copy
+    // i>0 remaps every word so no shingle/gram collides across copies
+    val sufTxt = when(col("__copy") === 0, col("text")).otherwise(
+      array_join(transform(split(col("text"), " "),
+        w => concat(w, lit("~"), col("__copy"))), " "))
+    write(replicate(read("documents"), factor)
+      .select(off("doc_id").as("doc_id"), sufTxt.as("text"), col("lang"),
+        col("source"), length(sufTxt).cast("long").as("n_chars")),
+      "documents", 16)
+
+    // cyclic rotation by copy index: norm-preserving, cluster-remapping
+    val dim = size(col("embedding"))
+    val rot = transform(sequence(lit(0), dim - 1), i =>
+      element_at(col("embedding"),
+        (pmod(i + col("__copy"), dim) + 1).cast("int")))
+    write(replicate(read("embeddings"), factor)
+      .select(off("vec_id").as("vec_id"),
+        rot.cast("array<float>").as("embedding"), col("label")),
+      "embeddings", 8)
+
+    spark.stop()
+  }
+}
