@@ -1944,6 +1944,86 @@ object SparkEntry {
           sum("chi4").as("sum_chi4"))
     }),
 
+    "popgen_fst" -> ((s, dir) => {
+      // Hudson Fst between two populations (Bhatia 2013 ratio-of-sums),
+      // per chr: ONE partial-agg shuffle pivots both pops' genotype
+      // counts into a single site row (conditional sums — no
+      // site-vs-site join), per-site num/den ×10⁸-rounded to exact
+      // longs, summed per chr, ONE final division
+      val g = (col("l_orderkey") * 13 + col("l_linenumber") * 17) % 10
+      val d = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") % 5).cast("long").as("chr"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000)
+          .cast("long").as("pos"),
+        (col("l_suppkey") % 2).cast("int").as("pop"),
+        when(g <= 4, 0).when(g <= 8, 1).otherwise(2).as("gt"))
+      def cnt(pop: Int, gts: Int*) = sum(when(col("pop") === pop &&
+        (if (gts.isEmpty) lit(true) else col("gt").isin(gts: _*)), 1L)
+        .otherwise(0L))
+      val site = d.groupBy("chr", "pos").agg(
+        cnt(0).as("na"), cnt(0, 1).as("n1a"), cnt(0, 2).as("n2a"),
+        cnt(1).as("nb"), cnt(1, 1).as("n1b"), cnt(1, 2).as("n2b"))
+      val p1 = (lit(2.0) * col("n2a") + col("n1a")) / (lit(2.0) * col("na"))
+      val p2 = (lit(2.0) * col("n2b") + col("n1b")) / (lit(2.0) * col("nb"))
+      val m1 = lit(2.0) * col("na")
+      val m2 = lit(2.0) * col("nb")
+      site.filter(col("na") > 0 && col("nb") > 0)
+        .select(col("chr"),
+          PopGen.fstNum8(p1, m1, p2, m2).as("num8"),
+          PopGen.fstDen8(p1, p2).as("den8"))
+        .filter(col("den8") =!= 0)
+        .groupBy("chr").agg(count(lit(1)).as("n_sites"),
+          sum("num8").as("sum_num8"), sum("den8").as("sum_den8"))
+        .select(col("chr"), col("n_sites"),
+          round(lit(10000.0) * col("sum_num8") / col("sum_den8"))
+            .cast("long").as("fst_e4"))
+    }),
+
+    "ld_pairwise" -> ((s, dir) => {
+      // pairwise linkage disequilibrium r² between nearby sites (≤ 10 bp,
+      // same chr), rolled up per chr: the site-pair domain is bounded by
+      // WINDOW density (each site pairs with its ≤10-bp neighbors, never
+      // sites²) via the bin-replication trick — the left cell probes its
+      // own 16-wide bin and the next, the right joins on its single home
+      // bin, so candidates = cells × 2 before the distance filter; all
+      // cross-moments are exact integer sums of {0,1,2} dosages.
+      // gt derives from (partkey, suppkey), NOT the (orderkey,
+      // linenumber) pair that derives pos: the hwe-style derivation
+      // satisfies 13o+17l ≡ pos + 2·chr (mod 10), which makes every
+      // sample at a site identical — zero variance, zero LD pairs
+      val g = (col("l_partkey") * 13 + col("l_suppkey") * 17) % 10
+      val cells = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 5).cast("long").as("chr"),
+          ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 1000)
+            .cast("long").as("pos"),
+          (col("l_suppkey") % 20).cast("long").as("sample"),
+          when(g <= 4, 0).when(g <= 8, 1).otherwise(2).as("gt"))
+        .groupBy("chr", "pos", "sample").agg(max("gt").as("gv"))
+      val left = cells.select(col("chr"), col("sample"),
+          col("pos").as("pos1"), col("gv").as("g1"),
+          explode(array(floor(col("pos") / 16).cast("long"),
+            floor(col("pos") / 16).cast("long") + 1L)).as("bin"))
+      val right = cells.select(col("chr"), col("sample"),
+        col("pos").as("pos2"), col("gv").as("g2"),
+        floor(col("pos") / 16).cast("long").as("bin"))
+      val pairs = left.join(right, Seq("chr", "sample", "bin"))
+        .filter(col("pos2") > col("pos1") &&
+          col("pos2") - col("pos1") <= 10)
+        .groupBy("chr", "pos1", "pos2").agg(
+          count(lit(1)).as("n"), sum("g1").as("s1"), sum("g2").as("s2"),
+          sum(col("g1") * col("g1")).as("s11"),
+          sum(col("g2") * col("g2")).as("s22"),
+          sum(col("g1") * col("g2")).as("s12"))
+      pairs
+        .filter(col("n") * col("s11") - col("s1") * col("s1") > 0 &&
+          col("n") * col("s22") - col("s2") * col("s2") > 0)
+        .select(col("chr"), PopGen.ldR2e4(col("n"), col("s1"), col("s2"),
+          col("s11"), col("s22"), col("s12")).as("r2e4"))
+        .groupBy("chr").agg(count(lit(1)).as("n_pairs"),
+          sum("r2e4").as("sum_r2e4"),
+          sum(when(col("r2e4") >= 8000, 1L).otherwise(0L)).as("n_high"))
+    }),
+
     "liftover_positions" -> ((s, dir) => {
       import s.implicits._
       // assembly liftover through REAL UCSC chain-format input: chain
@@ -4380,6 +4460,71 @@ object SparkEntry {
           |    AS n_reject,
           |  CAST(sum(chi4) AS BIGINT) AS sum_chi4
           |FROM c GROUP BY 1""".stripMargin,
+
+      // op order mirrors PopGen.fstNum8/fstDen8 term by term; the ×10⁸
+      // per-site rounding is what makes the per-chr sums order-free
+      "popgen_fst" ->
+        """WITH d AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
+          |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT) AS pos,
+          |  CAST(l_suppkey % 2 AS INT) AS pop,
+          |  CASE WHEN (l_orderkey*13 + l_linenumber*17) % 10 <= 4 THEN 0
+          |    WHEN (l_orderkey*13 + l_linenumber*17) % 10 <= 8 THEN 1
+          |    ELSE 2 END AS gt FROM lineitem),
+          |s AS (SELECT chr, pos,
+          |  sum(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS na,
+          |  sum(CASE WHEN pop = 0 AND gt = 1 THEN 1 ELSE 0 END) AS n1a,
+          |  sum(CASE WHEN pop = 0 AND gt = 2 THEN 1 ELSE 0 END) AS n2a,
+          |  sum(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS nb,
+          |  sum(CASE WHEN pop = 1 AND gt = 1 THEN 1 ELSE 0 END) AS n1b,
+          |  sum(CASE WHEN pop = 1 AND gt = 2 THEN 1 ELSE 0 END) AS n2b
+          |  FROM d GROUP BY 1, 2),
+          |f AS (SELECT chr,
+          |  (2.0*n2a + n1a) / (2.0*na) AS p1, 2.0*na AS m1,
+          |  (2.0*n2b + n1b) / (2.0*nb) AS p2, 2.0*nb AS m2
+          |  FROM s WHERE na > 0 AND nb > 0),
+          |e AS (SELECT chr,
+          |  CAST(round(((p1-p2)*(p1-p2)
+          |    - p1*(1.0-p1)/(m1-1.0)
+          |    - p2*(1.0-p2)/(m2-1.0)) * 100000000) AS BIGINT) AS num8,
+          |  CAST(round((p1*(1.0-p2) + p2*(1.0-p1)) * 100000000) AS BIGINT)
+          |    AS den8
+          |  FROM f),
+          |g AS (SELECT chr, count(*) AS n_sites,
+          |  sum(num8) AS sum_num8, sum(den8) AS sum_den8
+          |  FROM e WHERE den8 <> 0 GROUP BY 1)
+          |SELECT chr, CAST(n_sites AS BIGINT) AS n_sites,
+          |  CAST(round(10000.0 * sum_num8 / sum_den8) AS BIGINT) AS fst_e4
+          |FROM g""".stripMargin,
+
+      // the oracle pairs sites by a plain inequality self-join — the
+      // Spark side's bin replication is the scale strategy, not the
+      // semantics, so the twin skips it
+      "ld_pairwise" ->
+        """WITH d AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
+          |  CAST((l_orderkey*31 + l_linenumber*7) % 1000 AS BIGINT) AS pos,
+          |  CAST(l_suppkey % 20 AS BIGINT) AS sample,
+          |  CASE WHEN (l_partkey*13 + l_suppkey*17) % 10 <= 4 THEN 0
+          |    WHEN (l_partkey*13 + l_suppkey*17) % 10 <= 8 THEN 1
+          |    ELSE 2 END AS gt FROM lineitem),
+          |c AS (SELECT chr, pos, sample, max(gt) AS gv
+          |  FROM d GROUP BY 1, 2, 3),
+          |p AS (SELECT a.chr, a.pos AS pos1, b.pos AS pos2,
+          |  count(*) AS n, sum(a.gv) AS s1, sum(b.gv) AS s2,
+          |  sum(a.gv*a.gv) AS s11, sum(b.gv*b.gv) AS s22,
+          |  sum(a.gv*b.gv) AS s12
+          |  FROM c a JOIN c b ON a.chr = b.chr AND a.sample = b.sample
+          |    AND b.pos > a.pos AND b.pos - a.pos <= 10
+          |  GROUP BY 1, 2, 3),
+          |r AS (SELECT chr,
+          |  CAST(round(10000.0 * (n*s12 - s1*s2) * (n*s12 - s1*s2)
+          |    / ((n*s11 - s1*s1) * (n*s22 - s2*s2))) AS BIGINT) AS r2e4
+          |  FROM p
+          |  WHERE n*s11 - s1*s1 > 0 AND n*s22 - s2*s2 > 0)
+          |SELECT chr, count(*) AS n_pairs,
+          |  CAST(sum(r2e4) AS BIGINT) AS sum_r2e4,
+          |  CAST(sum(CASE WHEN r2e4 >= 8000 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_high
+          |FROM r GROUP BY 1""".stripMargin,
 
       // per-POSITION chain pick weighted by multiplicity: every variant
       // row lifts (the synthetic lineitem key is NOT unique — a

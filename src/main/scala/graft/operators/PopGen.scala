@@ -54,4 +54,47 @@ object PopGen {
   def isTransition(ref: Column, vr: Column): Column =
     (ref === "A" && vr === "G") || (ref === "G" && vr === "A") ||
       (ref === "C" && vr === "T") || (ref === "T" && vr === "C")
+
+  /** Hudson Fst estimator per site, numerator and denominator
+    * separately (Bhatia/Patterson/Price/Price 2013 "Estimating and
+    * interpreting FST" eq. 10 — the recommended two-population
+    * estimator: unbiased under unequal sample sizes, and its
+    * ratio-of-sums aggregation over sites is the consistent way to
+    * roll windows up, unlike averaging per-site ratios).
+    *
+    * Inputs per site per population: alt-allele frequency `p` and the
+    * HAPLOID sample count `m` (2·diploid n). num = (p1−p2)² −
+    * p1(1−p1)/(m1−1) − p2(1−p2)/(m2−1); den = p1(1−p2) + p2(1−p1).
+    *
+    * Parity: each is computed in a FIXED operation order, ×10⁸-scaled
+    * and rounded to an exact long ONCE per site (the hweChi4
+    * discipline, two more digits because per-site values are small);
+    * callers sum the longs per window and do ONE final division —
+    * order-free sums, bit-identical ratio. Callers filter m1 > 1 &&
+    * m2 > 1 (finite correction) and drop den8 == 0 (both pops fixed
+    * for the same allele — Fst undefined). */
+  def fstNum8(p1: Column, m1: Column, p2: Column, m2: Column): Column =
+    round(((p1 - p2) * (p1 - p2)
+      - p1 * (lit(1.0) - p1) / (m1 - lit(1.0))
+      - p2 * (lit(1.0) - p2) / (m2 - lit(1.0))) * 100000000L).cast("long")
+
+  def fstDen8(p1: Column, p2: Column): Column =
+    round((p1 * (lit(1.0) - p2) + p2 * (lit(1.0) - p1)) * 100000000L)
+      .cast("long")
+
+  /** Pairwise linkage-disequilibrium r² ×10⁴ as an exact long, from the
+    * integer dosage cross-moments of a site pair over their shared
+    * samples: n pairs, s1 = Σg1, s2 = Σg2, s11 = Σg1², s22 = Σg2²,
+    * s12 = Σg1g2 (g ∈ {0,1,2} dosages, so every sum is an exact
+    * integer — the whole statistic is one integer formula plus a final
+    * division). r² = (n·s12 − s1·s2)² / ((n·s11 − s1²)·(n·s22 − s2²)).
+    * Callers filter both variance terms > 0 (monomorphic-in-sample
+    * sites have undefined r²). */
+  def ldR2e4(n: Column, s1: Column, s2: Column, s11: Column,
+             s22: Column, s12: Column): Column = {
+    val cov = n * s12 - s1 * s2
+    val v1 = n * s11 - s1 * s1
+    val v2 = n * s22 - s2 * s2
+    round(lit(10000.0) * (cov * cov) / (v1 * v2)).cast("long")
+  }
 }

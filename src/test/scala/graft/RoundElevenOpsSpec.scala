@@ -224,4 +224,80 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     val merges = TextAnalysis.bpeTrain(tiny, "text", 10)
     assert(merges == Seq(("a", "b", 1L), ("c", "d", 1L)))
   }
+
+  test("fstNum8/fstDen8 match hand-computed Hudson values") {
+    import graft.operators.PopGen
+    // identical pops p=0.5, m=10 haplotypes each: num = 0 − 2·(0.25/9),
+    // den = 0.5 — Fst slightly negative (finite-sample), the estimator's
+    // documented behavior at no differentiation
+    val rows = Seq((0.5, 10.0, 0.5, 10.0), (1.0, 10.0, 0.0, 10.0))
+      .toDF("p1", "m1", "p2", "m2")
+    val got = rows.select(
+      PopGen.fstNum8(col("p1"), col("m1"), col("p2"), col("m2")).as("n8"),
+      PopGen.fstDen8(col("p1"), col("p2")).as("d8"))
+      .as[(Long, Long)].collect().toSeq
+    val num0 = math.round((0.0 - 0.25 / 9 - 0.25 / 9) * 1e8)
+    assert(got == Seq((num0, 50000000L), (100000000L, 100000000L)))
+    // fixed differences (p1=1, p2=0): num = den → Fst exactly 1
+  }
+
+  test("ldR2e4 hits the exact landmarks: perfect LD, anti-LD, none") {
+    import graft.operators.PopGen
+    // dosage vectors over 3-4 samples, moments computed by hand
+    val cases = Seq(
+      // g1 = g2 = [0,1,2]: r² = 1
+      (3L, 3L, 3L, 5L, 5L, 5L, 10000L),
+      // g2 = 2 − g1: perfectly anti-correlated, r² still 1
+      (3L, 3L, 3L, 5L, 5L, 1L, 10000L),
+      // g1=[0,0,1,1], g2=[0,1,0,1]: independent, r² = 0
+      (4L, 2L, 2L, 2L, 2L, 1L, 0L))
+    val df = cases.map { case (n, s1, s2, s11, s22, s12, _) =>
+      (n, s1, s2, s11, s22, s12) }
+      .toDF("n", "s1", "s2", "s11", "s22", "s12")
+    val got = df.select(PopGen.ldR2e4(col("n"), col("s1"), col("s2"),
+      col("s11"), col("s22"), col("s12")).as("r"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map(_._7))
+  }
+
+  test("ld_pairwise bin replication finds every in-window pair") {
+    // brute-force the pair set at sf0.001 and compare against the
+    // graded query's per-chr pair counts — proves the ±1-bin probe
+    // covers the whole ≤10-bp window (a missed bin edge would undercount)
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("ld_pairwise")(spark, dir)
+      .select("chr", "n_pairs").as[(Long, Long)].collect().toMap
+    val g = (col("l_partkey") * 13 + col("l_suppkey") * 17) % 10
+    val cells = graft.Tables.lineitem(spark, dir).select(
+        (col("l_orderkey") % 5).cast("long").as("chr"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 1000)
+          .cast("long").as("pos"),
+        (col("l_suppkey") % 20).cast("long").as("sample"),
+        when(g <= 4, 0).when(g <= 8, 1).otherwise(2).as("gt"))
+      .groupBy("chr", "pos", "sample").agg(max("gt").as("gv"))
+      .as[(Long, Long, Long, Int)].collect()
+    // distinct (chr, pos1, pos2) pairs with both variances > 0
+    // (groupBy gives a Map — materialize to Seq BEFORE flatMap, or the
+    // (chr, flag) results collapse by key)
+    val pairStats = cells.groupBy(c => c._1).toSeq.flatMap { case (chr, cs) =>
+        val bySample = cs.groupBy(_._3)
+        val sites = cs.map(_._2).toSeq.distinct
+        for (p1 <- sites; p2 <- sites
+             if p2 > p1 && p2 - p1 <= 10) yield {
+          val pairs = bySample.values.flatMap { sc =>
+            val m = sc.map(c => c._2 -> c._4).toMap
+            for (a <- m.get(p1); b <- m.get(p2)) yield (a, b)
+          }.toSeq
+          val n = pairs.size.toLong
+          val s1 = pairs.map(_._1.toLong).sum
+          val s2 = pairs.map(_._2.toLong).sum
+          val s11 = pairs.map(p => p._1.toLong * p._1).sum
+          val s22 = pairs.map(p => p._2.toLong * p._2).sum
+          (chr, n * s11 - s1 * s1 > 0 && n * s22 - s2 * s2 > 0)
+        }
+      }
+    val expect = pairStats.filter(_._2).groupBy(_._1)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    assert(q == expect)
+  }
 }
