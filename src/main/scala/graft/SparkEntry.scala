@@ -1813,6 +1813,28 @@ object SparkEntry {
         .select("rank", "id", "pr")
     }),
 
+    "graph_label_prop" -> ((s, dir) => {
+      // 3-round deterministic label propagation (LPA with a total
+      // (count desc, label asc) tie order) over the undirected near-dup
+      // graph; integer-only, so the oracle chains the same rounds;
+      // output = top-20 communities by size
+      val pairs = docJaccardPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = Graphs.labelPropagation(edges, "src", "dst",
+        iterations = 3)
+      TopK.ranked(labels.groupBy("label")
+          .agg(count(lit(1)).as("n_members")),
+          20, col("n_members").desc, col("label").asc)
+        .select("rank", "label", "n_members")
+    }),
+
+    "text_zipf" -> ((s, dir) => {
+      // Zipf exponent fit per language over the top-1000 words — the
+      // corpus-law audit twin of vocab_growth's Heaps curve
+      TextAnalysis.zipfFit(Tables.documents(s, dir), "lang", "text")
+    }),
+
     "events_assoc_rules" -> ((s, dir) => {
       // market-basket association between event types at user
       // granularity (support + lift): per-user distinct type sets are
@@ -1847,6 +1869,31 @@ object SparkEntry {
       // inherently sequential recurrence run per vocabulary-sized key)
       EventOps.dailyEwma(Tables.events(s, dir), "event_type",
         expr("ts DIV 1000"), alpha = 0.3)
+    }),
+
+    "events_holt" -> ((s, dir) => {
+      // Holt level+trend double smoothing with 1-step forecast; α and β
+      // chosen exactly representable (0.5, 0.25) so both engines parse
+      // identical lambda literals
+      EventOps.dailyHolt(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"), alpha = 0.5, beta = 0.25)
+    }),
+
+    "corpus_budget_select" -> ((s, dir) => {
+      // greedy token-budget selection (top docs by score until 40% of
+      // corpus tokens): the scalable two-phase prefix sum — bounded
+      // bin-offset window + per-bin parallel running sums
+      Selection.budgetSelect(Tables.documents(s, dir), "doc_id", "text",
+          "source")
+        .groupBy("src").agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sel_tokens"), min("score4").as("min_score4"))
+    }),
+
+    "embed_mmd" -> ((s, dir) => {
+      // linear-kernel MMD² between even and odd vec_id slices — the
+      // two-sample distribution-shift audit over the embedding corpus
+      Similarity.linearMmd(Tables.embeddings(s, dir), "embedding",
+        col("vec_id") % 2 === 0)
     }),
 
     "bpe_train" -> ((s, dir) => {
@@ -4382,6 +4429,65 @@ object SparkEntry {
            |    AS BIGINT) AS rank, id, pr FROM p2)
            |WHERE rank <= 20""".stripMargin,
 
+      // the same 3 LPA rounds chained: adopt = argmax in-neighbor label
+      // by (cnt desc, label asc); nodes without adoption keep theirs
+      "graph_label_prop" ->
+        s"""WITH $jaccardPairCtes,
+           |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+           |  UNION ALL SELECT id_b, id_a FROM jp),
+           |nodes AS (SELECT DISTINCT src AS id FROM e),
+           |l0 AS (SELECT id, id AS label FROM nodes),
+           |a1 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+           |  FROM e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+           |b1 AS (SELECT id, label FROM (SELECT id, label, row_number()
+           |  OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+           |  FROM a1) WHERE rn = 1),
+           |l1 AS (SELECT l.id, coalesce(b.label, l.label) AS label
+           |  FROM l0 l LEFT JOIN b1 b ON b.id = l.id),
+           |a2 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+           |  FROM e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+           |b2 AS (SELECT id, label FROM (SELECT id, label, row_number()
+           |  OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+           |  FROM a2) WHERE rn = 1),
+           |l2 AS (SELECT l.id, coalesce(b.label, l.label) AS label
+           |  FROM l1 l LEFT JOIN b2 b ON b.id = l.id),
+           |a3 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+           |  FROM e JOIN l2 l ON l.id = e.src GROUP BY 1, 2),
+           |b3 AS (SELECT id, label FROM (SELECT id, label, row_number()
+           |  OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+           |  FROM a3) WHERE rn = 1),
+           |l3 AS (SELECT l.id, coalesce(b.label, l.label) AS label
+           |  FROM l2 l LEFT JOIN b3 b ON b.id = l.id),
+           |g AS (SELECT label, count(*) AS n_members FROM l3 GROUP BY 1)
+           |SELECT rank, label, n_members FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY n_members DESC, label)
+           |    AS BIGINT) AS rank, label, CAST(n_members AS BIGINT)
+           |    AS n_members FROM g)
+           |WHERE rank <= 20""".stripMargin,
+
+      // ln() is libm: both engines round 4 dp and x1e4-scale per word,
+      // regression sums run in integer space, one final division
+      "text_zipf" ->
+        s"""WITH w AS (SELECT lang, uw.w FROM
+           |  (SELECT lang, $normTextSql AS t FROM documents) d,
+           |  LATERAL unnest(string_split(t, ' ')) uw(w)
+           |  WHERE length(uw.w) > 0),
+           |c AS (SELECT lang, w, count(*) AS cnt FROM w GROUP BY 1, 2
+           |  HAVING count(*) >= 5),
+           |r AS (SELECT lang,
+           |  CAST(round(ln(CAST(rank AS DOUBLE)) * 10000) AS BIGINT) AS x4,
+           |  CAST(round(ln(CAST(cnt AS DOUBLE)) * 10000) AS BIGINT) AS y4
+           |  FROM (SELECT lang, cnt, row_number()
+           |    OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rank
+           |    FROM c) WHERE rank <= 1000),
+           |s AS (SELECT lang, count(*) AS n_words,
+           |  sum(x4) AS sx, sum(y4) AS sy, sum(x4*y4) AS sxy,
+           |  sum(x4*x4) AS sxx FROM r GROUP BY 1)
+           |SELECT lang, CAST(n_words AS BIGINT) AS n_words,
+           |  CAST(round(10000.0 * (n_words * sxy - sx * sy)
+           |    / (n_words * sxx - sx * sx)) AS BIGINT) AS slope4
+           |FROM s""".stripMargin,
+
       "events_assoc_rules" ->
         """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
           |n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
@@ -4407,6 +4513,70 @@ object SparkEntry {
           |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, last_day,
           |  list_reduce(ser, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
           |FROM s""".stripMargin,
+
+      // elements wrapped as [x, 0.0] pairs so list_reduce's first
+      // accumulator IS the Spark fold's seed [x0, 0]; the l_t expression
+      // is duplicated inside the trend term exactly as the Spark lambda
+      // duplicates it (no let-binding in SQL lambdas)
+      "events_holt" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type, count(*) AS n_days, max(day) AS last_day,
+          |  list([CAST(n AS DOUBLE), 0.0] ORDER BY day) AS ser
+          |  FROM c GROUP BY 1),
+          |h AS (SELECT event_type, n_days, last_day,
+          |  list_reduce(ser, (acc, x) ->
+          |    [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+          |     0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+          |       + 0.75 * acc[2]]) AS hw
+          |  FROM s)
+          |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, last_day,
+          |  hw[1] AS level, hw[2] AS trend, hw[1] + hw[2] AS forecast
+          |FROM h""".stripMargin,
+
+      // the oracle's one global window cumsum IS the point: the Spark
+      // side must reproduce it with the two-phase bin scan
+      "corpus_budget_select" ->
+        s"""WITH d AS (SELECT doc_id, source AS src, $normTextSql AS t
+           |  FROM documents),
+           |tk AS (SELECT doc_id, src, uw.w FROM d,
+           |  LATERAL unnest(string_split(t, ' ')) uw(w)
+           |  WHERE length(uw.w) > 0),
+           |b AS (SELECT doc_id, min(src) AS src, count(*) AS n_tokens,
+           |  CAST(round(10000.0 * sum(length(w)) / count(*)) AS BIGINT)
+           |    AS score4
+           |  FROM tk GROUP BY 1),
+           |tot AS (SELECT sum(n_tokens) AS total FROM b),
+           |c AS (SELECT doc_id, src, score4, n_tokens,
+           |  sum(n_tokens) OVER (ORDER BY score4 DESC, doc_id)
+           |    AS cum_tokens FROM b)
+           |SELECT src, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
+           |  min(score4) AS min_score4
+           |FROM c, tot WHERE cum_tokens <= total * 4 // 10
+           |GROUP BY 1""".stripMargin,
+
+      "embed_mmd" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+          |  FROM embeddings),
+          |comp AS (SELECT vec_id % 2 = 0 AS ga, u.i AS dim,
+          |  CAST(round(vv[CAST(u.i + 1 AS INT)] * 1000000) AS BIGINT) AS v6
+          |  FROM v, LATERAL unnest(generate_series(0, len(vv) - 1)) u(i)),
+          |p AS (SELECT dim,
+          |  sum(CASE WHEN ga THEN v6 END) AS sa,
+          |  sum(CASE WHEN ga THEN 1 ELSE 0 END) AS na,
+          |  sum(CASE WHEN NOT ga THEN v6 END) AS sb,
+          |  sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS nb
+          |  FROM comp GROUP BY 1),
+          |t AS (SELECT na, nb, CAST(round(
+          |  (CAST(sa AS DOUBLE)/na/1000000.0 - CAST(sb AS DOUBLE)/nb/1000000.0)
+          |  * (CAST(sa AS DOUBLE)/na/1000000.0 - CAST(sb AS DOUBLE)/nb/1000000.0)
+          |  * 100000000) AS BIGINT) AS t8
+          |  FROM p)
+          |SELECT count(*) AS n_dims, CAST(max(na) AS BIGINT) AS n_a,
+          |  CAST(max(nb) AS BIGINT) AS n_b, CAST(sum(t8) AS BIGINT) AS mmd8
+          |FROM t""".stripMargin,
 
       "events_top_paths" ->
         """WITH o AS (SELECT user_id, event_type,

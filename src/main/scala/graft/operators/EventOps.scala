@@ -200,6 +200,61 @@ object EventOps {
                 |    + ${1 - alpha} * acc)""".stripMargin).as("ewma"))
   }
 
+  /** Holt's linear-trend double-exponential smoothing of daily counts —
+    * the level+trend extension of [[dailyEwma]] (Holt 1957; the
+    * standard short-horizon forecaster for monitoring counters):
+    * l_t = α·x_t + (1−α)·(l + b), b_t = β·(l_t − l) + (1−β)·b, seeded
+    * l₀ = x₀, b₀ = 0. Same scale shape as the EWMA: one partial-agg
+    * shuffle to the vocabulary-sized (type, day) frame, the recurrence
+    * a codegen'd fold over the sorted per-type series.
+    *
+    * Parity: α, β and their complements must all be exactly
+    * representable doubles (0.5/0.25 class) so the interpolated lambda
+    * literals parse to identical doubles in both engines; l_t appears
+    * twice in the lambda (no let-binding in SQL lambdas) — the oracle
+    * duplicates the same expression text, so both engines evaluate the
+    * identical IEEE sequence and the unrounded doubles match bit for
+    * bit. The oracle's list_reduce wraps elements as [x, 0.0] pairs:
+    * its first accumulator is then [x₀, 0.0] — exactly this fold's
+    * seed.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, n_days, last_day, level, trend, forecast)
+    */
+  def dailyHolt(events: DataFrame, typeCol: String, tsUs: Column,
+                alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && alpha == 1 - (1 - alpha),
+      s"alpha and 1-alpha must be exact doubles, got $alpha")
+    require(beta > 0 && beta <= 1 && beta == 1 - (1 - beta),
+      s"beta and 1-beta must be exact doubles, got $beta")
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    // l_t inlined twice: SQL lambdas have no let-binding, and the
+    // oracle must repeat the identical text
+    val lNew = s"$alpha * CAST(x.n AS DOUBLE) + " +
+      s"${1 - alpha} * (element_at(acc, 1) + element_at(acc, 2))"
+    events
+      .groupBy(col(typeCol).as("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("series"))
+      .withColumn("hw",
+        expr(s"""aggregate(slice(series, 2, size(series) - 1),
+               |  array(CAST(element_at(series, 1).n AS DOUBLE), 0D),
+               |  (acc, x) -> array($lNew,
+               |    $beta * (($lNew) - element_at(acc, 1))
+               |      + ${1 - beta} * element_at(acc, 2)))""".stripMargin))
+      .select(col("event_type"),
+        size(col("series")).cast("long").as("n_days"),
+        element_at(col("series"), -1).getField("day").as("last_day"),
+        element_at(col("hw"), 1).as("level"),
+        element_at(col("hw"), 2).as("trend"),
+        (element_at(col("hw"), 1) + element_at(col("hw"), 2))
+          .as("forecast"))
+  }
+
   /** Per-day Shannon entropy of the event-type distribution — the
     * label/class-balance audit a training-data pipeline runs per batch
     * (a collapsing entropy flags a source suddenly dominated by one

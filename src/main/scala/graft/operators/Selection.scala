@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Dedup.normText
@@ -138,5 +139,74 @@ object Selection {
       .select(col("doc_id"), col("n_tokens"),
         (col("wsum") / (col("n_tokens") * 1000.0)).as("clf_score"))
       .withColumn("keep", col("clf_score") > 0)
+  }
+
+  /** Greedy token-budget selection: take documents in (score desc, id)
+    * order until a token budget is exhausted — the "best N tokens"
+    * corpus-construction step that follows any quality scorer (the
+    * selection half of the quality-filter pipelines; DSIR §2's top-k
+    * resampling is the same shape with importance weights).
+    *
+    * The global prefix sum is the scale problem: a naive
+    * `SUM() OVER (ORDER BY score)` funnels the whole corpus through
+    * ONE window partition. This runs the classic two-phase distributed
+    * scan instead:
+    *  1. coarse score bins (score4 div binWidth — monotone in score, so
+    *     bin order refines to the global order); per-bin token totals
+    *     are a BOUNDED frame (score range / binWidth rows);
+    *  2. exclusive bin-offset cumsum over that bounded frame (the ONE
+    *     small unpartitioned window, vocab_growth's whitelist class),
+    *     broadcast back;
+    *  3. per-doc running sum WITHIN each bin partition (bounded by bin
+    *     occupancy — the skew knob is binWidth) + its bin offset =
+    *     exact global prefix, each doc in parallel.
+    *
+    * Budget is a FRACTION of the corpus' total tokens (computed in the
+    * same pass, integer-exact `4·total div 10` for 40%), so the query
+    * scales with the data instead of hard-coding an absolute budget.
+    *
+    * @return one row per selected doc: (doc_id, src, score4, n_tokens,
+    *         cum_tokens); callers aggregate
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                   srcCol: String, budgetNum: Int = 4,
+                   budgetDen: Int = 10, binWidth: Long = 1024L): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(srcCol).as("src"),
+      filter(split(normText(col(textCol)), " "),
+        w => length(w) > 0).as("toks"))
+      .select(col("doc_id"), col("src"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        // score: mean token length ×10⁴, integer-exact (round of an
+        // exact-int ratio; the 4 dp round CAN land on a half tie only
+        // when n divides 2·10⁴ — acceptable for a selection ORDER, and
+        // the oracle rounds the identical ratio)
+        expr("CAST(round(10000.0 * aggregate(toks, 0L, (acc, x) -> " +
+          "acc + length(x)) / size(toks)) AS BIGINT)").as("score4"))
+      .filter(col("n_tokens") > 0)
+    val binned = base.withColumn("bin",
+      floor(col("score4") / binWidth).cast("long"))
+    // bounded frame: one row per occupied bin
+    val binTot = binned.groupBy("bin")
+      .agg(sum("n_tokens").as("bin_tokens"))
+    val wBins = Window.orderBy(col("bin").desc)
+    val offsets = binTot.withColumn("bin_offset",
+      coalesce(sum("bin_tokens").over(
+        wBins.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bin", "bin_offset")
+    val total = base.agg(sum("n_tokens").as("total_tokens"))
+    val wIn = Window.partitionBy("bin")
+      .orderBy(col("score4").desc, col("doc_id"))
+    binned
+      .join(broadcast(offsets), "bin")
+      .withColumn("cum_tokens", col("bin_offset") +
+        sum("n_tokens").over(
+          wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      // integer-exact budget: DIV keeps the threshold a bigint in both
+      // engines (Column `/` would be a double division)
+      .filter(col("cum_tokens") <=
+        expr(s"total_tokens * $budgetNum DIV $budgetDen"))
+      .select("doc_id", "src", "score4", "n_tokens", "cum_tokens")
   }
 }

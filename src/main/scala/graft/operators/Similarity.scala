@@ -437,6 +437,44 @@ object Similarity {
             * (col("sj").cast("double") / col("n") / 1e6)).as("cov"))
   }
 
+  /** Linear-kernel maximum mean discrepancy MMD² = ‖μ_A − μ_B‖²
+    * between two slices of an embedding corpus (Gretton et al. 2012
+    * "A Kernel Two-Sample Test" — with the linear kernel the witness
+    * collapses to the mean-embedding distance) — the distribution-shift
+    * audit a training pipeline runs between two corpus snapshots or
+    * sources before mixing them.
+    *
+    * Scale shape: ONE partial-agg shuffle to the dims-sized per-dim
+    * frame (posexplode → conditional sums — both slices tallied in the
+    * same pass, no slice-vs-slice join), then the dims-bounded rollup.
+    * Parity: components ×10⁶-round to exact longs (the kmeans su6
+    * discipline) so the per-dim sums are order-free; each per-dim
+    * squared mean-difference ×10⁸-rounds to a long ONCE, making the
+    * final dim-sum order-free too — no float accumulates across rows
+    * anywhere.
+    *
+    * @param isA membership predicate over the input columns
+    * @return one row: (n_dims, n_a, n_b, mmd8)
+    */
+  def linearMmd(corpus: DataFrame, vecCol: String, isA: Column): DataFrame = {
+    val perDim = corpus
+      .select(isA.as("ga"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("ga"), col("dim"),
+        round(col("v").cast("double") * 1000000).cast("long").as("v6"))
+      .groupBy("dim").agg(
+        sum(when(col("ga"), col("v6"))).as("sa"),
+        sum(when(col("ga"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("ga"), col("v6"))).as("sb"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).as("nb"))
+    val muA = col("sa").cast("double") / col("na") / 1e6
+    val muB = col("sb").cast("double") / col("nb") / 1e6
+    perDim
+      .select(col("na"), col("nb"),
+        round((muA - muB) * (muA - muB) * 1e8).cast("long").as("t8"))
+      .agg(count(lit(1)).as("n_dims"), max("na").as("n_a"),
+        max("nb").as("n_b"), sum("t8").as("mmd8"))
+  }
+
   /** IVF (inverted-file) ANN search against fixed centroids — the
     * coarse-quantizer scale path.
     *

@@ -240,6 +240,57 @@ object TextAnalysis {
         (col("su_sum") / 10000.0 / col("n_words")).as("avg_surprisal"))
   }
 
+  /** Zipf-law exponent fit per language (the OTHER classic corpus-law
+    * diagnostic next to [[vocabGrowth]]'s Heaps curve): least-squares
+    * slope of ln(freq) against ln(rank) over each language's top-K
+    * words — a healthy natural-language corpus fits slope ≈ −1; a
+    * flat/steep slope flags boilerplate or spam floods.
+    *
+    * Scale shape: ONE partial-agg shuffle to the (lang, word) count
+    * frame; ranking windows partition by LANG over that frame's top
+    * slice only (cnt ≥ minCount prefilter bounds the per-lang
+    * vocabulary reaching the sort; the log-log fit over the head is
+    * also statistically the right call — the rank-1 tail is noise),
+    * then a lang-sized regression agg.
+    *
+    * Parity: ln() is libm — both logs round 4 dp and ×10⁴-scale to
+    * exact longs per word (surprisal discipline), all five regression
+    * sums run in integer space, and the slope is assembled from exact
+    * longs with ONE final division. Ties in rank order break on the
+    * word itself.
+    *
+    * @return (lang, n_words, slope4) — slope ×10⁴-rounded
+    */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, langCol: String,
+              textCol: String, topK: Int = 1000,
+              minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    val counts = docs.select(col(langCol).as("lang"),
+        explode(split(normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("w"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("lang"),
+        round(log(col("rank").cast("double")) * 10000)
+          .cast("long").as("x4"),
+        round(log(col("cnt").cast("double")) * 10000)
+          .cast("long").as("y4"))
+    ranked.groupBy("lang").agg(
+        count(lit(1)).as("n_words"),
+        sum("x4").as("sx"), sum("y4").as("sy"),
+        sum(col("x4") * col("y4")).as("sxy"),
+        sum(col("x4") * col("x4")).as("sxx"))
+      .select(col("lang"), col("n_words"),
+        round(lit(10000.0) *
+          (col("n_words") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_words") * col("sxx") - col("sx") * col("sx")))
+          .cast("long").as("slope4"))
+  }
+
   /** Vocabulary-growth curve (the Heaps-law diagnostic a corpus audit
     * plots): distinct-token count of every prefix of the corpus in
     * document-id order, sampled at `step`-document checkpoints. Takes a

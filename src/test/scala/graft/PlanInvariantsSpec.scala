@@ -19,7 +19,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private val whitelist = Set("vocab_growth")
+  // corpus_budget_select's global window runs over the BIN-TOTALS frame
+  // (≤ score-range/binWidth rows by construction — the phase-1 output of
+  // its two-phase prefix sum), same driver-scale class as vocab_growth's
+  // checkpoint frame
+  private val whitelist = Set("vocab_growth", "corpus_budget_select")
 
   test("no unpartitioned window in any graded query outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -260,6 +260,88 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(got == cases.map(_._7))
   }
 
+  test("dailyHolt recurrence matches the hand-rolled fold") {
+    import graft.operators.EventOps
+    // per-type day counts: a=[2,4] (two days), b=[3] (one day)
+    // a: l0=2, b0=0; l1 = .5*4+.5*2 = 3; b1 = .25*(3-2)+.75*0 = .25
+    val us = 86400000000L
+    val rows = Seq(
+      ("a", 0L), ("a", 1L), ("a", us), ("a", us + 1), ("a", us + 2),
+      ("a", us + 3), ("b", 5L), ("b", 6L), ("b", 7L))
+      .toDF("event_type", "ts_us")
+    val got = EventOps.dailyHolt(rows, "event_type", col("ts_us"),
+        alpha = 0.5, beta = 0.25)
+      .select("event_type", "n_days", "level", "trend", "forecast")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((2L, 3.0, 0.25, 3.25)))
+    assert(got("b") == ((1L, 3.0, 0.0, 3.0))) // single day: seed state
+  }
+
+  test("budgetSelect picks exactly the prefix within budget") {
+    import graft.operators.Selection
+    // scores order docs 1>2>3>4 (longer mean token); tokens 5,4,3,2
+    // total=14, budget = 14*4 DIV 10 = 5 -> only doc 1 (cum 5 <= 5)
+    val docs = Seq(
+      (1L, "aaaaaa aaaaaa aaaaaa aaaaaa aaaaaa", "s1"),
+      (2L, "bbbb bbbb bbbb bbbb", "s1"),
+      (3L, "cc cc cc", "s2"),
+      (4L, "d d", "s2")).toDF("doc_id", "text", "source")
+    val sel = Selection.budgetSelect(docs, "doc_id", "text", "source")
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(sel == Map(1L -> 5L))
+    // binWidth=1 (every score its own bin) must agree with the default:
+    // the two-phase scan is a strategy, not a semantics
+    val sel1 = Selection.budgetSelect(docs, "doc_id", "text", "source",
+      binWidth = 1L).select("doc_id", "cum_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(sel1 == sel)
+  }
+
+  test("linearMmd separates orthogonal means and zeroes identical ones") {
+    import graft.operators.Similarity
+    val a = Seq((0L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (1L, Array(0f, 1f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.linearMmd(a, "embedding", col("vec_id") % 2 === 0)
+      .as[(Long, Long, Long, Long)].collect().head
+    // mu_a=(1,0), mu_b=(0,1): mmd = 1 + 1 = 2 -> x1e8
+    assert(got == ((2L, 2L, 2L, 200000000L)))
+    val same = Seq((0L, Array(0.5f, 0.5f)), (1L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.linearMmd(same, "embedding", col("vec_id") % 2 === 0)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(z == ((2L, 1L, 1L, 0L)))
+  }
+
+  test("labelPropagation follows the deterministic tie-break rounds") {
+    import graft.operators.Graphs
+    // path graph 1—2—3 (both directions): the min-label tie-break and
+    // the synchronous oscillation are both exercised
+    // r1: 1←{2}→2 ; 2←{1,3} tie→1 ; 3←{2}→2
+    // r2: 1→label(2)=1 ; 2→{2,2}→2 ; 3→1
+    // r3: 1→2 ; 2→{1,1}→1 ; 3→2
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    def run(k: Int) = Graphs.labelPropagation(e, "src", "dst", k)
+      .as[(Long, Long)].collect().toMap
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    assert(run(2) == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    assert(run(3) == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("zipfFit recovers ~-1 on an exact 1/r frequency corpus") {
+    import graft.operators.TextAnalysis
+    // f_r = 12/r for r=1..4: a 12, b 6, c 4, d 3 — slope ≈ −1
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val got = TextAnalysis.zipfFit(Seq(("en", text)).toDF("lang", "text"),
+        "lang", "text", minCount = 1L)
+      .as[(String, Long, Long)].collect().head
+    assert(got._1 == "en" && got._2 == 4L)
+    assert(got._3 > -10300 && got._3 < -9700,
+      s"slope4 ${got._3} not ~ -10000")
+  }
+
   test("ld_pairwise bin replication finds every in-window pair") {
     // brute-force the pair set at sf0.001 and compare against the
     // graded query's per-chr pair counts — proves the ±1-bin probe
