@@ -2239,6 +2239,40 @@ object SparkEntry {
         col("gstart"), col("gstop"))
     }),
 
+    "interval_gaps" -> ((s, dir) => {
+      // bedtools-complement (within the covered span): the strict gaps
+      // between merged blocks per chr — a lead window over the
+      // per-chr MERGED frame (bounded: one row per disjoint block,
+      // already collapsed by the merge's overlap factor)
+      // every 50th gene: the full partGenes set tiles each chr end to
+      // end (42x overlap at sf0.1 — zero gaps, a vacuously-green
+      // query); the sparse subset leaves real gaps at every SF
+      Intervals.gaps(
+        partGenes(s, dir).filter(col("gene_id") % 50 === 0), Seq("chr"),
+        col("gstart"), col("gstop"))
+    }),
+
+    "variant_burden" -> ((s, dir) => {
+      // rare-variant burden collapse (the SKAT/burden-test input): count
+      // QUALIFYING variants per (gene, sample) through the binned range
+      // join, then per-gene carrier/burden stats; genes with >= 2
+      // carriers survive (the multi-carrier signal threshold)
+      val li = Tables.lineitem(s, dir).select(
+        concat(lit("S"), (col("l_suppkey") % 4).cast("string")).as("sample"),
+        (col("l_orderkey") % 5).cast("long").as("chr"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000)
+          .cast("long").as("pos"),
+        VariantF.qualityScore(col("l_quantity").cast("long"),
+          (col("l_partkey") % 120).cast("long")).as("quality_score"))
+      val qual = li.filter(col("quality_score") >= 50)
+      RangeJoin.joined(qual, partGenes(s, dir), "pos", "gstart", "gstop",
+          Seq("chr"), binWidth = 4096)
+        .groupBy("gene_id", "sample").agg(count(lit(1)).as("n_var"))
+        .groupBy("gene_id").agg(count(lit(1)).as("n_carriers"),
+          sum("n_var").as("total_burden"), max("n_var").as("max_burden"))
+        .filter(col("n_carriers") >= 2)
+    }),
+
     "sample_reservoir" -> ((s, dir) => {
       // weighted reservoir (Efraimidis-Spirakis A-ES) over documents,
       // weight = n_chars: k largest u^(1/w) ⇔ k SMALLEST −ln(u)/w, as
@@ -4862,6 +4896,54 @@ object SparkEntry {
            |  count(*) AS n_intervals,
            |  CAST(max(gstop) - min(gstart) + 1 AS BIGINT) AS span
            |FROM b GROUP BY chr, blk""".stripMargin,
+
+      "interval_gaps" ->
+        s"""WITH g AS (SELECT * FROM ($partGenesSql) WHERE gene_id % 50 = 0),
+           |o AS (SELECT chr, gstart, gstop,
+           |  CASE WHEN max(gstop) OVER (PARTITION BY chr
+           |      ORDER BY gstart, gstop
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |    IS NULL THEN 1
+           |  WHEN gstart > max(gstop) OVER (PARTITION BY chr
+           |      ORDER BY gstart, gstop
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+           |    THEN 1 ELSE 0 END AS op FROM g),
+           |b AS (SELECT chr, gstart, gstop,
+           |  sum(op) OVER (PARTITION BY chr ORDER BY gstart, gstop
+           |    ROWS UNBOUNDED PRECEDING) AS blk FROM o),
+           |m AS (SELECT chr, CAST(min(gstart) AS BIGINT) AS mstart,
+           |  CAST(max(gstop) AS BIGINT) AS mstop
+           |  FROM b GROUP BY chr, blk),
+           |n AS (SELECT chr, mstop,
+           |  lead(mstart) OVER (PARTITION BY chr ORDER BY mstart)
+           |    AS next_start FROM m)
+           |SELECT chr, CAST(mstop + 1 AS BIGINT) AS gap_start,
+           |  CAST(next_start - 1 AS BIGINT) AS gap_end,
+           |  CAST(next_start - 1 - mstop AS BIGINT) AS gap_len
+           |FROM n WHERE next_start IS NOT NULL""".stripMargin,
+
+      "variant_burden" ->
+        s"""WITH li AS (SELECT 'S' || CAST(l_suppkey % 4 AS VARCHAR)
+           |    AS sample,
+           |  CAST(l_orderkey % 5 AS BIGINT) AS chr,
+           |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT)
+           |    AS pos,
+           |  CAST(l_quantity AS BIGINT) AS rd,
+           |  CAST(l_partkey % 120 AS BIGINT) AS td FROM lineitem),
+           |v AS (SELECT sample, chr, pos,
+           |  CASE WHEN td > 0
+           |    THEN CAST(floor((100*rd + floor(td/2)) / td) AS BIGINT)
+           |    ELSE 0 END AS q FROM li),
+           |g AS ($partGenesSql),
+           |j AS (SELECT g.gene_id, v.sample FROM v JOIN g
+           |  ON v.chr = g.chr AND v.pos BETWEEN g.gstart AND g.gstop
+           |  WHERE v.q >= 50),
+           |pg AS (SELECT gene_id, sample, count(*) AS n_var
+           |  FROM j GROUP BY 1, 2)
+           |SELECT gene_id, count(*) AS n_carriers,
+           |  CAST(sum(n_var) AS BIGINT) AS total_burden,
+           |  CAST(max(n_var) AS BIGINT) AS max_burden
+           |FROM pg GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
       // A-ES keys re-derived from the md5 uniform; u = (24 hex bits +
       // 0.5)/2^24 is EXACT in doubles (power-of-two divisor), ln is the

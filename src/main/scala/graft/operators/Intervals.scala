@@ -114,4 +114,27 @@ object Intervals {
       .select(k ++ Seq(col("mstart"), col("mstop"), col("n_intervals"),
         (col("mstop") - col("mstart") + 1L).as("span")): _*)
   }
+
+  /** bedtools-complement within the covered span: the strict gaps
+    * between [[mergeIntervals]] blocks per key group — a lead window
+    * over the per-key MERGED frame (bounded: one row per disjoint
+    * block, already collapsed by the merge's overlap factor, so the
+    * window input is the compressed frame, same as the sweep's).
+    * Gaps are guaranteed non-empty: merge splits blocks only where
+    * `start > prevMax + 1`.
+    *
+    * @return keys ++ (gap_start, gap_end, gap_len), both ends inclusive
+    */
+  def gaps(intervals: DataFrame, keys: Seq[String],
+           startCol: Column, stopCol: Column): DataFrame = {
+    val merged = mergeIntervals(intervals, keys, startCol, stopCol)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("mstart")
+    merged
+      .withColumn("next_start", lead("mstart", 1).over(w))
+      .filter(col("next_start").isNotNull)
+      .select(keys.map(col) ++ Seq(
+        (col("mstop") + 1L).as("gap_start"),
+        (col("next_start") - 1L).as("gap_end"),
+        (col("next_start") - 1L - col("mstop")).as("gap_len")): _*)
+  }
 }

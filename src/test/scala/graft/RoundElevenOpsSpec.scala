@@ -342,6 +342,48 @@ class RoundElevenOpsSpec extends AnyFunSuite {
       s"slope4 ${got._3} not ~ -10000")
   }
 
+  test("Intervals.gaps complements the merged blocks") {
+    import graft.operators.Intervals
+    // chr 0: [1,5]+[3,8] merge, [20,25] apart -> one gap [9,19] len 11;
+    // adjacent [25,26 -> 26,30] merges (start = prevMax+1), no gap
+    val iv = Seq((0L, 1L, 5L), (0L, 3L, 8L), (0L, 20L, 25L),
+      (0L, 26L, 30L), (1L, 5L, 9L)).toDF("chr", "s", "e")
+    val got = Intervals.gaps(iv, Seq("chr"), col("s"), col("e"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 9L, 19L, 11L)))
+  }
+
+  test("variant_burden matches a brute-force collapse at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("variant_burden")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val li = graft.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "l_quantity")
+      .as[(Long, Int, Long, Long, Double)].collect()
+    val genes = graft.Tables.part(spark, dir).select("p_partkey")
+      .as[Long].collect().map { p =>
+        (p, p % 5, (p * 137) % 100000,
+          (p * 137) % 100000 + 50 + (p * 97) % 2000)
+      }
+    val qual = li.flatMap { case (o, l, s, p, qty) =>
+      val td = p % 120
+      val q = if (td > 0) (100 * qty.toLong + td / 2) / td else 0L
+      if (q >= 50)
+        Some((s"S${s % 4}", o % 5, (o * 31 + l * 7) % 100000)) else None
+    }
+    val burden = scala.collection.mutable.Map[(Long, String), Long]()
+    for ((smp, chr, pos) <- qual; (g, gchr, gs, ge) <- genes
+         if gchr == chr && pos >= gs && pos <= ge)
+      burden((g, smp)) = burden.getOrElse((g, smp), 0L) + 1
+    val expect = burden.groupBy(_._1._1)
+      .map { case (g, m) =>
+        g -> ((m.size.toLong, m.values.sum, m.values.max)) }
+      .filter(_._2._1 >= 2)
+    assert(got == expect)
+  }
+
   test("ld_pairwise bin replication finds every in-window pair") {
     // brute-force the pair set at sf0.001 and compare against the
     // graded query's per-chr pair counts — proves the ±1-bin probe
