@@ -467,14 +467,24 @@ object SparkEntry {
     "q9_range_join_genic" -> ((s, dir) => {
       // positions repeat heavily (pos space is 100k); pre-aggregating to
       // (chr,pos,cnt) shrinks the interval-join input ~6x with identical
-      // counts (n_hits = sum of per-position multiplicities)
+      // counts. And since n_hits needs only HOW MANY genes cover each
+      // position — not which — the gene set first collapses to its
+      // disjoint coverage SEGMENTS (sweep line): each position joins
+      // exactly ONE segment and multiplies by its depth, instead of
+      // meeting all ~42 covering genes (sf0.1 overlap density) row by
+      // row. n_hits = Σ cnt·depth is identical by definition of depth.
       val points = liVariants(s, dir).groupBy("chr", "pos")
         .agg(count(lit(1)).as("cnt"))
-      val genes = partGenes(s, dir)
-      RangeJoin.joined(points, genes, "pos", "gstart", "gstop",
+      val segs = Intervals.coverageSegments(partGenes(s, dir), Seq("chr"),
+          col("gstart"), col("gstop"))
+        .filter(col("depth") > 0)
+        .select(col("chr"), col("pos").as("sstart"),
+          (col("end_pos") - 1L).as("sstop"), col("depth"))
+      RangeJoin.joined(points, segs, "pos", "sstart", "sstop",
           keys = Seq("chr"), binWidth = 4096)
         .groupBy("chr")
-        .agg(sum("cnt").as("n_hits"), countDistinct("pos").as("n_pos"))
+        .agg(sum(col("cnt") * col("depth")).as("n_hits"),
+          countDistinct("pos").as("n_pos"))
     }),
 
     "q10_zygosity" -> ((s, dir) => {
@@ -1833,6 +1843,13 @@ object SparkEntry {
       // Zipf exponent fit per language over the top-1000 words — the
       // corpus-law audit twin of vocab_growth's Heaps curve
       TextAnalysis.zipfFit(Tables.documents(s, dir), "lang", "text")
+    }),
+
+    "topic_plsa_step" -> ((s, dir) => {
+      // one graded PLSA EM step from a deterministic init (the
+      // kmeansStep discipline for topic models): top-10 words per topic
+      // by the M-step's new unnormalized weight
+      Topics.plsaStep(Tables.documents(s, dir), "doc_id", "text")
     }),
 
     "events_assoc_rules" -> ((s, dir) => {
@@ -4498,6 +4515,40 @@ object SparkEntry {
            |    AS BIGINT) AS rank, label, CAST(n_members AS BIGINT)
            |    AS n_members FROM g)
            |WHERE rank <= 20""".stripMargin,
+
+      // the E-step responsibilities are per-row arithmetic (no float
+      // aggregation): each num_z and the fixed-z-order denominator are
+      // spelled with the IDENTICAL operation sequence as Topics.plsaStep
+      "topic_plsa_step" -> {
+        def wt(z: Int) =
+          s"1 + CAST('0x' || substr(md5(w || ':$z'), 1, 8) AS BIGINT) % 1000"
+        def num(z: Int) = s"(CAST(wt$z AS DOUBLE) / bz$z) * " +
+          s"((CAST(1.0 AS DOUBLE) + (d + $z) % 4) / 10)"
+        val denom = (0 until 4).map(num).mkString(" + ")
+        def r(z: Int) =
+          s"CAST(round(${num(z)} / ($denom) * 1000000) AS BIGINT) AS r$z"
+        s"""WITH d0 AS (SELECT doc_id AS d, $normTextSql AS t FROM documents),
+           |wrd AS (SELECT d, uw.w FROM d0,
+           |  LATERAL unnest(string_split(t, ' ')) uw(w)
+           |  WHERE length(uw.w) > 0),
+           |dw AS (SELECT d, w, count(*) AS n FROM wrd GROUP BY 1, 2),
+           |v AS (SELECT DISTINCT w FROM dw),
+           |vw AS (SELECT w, ${(0 until 4).map(z => s"${wt(z)} AS wt$z")
+                .mkString(", ")} FROM v),
+           |bz AS (SELECT ${(0 until 4).map(z => s"sum(wt$z) AS bz$z")
+                .mkString(", ")} FROM vw),
+           |r AS (SELECT dw.w, n, ${(0 until 4).map(r).mkString(", ")}
+           |  FROM dw JOIN vw ON vw.w = dw.w, bz),
+           |zr AS (${(0 until 4).map(z =>
+                s"SELECT w, $z AS z, CAST(n * r$z AS BIGINT) AS nw6 FROM r")
+                .mkString("\n  UNION ALL ")}),
+           |nw AS (SELECT z, w, CAST(sum(nw6) AS BIGINT) AS nw6
+           |  FROM zr GROUP BY 1, 2)
+           |SELECT CAST(z AS BIGINT) AS z, rank, w, nw6 FROM (
+           |  SELECT z, w, nw6, CAST(row_number() OVER (PARTITION BY z
+           |    ORDER BY nw6 DESC, w) AS BIGINT) AS rank FROM nw)
+           |WHERE rank <= 10""".stripMargin
+      },
 
       // ln() is libm: both engines round 4 dp and x1e4-scale per word,
       // regression sums run in integer space, one final division

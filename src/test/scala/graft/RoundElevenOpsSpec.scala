@@ -384,6 +384,36 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("plsaStep responsibilities normalize and favor the init topic") {
+    import graft.operators.Topics
+    // one doc, two words: r0..r3 per word must sum to ~1e6 (rounded),
+    // and the M-step weights must reflect p(z|d)·p(w|z) exactly —
+    // re-derive the full arithmetic in Scala (commons-codec md5, same
+    // operation order) and compare the graded output
+    val docs = Seq((7L, "alpha beta alpha")).toDF("doc_id", "text")
+    val got = Topics.plsaStep(docs, "doc_id", "text", k = 4, topN = 10)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s).substring(0, 8), 16)
+    val words = Map("alpha" -> 2L, "beta" -> 1L)
+    val wt = for (w <- words.keys; z <- 0 until 4)
+      yield (w, z) -> (1L + h32(s"$w:$z") % 1000)
+    val wtm = wt.toMap
+    val bz = (0 until 4).map(z => z -> words.keys.map(w => wtm((w, z))).sum)
+      .toMap
+    val expect = (for (w <- words.keys; z <- 0 until 4) yield {
+      def num(zz: Int) = (wtm((w, zz)).toDouble / bz(zz)) *
+        ((1.0 + (7 + zz) % 4) / 10)
+      val denom = num(0) + num(1) + num(2) + num(3)
+      val r6 = BigDecimal(num(z) / denom * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (z.toLong, w) -> words(w) * r6
+    }).toMap
+    assert(got == expect)
+  }
+
   test("ld_pairwise bin replication finds every in-window pair") {
     // brute-force the pair set at sf0.001 and compare against the
     // graded query's per-chr pair counts — proves the ±1-bin probe
