@@ -27,7 +27,26 @@ import org.apache.spark.sql.functions._
   * Dim tables region/nation stay fixed (they are bounded vocabularies,
   * like chromosome lists — scale does not grow them).
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <factor>
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <factor> [mode]
+  *
+  * `mode` (default `star`):
+  *  - `star`: every table except region/nation replicates with
+  *    consistent key offsets — the TPC-H-style "everything grows"
+  *    scale-up.
+  *  - `facts`: only the fact tables (orders/lineitem/events/documents/
+  *    embeddings) replicate; customer/supplier/part stay at base size
+  *    and the copies' foreign keys keep pointing INTO the base key
+  *    space. This is the genomics/world-model scaling: more variants,
+  *    samples and events over the SAME bounded gene models and dims —
+  *    the first sf1 run showed the interval-annotation family scaling
+  *    quadratically under `star` purely because gene density over the
+  *    fixed coordinate space grew 10x, which real genomes do not do.
+  *
+  * Document text per copy i>0 is CAESAR-ROTATED per letter (i mod 26),
+  * not word-suffixed: suffixing leaves interior CHARACTER shingles
+  * identical, so minhash banded the copies into ever-denser near-dup
+  * clusters (quadratic pair growth — the first rehearsal's 28x on
+  * dedup_minhash_pairs was that artifact, not the operator).
   */
 object ScaleUp {
   /** Key offset between copies: far above any real key, divisible by
@@ -51,6 +70,7 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorS) = args.take(3)
     val factor = factorS.toInt
+    val factsOnly = args.lift(3).contains("facts")
     val cpus = Runtime.getRuntime.availableProcessors
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,39 +86,50 @@ object ScaleUp {
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$dst/$name.parquet")
 
+    // a dim-side FK: offsets in star mode, stays in base space in facts
+    // mode (the copies re-point at the bounded base dims)
+    def dimFk(c: String) = if (factsOnly) col(c) else off(c)
+
     // fixed dims: copy through unchanged
     write(read("region"), "region", 1)
     write(read("nation"), "nation", 1)
 
-    write(replicate(read("customer"), factor)
-      .select(off("c_custkey").as("c_custkey"),
-        concat(col("c_name"), lit("_"), col("__copy")).as("c_name"),
-        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
-      "customer", 4)
+    if (factsOnly) {
+      write(read("customer"), "customer", 4)
+      write(read("supplier"), "supplier", 2)
+      write(read("part"), "part", 4)
+    } else {
+      write(replicate(read("customer"), factor)
+        .select(off("c_custkey").as("c_custkey"),
+          concat(col("c_name"), lit("_"), col("__copy")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+        "customer", 4)
 
-    write(replicate(read("supplier"), factor)
-      .select(off("s_suppkey").as("s_suppkey"),
-        concat(col("s_name"), lit("_"), col("__copy")).as("s_name"),
-        col("s_nationkey"), col("s_acctbal")),
-      "supplier", 2)
+      write(replicate(read("supplier"), factor)
+        .select(off("s_suppkey").as("s_suppkey"),
+          concat(col("s_name"), lit("_"), col("__copy")).as("s_name"),
+          col("s_nationkey"), col("s_acctbal")),
+        "supplier", 2)
 
-    write(replicate(read("part"), factor)
-      .select(off("p_partkey").as("p_partkey"),
-        concat(col("p_name"), lit("_"), col("__copy")).as("p_name"),
-        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
-      "part", 4)
+      write(replicate(read("part"), factor)
+        .select(off("p_partkey").as("p_partkey"),
+          concat(col("p_name"), lit("_"), col("__copy")).as("p_name"),
+          col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice")),
+        "part", 4)
+    }
 
     write(replicate(read("orders"), factor)
       .select(off("o_orderkey").as("o_orderkey"),
-        off("o_custkey").as("o_custkey"),
+        dimFk("o_custkey").as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority")),
       "orders", 8)
 
     write(replicate(read("lineitem"), factor)
       .select(off("l_orderkey").as("l_orderkey"),
-        off("l_partkey").as("l_partkey"),
-        off("l_suppkey").as("l_suppkey"),
+        dimFk("l_partkey").as("l_partkey"),
+        dimFk("l_suppkey").as("l_suppkey"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate")),
@@ -110,14 +141,21 @@ object ScaleUp {
         col("event_type"), col("value"), col("props")),
       "events", 16)
 
-    // word-suffix rewrite: copy 0 is the original corpus verbatim; copy
-    // i>0 remaps every word so no shingle/gram collides across copies
-    val sufTxt = when(col("__copy") === 0, col("text")).otherwise(
-      array_join(transform(split(col("text"), " "),
-        w => concat(w, lit("~"), col("__copy"))), " "))
+    // Caesar-rotate letters per copy: copy 0 is the original corpus
+    // verbatim; copy i>0 maps a..z -> rotate(i mod 26), which changes
+    // EVERY character shingle (a word suffix leaves interior shingles
+    // shared and the LSH family then banded copies into ever-denser
+    // near-dup clusters — quadratic pair growth by construction)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val rotTxt = (1 until factor).foldLeft(col("text")) { (acc, i) =>
+      val r = i % 26
+      val to = alpha.drop(r) + alpha.take(r)
+      when(col("__copy") === i, translate(col("text"), alpha, to))
+        .otherwise(acc)
+    }
     write(replicate(read("documents"), factor)
-      .select(off("doc_id").as("doc_id"), sufTxt.as("text"), col("lang"),
-        col("source"), length(sufTxt).cast("long").as("n_chars")),
+      .select(off("doc_id").as("doc_id"), rotTxt.as("text"), col("lang"),
+        col("source"), length(rotTxt).cast("long").as("n_chars")),
       "documents", 16)
 
     // cyclic rotation by copy index: norm-preserving, cluster-remapping
