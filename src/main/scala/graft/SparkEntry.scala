@@ -2281,10 +2281,16 @@ object SparkEntry {
           .cast("long").as("pos"),
         VariantF.qualityScore(col("l_quantity").cast("long"),
           (col("l_partkey") % 120).cast("long")).as("quality_score"))
+      // pre-aggregate to (chr,pos,sample) BEFORE the gene fan-out: the
+      // ~42x interval overlap multiplies whatever enters the range
+      // join, so collapse position multiplicity first (the q9
+      // discipline — gene identity is needed here, so the segment
+      // trick doesn't apply, but the input dedup does)
       val qual = li.filter(col("quality_score") >= 50)
+        .groupBy("chr", "pos", "sample").agg(count(lit(1)).as("cnt"))
       RangeJoin.joined(qual, partGenes(s, dir), "pos", "gstart", "gstop",
           Seq("chr"), binWidth = 4096)
-        .groupBy("gene_id", "sample").agg(count(lit(1)).as("n_var"))
+        .groupBy("gene_id", "sample").agg(sum("cnt").as("n_var"))
         .groupBy("gene_id").agg(count(lit(1)).as("n_carriers"),
           sum("n_var").as("total_burden"), max("n_var").as("max_burden"))
         .filter(col("n_carriers") >= 2)
