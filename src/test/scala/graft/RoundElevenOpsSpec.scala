@@ -414,6 +414,57 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("changepoint finds the hand-computed CUSUM argmax split") {
+    import graft.operators.EventOps
+    // counts [1,1,10,10] over days 0..3: S=[1,2,12,22], D=4, SD=22
+    // scores |D*Sk - k*SD|: k1=18, k2=36, k3=18 -> split after day 1
+    val us = 86400000000L
+    val rows = (Seq.fill(1)(0L) ++ Seq.fill(1)(us) ++
+      Seq.fill(10)(2 * us) ++ Seq.fill(10)(3 * us))
+      .map(("a", _)).toDF("event_type", "ts_us")
+    val got = EventOps.changepoint(rows, "event_type", col("ts_us"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got == (("a", 4L, 1L, 36L)))
+  }
+
+  test("sq8Audit reconstructs exact codes and scores the rest") {
+    import graft.operators.Similarity
+    // dim0: {0, 0.4, 1} — 0.4 quantizes to code 102 = 0.4 exactly
+    // (102/255), so MSE 0; dim1: {0, 0.3, 1} — 0.3 -> code 77,
+    // dequant 77e6/255, nonzero error computed with the same doubles
+    val vecs = Seq(Array(0f, 0f), Array(0.4f, 0.3f), Array(1f, 1f))
+      .map(Tuple1(_)).toDF("embedding")
+    val got = Similarity.sq8Audit(vecs, "embedding")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 0L, 1000000L, 3L, 0.0)))
+    val v6 = math.round(0.3f.toDouble * 1000000) // float->double widen
+    val q = math.round(255.0 * (v6 - 0) / 1000000).toDouble
+    val deq = 0L + q * 1000000 / 255.0
+    val esq = math.round((deq - v6) * (deq - v6))
+    assert(got(1L)._5 == esq / 3.0)
+  }
+
+  test("kcorePeel peels the chain off a triangle") {
+    import graft.operators.Graphs
+    // triangle {1,2,3} + chain 3-4-5: r1 drops 5 (deg 1), r2 drops 4
+    // (its only alive neighbor left is 3), r3 stable
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graphs.kcorePeel(e, "src", "dst", k = 2, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((5L, 4L, 3L, 3L)))
+  }
+
+  test("canonical k-mers: palindromes and strand flips") {
+    import graft.functions.Dna
+    val got = Seq("AAAA", "ACGT", "TTTA").toDF("kmer")
+      .select(least(col("kmer"),
+        Dna.reverseComplement(col("kmer"))).as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq("AAAA", "ACGT", "TAAA"))
+  }
+
   test("ld_pairwise bin replication finds every in-window pair") {
     // brute-force the pair set at sf0.001 and compare against the
     // graded query's per-chr pair counts — proves the ±1-bin probe
