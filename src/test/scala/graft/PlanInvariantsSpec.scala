@@ -25,6 +25,23 @@ class PlanInvariantsSpec extends AnyFunSuite {
   // checkpoint frame
   private val whitelist = Set("vocab_growth", "corpus_budget_select")
 
+  test("no cartesian product in any graded query") {
+    // a CartesianProductExec multiplies partitions x partitions — at
+    // 100 TB that is a run-forever plan. The deliberate scalar
+    // crossJoins (1-row totals/thresholds) plan as
+    // BroadcastNestedLoopJoin over a broadcast single row, which is
+    // fine and NOT matched here.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan
+        val cart = plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        if (cart.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian product in: $offenders")
+  }
+
   test("no unpartitioned window in any graded query outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
