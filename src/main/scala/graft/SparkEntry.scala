@@ -1108,6 +1108,28 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "ann_recall_audit" -> ((s, dir) => {
+      // recall@5 of the IVF index against the brute-force truth — the
+      // index-quality audit every ANN deployment needs before trusting
+      // the fast path (FAISS's recall-vs-nprobe curve, one point);
+      // integers + one rounded division, both paths' derivations
+      // already graded individually (ann_cosine_topk / ann_ivf)
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val brute = Similarity.cosineTopK(emb, queries, "vec_id",
+        "embedding", k = 5).select("query_id", "corpus_id")
+      val ivf = Similarity.ivfSearch(emb, queries, "vec_id", "embedding",
+          Similarity.ivfQuantizer(16, 64), k = 5, nprobe = 2)
+        .select("query_id", "corpus_id")
+      val hits = brute.join(ivf, Seq("query_id", "corpus_id"))
+      brute.agg(countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_queries"), col("n_truth"), col("n_hits"),
+          round(lit(10000.0) * col("n_hits") / col("n_truth"))
+            .cast("long").as("recall4"))
+    }),
+
     "ann_pq" -> ((s, dir) => {
       // product-quantization ADC search against fixed codebooks (literal
       // constants, like ann_ivf, so the DuckDB twin re-derives codes and
@@ -3403,6 +3425,50 @@ object SparkEntry {
       // IVF twin: the 16 quantizer centroids as double literals; same
       // |c|²−2·v·c assignment key (ties to lowest centroid id), same
       // nprobe=2 probe, same within-list cosine + rank
+      // both paths' CTE chains verbatim (ann_cosine_topk + ann_ivf),
+      // joined on the (query, corpus) pair and collapsed to recall@5
+      "ann_recall_audit" -> {
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+           |bq AS (SELECT vec_id AS query_id, vv AS qv FROM v
+           |  WHERE vec_id % 50 = 0),
+           |bs AS (SELECT query_id, vec_id AS corpus_id,
+           |  round(CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(vv,vv)) > 0
+           |    THEN list_dot_product(qv,vv) /
+           |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(vv,vv)))
+           |    ELSE 0 END, 6) AS cos_sim
+           |  FROM bq, v WHERE vec_id <> query_id),
+           |brute AS (SELECT query_id, corpus_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, corpus_id) AS rank FROM bs)
+           |  WHERE rank <= 5),
+           |d AS (
+           |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),
+           |rnk AS (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
+           |asn AS (SELECT a.vec_id AS corpus_id, a.c AS list_id, vv AS cv
+           |  FROM rnk a JOIN v ON v.vec_id = a.vec_id WHERE a.rn = 1),
+           |prb AS (SELECT p.vec_id AS query_id, p.c AS list_id, vv AS qv
+           |  FROM rnk p JOIN v ON v.vec_id = p.vec_id
+           |  WHERE p.rn <= 2 AND p.vec_id % 50 = 0),
+           |ivs AS (SELECT query_id, corpus_id,
+           |  round(CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) > 0
+           |    THEN list_dot_product(qv,cv) /
+           |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+           |    ELSE 0 END, 6) AS cos_sim
+           |  FROM prb JOIN asn USING (list_id) WHERE corpus_id <> query_id),
+           |ivf AS (SELECT query_id, corpus_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, corpus_id) AS rank FROM ivs)
+           |  WHERE rank <= 5),
+           |h AS (SELECT count(*) AS n_hits FROM brute JOIN ivf
+           |  USING (query_id, corpus_id))
+           |SELECT (SELECT count(DISTINCT query_id) FROM brute) AS n_queries,
+           |  (SELECT count(*) FROM brute) AS n_truth, n_hits,
+           |  CAST(round(10000.0 * n_hits /
+           |    (SELECT count(*) FROM brute)) AS BIGINT) AS recall4
+           |FROM h""".stripMargin
+      },
+
       "ann_ivf" -> {
         s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
            |d AS (

@@ -501,6 +501,26 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IVF with nprobe = numLists recalls the brute-force top-k exactly") {
+    import graft.operators.Similarity
+    // probing every inverted list makes the candidate set the whole
+    // corpus, so the IVF top-5 must EQUAL brute force — the recall
+    // audit's 100% calibration point (the graded query's nprobe=2
+    // measures the fast path's actual recall)
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val quant = Similarity.ivfQuantizer(16, 64)
+    val brute = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfSearch(emb, qs, "vec_id", "embedding",
+        quant, k = 5, nprobe = 16)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
   test("ld_pairwise bin replication finds every in-window pair") {
     // brute-force the pair set at sf0.001 and compare against the
     // graded query's per-chr pair counts — proves the ±1-bin probe
