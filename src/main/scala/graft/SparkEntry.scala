@@ -1954,6 +1954,16 @@ object SparkEntry {
         expr("ts DIV 1000"), alpha = 0.5, beta = 0.25)
     }),
 
+    "corpus_mix_temperature" -> ((s, dir) => {
+      // temperature-scaled source sampling weights (the multilingual /
+      // multi-source rebalancing of Conneau 2019 XLM-R §3.1 and the
+      // LLaMA data mix: w_s ∝ tokens_s^alpha with alpha = 0.7 —
+      // upweights small sources without letting a giant source drown
+      // the mix)
+      Curation.temperatureMix(Tables.documents(s, dir), "source",
+        "text", alpha = 0.7)
+    }),
+
     "corpus_budget_select" -> ((s, dir) => {
       // greedy token-budget selection (top docs by score until 40% of
       // corpus tokens): the scalable two-phase prefix sum — bounded
@@ -4808,6 +4818,24 @@ object SparkEntry {
           |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, last_day,
           |  hw[1] AS level, hw[2] AS trend, hw[1] + hw[2] AS forecast
           |FROM h""".stripMargin,
+
+      // pow() is libm in both engines; the x1e4 round per source makes
+      // the share divisions ratios of exact longs
+      "corpus_mix_temperature" ->
+        s"""WITH d AS (SELECT source, $normTextSql AS t FROM documents),
+           |tk AS (SELECT source, (SELECT count(*) FROM
+           |    unnest(string_split(t, ' ')) uw(w) WHERE length(uw.w) > 0)
+           |    AS toks FROM d),
+           |ps AS (SELECT source, count(*) AS n_docs,
+           |  CAST(sum(toks) AS BIGINT) AS tokens FROM tk GROUP BY 1),
+           |w AS (SELECT source, n_docs, tokens,
+           |  CAST(round(pow(CAST(tokens AS DOUBLE), 0.7) * 10000)
+           |    AS BIGINT) AS w4 FROM ps),
+           |tot AS (SELECT sum(w4) AS wtot, sum(tokens) AS ttot FROM w)
+           |SELECT source, n_docs, tokens,
+           |  CAST(round(10000.0 * w4 / wtot) AS BIGINT) AS share4,
+           |  CAST(round(10000.0 * tokens / ttot) AS BIGINT) AS raw_share4
+           |FROM w, tot""".stripMargin,
 
       // the oracle's one global window cumsum IS the point: the Spark
       // side must reproduce it with the two-phase bin scan

@@ -421,4 +421,39 @@ object Curation {
       .groupBy("lang", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("bin_chars"))
   }
+
+  /** Temperature-scaled source sampling weights — the multilingual /
+    * multi-source rebalance of Conneau et al. 2019 (XLM-R §3.1) and
+    * the LLaMA data mix: w_s ∝ tokens_s^alpha, alpha < 1 upweighting
+    * small sources without letting a giant one drown the mix.
+    *
+    * One partial-agg shuffle to the source-sized frame. pow() is libm,
+    * so each weight ×10⁴-rounds to an exact long (surprisal
+    * discipline) before the share divisions — shares are then ratios
+    * of exact longs, ×10⁴-rounded once.
+    *
+    * @return (source, n_docs, tokens, share4, raw_share4) —
+    *         raw_share4 is the un-tempered token share, showing what
+    *         alpha changed
+    */
+  def temperatureMix(docs: DataFrame, srcCol: String, textCol: String,
+                     alpha: Double): DataFrame = {
+    val perSrc = docs
+      .select(col(srcCol).as("source"),
+        size(filter(split(normText(col(textCol)), " "),
+          w => length(w) > 0)).cast("long").as("toks"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("tokens"))
+      .withColumn("w4",
+        round(pow(col("tokens").cast("double"), alpha) * 10000)
+          .cast("long"))
+    val tot = broadcast(perSrc.agg(sum("w4").as("wtot"),
+      sum("tokens").as("ttot")))
+    perSrc.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(lit(10000.0) * col("w4") / col("wtot"))
+          .cast("long").as("share4"),
+        round(lit(10000.0) * col("tokens") / col("ttot"))
+          .cast("long").as("raw_share4"))
+  }
 }

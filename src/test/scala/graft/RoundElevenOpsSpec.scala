@@ -521,6 +521,26 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("corpus_mix_temperature upweights the small source exactly") {
+    // two sources, 9 vs 1 single-token docs: alpha=0.7 lifts the small
+    // source's share above its raw 10%; exact values re-derived with
+    // the identical libm pow + round sequence
+    val docs = (1 to 9).map(i => (i.toLong, "w", "big")) ++
+      Seq((10L, "w", "small"))
+    val got = graft.operators.Curation.temperatureMix(
+      docs.toDF("doc_id", "text", "source"), "source", "text", 0.7)
+      .select("source", "share4", "raw_share4")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def w4(t: Long) = math.round(math.pow(t.toDouble, 0.7) * 10000)
+    val (wb, ws) = (w4(9), w4(1))
+    def share(w: Long) = BigDecimal(10000.0 * w / (wb + ws))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(got("big") == ((share(wb), 9000L)))
+    assert(got("small") == ((share(ws), 1000L)))
+    assert(got("small")._1 > 1000L && got("big")._1 < 9000L)
+  }
+
   test("ld_pairwise bin replication finds every in-window pair") {
     // brute-force the pair set at sf0.001 and compare against the
     // graded query's per-chr pair counts — proves the ±1-bin probe
