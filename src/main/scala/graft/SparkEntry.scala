@@ -556,6 +556,67 @@ object SparkEntry {
           round(max("value"), 4).as("max_score"))
     }),
 
+    "conservation_sliding" -> ((s, dir) => {
+      // conserved-island detection: per-site ±50 bp sliding conservation
+      // mean vs 1.2x the chromosome-wide mean. NOT a per-chr range
+      // window (25 chromosomes = 25 partitions however big the data —
+      // the genomic skew trap); the window sum comes from the
+      // ld_pairwise bin-replication self-join instead: each site probes
+      // its 128-wide bin and both neighbors, so candidates are bounded
+      // by window density per site. The conserved test cross-multiplies
+      // exact integers (win_sum·N·5 > total_sum·win_n·6) — ZERO floats
+      // anywhere in this query.
+      val sites = Tables.events(s, dir).select(
+          (col("user_id") % 5).cast("long").as("chr"),
+          (col("event_id") % 100000).cast("long").as("pos"),
+          round(col("value") * 10000).cast("long").as("v4"))
+        .groupBy("chr", "pos").agg(sum("v4").as("s4"),
+          count(lit(1)).as("n"))
+      val left = sites.select(col("chr"), col("pos"), col("s4").as("ls4"),
+        col("n").as("ln"),
+        explode(array(floor(col("pos") / 128).cast("long") - 1L,
+          floor(col("pos") / 128).cast("long"),
+          floor(col("pos") / 128).cast("long") + 1L)).as("bin"))
+      val right = sites.select(col("chr"), col("pos").as("pos2"),
+        col("s4").as("rs4"), col("n").as("rn"),
+        floor(col("pos") / 128).cast("long").as("bin"))
+      val win = left.join(right, Seq("chr", "bin"))
+        .filter(abs(col("pos2") - col("pos")) <= 50)
+        .groupBy("chr", "pos").agg(sum("rs4").as("win_s4"),
+          sum("rn").as("win_n"))
+      val tot = broadcast(sites.groupBy("chr").agg(
+        sum("s4").as("tot_s4"), sum("n").as("tot_n")))
+      win.join(tot, "chr")
+        .filter(col("win_s4") * col("tot_n") * 5 >
+          col("tot_s4") * col("win_n") * 6)
+        .groupBy("chr").agg(count(lit(1)).as("n_conserved"),
+          sum("win_n").as("sum_win_n"))
+    }),
+
+    "vcf_merge_multisample" -> ((s, dir) => {
+      // multi-sample VCF row assembly (the output side of the
+      // reference's per-sample detail merge): per-site genotype columns
+      // in sample order; collect_list order is nondeterministic — the
+      // array_sort is what makes retries agree
+      val d = Tables.lineitem(s, dir).select(
+          concat(lit("S"), (col("l_suppkey") % 4).cast("string"))
+            .as("sample"),
+          (col("l_orderkey") % 5).cast("long").as("chr"),
+          ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000)
+            .cast("long").as("pos"),
+          when((col("l_partkey") + col("l_suppkey")) % 3 === 0, "0/1")
+            .when((col("l_partkey") + col("l_suppkey")) % 3 === 1, "1/1")
+            .otherwise("0/0").as("gt"))
+        .groupBy("chr", "pos", "sample").agg(max("gt").as("gt"))
+      d.groupBy("chr", "pos")
+        .agg(count(lit(1)).as("n_samples"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("sample"), col("gt")))),
+            x => concat(x.getField("sample"), lit("="),
+              x.getField("gt"))), ";").as("gts"))
+        .filter(col("n_samples") === 4)
+    }),
+
     "q15_transcript_features" -> ((s, dir) => {
       val points = liVariants(s, dir).groupBy("chr", "pos")
         .agg(count(lit(1)).as("cnt"))
@@ -2795,6 +2856,43 @@ object SparkEntry {
           |  FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN ''
           |    ELSE 'rs' || CAST(doc_id AS VARCHAR) END AS rs_id FROM documents))
           |GROUP BY dbsnp_class""".stripMargin,
+
+      // the oracle pairs sites by plain inequality self-join — the bin
+      // replication is the Spark side's scale strategy, not semantics
+      "conservation_sliding" ->
+        """WITH e AS (SELECT CAST(user_id % 5 AS BIGINT) AS chr,
+          |  CAST(event_id % 100000 AS BIGINT) AS pos,
+          |  CAST(round(value * 10000) AS BIGINT) AS v4 FROM events),
+          |sites AS (SELECT chr, pos, CAST(sum(v4) AS BIGINT) AS s4,
+          |  count(*) AS n FROM e GROUP BY 1, 2),
+          |w AS (SELECT a.chr, a.pos, CAST(sum(b.s4) AS BIGINT) AS win_s4,
+          |  CAST(sum(b.n) AS BIGINT) AS win_n
+          |  FROM sites a JOIN sites b ON a.chr = b.chr
+          |    AND abs(b.pos - a.pos) <= 50 GROUP BY 1, 2),
+          |t AS (SELECT chr, CAST(sum(s4) AS BIGINT) AS tot_s4,
+          |  CAST(sum(n) AS BIGINT) AS tot_n FROM sites GROUP BY 1)
+          |SELECT chr, count(*) AS n_conserved,
+          |  CAST(sum(win_n) AS BIGINT) AS sum_win_n
+          |FROM w JOIN t USING (chr)
+          |WHERE win_s4 * tot_n * 5 > tot_s4 * win_n * 6
+          |GROUP BY 1""".stripMargin,
+
+      "vcf_merge_multisample" ->
+        """WITH d AS (SELECT 'S' || CAST(l_suppkey % 4 AS VARCHAR)
+          |    AS sample,
+          |  CAST(l_orderkey % 5 AS BIGINT) AS chr,
+          |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT)
+          |    AS pos,
+          |  CASE WHEN (l_partkey + l_suppkey) % 3 = 0 THEN '0/1'
+          |    WHEN (l_partkey + l_suppkey) % 3 = 1 THEN '1/1'
+          |    ELSE '0/0' END AS gt FROM lineitem),
+          |c AS (SELECT chr, pos, sample, max(gt) AS gt
+          |  FROM d GROUP BY 1, 2, 3),
+          |m AS (SELECT chr, pos, count(*) AS n_samples,
+          |  string_agg(sample || '=' || gt, ';' ORDER BY sample, gt)
+          |    AS gts FROM c GROUP BY 1, 2)
+          |SELECT chr, pos, n_samples, gts FROM m
+          |WHERE n_samples = 4""".stripMargin,
 
       "q14_conservation_agg" ->
         """SELECT CAST(user_id % 100 AS BIGINT) AS bucket, count(*) AS n,

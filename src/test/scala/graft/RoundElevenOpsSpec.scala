@@ -541,6 +541,56 @@ class RoundElevenOpsSpec extends AnyFunSuite {
     assert(got("small")._1 > 1000L && got("big")._1 < 9000L)
   }
 
+  test("conservation_sliding equals a brute-force window at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("conservation_sliding")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ev = graft.Tables.events(spark, dir)
+      .select((col("user_id") % 5).cast("long"),
+        (col("event_id") % 100000).cast("long"),
+        round(col("value") * 10000).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val sites = ev.groupBy(e => (e._1, e._2)).map { case ((c, p), es) =>
+      (c, p, es.map(_._3).sum, es.size.toLong) }.toSeq
+    val byChr = sites.groupBy(_._1)
+    val expect = byChr.toSeq.flatMap { case (chr, ss) =>
+      val totS = ss.map(_._3).sum; val totN = ss.map(_._4).sum
+      val conserved = ss.filter { case (_, p, _, _) =>
+        val win = ss.filter(o => math.abs(o._2 - p) <= 50)
+        val ws = win.map(_._3).sum; val wn = win.map(_._4).sum
+        ws * totN * 5 > totS * wn * 6
+      }
+      if (conserved.isEmpty) None else Some(chr ->
+        ((conserved.size.toLong, conserved.map { case (_, p, _, _) =>
+          ss.filter(o => math.abs(o._2 - p) <= 50).map(_._4).sum }.sum)))
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("vcf_merge_multisample assembles sample-sorted rows at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("vcf_merge_multisample")(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val cells = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_partkey"))
+      .as[(Long, Int, Long, Long)].collect()
+      .map { case (o, l, s, p) =>
+        val gt = (p + s) % 3 match {
+          case 0 => "0/1"; case 1 => "1/1"; case _ => "0/0" }
+        ((o % 5, (o * 31 + l * 7) % 100000, s"S${s % 4}"), gt)
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val expect = cells.groupBy { case ((c, p, _), _) => (c, p) }
+      .collect { case (site, m) if m.size == 4 =>
+        site -> m.toSeq.map { case ((_, _, smp), gt) => (smp, gt) }
+          .sorted.map { case (smp, gt) => s"$smp=$gt" }.mkString(";")
+      }.toMap
+    assert(got == expect)
+  }
+
   test("ld_pairwise bin replication finds every in-window pair") {
     // brute-force the pair set at sf0.001 and compare against the
     // graded query's per-chr pair counts — proves the ±1-bin probe
