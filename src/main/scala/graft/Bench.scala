@@ -135,8 +135,22 @@ object Bench {
     val loadPerQuery =
       scala.collection.mutable.LinkedHashMap[String, Double]()
     var sinceProbe = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // One UNTIMED warmup pass of the first query before anything is
+    // recorded: the alphabetically-first band otherwise absorbs the
+    // whole run's cold costs (classloading, parquet footer cache, first
+    // codegen) — three separate r10/r11 close runs flagged the ann_
+    // block at 2.4-3.4x floors only to re-measure warm at 1.3-1.6x.
+    // Best-of-3 cannot fix it because all three runs of query #1 are
+    // cold-ish; paying one extra query up front makes the artifact's
+    // first band comparable to the rest.
+    picked.headOption.foreach { case (_, fn) =>
+      spark.catalog.clearCache()
+      try fn(spark, sfDir).count() // same action path timeOnce drives
+      catch { case _: Throwable => () }
+    }
+    val results = picked
       .flatMap { case (name, fn) =>
         if (sinceProbe >= 20) { midSentinels += sentinelOnce(spark)
           sinceProbe = 0 }
