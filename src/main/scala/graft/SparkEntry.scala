@@ -101,6 +101,93 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
       blockCol = docBlockCol, n = 3, minJaccard = 0.2)
 
+  /** Synthetic per-(site, sample) genotype dosage cells from lineitem,
+    * shared by ldSitePairs and mendel_errors: gt derives from
+    * (partkey, suppkey), NOT the (orderkey, linenumber) pair that
+    * derives pos — the hwe-style derivation satisfies 13o+17l ≡
+    * pos + 2·chr (mod 10), which would make every sample at a site
+    * identical (zero variance). Duplicate (chr, pos, sample) draws
+    * collapse by max, so the frame is unique per cell.
+    *
+    * @return (chr, pos, sample, gv) with gv ∈ {0, 1, 2}
+    */
+  private def dosageCells(s: SparkSession, dir: String): DataFrame = {
+    val g = (col("l_partkey") * 13 + col("l_suppkey") * 17) % 10
+    Tables.lineitem(s, dir).select(
+        (col("l_orderkey") % 5).cast("long").as("chr"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 1000)
+          .cast("long").as("pos"),
+        (col("l_suppkey") % 20).cast("long").as("sample"),
+        when(g <= 4, 0).when(g <= 8, 1).otherwise(2).as("gt"))
+      .groupBy("chr", "pos", "sample").agg(max("gt").as("gv"))
+  }
+
+  /** Oracle twin of [[dosageCells]]: d/c CTEs ending in
+    * `c(chr, pos, sample, gv)`. */
+  private val dosageCellCtes =
+    """d AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
+      |  CAST((l_orderkey*31 + l_linenumber*7) % 1000 AS BIGINT) AS pos,
+      |  CAST(l_suppkey % 20 AS BIGINT) AS sample,
+      |  CASE WHEN (l_partkey*13 + l_suppkey*17) % 10 <= 4 THEN 0
+      |    WHEN (l_partkey*13 + l_suppkey*17) % 10 <= 8 THEN 1
+      |    ELSE 2 END AS gt FROM lineitem),
+      |c AS (SELECT chr, pos, sample, max(gt) AS gv
+      |  FROM d GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Variance-filtered LD site-pair cross-moments, shared by
+    * ld_pairwise and ld_decay (ONE derivation so the pair domain
+    * cannot drift between its consumers): dosage cells from lineitem
+    * (gt derives from (partkey, suppkey), NOT the (orderkey,
+    * linenumber) pair that derives pos — the hwe-style derivation
+    * satisfies 13o+17l ≡ pos + 2·chr (mod 10), which makes every
+    * sample at a site identical: zero variance, zero LD pairs), then
+    * the bin-replication self-join: each left cell probes its own
+    * 16-wide position bin and the next, the right side joins on its
+    * single home bin, so candidates = 2·cells before the ≤10-bp
+    * distance filter — the site-pair domain is bounded by WINDOW
+    * density, never sites². All cross-moments are exact integer sums
+    * of {0,1,2} dosages; both variance terms filtered > 0.
+    *
+    * @return (chr, pos1, pos2, n, s1, s2, s11, s22, s12)
+    */
+  private def ldSitePairs(s: SparkSession, dir: String): DataFrame = {
+    val cells = dosageCells(s, dir)
+    val left = cells.select(col("chr"), col("sample"),
+        col("pos").as("pos1"), col("gv").as("g1"),
+        explode(array(floor(col("pos") / 16).cast("long"),
+          floor(col("pos") / 16).cast("long") + 1L)).as("bin"))
+    val right = cells.select(col("chr"), col("sample"),
+      col("pos").as("pos2"), col("gv").as("g2"),
+      floor(col("pos") / 16).cast("long").as("bin"))
+    left.join(right, Seq("chr", "sample", "bin"))
+      .filter(col("pos2") > col("pos1") &&
+        col("pos2") - col("pos1") <= 10)
+      .groupBy("chr", "pos1", "pos2").agg(
+        count(lit(1)).as("n"), sum("g1").as("s1"), sum("g2").as("s2"),
+        sum(col("g1") * col("g1")).as("s11"),
+        sum(col("g2") * col("g2")).as("s22"),
+        sum(col("g1") * col("g2")).as("s12"))
+      .filter(col("n") * col("s11") - col("s1") * col("s1") > 0 &&
+        col("n") * col("s22") - col("s2") * col("s2") > 0)
+  }
+
+  /** Oracle twin of [[ldSitePairs]]: the d/c/p/r CTE chain ending in
+    * the per-pair r2e4 frame `r` (chr, pos1, pos2, r2e4). */
+  private val ldPairCtes =
+    s"""$dosageCellCtes,
+      |p AS (SELECT a.chr, a.pos AS pos1, b.pos AS pos2,
+      |  count(*) AS n, sum(a.gv) AS s1, sum(b.gv) AS s2,
+      |  sum(a.gv*a.gv) AS s11, sum(b.gv*b.gv) AS s22,
+      |  sum(a.gv*b.gv) AS s12
+      |  FROM c a JOIN c b ON a.chr = b.chr AND a.sample = b.sample
+      |    AND b.pos > a.pos AND b.pos - a.pos <= 10
+      |  GROUP BY 1, 2, 3),
+      |r AS (SELECT chr, pos1, pos2,
+      |  CAST(round(10000.0 * (n*s12 - s1*s2) * (n*s12 - s1*s2)
+      |    / ((n*s11 - s1*s1) * (n*s22 - s2*s2))) AS BIGINT) AS r2e4
+      |  FROM p
+      |  WHERE n*s11 - s1*s1 > 0 AND n*s22 - s2*s2 > 0)""".stripMargin
+
   /** Shared projection of the rollup_agg / cube_agg grouping-sets pair
     * (ONE definition so the gid cast / ALL labels cannot drift). */
   private def groupingSetsAgg(
@@ -1922,6 +2009,24 @@ object SparkEntry {
         .select("rank", "label", "n_members")
     }),
 
+    "graph_bfs_hops" -> ((s, dir) => {
+      // 3-round multi-source BFS blast radius over the undirected
+      // near-dup graph: seeds = every 97th doc, output = nodes first
+      // reached per hop with a sum-of-ids membership checksum (a count
+      // alone cannot catch two offsetting membership errors). Frontier
+      // shrinks as the ball saturates — each round joins only the
+      // NEWLY-reached set against the edges (Graphs.bfsHops).
+      val pairs = docJaccardPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val seeds = Tables.documents(s, dir)
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("id"))
+      Graphs.bfsHops(edges, "src", "dst", seeds, rounds = 3)
+        .groupBy("hop").agg(count(lit(1)).as("n_nodes"),
+          sum("id").as("sum_id"))
+    }),
+
     "text_zipf" -> ((s, dir) => {
       // Zipf exponent fit per language over the top-1000 words — the
       // corpus-law audit twin of vocab_growth's Heaps curve
@@ -2176,45 +2281,64 @@ object SparkEntry {
       // pairwise linkage disequilibrium r² between nearby sites (≤ 10 bp,
       // same chr), rolled up per chr: the site-pair domain is bounded by
       // WINDOW density (each site pairs with its ≤10-bp neighbors, never
-      // sites²) via the bin-replication trick — the left cell probes its
-      // own 16-wide bin and the next, the right joins on its single home
-      // bin, so candidates = cells × 2 before the distance filter; all
-      // cross-moments are exact integer sums of {0,1,2} dosages.
-      // gt derives from (partkey, suppkey), NOT the (orderkey,
-      // linenumber) pair that derives pos: the hwe-style derivation
-      // satisfies 13o+17l ≡ pos + 2·chr (mod 10), which makes every
-      // sample at a site identical — zero variance, zero LD pairs
-      val g = (col("l_partkey") * 13 + col("l_suppkey") * 17) % 10
-      val cells = Tables.lineitem(s, dir).select(
-          (col("l_orderkey") % 5).cast("long").as("chr"),
-          ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 1000)
-            .cast("long").as("pos"),
-          (col("l_suppkey") % 20).cast("long").as("sample"),
-          when(g <= 4, 0).when(g <= 8, 1).otherwise(2).as("gt"))
-        .groupBy("chr", "pos", "sample").agg(max("gt").as("gv"))
-      val left = cells.select(col("chr"), col("sample"),
-          col("pos").as("pos1"), col("gv").as("g1"),
-          explode(array(floor(col("pos") / 16).cast("long"),
-            floor(col("pos") / 16).cast("long") + 1L)).as("bin"))
-      val right = cells.select(col("chr"), col("sample"),
-        col("pos").as("pos2"), col("gv").as("g2"),
-        floor(col("pos") / 16).cast("long").as("bin"))
-      val pairs = left.join(right, Seq("chr", "sample", "bin"))
-        .filter(col("pos2") > col("pos1") &&
-          col("pos2") - col("pos1") <= 10)
-        .groupBy("chr", "pos1", "pos2").agg(
-          count(lit(1)).as("n"), sum("g1").as("s1"), sum("g2").as("s2"),
-          sum(col("g1") * col("g1")).as("s11"),
-          sum(col("g2") * col("g2")).as("s22"),
-          sum(col("g1") * col("g2")).as("s12"))
-      pairs
-        .filter(col("n") * col("s11") - col("s1") * col("s1") > 0 &&
-          col("n") * col("s22") - col("s2") * col("s2") > 0)
+      // sites²) via the bin-replication trick — see [[ldSitePairs]]
+      ldSitePairs(s, dir)
         .select(col("chr"), PopGen.ldR2e4(col("n"), col("s1"), col("s2"),
           col("s11"), col("s22"), col("s12")).as("r2e4"))
         .groupBy("chr").agg(count(lit(1)).as("n_pairs"),
           sum("r2e4").as("sum_r2e4"),
           sum(when(col("r2e4") >= 8000, 1L).otherwise(0L)).as("n_high"))
+    }),
+
+    "ld_decay" -> ((s, dir) => {
+      // LD decay curve: mean r² per inter-site DISTANCE (1..10 bp) —
+      // the population-structure audit read off the same pair frame as
+      // ld_pairwise (recombination decorrelates sites with distance;
+      // the curve's half-length calibrates tag-SNP/window choices).
+      // Same bounded pair derivation ([[ldSitePairs]]); the rollup key
+      // is the distance, so the output is ≤ 10 rows and mean_r2e4 is a
+      // RATIO OF SUMS of exact longs with ONE final rounded division
+      // (the popgen_fst rollup discipline — never a mean of ratios).
+      ldSitePairs(s, dir)
+        .select((col("pos2") - col("pos1")).as("dist"),
+          PopGen.ldR2e4(col("n"), col("s1"), col("s2"),
+            col("s11"), col("s22"), col("s12")).as("r2e4"))
+        .groupBy("dist").agg(count(lit(1)).as("n_pairs"),
+          sum("r2e4").as("sum_r2e4"))
+        .select(col("dist"), col("n_pairs"), col("sum_r2e4"),
+          round(lit(1.0) * col("sum_r2e4") / col("n_pairs"))
+            .cast("long").as("mean_r2e4"))
+    }),
+
+    "mendel_errors" -> ((s, dir) => {
+      // per-trio Mendelian-inconsistency rate (the family-based QC gate
+      // every trio cohort runs before association tests; reference
+      // adjacency: the same per-sample genotype detail VariantLoad3
+      // upserts, audited family-wise): samples 0..17 form 6 (child,
+      // father, mother) trios by (sample DIV 3, sample % 3); ONE
+      // partial-agg shuffle pivots each trio's three role dosages into
+      // a site row (conditional max — [[dosageCells]] is unique per
+      // cell), complete-trio filter, then the feasible-interval test
+      // (PopGen.mendelConflict) and a trio-sized rollup. Exact integers
+      // + one rounded rate division.
+      val cells = dosageCells(s, dir).filter(col("sample") < 18)
+      val trio = cells
+        .groupBy(col("chr"), col("pos"),
+          floor(col("sample") / 3).cast("long").as("trio"))
+        .agg(count(lit(1)).as("n_roles"),
+          max(when(col("sample") % 3 === 0, col("gv"))).as("c"),
+          max(when(col("sample") % 3 === 1, col("gv"))).as("f"),
+          max(when(col("sample") % 3 === 2, col("gv"))).as("m"))
+        .filter(col("n_roles") === 3)
+      trio
+        .withColumn("err",
+          when(PopGen.mendelConflict(col("f"), col("m"), col("c")), 1L)
+            .otherwise(0L))
+        .groupBy("trio").agg(count(lit(1)).as("n_sites"),
+          sum("err").as("n_errors"))
+        .select(col("trio"), col("n_sites"), col("n_errors"),
+          round(lit(10000.0) * col("n_errors") / col("n_sites"))
+            .cast("long").as("err_rate4"))
     }),
 
     "liftover_positions" -> ((s, dir) => {
@@ -4732,6 +4856,30 @@ object SparkEntry {
            |    AS n_members FROM g)
            |WHERE rank <= 20""".stripMargin,
 
+      // the same 3 BFS rounds chained: each frontier = distinct
+      // expansion of the PREVIOUS frontier minus everything reached
+      "graph_bfs_hops" ->
+        s"""WITH $jaccardPairCtes,
+           |e AS (SELECT id_a AS src, id_b AS dst FROM jp
+           |  UNION ALL SELECT id_b, id_a FROM jp),
+           |d0 AS (SELECT doc_id AS id, 0 AS hop FROM documents
+           |  WHERE doc_id % 97 = 0),
+           |f1 AS (SELECT DISTINCT e.dst AS id FROM d0 JOIN e
+           |  ON e.src = d0.id WHERE e.dst NOT IN (SELECT id FROM d0)),
+           |d1 AS (SELECT id, hop FROM d0
+           |  UNION ALL SELECT id, 1 FROM f1),
+           |f2 AS (SELECT DISTINCT e.dst AS id FROM f1 JOIN e
+           |  ON e.src = f1.id WHERE e.dst NOT IN (SELECT id FROM d1)),
+           |d2 AS (SELECT id, hop FROM d1
+           |  UNION ALL SELECT id, 2 FROM f2),
+           |f3 AS (SELECT DISTINCT e.dst AS id FROM f2 JOIN e
+           |  ON e.src = f2.id WHERE e.dst NOT IN (SELECT id FROM d2)),
+           |d3 AS (SELECT id, hop FROM d2
+           |  UNION ALL SELECT id, 3 FROM f3)
+           |SELECT CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes,
+           |  CAST(sum(id) AS BIGINT) AS sum_id
+           |FROM d3 GROUP BY 1""".stripMargin,
+
       // the E-step responsibilities are per-row arithmetic (no float
       // aggregation): each num_z and the fixed-z-order denominator are
       // spelled with the IDENTICAL operation sequence as Topics.plsaStep
@@ -5070,31 +5218,45 @@ object SparkEntry {
       // Spark side's bin replication is the scale strategy, not the
       // semantics, so the twin skips it
       "ld_pairwise" ->
-        """WITH d AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
-          |  CAST((l_orderkey*31 + l_linenumber*7) % 1000 AS BIGINT) AS pos,
-          |  CAST(l_suppkey % 20 AS BIGINT) AS sample,
-          |  CASE WHEN (l_partkey*13 + l_suppkey*17) % 10 <= 4 THEN 0
-          |    WHEN (l_partkey*13 + l_suppkey*17) % 10 <= 8 THEN 1
-          |    ELSE 2 END AS gt FROM lineitem),
-          |c AS (SELECT chr, pos, sample, max(gt) AS gv
-          |  FROM d GROUP BY 1, 2, 3),
-          |p AS (SELECT a.chr, a.pos AS pos1, b.pos AS pos2,
-          |  count(*) AS n, sum(a.gv) AS s1, sum(b.gv) AS s2,
-          |  sum(a.gv*a.gv) AS s11, sum(b.gv*b.gv) AS s22,
-          |  sum(a.gv*b.gv) AS s12
-          |  FROM c a JOIN c b ON a.chr = b.chr AND a.sample = b.sample
-          |    AND b.pos > a.pos AND b.pos - a.pos <= 10
-          |  GROUP BY 1, 2, 3),
-          |r AS (SELECT chr,
-          |  CAST(round(10000.0 * (n*s12 - s1*s2) * (n*s12 - s1*s2)
-          |    / ((n*s11 - s1*s1) * (n*s22 - s2*s2))) AS BIGINT) AS r2e4
-          |  FROM p
-          |  WHERE n*s11 - s1*s1 > 0 AND n*s22 - s2*s2 > 0)
-          |SELECT chr, count(*) AS n_pairs,
-          |  CAST(sum(r2e4) AS BIGINT) AS sum_r2e4,
-          |  CAST(sum(CASE WHEN r2e4 >= 8000 THEN 1 ELSE 0 END) AS BIGINT)
-          |    AS n_high
-          |FROM r GROUP BY 1""".stripMargin,
+        s"""WITH $ldPairCtes
+           |SELECT chr, count(*) AS n_pairs,
+           |  CAST(sum(r2e4) AS BIGINT) AS sum_r2e4,
+           |  CAST(sum(CASE WHEN r2e4 >= 8000 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_high
+           |FROM r GROUP BY 1""".stripMargin,
+
+      // same shared pair CTEs as ld_pairwise, rolled up on DISTANCE;
+      // mean is a ratio of exact-long sums, rounded once
+      "ld_decay" ->
+        s"""WITH $ldPairCtes
+           |SELECT pos2 - pos1 AS dist, count(*) AS n_pairs,
+           |  CAST(sum(r2e4) AS BIGINT) AS sum_r2e4,
+           |  CAST(round(1.0 * sum(r2e4) / count(*)) AS BIGINT)
+           |    AS mean_r2e4
+           |FROM r GROUP BY 1""".stripMargin,
+
+      // trio pivot by conditional max over the shared dosage cells;
+      // the feasible-interval Mendel test is pure integer CASE logic
+      "mendel_errors" ->
+        s"""WITH $dosageCellCtes,
+           |t AS (SELECT chr, pos, sample // 3 AS trio,
+           |  count(*) AS n_roles,
+           |  max(CASE WHEN sample % 3 = 0 THEN gv END) AS c,
+           |  max(CASE WHEN sample % 3 = 1 THEN gv END) AS f,
+           |  max(CASE WHEN sample % 3 = 2 THEN gv END) AS m
+           |  FROM c WHERE sample < 18 GROUP BY 1, 2, 3),
+           |e AS (SELECT trio,
+           |  CASE WHEN c < (CASE WHEN f = 2 THEN 1 ELSE 0 END
+           |      + CASE WHEN m = 2 THEN 1 ELSE 0 END)
+           |    OR c > (CASE WHEN f = 0 THEN 0 ELSE 1 END
+           |      + CASE WHEN m = 0 THEN 0 ELSE 1 END)
+           |    THEN 1 ELSE 0 END AS err
+           |  FROM t WHERE n_roles = 3)
+           |SELECT trio, count(*) AS n_sites,
+           |  CAST(sum(err) AS BIGINT) AS n_errors,
+           |  CAST(round(10000.0 * sum(err) / count(*)) AS BIGINT)
+           |    AS err_rate4
+           |FROM e GROUP BY 1""".stripMargin,
 
       // per-POSITION chain pick weighted by multiplicity: every variant
       // row lifts (the synthetic lineitem key is NOT unique — a

@@ -97,4 +97,22 @@ object PopGen {
     val v2 = n * s22 - s2 * s2
     round(lit(10000.0) * (cov * cov) / (v1 * v2)).cast("long")
   }
+
+  /** Mendelian-inconsistency test for a biallelic trio of {0,1,2}
+    * dosages: the child draws ONE allele from each parent, a parent
+    * with dosage 0 can only transmit ref, dosage 2 only alt, dosage 1
+    * either — so the feasible child dosages form the closed interval
+    * [tmin(f)+tmin(m), tmax(f)+tmax(m)] with tmin(p) = [p=2],
+    * tmax(p) = [p≠0]. Error iff the child falls outside. Covers every
+    * textbook case (e.g. 0×0 → child must be 0; 2×2 → child must be 2;
+    * 0×2 → child must be 1) in ONE integer interval check — exact
+    * integers, zero parity risk.
+    */
+  def mendelConflict(f: Column, m: Column, c: Column): Column = {
+    val cmin = when(f === 2, 1).otherwise(0) +
+      when(m === 2, 1).otherwise(0)
+    val cmax = when(f === 0, 0).otherwise(1) +
+      when(m === 0, 0).otherwise(1)
+    c < cmin || c > cmax
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Graphs, PopGen}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Late-round-11 operators: fixed-round BFS, the Mendel trio test and
+  * the LD decay rollup.
+  */
+class ExtendedOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bfsHops walks a path graph and keeps the minimum hop") {
+    // path 1-2-3-4-5 (undirected), isolated seed 9: hop = distance to
+    // the nearest seed, capped by the round count (5 is 4 hops from
+    // seed 1 — unreached in 3 rounds and absent from the output)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.map(p => (p._2, p._1)).toDF("src", "dst"))
+    val seeds = Seq(1L, 9L).toDF("id")
+    val got = Graphs.bfsHops(edges, "src", "dst", seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops with two seeds takes the nearer one") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.map(p => (p._2, p._1)).toDF("src", "dst"))
+    val got = Graphs.bfsHops(edges, "src", "dst",
+        Seq(1L, 5L).toDF("id"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops rounds=0 returns exactly the distinct seed set") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graphs.bfsHops(edges, "src", "dst",
+        Seq(1L, 1L, 7L).toDF("id"), rounds = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 7L -> 0L))
+  }
+
+  test("mendelConflict matches the allele-set truth table on all 27 trios") {
+    // independent model: child dosage feasible iff expressible as
+    // a_f + a_m with a_f in T(f), a_m in T(m), T(0)={0} T(1)={0,1}
+    // T(2)={1}
+    def t(p: Int): Set[Int] = p match {
+      case 0 => Set(0); case 1 => Set(0, 1); case 2 => Set(1)
+    }
+    val rows = for (f <- 0 to 2; m <- 0 to 2; c <- 0 to 2) yield (f, m, c)
+    val expect = rows.map { case (f, m, c) =>
+      (f, m, c) -> !(for (a <- t(f); b <- t(m)) yield a + b).contains(c)
+    }.toMap
+    val got = rows.toDF("f", "m", "c")
+      .select(col("f"), col("m"), col("c"),
+        PopGen.mendelConflict(col("f"), col("m"), col("c")).as("err"))
+      .as[(Int, Int, Int, Boolean)].collect()
+      .map { case (f, m, c, e) => (f, m, c) -> e }.toMap
+    assert(got == expect)
+  }
+
+  test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
+    // both queries roll up the SAME variance-filtered pair frame — the
+    // pair population (and its r2e4 mass) must be identical across the
+    // two groupings, and every distance must fall in 1..10
+    val dir = "/root/testdata/sf0.001"
+    val decay = SparkEntry.queries("ld_decay")(spark, dir)
+      .select("dist", "n_pairs", "sum_r2e4")
+      .as[(Long, Long, Long)].collect()
+    val pair = SparkEntry.queries("ld_pairwise")(spark, dir)
+      .select("n_pairs", "sum_r2e4").as[(Long, Long)].collect()
+    assert(decay.map(_._2).sum == pair.map(_._1).sum)
+    assert(decay.map(_._3).sum == pair.map(_._2).sum)
+    assert(decay.forall(d => d._1 >= 1 && d._1 <= 10))
+  }
+}
