@@ -2120,6 +2120,16 @@ object SparkEntry {
         expr("ts DIV 1000"), alpha = 0.5, beta = 0.25)
     }),
 
+    "events_holt_winters" -> ((s, dir) => {
+      // additive Holt-Winters with weekly seasonality — the seasonal
+      // member of the ewma/holt forecaster family; α, β, γ exactly
+      // representable so both engines parse identical lambda literals,
+      // the 9-slot state array rotates the day-of-week seasonal queue
+      EventOps.dailyHoltWinters(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"), alpha = 0.5, beta = 0.25, gamma = 0.25,
+        period = 7)
+    }),
+
     "corpus_mix_temperature" -> ((s, dir) => {
       // temperature-scaled source sampling weights (the multilingual /
       // multi-source rebalancing of Conneau 2019 XLM-R §3.1 and the
@@ -5063,6 +5073,32 @@ object SparkEntry {
           |  FROM s)
           |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, last_day,
           |  hw[1] AS level, hw[2] AS trend, hw[1] + hw[2] AS forecast
+          |FROM h""".stripMargin,
+
+      // the Holt-Winters 9-slot state fold: elements wrapped as
+      // [x, 0×8] so list_reduce's first accumulator IS the Spark seed;
+      // the l_t text is duplicated into the trend AND seasonal slots
+      // exactly as the Spark lambda duplicates it
+      "events_holt_winters" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type, count(*) AS n_days, max(day) AS last_day,
+          |  list([CAST(n AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+          |    0.0] ORDER BY day) AS ser
+          |  FROM c GROUP BY 1),
+          |h AS (SELECT event_type, n_days, last_day,
+          |  list_reduce(ser, (acc, x) ->
+          |    [0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+          |     0.25 * ((0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))
+          |       - acc[1]) + 0.75 * acc[2],
+          |     acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+          |     0.25 * (x[1] - (0.5 * (x[1] - acc[3])
+          |       + 0.5 * (acc[1] + acc[2]))) + 0.75 * acc[3]]) AS hw
+          |  FROM s)
+          |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, last_day,
+          |  hw[1] AS level, hw[2] AS trend, hw[3] AS season_next,
+          |  hw[1] + hw[2] + hw[3] AS forecast
           |FROM h""".stripMargin,
 
       // pow() is libm in both engines; the x1e4 round per source makes

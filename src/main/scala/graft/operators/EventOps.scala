@@ -255,6 +255,76 @@ object EventOps {
           .as("forecast"))
   }
 
+  /** Additive Holt-Winters triple exponential smoothing of daily
+    * counts with weekly seasonality (Winters 1960) — the seasonal
+    * extension of [[dailyHolt]], and the standard forecaster for
+    * counters with a day-of-week cycle:
+    * l_t = α·(x_t − s_{t−m}) + (1−α)·(l + b),
+    * b_t = β·(l_t − l) + (1−β)·b,
+    * s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}, seeded l₀ = x₀, b₀ = 0,
+    * s = 0 (the zero-seasonal cold start — deterministic and shared
+    * with the oracle; classical seasonal seeding needs a full first
+    * cycle and adds nothing to the cross-engine contract).
+    *
+    * Same scale shape as the EWMA/Holt family: ONE partial-agg shuffle
+    * to the vocabulary-sized (type, day) frame, then the recurrence is
+    * a codegen'd fold over each type's sorted series with a
+    * (2+period)-slot state array rotating the seasonal queue —
+    * acc[3] is always the seasonal that applies to the CURRENT step.
+    *
+    * Parity: α, β, γ and complements exactly-representable doubles;
+    * l_t's expression text is duplicated into the trend AND seasonal
+    * terms (no let-binding in SQL lambdas) so both engines run the
+    * identical IEEE sequence; the oracle wraps elements as
+    * [x, 0, …, 0] so its first accumulator IS this fold's seed.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, n_days, last_day, level, trend, season_next,
+    *         forecast) — forecast = level + trend + season_next
+    */
+  def dailyHoltWinters(events: DataFrame, typeCol: String, tsUs: Column,
+                       alpha: Double, beta: Double, gamma: Double,
+                       period: Int): DataFrame = {
+    for ((n, v) <- Seq("alpha" -> alpha, "beta" -> beta, "gamma" -> gamma))
+      require(v > 0 && v <= 1 && v == 1 - (1 - v),
+        s"$n and 1-$n must be exact doubles, got $v")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    // l_t inlined three times: SQL lambdas have no let-binding, and
+    // the oracle must repeat the identical text
+    val lNew = s"$alpha * (CAST(x.n AS DOUBLE) - element_at(acc, 3)) + " +
+      s"${1 - alpha} * (element_at(acc, 1) + element_at(acc, 2))"
+    val rotated = (4 to (2 + period))
+      .map(i => s"element_at(acc, $i)").mkString(", ")
+    val seed = ("CAST(element_at(series, 1).n AS DOUBLE)" +:
+      Seq.fill(1 + period)("0D")).mkString(", ")
+    events
+      .groupBy(col(typeCol).as("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("series"))
+      .withColumn("hw",
+        expr(s"""aggregate(slice(series, 2, size(series) - 1),
+               |  array($seed),
+               |  (acc, x) -> array($lNew,
+               |    $beta * (($lNew) - element_at(acc, 1))
+               |      + ${1 - beta} * element_at(acc, 2),
+               |    $rotated,
+               |    $gamma * (CAST(x.n AS DOUBLE) - ($lNew))
+               |      + ${1 - gamma} * element_at(acc, 3)))""".stripMargin))
+      .select(col("event_type"),
+        size(col("series")).cast("long").as("n_days"),
+        element_at(col("series"), -1).getField("day").as("last_day"),
+        element_at(col("hw"), 1).as("level"),
+        element_at(col("hw"), 2).as("trend"),
+        element_at(col("hw"), 3).as("season_next"),
+        (element_at(col("hw"), 1) + element_at(col("hw"), 2)
+          + element_at(col("hw"), 3)).as("forecast"))
+  }
+
   /** Single change-point detection per event type over daily counts —
     * binary segmentation's first split (Scott & Knott / CUSUM
     * argmax): the split k maximizing |S_k − (k/D)·S_D|, i.e. where the

@@ -61,6 +61,56 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("dailyHoltWinters matches the hand-rolled seasonal fold") {
+    import graft.operators.EventOps
+    // 12 consecutive days for one type — long enough that the seasonal
+    // queue wraps (updates 8..11 consume seasonals written at steps
+    // 1..4, not the zero seed). The driver-side fold spells the three
+    // recurrence lines in the lambda's exact operation order, so the
+    // doubles must agree BIT FOR BIT.
+    val us = 86400000000L
+    val counts = Seq(2, 4, 1, 3, 5, 2, 4, 6, 1, 3, 2, 5)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => ("a", d * us + i))
+    }.toDF("event_type", "ts_us")
+    val (a, bb, g, m) = (0.5, 0.25, 0.25, 7)
+    var l = counts.head.toDouble; var b = 0.0
+    var q = Vector.fill(m)(0.0)
+    for (x0 <- counts.tail) {
+      val x = x0.toDouble
+      val lN = a * (x - q(0)) + (1 - a) * (l + b)
+      val bN = bb * (lN - l) + (1 - bb) * b
+      val sN = g * (x - lN) + (1 - g) * q(0)
+      l = lN; b = bN; q = q.tail :+ sN
+    }
+    val got = EventOps.dailyHoltWinters(rows, "event_type",
+        col("ts_us"), a, bb, g, m)
+      .select("n_days", "level", "trend", "season_next", "forecast")
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(got == ((12L, l, b, q(0), l + b + q(0))))
+  }
+
+  test("dailyHoltWinters reduces to dailyHolt while seasonals are zero") {
+    import graft.operators.EventOps
+    // 8 days = 7 update steps, all consuming the zero seasonal seed:
+    // level and trend must equal plain Holt's bit for bit, while the
+    // seasonal queue is already nonzero (it has absorbed residuals)
+    val us = 86400000000L
+    val counts = Seq(3, 1, 4, 1, 5, 9, 2, 6)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => ("a", d * us + i))
+    }.toDF("event_type", "ts_us")
+    val hw = EventOps.dailyHoltWinters(rows, "event_type",
+        col("ts_us"), 0.5, 0.25, 0.25, 7)
+      .select("level", "trend", "season_next")
+      .as[(Double, Double, Double)].collect().head
+    val h = EventOps.dailyHolt(rows, "event_type", col("ts_us"),
+        0.5, 0.25)
+      .select("level", "trend").as[(Double, Double)].collect().head
+    assert((hw._1, hw._2) == h)
+    assert(hw._3 != 0.0)
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
