@@ -2532,6 +2532,34 @@ object SparkEntry {
         col("gstart"), col("gstop"))
     }),
 
+    "sv_reciprocal_overlap" -> ((s, dir) => {
+      // structural-variant call-set concordance by 50% RECIPROCAL
+      // overlap (bedtools intersect -f 0.5 -r / the truvari matching
+      // core): two call sets — genes from part vs a second synthetic
+      // caller from orders — pair through the binned range join, then
+      // the reciprocal rule 2·ov ≥ len_a AND 2·ov ≥ len_b keeps only
+      // size-compatible matches (plain overlap calls a 50 bp hit
+      // inside a 5 kb call a match; reciprocal matching is what SV
+      // benchmarking actually uses). Exact integers; the per-chr
+      // rollup carries the truvari precision/recall inputs (distinct
+      // matched calls per side).
+      val a = partGenes(s, dir).select(col("chr"),
+        col("gene_id").as("id_a"),
+        col("gstart").as("a_start"), col("gstop").as("a_stop"))
+      val o = col("o_orderkey").cast("long")
+      val b = Tables.orders(s, dir).select(
+        (o % 5).as("chr"), o.as("id_b"),
+        ((o * 211) % 100000).as("b_start"),
+        ((o * 211) % 100000 + 30 + (o * 53) % 3000).as("b_stop"))
+      Intervals.reciprocalOverlapPairs(a, b, "a_start", "a_stop",
+          "b_start", "b_stop", keys = Seq("chr"), binWidth = 4096,
+          num = 1, den = 2)
+        .groupBy("chr").agg(count(lit(1)).as("n_pairs"),
+          sum("ov").as("sum_ov"),
+          countDistinct(col("id_a")).as("n_a_matched"),
+          countDistinct(col("id_b")).as("n_b_matched"))
+    }),
+
     "variant_burden" -> ((s, dir) => {
       // rare-variant burden collapse (the SKAT/burden-test input): count
       // QUALIFYING variants per (gene, sample) through the binned range
@@ -5394,6 +5422,28 @@ object SparkEntry {
            |FROM g a JOIN g b ON a.chr = b.chr AND a.gene_id < b.gene_id
            |  AND a.gstart <= b.gstop AND b.gstart <= a.gstop
            |GROUP BY 1""".stripMargin,
+
+      // plain inequality pair join (the bin replication is strategy,
+      // not semantics) + the integer reciprocal rule
+      "sv_reciprocal_overlap" ->
+        s"""WITH g AS ($partGenesSql),
+           |sv AS (SELECT CAST(o_orderkey % 5 AS BIGINT) AS chr,
+           |  CAST(o_orderkey AS BIGINT) AS id_b,
+           |  CAST((o_orderkey*211) % 100000 AS BIGINT) AS b_start,
+           |  CAST((o_orderkey*211) % 100000 + 30 + (o_orderkey*53) % 3000
+           |    AS BIGINT) AS b_stop FROM orders),
+           |p AS (SELECT g.chr, g.gene_id AS id_a, sv.id_b,
+           |  least(g.gstop, sv.b_stop) - greatest(g.gstart, sv.b_start)
+           |    + 1 AS ov,
+           |  g.gstop - g.gstart + 1 AS la,
+           |  sv.b_stop - sv.b_start + 1 AS lb
+           |  FROM g JOIN sv ON g.chr = sv.chr
+           |    AND g.gstart <= sv.b_stop AND sv.b_start <= g.gstop)
+           |SELECT chr, count(*) AS n_pairs,
+           |  CAST(sum(ov) AS BIGINT) AS sum_ov,
+           |  CAST(count(DISTINCT id_a) AS BIGINT) AS n_a_matched,
+           |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_b_matched
+           |FROM p WHERE 2*ov >= la AND 2*ov >= lb GROUP BY 1""".stripMargin,
 
       // full hash re-derivation from the pixel formula (incl. the exact
       // lum·64 > total threshold) + brute-force hamming pairs — the

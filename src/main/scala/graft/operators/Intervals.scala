@@ -137,4 +137,33 @@ object Intervals {
         (col("next_start") - 1L).as("gap_end"),
         (col("next_start") - 1L - col("mstop")).as("gap_len")): _*)
   }
+
+  /** Reciprocal-overlap interval matching (bedtools intersect
+    * -f num/den -r / the truvari SV-concordance core): pairs from
+    * `a` × `b` overlapping on the shared `keys` whose overlap covers
+    * at least num/den of BOTH intervals — plain overlap calls a 50 bp
+    * hit inside a 5 kb call a match; the reciprocal rule keeps only
+    * size-compatible pairs. The test is exact integer arithmetic
+    * (den·ov ≥ num·len on both sides, inclusive [start, stop]
+    * coordinates), run on the output of the binned range join
+    * ([[RangeJoin.overlapJoined]]) so the candidate domain is bounded
+    * by bin occupancy, never |a|·|b|.
+    *
+    * @return the joined pair rows plus an `ov` overlap-length column
+    */
+  def reciprocalOverlapPairs(a: DataFrame, b: DataFrame,
+                             startA: String, stopA: String,
+                             startB: String, stopB: String,
+                             keys: Seq[String], binWidth: Long,
+                             num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"reciprocal fraction must be in (0, 1], got $num/$den")
+    val ov = least(col(stopA), col(stopB)) -
+      greatest(col(startA), col(startB)) + 1
+    RangeJoin.overlapJoined(a, b, startA, stopA, startB, stopB,
+        keys, binWidth)
+      .filter(lit(den) * ov >= lit(num) * (col(stopA) - col(startA) + 1) &&
+        lit(den) * ov >= lit(num) * (col(stopB) - col(startB) + 1))
+      .withColumn("ov", ov)
+  }
 }

@@ -111,6 +111,26 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(hw._3 != 0.0)
   }
 
+  test("reciprocalOverlapPairs keeps only size-compatible matches") {
+    import graft.operators.Intervals
+    // A = [0,99] len 100 on chr 1; candidates:
+    //   B1 [0,49]   len 50  ov 50 -> 2*50 >= 100 and >= 50   MATCH
+    //   B2 [0,39]   len 40  ov 40 -> 2*40 <  100             no (A side)
+    //   B3 [50,149] len 100 ov 50 -> 2*50 >= 100 both        MATCH
+    //   B4 [90,489] len 400 ov 10 -> fails both              no
+    //   B5 [0,99] on chr 2 — no key overlap                  no
+    val a = Seq((1L, 10L, 0L, 99L)).toDF("chr", "id_a", "a_start", "a_stop")
+    val b = Seq(
+      (1L, 1L, 0L, 49L), (1L, 2L, 0L, 39L), (1L, 3L, 50L, 149L),
+      (1L, 4L, 90L, 489L), (2L, 5L, 0L, 99L))
+      .toDF("chr", "id_b", "b_start", "b_stop")
+    val got = Intervals.reciprocalOverlapPairs(a, b,
+        "a_start", "a_stop", "b_start", "b_stop",
+        keys = Seq("chr"), binWidth = 64, num = 1, den = 2)
+      .select("id_b", "ov").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 50L, 3L -> 50L))
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
