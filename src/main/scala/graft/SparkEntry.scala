@@ -2033,6 +2033,15 @@ object SparkEntry {
       TextAnalysis.zipfFit(Tables.documents(s, dir), "lang", "text")
     }),
 
+    "text_jsd_sources" -> ((s, dir) => {
+      // pairwise Jensen-Shannon divergence between source unigram
+      // distributions — the token-space distribution-shift audit
+      // (embed_mmd's lexical twin); absent words DENSIFY to zero so
+      // disjoint-vocabulary mass is counted, logs 4 dp-round to exact
+      // longs per word (surprisal discipline)
+      TextAnalysis.sourceJsd(Tables.documents(s, dir), "source", "text")
+    }),
+
     "topic_plsa_step" -> ((s, dir) => {
       // one graded PLSA EM step from a deterministic init (the
       // kmeansStep discipline for topic models): top-10 words per topic
@@ -5055,6 +5064,40 @@ object SparkEntry {
            |  CAST(round(10000.0 * (n_words * sxy - sx * sy)
            |    / (n_words * sxx - sx * sx)) AS BIGINT) AS slope4
            |FROM s""".stripMargin,
+
+      // densify words × sources so disjoint-vocabulary mass counts;
+      // p/q/term spelled in the Spark lambda's exact operation order
+      "text_jsd_sources" ->
+        s"""WITH tk AS (SELECT source, uw.w FROM
+           |  (SELECT source, $normTextSql AS t FROM documents) d,
+           |  LATERAL unnest(string_split(t, ' ')) uw(w)
+           |  WHERE length(uw.w) > 0),
+           |cnt AS (SELECT source, w, count(*) AS cnt FROM tk GROUP BY 1, 2),
+           |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+           |  FROM cnt GROUP BY 1),
+           |words AS (SELECT DISTINCT w FROM cnt),
+           |dense AS (SELECT t.source, words.w, t.tot,
+           |  coalesce(c.cnt, 0) AS cnt
+           |  FROM words CROSS JOIN tot t LEFT JOIN cnt c
+           |    ON c.source = t.source AND c.w = words.w),
+           |pw AS (SELECT a.source AS src_a, b.source AS src_b,
+           |  CAST(a.cnt AS DOUBLE) / a.tot AS p,
+           |  CAST(b.cnt AS DOUBLE) / b.tot AS q,
+           |  a.cnt AS c1, b.cnt AS c2
+           |  FROM dense a JOIN dense b ON a.w = b.w
+           |    AND a.source < b.source
+           |  WHERE a.cnt + b.cnt > 0),
+           |tm AS (SELECT src_a, src_b,
+           |  CASE WHEN c1 > 0 THEN CAST(round(p
+           |    * round(ln(2 * p / (p + q)) * 10000) * 1000000) AS BIGINT)
+           |    ELSE 0 END
+           |  + CASE WHEN c2 > 0 THEN CAST(round(q
+           |    * round(ln(2 * q / (p + q)) * 10000) * 1000000) AS BIGINT)
+           |    ELSE 0 END AS term
+           |  FROM pw)
+           |SELECT src_a, src_b, count(*) AS n_words,
+           |  CAST(sum(term) AS BIGINT) AS jsd2e10
+           |FROM tm GROUP BY 1, 2""".stripMargin,
 
       "events_assoc_rules" ->
         """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -291,6 +291,67 @@ object TextAnalysis {
           .cast("long").as("slope4"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between the unigram
+    * distributions of every source pair — the token-space
+    * distribution-shift audit (the lexical twin of embed_mmd's
+    * embedding-space two-sample test; Lin 1991): JSD(P,Q) =
+    * ½·Σ_w [p·ln(2p/(p+q)) + q·ln(2q/(p+q))], symmetric, bounded by
+    * ln 2, zero iff the distributions match — run between corpus
+    * snapshots/sources before mixing them into one training corpus.
+    *
+    * Scale shape: one (source, word) partial-agg shuffle (the only
+    * corpus-sized exchange), source-sized totals BROADCAST onto a
+    * densified words × sources frame (absent words must still
+    * contribute their p·ln 2 mass — a plain inner join on word would
+    * silently drop exactly the disjoint-vocabulary signal JSD exists
+    * to measure), then ONE word-keyed self-join with src_a < src_b —
+    * candidates bounded by |sources|² per word, never corpus².
+    *
+    * Parity (the zipfFit surprisal discipline): each word's two log
+    * factors round to 4 dp ×10⁴ exact longs, each term is ONE
+    * double·long·10⁶ multiply chain rounded to a long (the extra 10⁶
+    * keeps rare words' p·ln mass above integer resolution — at ×10⁴
+    * alone a 10⁻⁶ probability rounds to zero and the tail vanishes),
+    * the pair rollup sums longs — no float accumulates across rows.
+    * Emits 2·JSD ×10¹⁰ directly (the un-halved sum, bounded by
+    * 2·ln 2·10¹⁰ regardless of vocabulary size) so no further rounding
+    * step exists.
+    *
+    * @return (src_a, src_b, n_words, jsd2e10) — n_words = union
+    *         vocabulary of the pair, jsd2e10 = 2·JSD in nats ×10¹⁰
+    */
+  def sourceJsd(docs: org.apache.spark.sql.DataFrame, srcCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs.select(col(srcCol).as("source"),
+        explode(split(normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("source").agg(sum("cnt").as("tot"))
+    val dense = counts.select("w").distinct()
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("source", "w"), "left")
+      .select(col("source"), col("w"), col("tot"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val a = dense.select(col("w"), col("source").as("src_a"),
+      col("cnt").as("c1"), col("tot").as("t1"))
+    val b = dense.select(col("w"), col("source").as("src_b"),
+      col("cnt").as("c2"), col("tot").as("t2"))
+    val p = col("c1").cast("double") / col("t1")
+    val q = col("c2").cast("double") / col("t2")
+    val term =
+      when(col("c1") > 0,
+        round(p * round(log(lit(2) * p / (p + q)) * 10000) * 1000000)
+          .cast("long")).otherwise(0L) +
+      when(col("c2") > 0,
+        round(q * round(log(lit(2) * q / (p + q)) * 10000) * 1000000)
+          .cast("long")).otherwise(0L)
+    a.join(b, Seq("w"))
+      .filter(col("src_a") < col("src_b") && col("c1") + col("c2") > 0)
+      .select(col("src_a"), col("src_b"), term.as("term"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_words"), sum("term").as("jsd2e10"))
+  }
+
   /** Vocabulary-growth curve (the Heaps-law diagnostic a corpus audit
     * plots): distinct-token count of every prefix of the corpus in
     * document-id order, sampled at `step`-document checkpoints. Takes a

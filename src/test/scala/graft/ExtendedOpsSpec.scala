@@ -131,6 +131,23 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 50L, 3L -> 50L))
   }
 
+  test("sourceJsd: zero for identical distributions, ln 2 for disjoint") {
+    import graft.operators.TextAnalysis
+    // identical unigram distributions -> every log factor is ln(1) = 0;
+    // fully disjoint vocabularies -> JSD = ln 2: four words each with
+    // p = 1/2, q = 0, term = round(0.5 * round(ln(2)*1e4) * 1e6)
+    // = round(0.5 * 6931 * 1e6) = 3_465_500_000, summed over 4 words
+    val docs = Seq(("a", "x y"), ("b", "x y"), ("c", "z w"))
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceJsd(docs, "source", "text")
+      .select("src_a", "src_b", "n_words", "jsd2e10")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", "b")) == ((2L, 0L)))
+    assert(got(("a", "c")) == ((4L, 4L * 3465500000L)))
+    assert(got(("b", "c")) == ((4L, 4L * 3465500000L)))
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
