@@ -2744,6 +2744,20 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           lower(hex(col("frame"))).as("frame_hex"))
     }),
+
+    "multimodal_scene_cut" -> ((s, dir) => {
+      // shot-boundary detection through the REAL RIFF/AVI walk: total
+      // absolute byte delta between consecutive frames, cut when
+      // > 1360 (16 random bytes' expected total |diff| is ~85.3·16 ≈
+      // 1365, so the synthetic md5 frames split near half); the oracle
+      // re-derives every frame byte from the md5 hex formula, so the
+      // graded compare proves the container offsets AND the delta
+      // arithmetic
+      Multimodal.sceneCuts(
+        Multimodal.syntheticMedia(
+          Tables.documents(s, dir).select("doc_id"), "doc_id"),
+        threshold = 1360L).toDF()
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -6029,6 +6043,29 @@ object SparkEntry {
           |    AS frame_hex
           |FROM documents, LATERAL unnest(generate_series(0, 2, 2)) u(i)
           |WHERE doc_id % 3 = 2""".stripMargin,
+
+      // every frame byte re-derived from the md5 hex formula (every
+      // id%3==2 video has exactly 3 equal-length 16-byte frames), the
+      // per-pair delta summed over the 16 byte positions — grading the
+      // container offsets AND the delta arithmetic
+      "multimodal_scene_cut" ->
+        """WITH v AS (SELECT doc_id AS media_id FROM documents
+          |  WHERE doc_id % 3 = 2),
+          |b AS (SELECT media_id, u.i AS pair_idx,
+          |  CAST(sum(abs(
+          |    CAST('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':'
+          |      || CAST(u.i AS VARCHAR)), j.j*2 + 1, 2) AS BIGINT)
+          |    - CAST('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':'
+          |      || CAST(u.i + 1 AS VARCHAR)), j.j*2 + 1, 2) AS BIGINT)))
+          |    AS BIGINT) AS delta
+          |  FROM v, LATERAL unnest(generate_series(0, 1)) u(i),
+          |    LATERAL unnest(generate_series(0, 15)) j(j)
+          |  GROUP BY 1, 2)
+          |SELECT media_id, CAST(3 AS BIGINT) AS n_frames,
+          |  count(*) AS n_pairs, CAST(sum(delta) AS BIGINT) AS sum_delta,
+          |  CAST(sum(CASE WHEN delta > 1360 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_cuts
+          |FROM b GROUP BY 1""".stripMargin,
     )
   }
 }

@@ -450,6 +450,49 @@ object Multimodal {
       })
   }
 
+  /** Per-video scene-cut statistics. */
+  case class SceneStats(media_id: Long, n_frames: Long, n_pairs: Long,
+                        sum_delta: Long, n_cuts: Long)
+
+  /** Scene-cut detection over video payloads — the shot-boundary pass
+    * every video-curation pipeline runs before frame sampling (sample
+    * once per SHOT, not per fixed stride, and near-static clips
+    * collapse to one frame): consecutive frames are compared by total
+    * absolute byte difference; a pair whose delta exceeds `threshold`
+    * is a cut. Real RIFF/AVI container parsing via
+    * [[MediaCodec.aviFrameRanges]]; the DIFFERENCE is computed on the
+    * raw frame bytes (for real codecs this is where a decoded-luma
+    * delta would slot in — the container walk, framing and scale shape
+    * are the contract here). Narrow per-partition compute, payload
+    * bytes never shuffle — only the 5-long stats row flows on.
+    * Frames whose byte lengths differ compare over the shorter prefix
+    * plus a per-missing-byte penalty of 255 (a length change IS a
+    * content change). Non-AVI payloads quarantine to zero rows.
+    */
+  def sceneCuts(media: Dataset[MediaRow], threshold: Long): Dataset[SceneStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        MediaCodec.aviFrameRanges(r.payload).map { ranges =>
+          val fs = ranges.map { case (off, len) =>
+            java.util.Arrays.copyOfRange(r.payload, off, off + len) }
+          val deltas = fs.iterator.zip(fs.iterator.drop(1)).map {
+            case (f1, f2) =>
+              val n = math.min(f1.length, f2.length)
+              var d = 0L
+              var i = 0
+              while (i < n) {
+                d += math.abs((f1(i) & 0xff) - (f2(i) & 0xff)); i += 1
+              }
+              d + 255L * (math.max(f1.length, f2.length) - n)
+          }.toVector
+          SceneStats(r.media_id, fs.length.toLong, deltas.length.toLong,
+            deltas.sum, deltas.count(_ > threshold).toLong)
+        }
+      })
+  }
+
   /** Per-image perceptual fingerprint row. */
   case class ImageHash(media_id: Long, ahash: Long)
 

@@ -148,6 +148,32 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got(("b", "c")) == ((4L, 4L * 3465500000L)))
   }
 
+  test("sceneCuts: hand-built AVI with known byte deltas") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaCodec, MediaRow}
+    // frames: all-zero, zero-with-one-0xFF-tail-byte, all-0xFF:
+    // delta(0,1) = 255; delta(1,2) = 15*255 = 3825 -> one cut at 1000
+    val f0 = Array.fill[Byte](16)(0)
+    val f1 = Array.fill[Byte](16)(0); f1(15) = -1
+    val f2 = Array.fill[Byte](16)(-1)
+    val avi = MediaCodec.aviBytes(32, 24, Seq(f0, f1, f2))
+    // length-mismatch video: 4 vs 6 equal bytes -> 2 missing * 255
+    val g0 = Array.fill[Byte](4)(7)
+    val g1 = Array.fill[Byte](6)(7)
+    val avi2 = MediaCodec.aviBytes(32, 24, Seq(g0, g1))
+    val media = Seq(
+      MediaRow(1L, "video", avi), MediaRow(2L, "video", avi2),
+      MediaRow(3L, "video", Array[Byte](1, 2, 3)), // quarantine
+      MediaRow(4L, "image", avi))                  // not video
+      .toDS()
+    val got = Multimodal.sceneCuts(media, threshold = 1000L)
+      .collect().map(s => s.media_id ->
+        ((s.n_frames, s.n_pairs, s.sum_delta, s.n_cuts))).toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, 255L + 3825L, 1L)),
+      2L -> ((2L, 1L, 510L, 0L))))
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
