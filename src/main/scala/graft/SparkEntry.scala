@@ -2329,6 +2329,36 @@ object SparkEntry {
             .cast("long").as("mean_r2e4"))
     }),
 
+    "popgen_ibs" -> ((s, dir) => {
+      // pairwise identity-by-state matrix over the 20 samples (the
+      // plink --genome relatedness screen: IBS2 = same dosage, IBS1 =
+      // one allele apart, IBS0 = opposite homozygotes — duplicate
+      // samples and close relatives jump out before any association
+      // test): ONE site-keyed self-join of the dosage cells with
+      // s1 < s2 — per-site fan-out is bounded by samples² (190 pairs),
+      // never sites², and the (s1, s2) rollup is a 190-row frame.
+      // Exact integers + one rounded similarity division. At biobank
+      // sample counts the pair domain would block by family/batch
+      // first — the site-keyed join shape is unchanged.
+      val cells = dosageCells(s, dir)
+      val a = cells.select(col("chr"), col("pos"),
+        col("sample").as("s1"), col("gv").as("g1"))
+      val b = cells.select(col("chr"), col("pos"),
+        col("sample").as("s2"), col("gv").as("g2"))
+      a.join(b, Seq("chr", "pos")).filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_sites"),
+          sum(when(abs(col("g1") - col("g2")) === 2, 1L).otherwise(0L))
+            .as("n_ibs0"),
+          sum(when(abs(col("g1") - col("g2")) === 1, 1L).otherwise(0L))
+            .as("n_ibs1"),
+          sum(when(col("g1") === col("g2"), 1L).otherwise(0L))
+            .as("n_ibs2"))
+        .select(col("s1"), col("s2"), col("n_sites"), col("n_ibs0"),
+          col("n_ibs1"), col("n_ibs2"),
+          round(lit(10000.0) * (col("n_ibs1") + lit(2) * col("n_ibs2"))
+            / (lit(2) * col("n_sites"))).cast("long").as("similarity4"))
+    }),
+
     "mendel_errors" -> ((s, dir) => {
       // per-trio Mendelian-inconsistency rate (the family-based QC gate
       // every trio cohort runs before association tests; reference
@@ -5355,6 +5385,27 @@ object SparkEntry {
            |  CAST(round(1.0 * sum(r2e4) / count(*)) AS BIGINT)
            |    AS mean_r2e4
            |FROM r GROUP BY 1""".stripMargin,
+
+      // plain site-keyed self-join over the shared dosage cells; the
+      // IBS classes are integer CASE logic on the dosage difference
+      "popgen_ibs" ->
+        s"""WITH $dosageCellCtes,
+           |p AS (SELECT a.sample AS s1, b.sample AS s2,
+           |  a.gv AS g1, b.gv AS g2
+           |  FROM c a JOIN c b ON a.chr = b.chr AND a.pos = b.pos
+           |    AND a.sample < b.sample)
+           |SELECT s1, s2, count(*) AS n_sites,
+           |  CAST(sum(CASE WHEN abs(g1 - g2) = 2 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_ibs0,
+           |  CAST(sum(CASE WHEN abs(g1 - g2) = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_ibs1,
+           |  CAST(sum(CASE WHEN g1 = g2 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_ibs2,
+           |  CAST(round(10000.0 * (sum(CASE WHEN abs(g1 - g2) = 1
+           |      THEN 1 ELSE 0 END) + 2 * sum(CASE WHEN g1 = g2
+           |      THEN 1 ELSE 0 END)) / (2 * count(*))) AS BIGINT)
+           |    AS similarity4
+           |FROM p GROUP BY 1, 2""".stripMargin,
 
       // trio pivot by conditional max over the shared dosage cells;
       // the feasible-interval Mendel test is pure integer CASE logic

@@ -174,6 +174,22 @@ class ExtendedOpsSpec extends AnyFunSuite {
       2L -> ((2L, 1L, 510L, 0L))))
   }
 
+  test("popgen_ibs partitions every site into exactly one IBS class") {
+    // the three IBS classes are exhaustive and disjoint on {0,1,2}
+    // dosages: their counts must sum to n_sites for every pair, the
+    // pair set must be the full s1 < s2 triangle over the samples
+    // present, and a sample paired with itself never appears
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("popgen_ibs")(spark, dir)
+      .select("s1", "s2", "n_sites", "n_ibs0", "n_ibs1", "n_ibs2")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 + r._5 + r._6 == r._3))
+    assert(rows.forall(r => r._1 < r._2))
+    val samples = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    assert(rows.length == samples.length * (samples.length - 1) / 2)
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
