@@ -2775,6 +2775,17 @@ object SparkEntry {
           lower(hex(col("frame"))).as("frame_hex"))
     }),
 
+    "multimodal_audio_vad" -> ((s, dir) => {
+      // voice-activity segments over the synthesized PCM WAVs: active
+      // iff sum_sq > n·334000 (E[s²] of the ±1001 uniform waveform ≈
+      // 334334, so frames split near half), islands → segments; the
+      // oracle re-derives frame energies from the waveform formula and
+      // runs the same islands SQL
+      Multimodal.audioVad(
+        Multimodal.syntheticAudio(Tables.documents(s, dir), "doc_id",
+          nSamples = 4000), frameSize = 512, threshold = 334000L)
+    }),
+
     "multimodal_scene_cut" -> ((s, dir) => {
       // shot-boundary detection through the REAL RIFF/AVI walk: total
       // absolute byte delta between consecutive frames, cut when
@@ -6094,6 +6105,34 @@ object SparkEntry {
           |    AS frame_hex
           |FROM documents, LATERAL unnest(generate_series(0, 2, 2)) u(i)
           |WHERE doc_id % 3 = 2""".stripMargin,
+
+      // frame energies re-derived from the waveform formula (the
+      // audio_energy oracle's derivation) + the same islands SQL; the
+      // active test is the exact integer cross-multiply
+      "multimodal_audio_vad" ->
+        """WITH i AS (SELECT doc_id AS media_id, u.i AS i FROM documents,
+          |  LATERAL unnest(generate_series(0, 3999)) u(i)),
+          |v AS (SELECT media_id, i // 512 AS frame_idx,
+          |  ((media_id * 31 + i * 7) % 2003) - 1001 AS s FROM i),
+          |f AS (SELECT media_id, frame_idx, count(*) AS n,
+          |  CAST(sum(s * s) AS BIGINT) AS sq FROM v GROUP BY 1, 2),
+          |a AS (SELECT media_id, frame_idx FROM f
+          |  WHERE sq > n * 334000),
+          |r AS (SELECT media_id, frame_idx - row_number()
+          |  OVER (PARTITION BY media_id ORDER BY frame_idx) AS grp
+          |  FROM a),
+          |g AS (SELECT media_id, grp, count(*) AS run_len
+          |  FROM r GROUP BY 1, 2),
+          |m AS (SELECT media_id, count(*) AS n_segments,
+          |  CAST(sum(run_len) AS BIGINT) AS n_active,
+          |  CAST(max(run_len) AS BIGINT) AS longest_run
+          |  FROM g GROUP BY 1),
+          |nf AS (SELECT media_id, count(*) AS n_frames FROM f GROUP BY 1)
+          |SELECT nf.media_id, nf.n_frames,
+          |  coalesce(m.n_active, 0) AS n_active,
+          |  coalesce(m.n_segments, 0) AS n_segments,
+          |  coalesce(m.longest_run, 0) AS longest_run
+          |FROM nf LEFT JOIN m ON m.media_id = nf.media_id""".stripMargin,
 
       // every frame byte re-derived from the md5 hex formula (every
       // id%3==2 video has exactly 3 equal-length 16-byte frames), the

@@ -583,6 +583,40 @@ object Multimodal {
       })
   }
 
+  /** Energy-threshold voice-activity detection over WAV payloads —
+    * the segmentation pass audio curation runs before transcription
+    * (ship the speech segments, drop the silence; billing and quality
+    * both key off active seconds): frames from [[audioEnergy]] (real
+    * PCM decode, bytes stay partition-local), a frame is ACTIVE iff
+    * sum_sq > n_samples·threshold — the exact integer cross-multiply
+    * of the mean-square test, zero float parity risk — and consecutive
+    * active frames group into segments by the islands trick
+    * (frame_idx − row_number, the roh_runs discipline; the window
+    * partitions per media over container-bounded frame counts).
+    *
+    * @return (media_id, n_frames, n_active, n_segments, longest_run)
+    */
+  def audioVad(media: Dataset[MediaRow], frameSize: Int,
+               threshold: Long): DataFrame = {
+    val frames = audioEnergy(media, frameSize).toDF()
+      .select(col("media_id"), col("frame_idx"),
+        (col("sum_sq") > col("n_samples").cast("long") * threshold)
+          .as("active"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val runs = frames.filter(col("active"))
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy("media_id", "grp").agg(count(lit(1)).as("run_len"))
+      .groupBy("media_id").agg(count(lit(1)).as("n_segments"),
+        sum("run_len").as("n_active"), max("run_len").as("longest_run"))
+    frames.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      .join(runs, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+  }
+
   /** Deterministic synthetic IMAGE corpus with real pixel data: 16×16
     * BMPs in groups of 4 near-duplicate variants — ids in the same
     * id/4 group share a base pattern (black iff the first hex digit of

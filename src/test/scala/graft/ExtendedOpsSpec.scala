@@ -190,6 +190,28 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(rows.length == samples.length * (samples.length - 1) / 2)
   }
 
+  test("audioVad segments engineered loud/quiet frame runs") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaCodec, MediaRow}
+    // frameSize 4, threshold 100 (active iff sum_sq > n*100):
+    // frames: loud(20²·4=1600) loud quiet(0) loud quiet quiet ->
+    // 6 frames, 3 active in runs [0,1] and [3]: 2 segments, longest 2
+    val loud = Array.fill[Short](4)(20)
+    val quiet = Array.fill[Short](4)(0)
+    val samples = (loud ++ loud ++ quiet ++ loud ++ quiet ++ quiet)
+    val media = Seq(
+      MediaRow(1L, "audio", MediaCodec.wavWithSamples(8000, 1, samples)),
+      MediaRow(2L, "audio", MediaCodec.wavWithSamples(8000, 1, quiet)),
+      MediaRow(3L, "video", Array[Byte](1))) // not audio
+      .toDS()
+    val got = Multimodal.audioVad(media, frameSize = 4, threshold = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      1L -> ((6L, 3L, 2L, 2L)),
+      2L -> ((1L, 0L, 0L, 0L))))
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
