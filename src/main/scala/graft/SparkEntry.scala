@@ -2009,6 +2009,15 @@ object SparkEntry {
         .select("rank", "label", "n_members")
     }),
 
+    "graph_edge_jaccard" -> ((s, dir) => {
+      // per-edge common-neighbor Jaccard over the near-dup graph — the
+      // link-prediction edge-strength screen (bridges read 0, intra-
+      // cluster edges high); candidates bounded by the wedge count
+      // (Graphs.edgeJaccard)
+      val pairs = docJaccardPairs(s, dir)
+      Graphs.edgeJaccard(pairs, "id_a", "id_b")
+    }),
+
     "graph_bfs_hops" -> ((s, dir) => {
       // 3-round multi-source BFS blast radius over the undirected
       // near-dup graph: seeds = every 97th doc, output = nodes first
@@ -4957,6 +4966,29 @@ object SparkEntry {
            |    AS BIGINT) AS rank, label, CAST(n_members AS BIGINT)
            |    AS n_members FROM g)
            |WHERE rank <= 20""".stripMargin,
+
+      // wedge join + closing-edge probe; union size via du+dv−common
+      // (denominator ≥ 2 structurally)
+      "graph_edge_jaccard" ->
+        s"""WITH $jaccardPairCtes,
+           |e AS (SELECT id_a AS u, id_b AS v FROM jp),
+           |adj AS (SELECT u AS id, v AS nb FROM e
+           |  UNION ALL SELECT v, u FROM e),
+           |deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY 1),
+           |cn AS (SELECT e.u, e.v, count(*) AS n_common
+           |  FROM e JOIN adj a ON a.id = e.u AND a.nb <> e.v
+           |  JOIN e e2 ON e2.u = least(e.v, a.nb)
+           |    AND e2.v = greatest(e.v, a.nb)
+           |  GROUP BY 1, 2)
+           |SELECT e.u AS id_a, e.v AS id_b,
+           |  coalesce(cn.n_common, 0) AS n_common,
+           |  du.deg AS deg_a, dv.deg AS deg_b,
+           |  CAST(round(10000.0 * coalesce(cn.n_common, 0)
+           |    / (du.deg + dv.deg - coalesce(cn.n_common, 0)))
+           |    AS BIGINT) AS jacc4
+           |FROM e LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+           |JOIN deg du ON du.id = e.u
+           |JOIN deg dv ON dv.id = e.v""".stripMargin,
 
       // the same 3 BFS rounds chained: each frontier = distinct
       // expansion of the PREVIOUS frontier minus everything reached

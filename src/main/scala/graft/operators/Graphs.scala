@@ -248,6 +248,50 @@ object Graphs {
     reached
   }
 
+  /** Per-edge common-neighbor count and neighborhood Jaccard — the
+    * link-prediction / edge-strength screen (Liben-Nowell & Kleinberg
+    * 2003): an edge whose endpoints share most of their neighborhoods
+    * is intra-cluster (safe to merge through), one with zero common
+    * neighbors is a bridge (the chain-merge risk dedup_groups worries
+    * about — this is the per-EDGE refinement of graph_triangles' global
+    * census). Takes UNIQUE undirected pairs; self-loops excluded by
+    * construction.
+    *
+    * Scale shape: adjacency explode (2·edges), one edge⋈adjacency
+    * equi-join on the shared endpoint — the candidate set is the WEDGE
+    * count Σ deg(u), the triangles bound, never edges² — then the
+    * closing-edge equi-join and two node-sized degree joins; jacc4 =
+    * |N(u)∩N(v)| / |N(u)∪N(v)| ×10⁴ with the union via du+dv−common
+    * (u ∈ N(v) but u ∉ N(u), so the denominator is ≥ 2 — no zero
+    * guard needed). Exact integers + one rounded division.
+    *
+    * @return (id_a, id_b, n_common, deg_a, deg_b, jacc4) per edge
+    */
+  def edgeJaccard(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = materialize(edges.select(least(col(srcCol), col(dstCol)).as("u"),
+      greatest(col(srcCol), col(dstCol)).as("v")))
+    val adj = e.select(col("u").as("id"), col("v").as("nb"))
+      .union(e.select(col("v").as("id"), col("u").as("nb")))
+    val deg = materialize(adj.groupBy("id").agg(count(lit(1)).as("deg")))
+    // w ∈ N(u) \ {v}; the (v, w) closing edge makes w common
+    val cand = e
+      .join(adj.select(col("id").as("u"), col("nb").as("w")), "u")
+      .filter(col("w") =!= col("v"))
+    val common = cand.join(
+        e.select(col("u").as("cu"), col("v").as("cv")),
+        least(col("v"), col("w")) === col("cu") &&
+          greatest(col("v"), col("w")) === col("cv"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+    val nc = coalesce(col("n_common"), lit(0L))
+    e.join(common, Seq("u", "v"), "left")
+      .join(deg.select(col("id").as("u"), col("deg").as("deg_a")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("deg_b")), "v")
+      .select(col("u").as("id_a"), col("v").as("id_b"),
+        nc.as("n_common"), col("deg_a"), col("deg_b"),
+        round(lit(10000.0) * nc /
+          (col("deg_a") + col("deg_b") - nc)).cast("long").as("jacc4"))
+  }
+
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // materialize the normalized edge frame: it feeds deg, the
     // orientation, the closing-edge semi probe AND the n_edges

@@ -190,6 +190,21 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(rows.length == samples.length * (samples.length - 1) / 2)
   }
 
+  test("edgeJaccard scores a triangle with a pendant bridge") {
+    // triangle 1-2-3 + pendant 4 on 3: edge (1,2) shares {3} of a
+    // 3-node union -> 3333; (1,3)/(2,3) share one of four -> 2500;
+    // bridge (3,4) shares nothing -> 0
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Graphs.edgeJaccard(edges, "id_a", "id_b")
+      .select("id_a", "id_b", "n_common", "jacc4")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((1L, 3333L)), (1L, 3L) -> ((1L, 2500L)),
+      (2L, 3L) -> ((1L, 2500L)), (3L, 4L) -> ((0L, 0L))))
+  }
+
   test("audioVad segments engineered loud/quiet frame runs") {
     import graft.operators.Multimodal
     import graft.operators.Multimodal.{MediaCodec, MediaRow}
