@@ -227,6 +227,45 @@ class ExtendedOpsSpec extends AnyFunSuite {
       2L -> ((1L, 0L, 0L, 0L))))
   }
 
+  test("StreamHoltWinters equals the batch fold across out-of-order chops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{StreamHolt, StreamHoltWinters}
+    import graft.operators.EventOps
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val us = StreamHolt.DayUs
+    // type a: 9 days (long enough that the seasonal queue holds real
+    // residuals) delivered out of order and split mid-day across
+    // triggers; type b: single day (seed state)
+    val t1 = (0 until 9).flatMap(d => Seq(("a", d * us))) ++
+      Seq(("a", 2 * us + 7), ("b", 5L))
+    val t2 = Seq(("a", 8 * us + 1), ("a", 3L), ("a", 5 * us + 2))
+    val mem = MemoryStream[StreamHolt.Ev]
+    val q = StreamHoltWinters.smooth(mem.toDS())
+      .writeStream.format("memory").queryName("hw_out")
+      .outputMode("append").start()
+    try {
+      Seq(t1, t2).foreach { t =>
+        mem.addData(t.map { case (g, ts) => StreamHolt.Ev(g, ts) })
+        q.processAllAvailable()
+      }
+      val rows = spark.table("hw_out")
+        .as[(String, Long, Long, Double, Double, Double, Double)]
+        .collect()
+      val finalRows = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (g, rs) => g -> rs.maxBy(_._2)._1 }
+      val batch = EventOps.dailyHoltWinters(
+          (t1 ++ t2).toDF("event_type", "ts_us"), "event_type",
+          col("ts_us"), alpha = 0.5, beta = 0.25, gamma = 0.25,
+          period = 7)
+        .select("event_type", "n_days", "last_day", "level", "trend",
+          "season_next", "forecast")
+        .as[(String, Long, Long, Double, Double, Double, Double)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(finalRows == batch)
+    } finally q.stop()
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
