@@ -266,6 +266,43 @@ class ExtendedOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reciprocalOverlapPairs length-band prune equals brute force") {
+    import graft.operators.Intervals
+    // deterministic pseudo-random intervals with lengths spanning
+    // decades (1..~4100) — the regime the log2 band prune targets;
+    // brute-force the reciprocal rule driver-side and require exact
+    // pair-set equality (banding is strategy, not semantics)
+    val aRows = (0 until 60).map { i =>
+      val chr = i % 3L
+      val start = (i * 137L) % 5000
+      val len = 1L + (i * i * 31L) % 4096
+      (chr, i.toLong, start, start + len - 1)
+    }
+    val bRows = (0 until 80).map { i =>
+      val chr = i % 3L
+      val start = (i * 211L) % 5000
+      val len = 1L + (i * 97L) % 4096
+      (chr, i.toLong, start, start + len - 1)
+    }
+    val brute = (for {
+      (ca, ia, sa, ea) <- aRows
+      (cb, ib, sb, eb) <- bRows
+      if ca == cb && sa <= eb && sb <= ea
+      ov = math.min(ea, eb) - math.max(sa, sb) + 1
+      if 2 * ov >= ea - sa + 1 && 2 * ov >= eb - sb + 1
+    } yield (ia, ib, ov)).toSet
+    val got = Intervals.reciprocalOverlapPairs(
+        aRows.toDF("chr", "id_a", "a_start", "a_stop"),
+        bRows.toDF("chr", "id_b", "b_start", "b_stop"),
+        "a_start", "a_stop", "b_start", "b_stop",
+        keys = Seq("chr"), binWidth = 256, num = 1, den = 2,
+        bandPrune = true)
+      .select("id_a", "id_b", "ov")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
