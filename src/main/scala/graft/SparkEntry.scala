@@ -1905,6 +1905,36 @@ object SparkEntry {
         .groupBy("n_occ").agg(count(lit(1)).as("n_kmers"))
     }),
 
+    "dna_debruijn_stats" -> ((s, dir) => {
+      // de Bruijn assembly-graph complexity census over the derived DNA
+      // (the graph every short-read assembler builds: nodes = distinct
+      // 7-mers, edges = distinct 8-mers, a node with out-degree ≥ 2 is
+      // a BRANCH — the repeat structure that decides whether assembly
+      // is easy or tangled): ONE distinct shuffle on the 8-mer key
+      // (domain bounded by 4^8 = 65536 regardless of corpus size —
+      // every downstream agg is vocabulary-sized), then prefix/suffix
+      // degree aggs and a 4-scalar rollup. Exact integers end to end.
+      val edges = Tables.documents(s, dir)
+        .select(explode(Dna.kmers(docDna, 8)).as("kmer"))
+        .distinct()
+      val outDeg = edges
+        .groupBy(substring(col("kmer"), 1, 7).as("node"))
+        .agg(count(lit(1)).as("odeg"))
+      val inDeg = edges
+        .groupBy(substring(col("kmer"), 2, 7).as("node"))
+        .agg(count(lit(1)).as("ideg"))
+      val nodes = outDeg.select("node")
+        .union(inDeg.select("node")).distinct()
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+        .crossJoin(outDeg.agg(
+          sum(when(col("odeg") >= 2, 1L).otherwise(0L))
+            .as("n_branch_out")))
+        .crossJoin(inDeg.agg(
+          sum(when(col("ideg") >= 2, 1L).otherwise(0L))
+            .as("n_branch_in")))
+    }),
+
     "bpe_merge_step" -> ((s, dir) => {
       // one BPE merge-selection step: corpus-weighted adjacent char-pair
       // counts, top-20 merge candidates
@@ -2007,6 +2037,41 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_members")),
           20, col("n_members").desc, col("label").asc)
         .select("rank", "label", "n_members")
+    }),
+
+    "corpus_dup_sources" -> ((s, dir) => {
+      // near-dup pair census by SOURCE pair — the corpus-governance
+      // readout of the dedup family ("which feeds duplicate each
+      // other" drives crawl dedup priorities and licensing reviews):
+      // confirmed jaccard pairs annotated with both docs' sources (two
+      // doc-keyed joins), normalized (least, greatest) so the matrix is
+      // upper-triangular, rolled up to source-pair counts with a
+      // density rate8 = pairs / possible-pairs ×10⁸ (within-source uses
+      // n·(n−1)/2, cross-source n_a·n_b — both exact, one rounded
+      // division); per-source doc counts broadcast.
+      val pairs = docJaccardPairs(s, dir)
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"))
+      val withSrc = pairs
+        .join(docs.select(col("doc_id").as("id_a"),
+          col("source").as("sa")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"),
+          col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val possible = when(col("src_a") === col("src_b"),
+        col("n_docs_a") * (col("n_docs_a") - 1) / lit(2))
+        .otherwise(col("n_docs_a") * col("n_docs_b"))
+      withSrc.groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .join(broadcast(counts.select(col("source").as("src_a"),
+          col("n_docs").as("n_docs_a"))), "src_a")
+        .join(broadcast(counts.select(col("source").as("src_b"),
+          col("n_docs").as("n_docs_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          col("n_docs_a"), col("n_docs_b"),
+          round(lit(100000000.0) * col("n_pairs") / possible)
+            .cast("long").as("rate8"))
     }),
 
     "graph_edge_jaccard" -> ((s, dir) => {
@@ -2135,6 +2200,15 @@ object SparkEntry {
       // chosen exactly representable (0.5, 0.25) so both engines parse
       // identical lambda literals
       EventOps.dailyHolt(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"), alpha = 0.5, beta = 0.25)
+    }),
+
+    "events_holt_backtest" -> ((s, dir) => {
+      // walk-forward 1-step-ahead MAE of the Holt smoother — the
+      // out-of-sample eval loop (error banked BEFORE the state update);
+      // error x1e4 accumulates as integer-valued doubles inside the
+      // fold so the sum is order-free
+      EventOps.holtBacktest(Tables.events(s, dir), "event_type",
         expr("ts DIV 1000"), alpha = 0.5, beta = 0.25)
     }),
 
@@ -4732,6 +4806,22 @@ object SparkEntry {
            |c AS (SELECT kmer, count(*) AS n_occ FROM km GROUP BY 1)
            |SELECT n_occ, count(*) AS n_kmers FROM c GROUP BY 1""".stripMargin,
 
+      // distinct 8-mer edges, 7-mer prefix/suffix degree aggs
+      "dna_debruijn_stats" ->
+        s"""WITH d AS (SELECT $docDnaSql AS dna FROM documents),
+           |e AS (SELECT DISTINCT substr(dna, CAST(u.i AS INT), 8) AS kmer
+           |  FROM d, LATERAL unnest(generate_series(1, length(dna) - 7))
+           |    u(i)),
+           |o AS (SELECT substr(kmer, 1, 7) AS node, count(*) AS odeg
+           |  FROM e GROUP BY 1),
+           |ind AS (SELECT substr(kmer, 2, 7) AS node, count(*) AS ideg
+           |  FROM e GROUP BY 1),
+           |n AS (SELECT node FROM o UNION SELECT node FROM ind)
+           |SELECT (SELECT count(*) FROM e) AS n_edges,
+           |  (SELECT count(*) FROM n) AS n_nodes,
+           |  (SELECT count(*) FROM o WHERE odeg >= 2) AS n_branch_out,
+           |  (SELECT count(*) FROM ind WHERE ideg >= 2) AS n_branch_in""".stripMargin,
+
       "bpe_merge_step" ->
         s"""WITH wd AS (SELECT uw.w AS w
            |  FROM (SELECT string_split($normTextSql, ' ') AS ps FROM documents),
@@ -4966,6 +5056,27 @@ object SparkEntry {
            |    AS BIGINT) AS rank, label, CAST(n_members AS BIGINT)
            |    AS n_members FROM g)
            |WHERE rank <= 20""".stripMargin,
+
+      // jaccard pairs annotated with both sources, (least, greatest)
+      // normalized; possible-pair denominators exact in both engines
+      "corpus_dup_sources" ->
+        s"""WITH $jaccardPairCtes,
+           |ds AS (SELECT doc_id, source FROM documents),
+           |ps AS (SELECT least(a.source, b.source) AS src_a,
+           |  greatest(a.source, b.source) AS src_b
+           |  FROM jp JOIN ds a ON a.doc_id = jp.id_a
+           |  JOIN ds b ON b.doc_id = jp.id_b),
+           |g AS (SELECT src_a, src_b, count(*) AS n_pairs
+           |  FROM ps GROUP BY 1, 2),
+           |cnt AS (SELECT source, count(*) AS n_docs FROM ds GROUP BY 1)
+           |SELECT g.src_a, g.src_b, g.n_pairs,
+           |  ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+           |  CAST(round(100000000.0 * g.n_pairs
+           |    / (CASE WHEN g.src_a = g.src_b
+           |      THEN ca.n_docs * (ca.n_docs - 1) / 2
+           |      ELSE ca.n_docs * cb.n_docs END)) AS BIGINT) AS rate8
+           |FROM g JOIN cnt ca ON ca.source = g.src_a
+           |JOIN cnt cb ON cb.source = g.src_b""".stripMargin,
 
       // wedge join + closing-edge probe; union size via du+dv−common
       // (denominator ≥ 2 structurally)
@@ -5231,6 +5342,31 @@ object SparkEntry {
           |  FROM s)
           |SELECT event_type, CAST(n_days AS BIGINT) AS n_days, last_day,
           |  hw[1] AS level, hw[2] AS trend, hw[1] + hw[2] AS forecast
+          |FROM h""".stripMargin,
+
+      // the Holt fold with a third accumulator slot banking the
+      // x1e4-rounded absolute error BEFORE the state update
+      "events_holt_backtest" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type, count(*) AS n_days, max(day) AS last_day,
+          |  list([CAST(n AS DOUBLE), 0.0, 0.0] ORDER BY day) AS ser
+          |  FROM c GROUP BY 1),
+          |h AS (SELECT event_type, n_days,
+          |  list_reduce(ser, (acc, x) ->
+          |    [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+          |     0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2]))
+          |       - acc[1]) + 0.75 * acc[2],
+          |     acc[3] + round(abs(x[1] - (acc[1] + acc[2])) * 10000)])
+          |    AS bt
+          |  FROM s)
+          |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+          |  CAST(n_days - 1 AS BIGINT) AS n_evals,
+          |  CAST(bt[3] AS BIGINT) AS sum_abs_err4,
+          |  CASE WHEN n_days > 1
+          |    THEN CAST(round(bt[3] / (n_days - 1)) AS BIGINT)
+          |    ELSE 0 END AS mae4
           |FROM h""".stripMargin,
 
       // the Holt-Winters 9-slot state fold: elements wrapped as

@@ -325,6 +325,60 @@ object EventOps {
           + element_at(col("hw"), 3)).as("forecast"))
   }
 
+  /** Walk-forward backtest of the Holt forecaster ([[dailyHolt]]) —
+    * the eval loop every deployed forecaster needs (a smoother is only
+    * trusted after its 1-step-ahead error is measured out-of-sample;
+    * this is the rolling-origin evaluation of Hyndman's fpp, folded):
+    * at each day t ≥ 2 the PRE-UPDATE state forecasts x̂ = l + b, the
+    * absolute error |x − x̂| is banked, THEN the state updates — so
+    * every error is honestly out-of-sample.
+    *
+    * Same scale shape as the smoother itself: one partial-agg shuffle
+    * to the vocabulary-sized (type, day) frame, one fold. Parity: the
+    * error ×10⁴-rounds to an integer-valued double INSIDE the fold
+    * accumulator slot (exact while < 2⁵³ — days·counts bounded far
+    * below), so the running sum is order-free; the final MAE is one
+    * rounded division of exact values.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, n_days, n_evals, sum_abs_err4, mae4)
+    */
+  def holtBacktest(events: DataFrame, typeCol: String, tsUs: Column,
+                   alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && alpha == 1 - (1 - alpha),
+      s"alpha and 1-alpha must be exact doubles, got $alpha")
+    require(beta > 0 && beta <= 1 && beta == 1 - (1 - beta),
+      s"beta and 1-beta must be exact doubles, got $beta")
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    val lNew = s"$alpha * CAST(x.n AS DOUBLE) + " +
+      s"${1 - alpha} * (element_at(acc, 1) + element_at(acc, 2))"
+    events
+      .groupBy(col(typeCol).as("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("series"))
+      .withColumn("bt",
+        expr(s"""aggregate(slice(series, 2, size(series) - 1),
+               |  array(CAST(element_at(series, 1).n AS DOUBLE), 0D, 0D),
+               |  (acc, x) -> array($lNew,
+               |    $beta * (($lNew) - element_at(acc, 1))
+               |      + ${1 - beta} * element_at(acc, 2),
+               |    element_at(acc, 3) + round(abs(CAST(x.n AS DOUBLE)
+               |      - (element_at(acc, 1) + element_at(acc, 2)))
+               |      * 10000)))""".stripMargin))
+      .select(col("event_type"),
+        size(col("series")).cast("long").as("n_days"),
+        (size(col("series")) - 1).cast("long").as("n_evals"),
+        element_at(col("bt"), 3).cast("long").as("sum_abs_err4"),
+        when(size(col("series")) > 1,
+          round(element_at(col("bt"), 3)
+            / (size(col("series")) - 1)).cast("long"))
+          .otherwise(0L).as("mae4"))
+  }
+
   /** Single change-point detection per event type over daily counts —
     * binary segmentation's first split (Scott & Knott / CUSUM
     * argmax): the split k maximizing |S_k − (k/D)·S_D|, i.e. where the

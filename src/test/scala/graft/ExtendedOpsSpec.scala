@@ -303,6 +303,56 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("holtBacktest banks each error BEFORE the state update") {
+    import graft.operators.EventOps
+    // counts [2,4,1]: day1 forecast 2 (seed), err 2 -> 20000; update
+    // to l=3, b=0.25; day2 forecast 3.25, err 2.25 -> 22500;
+    // sum 42500, mae round(42500/2) = 21250. Single-day type: zeros.
+    val us = 86400000000L
+    val rows = (Seq.fill(2)(0L) ++ Seq.fill(4)(us) ++ Seq(2 * us))
+      .map(("a", _)) ++ Seq(("b", 5L), ("b", 6L), ("b", 7L))
+    val got = EventOps.holtBacktest(rows.toDF("event_type", "ts_us"),
+        "event_type", col("ts_us"), alpha = 0.5, beta = 0.25)
+      .select("event_type", "n_days", "n_evals", "sum_abs_err4", "mae4")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") == ((3L, 2L, 42500L, 21250L)))
+    assert(got("b") == ((1L, 0L, 0L, 0L)))
+  }
+
+  test("dna_debruijn_stats equals the brute-force graph census") {
+    // re-derive the whole de Bruijn census driver-side from the same
+    // md5-derived DNA at sf0.001 and require exact equality
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.Tables.documents(spark, dir)
+      .select("text").as[String].collect()
+    val tr = "0123456789abcdef".zip("ACGTACGTACGTACGT").toMap
+    val edges = texts.flatMap { t =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val dna = md.map(tr)
+      (0 to dna.length - 8).map(i => dna.substring(i, i + 8))
+    }.toSet
+    val out = edges.groupBy(_.substring(0, 7)).map { case (n, ks) => n -> ks.size }
+    val in = edges.groupBy(_.substring(1, 8)).map { case (n, ks) => n -> ks.size }
+    val nodes = out.keySet ++ in.keySet
+    val got = SparkEntry.queries("dna_debruijn_stats")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((edges.size.toLong, nodes.size.toLong,
+      out.count(_._2 >= 2).toLong, in.count(_._2 >= 2).toLong)))
+  }
+
+  test("corpus_dup_sources conserves the pair count and triangle order") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("corpus_dup_sources")(spark, dir)
+      .select("src_a", "src_b", "n_pairs")
+      .as[(String, String, Long)].collect()
+    assert(rows.forall(r => r._1 <= r._2))
+    val totalPairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .count()
+    assert(rows.map(_._3).sum == totalPairs)
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
