@@ -2283,6 +2283,34 @@ object SparkEntry {
         .select("rank", "token", "n_occ")
     }),
 
+    "bpe_fertility" -> ((s, dir) => {
+      // tokenizer FERTILITY per language (subwords per word — the
+      // multilingual fairness audit run on every tokenizer: a language
+      // with 2x fertility pays 2x the context budget and 2x the
+      // compute per sentence; Ács 2019 / the XLM-R tokenizer report):
+      // chains bpe_train's learned merges into the BpeEncode kernel
+      // over the DISTINCT word vocabulary (encode once per word, never
+      // per occurrence), joins back per-(lang, word) frequencies, one
+      // lang-sized rollup; integers + one rounded division.
+      val model = graft.functions.BpeOps.BpeModel(
+        TextAnalysis.bpeTrain(Tables.documents(s, dir), "text",
+          numMerges = 10).map(m => (m._1, m._2)))
+      val wl = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(split(Dedup.normText(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+      val nt = wl.select("w").distinct()
+        .withColumn("n_sub",
+          size(graft.functions.Bpe.encode(col("w"), model)).cast("long"))
+      wl.join(nt, "w")
+        .groupBy("lang").agg(sum("freq").as("n_words"),
+          sum(col("n_sub") * col("freq")).as("n_subwords"))
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          round(lit(10000.0) * col("n_subwords") / col("n_words"))
+            .cast("long").as("fertility4"))
+    }),
+
     "events_top_paths" -> ((s, dir) => {
       // most-common opening event paths (first 3 events per user in
       // (ts, event_id) total order — the funnel-discovery audit):
@@ -4929,6 +4957,43 @@ object SparkEntry {
            |  SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, token)
            |    AS BIGINT) AS rank, token, n_occ FROM cnt)
            |WHERE rank <= 20""".stripMargin,
+
+      // the bpe_encode_tokens recursive replay, run over the DISTINCT
+      // word vocabulary and joined back to per-(lang, word) counts
+      "bpe_fertility" ->
+        s"""WITH RECURSIVE mg AS MATERIALIZED (
+           |  WITH ${bpeTrainCtes(10)}
+           |  SELECT * FROM (${(1 to 10)
+          .map(r => s"SELECT CAST($r AS BIGINT) AS rank, a, b FROM m$r")
+          .mkString("\n    UNION ALL ")})),
+           |wl AS MATERIALIZED (SELECT lang, uw.w AS w, count(*) AS freq
+           |  FROM (SELECT lang, $normTextSql AS t FROM documents),
+           |  LATERAL unnest(string_split(t, ' ')) uw(w)
+           |  WHERE length(uw.w) > 0 GROUP BY 1, 2),
+           |af AS MATERIALIZED (SELECT DISTINCT w FROM wl),
+           |app AS (
+           |  SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS state,
+           |    0 AS it FROM af
+           |  UNION ALL
+           |  SELECT w,
+           |    replace(state, '|' || a || '||' || b || '|',
+           |      '|' || a || b || '|') AS state, it + 1
+           |  FROM (
+           |    SELECT app.w, app.state, app.it,
+           |      min_by(mg.a, mg.rank) AS a, min_by(mg.b, mg.rank) AS b
+           |    FROM app JOIN mg
+           |      ON contains(app.state, '|' || mg.a || '||' || mg.b || '|')
+           |    GROUP BY 1, 2, 3)),
+           |fin AS (SELECT w, state FROM (SELECT w, state,
+           |  row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+           |  FROM app) WHERE rn = 1),
+           |nt AS (SELECT w,
+           |  len(string_split(trim(state, '|'), '||')) AS n_sub FROM fin)
+           |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+           |  CAST(sum(n_sub * freq) AS BIGINT) AS n_subwords,
+           |  CAST(round(10000.0 * sum(n_sub * freq) / sum(freq))
+           |    AS BIGINT) AS fertility4
+           |FROM wl JOIN nt ON nt.w = wl.w GROUP BY 1""".stripMargin,
 
       "quantile_stats" ->
         """SELECT l_returnflag,

@@ -397,6 +397,31 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(sfs.forall { case (mac, _) => mac >= 0 && mac <= 20 })
   }
 
+  test("bpe fertility rollup counts subwords per word occurrence") {
+    import graft.functions.{Bpe, BpeOps}
+    import graft.operators.Dedup
+    // controlled model {(a,b)}: 'ab' -> 1 token, 'abc' -> 2, 'd' -> 1;
+    // lang x: 'ab ab abc' -> words 3, subwords 1+1+2 = 4 -> 13333
+    // lang y: 'd d' -> 2 words, 2 subwords -> 10000
+    val model = BpeOps.BpeModel(Seq(("a", "b")))
+    val docs = Seq(("x", "ab ab abc"), ("y", "d d")).toDF("lang", "text")
+    val wl = docs.select(col("lang"),
+        explode(split(Dedup.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+    val nt = wl.select("w").distinct()
+      .withColumn("n_sub", size(Bpe.encode(col("w"), model)).cast("long"))
+    val got = wl.join(nt, "w")
+      .groupBy("lang").agg(sum("freq").as("n_words"),
+        sum(col("n_sub") * col("freq")).as("n_subwords"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        round(lit(10000.0) * col("n_subwords") / col("n_words"))
+          .cast("long").as("fertility4"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("x" -> ((3L, 4L, 13333L)), "y" -> ((2L, 2L, 10000L))))
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
