@@ -849,6 +849,29 @@ object SparkEntry {
           col("triplet_error"), col("frame_shift"))
     }),
 
+    "variant_dnds" -> ((s, dir) => {
+      // per-gene nonsynonymous/synonymous count ratio (the raw-count
+      // dN/dS screen — the selection-pressure readout a variant
+      // warehouse derives from its own annotations; site-normalized ω
+      // needs codon models, the count ratio is the standard first
+      // audit): chains the FULL q24 annotation derivation, keeps the
+      // syn/nonsyn AA calls, one gene-keyed partial agg; genes need
+      // ≥1 synonymous call (the denominator); exact integers + one
+      // rounded division.
+      annotatedVariantTranscripts(s, dir)._1
+        .filter(col("syn_status").isin("synonymous", "nonsynonymous"))
+        .groupBy((col("tr_id").cast("long") / 10).cast("long")
+          .as("gene_id"))
+        .agg(sum(when(col("syn_status") === "synonymous", 1L)
+            .otherwise(0L)).as("n_syn"),
+          sum(when(col("syn_status") === "nonsynonymous", 1L)
+            .otherwise(0L)).as("n_nonsyn"))
+        .filter(col("n_syn") > 0)
+        .select(col("gene_id"), col("n_syn"), col("n_nonsyn"),
+          round(lit(10000.0) * col("n_nonsyn") / col("n_syn"))
+            .cast("long").as("dnds4"))
+    }),
+
     "q32_verify_aa" -> ((s, dir) => {
       // post-hoc AA audit (VariantPostProcessing.verifyAA, :1067-1280):
       // re-derive the ref/var codon from the STORED CDS columns
@@ -3372,6 +3395,27 @@ object SparkEntry {
            |    'F' AS triplet_error, CAST(NULL AS VARCHAR) AS frame_shift
            |  FROM cont WHERE NOT (in_exon AND NOT non_coding AND c_start IS NOT NULL))
            |SELECT * FROM out1 UNION ALL SELECT * FROM out2""".stripMargin,
+
+      // the q24 annotation chain rolled up to per-gene syn/nonsyn
+      // counts (tr_id // 10 = gene_id by construction)
+      "variant_dnds" ->
+        s"""WITH $annotateAaCtes,
+           |ss AS (SELECT tr_id // 10 AS gene_id,
+           |  CASE WHEN ref_aa IS NULL THEN NULL
+           |       WHEN ref_aa = 'X' OR var_aa = 'X' THEN 'unassignable'
+           |       WHEN ref_aa = var_aa THEN 'synonymous'
+           |       ELSE 'nonsynonymous' END AS st
+           |  FROM aa3),
+           |g AS (SELECT gene_id,
+           |  CAST(sum(CASE WHEN st = 'synonymous' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_syn,
+           |  CAST(sum(CASE WHEN st = 'nonsynonymous' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_nonsyn
+           |  FROM ss WHERE st IN ('synonymous', 'nonsynonymous')
+           |  GROUP BY 1)
+           |SELECT gene_id, n_syn, n_nonsyn,
+           |  CAST(round(10000.0 * n_nonsyn / n_syn) AS BIGINT) AS dnds4
+           |FROM g WHERE n_syn > 0""".stripMargin,
 
       // verifyAA audit twin: re-derives the codon from the stored CDS
       // (rdna = full_ref_nuc, relp = full_ref_nuc_pos) exactly as the

@@ -422,6 +422,27 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got == Map("x" -> ((3L, 4L, 13333L)), "y" -> ((2L, 2L, 10000L))))
   }
 
+  test("variant_dnds agrees with a rollup of q24's own annotations") {
+    val dir = "/root/testdata/sf0.001"
+    val ann = SparkEntry.queries("q24_annotate_variants")(spark, dir)
+      .select("tr_id", "syn_status")
+      .as[(Long, Option[String])].collect()
+    val expect = ann
+      .collect { case (tr, Some(st))
+        if st == "synonymous" || st == "nonsynonymous" => (tr / 10, st) }
+      .groupBy(_._1).flatMap { case (g, rs) =>
+        val syn = rs.count(_._2 == "synonymous").toLong
+        val non = rs.size - syn
+        if (syn > 0) Some(g -> ((syn, non, math.round(10000.0 * non / syn))))
+        else None
+      }
+    val got = SparkEntry.queries("variant_dnds")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
