@@ -849,6 +849,50 @@ object SparkEntry {
           col("triplet_error"), col("frame_shift"))
     }),
 
+    "sam_alignment_stats" -> ((s, dir) => {
+      // per-chromosome alignment census through the REAL SAM parser
+      // (the q26/liftover synthesize-then-parse discipline): SAM lines
+      // with multi-op CIGARs (soft clips, insertions, deletions) are
+      // synthesized from lineitem, run through sources.Sam's
+      // pure-Column CIGAR fold, and rolled up per chr; the oracle
+      // re-derives every span ARITHMETICALLY from the synthesis
+      // numbers, so the comparison proves the field split AND the
+      // CIGAR walk's op classification. Header and unmapped lines are
+      // synthesized too (every 13th/11th) to exercise the gate.
+      import s.implicits._
+      val o = col("l_orderkey").cast("long")
+      val l = col("l_linenumber").cast("long")
+      val p = col("l_partkey").cast("long")
+      val sC = lit(1L) + l % 4
+      val m1 = lit(10L) + o % 16
+      val ins = lit(1L) + p % 3
+      val m2 = lit(5L) + p % 8
+      val del = lit(1L) + o % 2
+      val line = when((o + l) % 13 === 0,
+          lit("@SQ\tSN:chr0\tLN:100000"))
+        .when((o + l) % 11 === 0, concat_ws("\t",
+          concat(lit("r"), o, lit("_"), l), lit("4"), lit("*"),
+          lit("0"), lit("0"), lit("*"), lit("*"), lit("0"), lit("0"),
+          lit("*"), lit("*")))
+        .otherwise(concat_ws("\t",
+          concat(lit("r"), o, lit("_"), l),
+          ((o % 2) * 16).cast("string"),
+          concat(lit("chr"), (o % 5).cast("string")),
+          (lit(1L) + (o * 31 + l * 7) % 100000).cast("string"),
+          (lit(20L) + p % 40).cast("string"),
+          concat(sC, lit("S"), m1, lit("M"), ins, lit("I"),
+            m2, lit("M"), del, lit("D"), lit("4M")),
+          lit("*"), lit("0"), lit("0"), lit("*"), lit("*")))
+      val lines = Tables.lineitem(s, dir).select(line.as("line"))
+        .as[String]
+      graft.sources.Sam.alignments(lines)
+        .groupBy("chr").agg(count(lit(1)).as("n_reads"),
+          sum("ref_span").as("sum_ref_span"),
+          sum("n_aligned").as("sum_aligned"),
+          sum("n_clipped").as("sum_clipped"),
+          max("end_pos").as("max_end"))
+    }),
+
     "variant_dnds" -> ((s, dir) => {
       // per-gene nonsynonymous/synonymous count ratio (the raw-count
       // dN/dS screen — the selection-pressure readout a variant
@@ -3395,6 +3439,29 @@ object SparkEntry {
            |    'F' AS triplet_error, CAST(NULL AS VARCHAR) AS frame_shift
            |  FROM cont WHERE NOT (in_exon AND NOT non_coding AND c_start IS NOT NULL))
            |SELECT * FROM out1 UNION ALL SELECT * FROM out2""".stripMargin,
+
+      // every span re-derived ARITHMETICALLY from the synthesis
+      // numbers — the comparison proves the SAM field split and the
+      // CIGAR walk's op classification (ref: M/D consume reference,
+      // I/S do not); header/unmapped rows excluded by the same mods
+      "sam_alignment_stats" ->
+        """WITH r AS (SELECT CAST(l_orderkey AS BIGINT) AS o,
+          |  CAST(l_linenumber AS BIGINT) AS l,
+          |  CAST(l_partkey AS BIGINT) AS p
+          |  FROM lineitem
+          |  WHERE (l_orderkey + l_linenumber) % 13 <> 0
+          |    AND (l_orderkey + l_linenumber) % 11 <> 0),
+          |a AS (SELECT 'chr' || CAST(o % 5 AS VARCHAR) AS chr,
+          |  1 + (o*31 + l*7) % 100000 AS pos,
+          |  (10 + o % 16) + (5 + p % 8) + (1 + o % 2) + 4 AS ref_span,
+          |  (10 + o % 16) + (5 + p % 8) + 4 AS aligned,
+          |  1 + l % 4 AS clipped FROM r)
+          |SELECT chr, count(*) AS n_reads,
+          |  CAST(sum(ref_span) AS BIGINT) AS sum_ref_span,
+          |  CAST(sum(aligned) AS BIGINT) AS sum_aligned,
+          |  CAST(sum(clipped) AS BIGINT) AS sum_clipped,
+          |  CAST(max(pos + ref_span - 1) AS BIGINT) AS max_end
+          |FROM a GROUP BY 1""".stripMargin,
 
       // the q24 annotation chain rolled up to per-gene syn/nonsyn
       // counts (tr_id // 10 = gene_id by construction)

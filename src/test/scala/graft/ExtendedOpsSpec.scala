@@ -443,6 +443,29 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("Sam.alignments walks every CIGAR op class") {
+    import graft.sources.Sam
+    def sam(qname: String, pos: Long, cigar: String): String =
+      Seq(qname, "0", "chr1", pos.toString, "30", cigar,
+        "*", "0", "0", "*", "*").mkString("\t")
+    val lines = Seq(
+      sam("a", 100, "10M"),                 // span 10, aln 10, clip 0
+      sam("b", 200, "3S10M2I5M1D4M2H"),     // span 20, aln 19, clip 5
+      sam("c", 300, "5=2X3N4M"),            // span 14, aln 11, clip 0
+      "@HD\tVN:1.6",                        // header: dropped
+      sam("d", 400, "*"),                   // unmapped: dropped
+      sam("e", 0, "5M"))                    // pos 0: dropped
+      .toDS()
+    val got = Sam.alignments(lines)
+      .select("qname", "ref_span", "n_aligned", "n_clipped", "end_pos")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "a" -> ((10L, 10L, 0L, 109L)),
+      "b" -> ((20L, 19L, 5L, 219L)),
+      "c" -> ((14L, 11L, 0L, 313L))))
+  }
+
   test("ld_decay and ld_pairwise agree on totals over the shared pairs") {
     // both queries roll up the SAME variance-filtered pair frame — the
     // pair population (and its r2e4 mass) must be identical across the
