@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.functions.SamKernelOps
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -9,25 +10,46 @@ import org.apache.spark.sql.functions._
   * surface (a pileup/coverage pass over alignments is what feeds a
   * variant caller; the reference consumes the VCFs downstream of it).
   *
-  * Spark shape: a PURE-COLUMN parse — field split plus a higher-order
-  * `aggregate` fold over `regexp_extract_all` CIGAR pieces, all
-  * codegen'd, no UDF, no shuffle; one narrow projection per line.
+  * Spark shape: ONE imperative pass per partition (the VcfParser
+  * lesson, verbatim): the declarative draft — split + per-field
+  * `element_at` projections behind a multi-leg filter — had every leg
+  * pushed below the projection by PushPredicateThroughNonJoin, so the
+  * upstream line expression and its `split` re-evaluated once per
+  * predicate leg (~6x the parse per row; measured 6.7-8.4 s at sf0.1
+  * where this pass is ~1 s). `mapPartitions` + a case-class encoder is
+  * a narrow, shuffle-free, allocation-light parse with a deserialize
+  * barrier the optimizer cannot substitute filters through. The CIGAR
+  * walk itself is the shared `SamKernelOps.cigarSpansRaw` kernel
+  * (pinned to the original fold formulation by SamKernelParitySpec in
+  * RoundTwelveOpsSpec).
+  *
   * CIGAR op classes per the spec:
   *  - reference-consuming: M, D, N, =, X  (ref_span; end_pos =
   *    pos + ref_span − 1)
   *  - aligned bases: M, =, X  (n_aligned)
   *  - clipping: S, H  (n_clipped)
-  * Header lines (`@...`) and unmapped reads (CIGAR `*` or pos 0) are
-  * dropped — quarantine, not failure.
+  *
+  * Quarantine, not failure: header lines (`@...`), short lines,
+  * unmapped reads (CIGAR `*` or pos ≤ 0), non-numeric flag/pos/mapq
+  * and MALFORMED CIGARs (text that does not tile into (number, op)
+  * pairs — the kernel returns null) are all dropped.
   */
 object Sam {
 
-  /** One fold over the CIGAR pieces accumulating all three op-class
-    * sums at once — `aggregate` is a higher-order function (no
-    * whole-stage codegen), so the walk must run ONCE per row, not once
-    * per output column. Accumulator slots: [ref_span, n_aligned,
-    * n_clipped]. */
-  private def opSums(pieces: Column): Column = {
+  /** One parsed alignment row. */
+  case class SamRow(qname: String, flag: Int, chr: String, pos: Long,
+                    mapq: Int, cigar: String, ref_span: Long,
+                    n_aligned: Long, n_clipped: Long, end_pos: Long)
+
+  /** The original pure-Column CIGAR fold — one `aggregate` over regex
+    * pieces accumulating [ref_span, n_aligned, n_clipped]. Kept ONLY as
+    * the parity oracle for the codegen kernel (RoundTwelveOpsSpec);
+    * not on any query path (interpreted, ~10x the kernel's cost).
+    * NOTE: unlike the kernel, this silently skips unparseable segments
+    * instead of quarantining — parity holds on well-formed CIGARs. */
+  private[graft] def opSumsFold(cigar: Column): Column = {
+    val pieces = regexp_extract_all(cigar,
+      lit("(\\d+)([MIDNSHP=X])"), lit(0))
     def inOps(op: Column, ops: String): Column =
       op.isin(ops.map(_.toString): _*)
     aggregate(pieces, array(lit(0L), lit(0L), lit(0L)), (acc, x) => {
@@ -40,30 +62,33 @@ object Sam {
     })
   }
 
-  /** One row per mapped alignment:
+  private def toIntOpt(s: String): Option[Int] =
+    try Some(s.toInt) catch { case _: NumberFormatException => None }
+
+  /** The per-line gate + parse; None = quarantined. */
+  private[graft] def parseAlignment(line: String): Option[SamRow] = {
+    if (line.isEmpty || line.charAt(0) == '@') return None
+    val f = line.split("\t", -1)
+    if (f.length < 11) return None
+    val cigar = f(5)
+    if (cigar == "*") return None
+    val pos = try f(3).toLong catch {
+      case _: NumberFormatException => return None
+    }
+    if (pos <= 0) return None
+    val spans = SamKernelOps.cigarSpansRaw(cigar)
+    if (spans == null) return None
+    for (flag <- toIntOpt(f(1)); mapq <- toIntOpt(f(4)))
+      yield SamRow(f(0), flag, f(2), pos, mapq, cigar,
+        spans(0), spans(1), spans(2), pos + spans(0) - 1)
+  }
+
+  /** One row per mapped, well-formed alignment:
     * (qname, flag, chr, pos, mapq, cigar, ref_span, n_aligned,
     * n_clipped, end_pos). */
   def alignments(lines: Dataset[String]): DataFrame = {
-    val f = split(col("value"), "\t")
-    val cigar = element_at(f, 6)
-    val pieces = regexp_extract_all(cigar,
-      lit("(\\d+)([MIDNSHP=X])"), lit(0))
-    lines.toDF("value")
-      .filter(!col("value").startsWith("@") && size(f) >= 11 &&
-        cigar =!= "*" && element_at(f, 4).cast("long") > 0)
-      .select(
-        element_at(f, 1).as("qname"),
-        element_at(f, 2).cast("int").as("flag"),
-        element_at(f, 3).as("chr"),
-        element_at(f, 4).cast("long").as("pos"),
-        element_at(f, 5).cast("int").as("mapq"),
-        cigar.as("cigar"),
-        opSums(pieces).as("spans"))
-      .select(col("qname"), col("flag"), col("chr"), col("pos"),
-        col("mapq"), col("cigar"),
-        element_at(col("spans"), 1).as("ref_span"),
-        element_at(col("spans"), 2).as("n_aligned"),
-        element_at(col("spans"), 3).as("n_clipped"),
-        (col("pos") + element_at(col("spans"), 1) - 1).as("end_pos"))
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.mapPartitions(_.flatMap(parseAlignment)).toDF()
   }
 }

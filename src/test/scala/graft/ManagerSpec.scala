@@ -365,11 +365,41 @@ class ManagerSpec extends AnyFunSuite {
     // run — the r10 calibration)
     assert(!Bench.contaminatedFlag(0.06, Seq(0.45, 0.49, 0.46), 0.6, 32))
     // the two non-mid signals still fire on their own: slow pre/post
-    // sentinel; pre-existing box load above cpus/4
+    // sentinel; pre-existing box load above cpus/8
     assert(Bench.contaminatedFlag(1.26 * F, quietMids, 0.6, 32))
     assert(Bench.contaminatedFlag(0.06, quietMids, 9.0, 32))
     // no mids at all (short filtered runs probe nothing) → pre/post
     // sentinel alone decides
     assert(!Bench.contaminatedFlag(0.06, Nil, 0.6, 32))
+  }
+
+  test("Bench contamination: the r11 close-run meta self-identifies") {
+    // replay of the ACTUAL r11 artifacts (VERDICT r11 item 4).
+    // Driver close run: loadavg_pre 5.24 on 32 cores passed the old
+    // cpus/4 gate while four sub-second queries read >2x their floors
+    // from box load alone — must now flag.
+    val r11CloseMids =
+      Seq(0.2652, 0.4527, 0.2946, 0.2455, 0.2518, 0.2489, 0.3097,
+        0.2603, 0.2556)
+    assert(Bench.contaminatedFlag(0.068781884, r11CloseMids, 5.24, 32))
+    // Judge quiet-box run the same session: loadavg_pre 1.27 — must
+    // stay clean under the tightened gate.
+    val r11QuietMids =
+      Seq(0.2515, 0.3366, 0.2484, 0.3818, 0.4784, 0.3979, 0.2495,
+        0.2272, 0.3118)
+    assert(!Bench.contaminatedFlag(0.0581607, r11QuietMids, 1.27, 32))
+  }
+
+  test("Bench artifacts: filtered runs get their own collision-safe file") {
+    // VERDICT r11 item 3: a filtered adjudication run overwrote the
+    // full-suite BENCH_FULL.json twice. The artifact name is a pure
+    // function of the filter set: full → BENCH_FULL.json, filtered →
+    // a BENCH_FILTERED_<hash>.json stable under ordering.
+    assert(Bench.artifactFile(Set.empty) == "BENCH_FULL.json")
+    val a = Bench.artifactFile(Set("ann_pq", "ann_ivf"))
+    val b = Bench.artifactFile(Set("ann_ivf", "ann_pq"))
+    assert(a == b && a.startsWith("BENCH_FILTERED_") &&
+      a.endsWith(".json"))
+    assert(Bench.artifactFile(Set("dedup_exact")) != a)
   }
 }

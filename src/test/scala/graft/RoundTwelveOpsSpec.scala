@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{SamKernelOps, SamKernels}
+import graft.sources.Sam
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 operators: the CIGAR codegen kernel pinned to the original
+  * pure-Column `aggregate`-fold formulation (parity on randomized
+  * well-formed CIGARs), plus the malformed-CIGAR quarantine the fold
+  * could not express.
+  */
+class RoundTwelveOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cigarSpans kernel == aggregate-fold formulation on randomized CIGARs") {
+    // deterministic pseudo-random CIGARs over every op class,
+    // 1..12 ops per string, lengths 1..400
+    val ops = "MIDNSHP=X"
+    val rnd = new scala.util.Random(12L)
+    val cigars = (1 to 500).map { _ =>
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map(_ =>
+        s"${1 + rnd.nextInt(400)}${ops(rnd.nextInt(ops.length))}").mkString
+    }
+    val df = cigars.toDF("cigar")
+      .select(col("cigar"),
+        SamKernels.cigarSpans(col("cigar")).as("k"),
+        Sam.opSumsFold(col("cigar")).as("f"))
+    val rows = df.as[(String, Seq[Long], Seq[Long])].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (c, k, f) => assert(k == f, s"mismatch on $c") }
+  }
+
+  test("cigarSpans quarantines malformed CIGARs as null") {
+    val bad = Seq("abc", "100", "M10", "10M5", "", "10Z", "10M#",
+      "9999999999999999999999M", "10m")
+    val good = Seq("10M", "1=1X1D1N1I1S1H1P", "100M")
+    val got = (bad ++ good).toDF("cigar")
+      .select(col("cigar"), SamKernels.cigarSpans(col("cigar")).as("s"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    bad.foreach(c => assert(got(c), s"$c should quarantine"))
+    good.foreach(c => assert(!got(c), s"$c should parse"))
+    // direct-eval path agrees with codegen path on a malformed input
+    assert(SamKernelOps.cigarSpans(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")) == null)
+  }
+
+  test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
+    def sam(qname: String, cigar: String): String =
+      Seq(qname, "0", "chr1", "100", "30", cigar,
+        "*", "0", "0", "*", "*").mkString("\t")
+    val lines = Seq(sam("ok", "10M"), sam("badop", "10Z"),
+      sam("noop", "100"), sam("noct", "M")).toDS()
+    val got = Sam.alignments(lines).select("qname").as[String].collect()
+    assert(got.toSeq == Seq("ok"))
+  }
+}
