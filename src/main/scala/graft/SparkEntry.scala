@@ -67,6 +67,56 @@ object SparkEntry {
       .as("line")).as[String]
   }
 
+  /** Synthetic SAM alignment lines from lineitem — shared by
+    * sam_alignment_stats and sam_pileup; [[samReadsCtes]] is the
+    * oracle-side twin that re-derives every CIGAR span arithmetically
+    * from the same numbers. Every 13th line is a header and every 11th
+    * an unmapped read, exercising the parser's quarantine gate. */
+  private def samSynthLines(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val o = col("l_orderkey").cast("long")
+    val l = col("l_linenumber").cast("long")
+    val p = col("l_partkey").cast("long")
+    val sC = lit(1L) + l % 4
+    val m1 = lit(10L) + o % 16
+    val ins = lit(1L) + p % 3
+    val m2 = lit(5L) + p % 8
+    val del = lit(1L) + o % 2
+    val line = when((o + l) % 13 === 0,
+        lit("@SQ\tSN:chr0\tLN:100000"))
+      .when((o + l) % 11 === 0, concat_ws("\t",
+        concat(lit("r"), o, lit("_"), l), lit("4"), lit("*"),
+        lit("0"), lit("0"), lit("*"), lit("*"), lit("0"), lit("0"),
+        lit("*"), lit("*")))
+      .otherwise(concat_ws("\t",
+        concat(lit("r"), o, lit("_"), l),
+        ((o % 2) * 16).cast("string"),
+        concat(lit("chr"), (o % 5).cast("string")),
+        (lit(1L) + (o * 31 + l * 7) % 100000).cast("string"),
+        (lit(20L) + p % 40).cast("string"),
+        concat(sC, lit("S"), m1, lit("M"), ins, lit("I"),
+          m2, lit("M"), del, lit("D"), lit("4M")),
+        lit("*"), lit("0"), lit("0"), lit("*"), lit("*")))
+    Tables.lineitem(s, dir).select(line.as("line")).as[String]
+  }
+
+  /** Oracle twin of [[samSynthLines]] ∘ Sam.alignments: the mapped,
+    * well-formed reads with their CIGAR op-class sums re-derived
+    * arithmetically (ends with table `sam_reads(chr, pos, ref_span,
+    * aligned, clipped)`). */
+  private val samReadsCtes =
+    """sam_r AS (SELECT CAST(l_orderkey AS BIGINT) AS o,
+      |  CAST(l_linenumber AS BIGINT) AS l,
+      |  CAST(l_partkey AS BIGINT) AS p
+      |  FROM lineitem
+      |  WHERE (l_orderkey + l_linenumber) % 13 <> 0
+      |    AND (l_orderkey + l_linenumber) % 11 <> 0),
+      |sam_reads AS (SELECT 'chr' || CAST(o % 5 AS VARCHAR) AS chr,
+      |  1 + (o*31 + l*7) % 100000 AS pos,
+      |  (10 + o % 16) + (5 + p % 8) + (1 + o % 2) + 4 AS ref_span,
+      |  (10 + o % 16) + (5 + p % 8) + 4 AS aligned,
+      |  1 + l % 4 AS clipped FROM sam_r)""".stripMargin
+
   /** Synthetic gene/exon intervals derived from part. */
   private def partGenes(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir).select(
@@ -853,44 +903,41 @@ object SparkEntry {
       // per-chromosome alignment census through the REAL SAM parser
       // (the q26/liftover synthesize-then-parse discipline): SAM lines
       // with multi-op CIGARs (soft clips, insertions, deletions) are
-      // synthesized from lineitem, run through sources.Sam's
-      // pure-Column CIGAR fold, and rolled up per chr; the oracle
-      // re-derives every span ARITHMETICALLY from the synthesis
-      // numbers, so the comparison proves the field split AND the
-      // CIGAR walk's op classification. Header and unmapped lines are
-      // synthesized too (every 13th/11th) to exercise the gate.
-      import s.implicits._
-      val o = col("l_orderkey").cast("long")
-      val l = col("l_linenumber").cast("long")
-      val p = col("l_partkey").cast("long")
-      val sC = lit(1L) + l % 4
-      val m1 = lit(10L) + o % 16
-      val ins = lit(1L) + p % 3
-      val m2 = lit(5L) + p % 8
-      val del = lit(1L) + o % 2
-      val line = when((o + l) % 13 === 0,
-          lit("@SQ\tSN:chr0\tLN:100000"))
-        .when((o + l) % 11 === 0, concat_ws("\t",
-          concat(lit("r"), o, lit("_"), l), lit("4"), lit("*"),
-          lit("0"), lit("0"), lit("*"), lit("*"), lit("0"), lit("0"),
-          lit("*"), lit("*")))
-        .otherwise(concat_ws("\t",
-          concat(lit("r"), o, lit("_"), l),
-          ((o % 2) * 16).cast("string"),
-          concat(lit("chr"), (o % 5).cast("string")),
-          (lit(1L) + (o * 31 + l * 7) % 100000).cast("string"),
-          (lit(20L) + p % 40).cast("string"),
-          concat(sC, lit("S"), m1, lit("M"), ins, lit("I"),
-            m2, lit("M"), del, lit("D"), lit("4M")),
-          lit("*"), lit("0"), lit("0"), lit("*"), lit("*")))
-      val lines = Tables.lineitem(s, dir).select(line.as("line"))
-        .as[String]
-      graft.sources.Sam.alignments(lines)
+      // synthesized from lineitem (samSynthLines), run through
+      // sources.Sam's one-pass kernel parse, and rolled up per chr;
+      // the oracle re-derives every span ARITHMETICALLY from the
+      // synthesis numbers (samReadsCtes), so the comparison proves the
+      // field split AND the CIGAR walk's op classification. Header and
+      // unmapped lines are synthesized too (every 13th/11th) to
+      // exercise the gate.
+      graft.sources.Sam.alignments(samSynthLines(s, dir))
         .groupBy("chr").agg(count(lit(1)).as("n_reads"),
           sum("ref_span").as("sum_ref_span"),
           sum("n_aligned").as("sum_aligned"),
           sum("n_clipped").as("sum_clipped"),
           max("end_pos").as("max_end"))
+    }),
+
+    "sam_pileup" -> ((s, dir) => {
+      // per-chromosome pileup: the coverageSegments sweep over the
+      // parsed alignments' inclusive [pos, end_pos] reference spans,
+      // rolled up per chr to the numbers a coverage track is read
+      // through — breadth (bases at depth ≥ 1), max depth, aligned
+      // base mass (Σ depth·bp, which must equal Σ ref_span by
+      // conservation — the invariant the spec pins), segment count.
+      // Depth histogram machinery is interval_coverage's; here it runs
+      // against the REAL parser output, so the oracle (same sweep in
+      // SQL over arithmetically re-derived spans) grades the
+      // parse→sweep composition end to end.
+      val aln = graft.sources.Sam.alignments(samSynthLines(s, dir))
+      Intervals.coverageSegments(aln, Seq("chr"),
+          col("pos"), col("end_pos"))
+        .groupBy("chr").agg(
+          sum(when(col("depth") > 0, col("bp")).otherwise(0L))
+            .as("covered_bp"),
+          max("depth").as("max_depth"),
+          sum(col("depth") * col("bp")).as("aligned_bp"),
+          count(lit(1)).as("n_segments"))
     }),
 
     "variant_dnds" -> ((s, dir) => {
@@ -3445,23 +3492,36 @@ object SparkEntry {
       // CIGAR walk's op classification (ref: M/D consume reference,
       // I/S do not); header/unmapped rows excluded by the same mods
       "sam_alignment_stats" ->
-        """WITH r AS (SELECT CAST(l_orderkey AS BIGINT) AS o,
-          |  CAST(l_linenumber AS BIGINT) AS l,
-          |  CAST(l_partkey AS BIGINT) AS p
-          |  FROM lineitem
-          |  WHERE (l_orderkey + l_linenumber) % 13 <> 0
-          |    AND (l_orderkey + l_linenumber) % 11 <> 0),
-          |a AS (SELECT 'chr' || CAST(o % 5 AS VARCHAR) AS chr,
-          |  1 + (o*31 + l*7) % 100000 AS pos,
-          |  (10 + o % 16) + (5 + p % 8) + (1 + o % 2) + 4 AS ref_span,
-          |  (10 + o % 16) + (5 + p % 8) + 4 AS aligned,
-          |  1 + l % 4 AS clipped FROM r)
+        s"""WITH $samReadsCtes
           |SELECT chr, count(*) AS n_reads,
           |  CAST(sum(ref_span) AS BIGINT) AS sum_ref_span,
           |  CAST(sum(aligned) AS BIGINT) AS sum_aligned,
           |  CAST(sum(clipped) AS BIGINT) AS sum_clipped,
           |  CAST(max(pos + ref_span - 1) AS BIGINT) AS max_end
-          |FROM a GROUP BY 1""".stripMargin,
+          |FROM sam_reads GROUP BY 1""".stripMargin,
+
+      // the same sweep-line derivation interval_coverage's oracle uses,
+      // run over the arithmetically re-derived read spans ([pos,
+      // pos+ref_span-1] inclusive → −1 breakpoint at pos+ref_span)
+      "sam_pileup" ->
+        s"""WITH $samReadsCtes,
+          |del AS (SELECT chr, pos, 1 AS d FROM sam_reads
+          |  UNION ALL SELECT chr, pos + ref_span, -1 FROM sam_reads),
+          |bp AS (SELECT chr, pos, sum(d) AS delta FROM del
+          |  GROUP BY 1, 2 HAVING sum(d) <> 0),
+          |seg AS (SELECT chr,
+          |  CAST(sum(delta) OVER (PARTITION BY chr ORDER BY pos
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth,
+          |  lead(pos) OVER (PARTITION BY chr ORDER BY pos) - pos AS bp
+          |  FROM bp),
+          |s2 AS (SELECT chr, depth, bp FROM seg WHERE bp IS NOT NULL)
+          |SELECT chr,
+          |  CAST(sum(CASE WHEN depth > 0 THEN bp ELSE 0 END) AS BIGINT)
+          |    AS covered_bp,
+          |  max(depth) AS max_depth,
+          |  CAST(sum(depth * bp) AS BIGINT) AS aligned_bp,
+          |  count(*) AS n_segments
+          |FROM s2 GROUP BY 1""".stripMargin,
 
       // the q24 annotation chain rolled up to per-gene syn/nonsyn
       // counts (tr_id // 10 = gene_id by construction)

@@ -47,6 +47,33 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")) == null)
   }
 
+  test("sam_pileup: hand case + aligned-mass conservation invariant") {
+    import graft.operators.Intervals
+    // hand case: reads [1,4], [3,6], [10,11] on one chr →
+    // segments [1,3)=1, [3,5)=2, [5,7)=1, [7,10)=0, [10,12)=1
+    def sam(q: String, pos: Long, cigar: String): String =
+      Seq(q, "0", "chr1", pos.toString, "30", cigar,
+        "*", "0", "0", "*", "*").mkString("\t")
+    val aln = Sam.alignments(
+      Seq(sam("a", 1, "4M"), sam("b", 3, "4M"), sam("c", 10, "2M")).toDS())
+    val segs = Intervals.coverageSegments(aln, Seq("chr"),
+        col("pos"), col("end_pos"))
+      .select("pos", "end_pos", "depth").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(segs.toSeq == Seq((1L, 3L, 1L), (3L, 5L, 2L), (5L, 7L, 1L),
+      (7L, 10L, 0L), (10L, 12L, 1L)))
+    // conservation on the graded query at sf0.001: the pileup's
+    // aligned base mass (Σ depth·bp) must equal the census's
+    // Σ ref_span per chr — the sweep can't lose or invent bases
+    val dir = "/root/testdata/sf0.001"
+    val pileup = SparkEntry.queries("sam_pileup")(spark, dir)
+      .select("chr", "aligned_bp").as[(String, Long)].collect().toMap
+    val census = SparkEntry.queries("sam_alignment_stats")(spark, dir)
+      .select("chr", "sum_ref_span").as[(String, Long)].collect().toMap
+    assert(pileup == census)
+    assert(pileup.nonEmpty)
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
