@@ -74,6 +74,36 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(pileup.nonEmpty)
   }
 
+  test("PairGraph.materializeNearDup: identical results, cached reuse") {
+    import graft.operators.{Dedup, PairGraph}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val block = concat(col("lang"), lit("|"),
+      floor(col("n_chars") / 100).cast("long").cast("string"))
+    val selfContained = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCol = block, n = 3, minJaccard = 0.2)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val g = PairGraph.materializeNearDup(docs, "doc_id", "text",
+      blockCol = block, n = 3, minJaccard = 0.2)
+    try {
+      val persisted = g.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(persisted == selfContained && persisted.nonEmpty)
+      // a downstream consumer's plan must read the cache, not re-run
+      // the shingle pipeline
+      val consumer = g.select(col("id_a").as("id"))
+        .union(g.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      val cached = consumer.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(cached.nonEmpty, "consumer plan does not hit the cache")
+      assert(consumer.count() > 0)
+    } finally g.unpersist()
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
