@@ -53,39 +53,93 @@ object Graphs {
     val n = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     var pr = nodes.crossJoin(n)
       .select(col("id"), (lit(1.0) / col("n_nodes")).as("pr"))
-    for (_ <- 0 until iterations) {
-      val contrib = e
-        .join(pr.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst"),
-          round(col("pr") / col("outdeg") * 1000000000000.0).cast("long")
-            .as("c12"))
-        .groupBy("dst").agg(sum("c12").as("s12"))
-      val base = nodes
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .crossJoin(n)
-        .select(col("id"), coalesce(col("s12"), lit(0L)).as("s12"),
-          col("n_nodes"))
-      pr =
-        if (handleDangling) {
-          // mass parked on sinks this round, as the same ×10¹² exact
-          // longs (coalesce: a sink-free graph aggregates zero rows →
-          // NULL); 1-row frame, broadcast by crossJoin
-          val dang = broadcast(pr
-            .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
-            .agg(coalesce(sum(round(col("pr") * 1000000000000.0)
-              .cast("long")), lit(0L)).as("d12")))
-          base.crossJoin(dang)
-            .select(col("id"),
-              (lit(1.0 - damping) / col("n_nodes")
-                + lit(damping) * (col("s12") / 1000000000000.0
-                  + col("d12") / 1000000000000.0 / col("n_nodes"))).as("pr"))
-        } else
-          base.select(col("id"),
-            (lit(1.0 - damping) / col("n_nodes")
-              + lit(damping) * (col("s12") / 1000000000000.0)).as("pr"))
-    }
+    for (_ <- 0 until iterations)
+      pr = pagerankRound(e, deg, nodes, n, pr, damping, handleDangling)
     pr
+  }
+
+  /** ONE synchronous PageRank update — the round body both the graded
+    * fixed-iteration [[pagerank]] and the convergence loop
+    * [[pagerankToTolerance]] chain, so the fixed-round query is a
+    * prefix of the loop BY CONSTRUCTION (spec-pinned too). */
+  private def pagerankRound(e: DataFrame, deg: DataFrame,
+      nodes: DataFrame, n: DataFrame, pr: DataFrame, damping: Double,
+      handleDangling: Boolean): DataFrame = {
+    val contrib = e
+      .join(pr.withColumnRenamed("id", "src"), "src")
+      .join(deg, "src")
+      .select(col("dst"),
+        round(col("pr") / col("outdeg") * 1000000000000.0).cast("long")
+          .as("c12"))
+      .groupBy("dst").agg(sum("c12").as("s12"))
+    val base = nodes
+      .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      .crossJoin(n)
+      .select(col("id"), coalesce(col("s12"), lit(0L)).as("s12"),
+        col("n_nodes"))
+    if (handleDangling) {
+      // mass parked on sinks this round, as the same ×10¹² exact
+      // longs (coalesce: a sink-free graph aggregates zero rows →
+      // NULL); 1-row frame, broadcast by crossJoin
+      val dang = broadcast(pr
+        .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum(round(col("pr") * 1000000000000.0)
+          .cast("long")), lit(0L)).as("d12")))
+      base.crossJoin(dang)
+        .select(col("id"),
+          (lit(1.0 - damping) / col("n_nodes")
+            + lit(damping) * (col("s12") / 1000000000000.0
+              + col("d12") / 1000000000000.0 / col("n_nodes"))).as("pr"))
+    } else
+      base.select(col("id"),
+        (lit(1.0 - damping) / col("n_nodes")
+          + lit(damping) * (col("s12") / 1000000000000.0)).as("pr"))
+  }
+
+  /** PageRank iterated to an L∞ tolerance — the production variant of
+    * [[pagerank]] when the round count is not known up front (the
+    * kmeansTrainFull discipline: rounds run distributed, only BOUNDED
+    * state crosses the driver per round — here one double, the max
+    * |Δpr| from a 1-row aggregate). Data-dependent round count makes it
+    * ungradable cross-engine, so it ships as a library loop; the graded
+    * fixed-iteration query is a prefix of this loop (shared
+    * [[pagerankRound]]).
+    *
+    * Per round beyond [[pagerank]]'s dataflow: the iterate materializes
+    * (k rounds would otherwise stack k lineage copies of the edge
+    * join) and one co-partitioned self-join computes the delta.
+    *
+    * @return (final ranks, rounds actually run); rounds ==
+    *         maxIterations when the tolerance was never reached
+    */
+  def pagerankToTolerance(edges: DataFrame, srcCol: String,
+      dstCol: String, tol: Double, maxIterations: Int,
+      damping: Double = 0.85,
+      handleDangling: Boolean = false): (DataFrame, Int) = {
+    require(tol >= 0 && maxIterations >= 0)
+    val e = materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val deg = materialize(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val nodes = materialize(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val n = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    var pr = materialize(nodes.crossJoin(n)
+      .select(col("id"), (lit(1.0) / col("n_nodes")).as("pr")))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIterations) {
+      val next = materialize(
+        pagerankRound(e, deg, nodes, n, pr, damping, handleDangling))
+      rounds += 1
+      // 1-row driver read: max |Δpr| (empty graph → null → converged)
+      val delta = next
+        .join(pr.select(col("id"), col("pr").as("pr0")), "id")
+        .agg(coalesce(max(abs(col("pr") - col("pr0"))), lit(0.0)))
+        .head().getDouble(0)
+      pr = next
+      converged = delta <= tol
+    }
+    (pr, rounds)
   }
 
   /** Exact triangle count via DEGREE-ORDERED ORIENTATION (the
@@ -194,15 +248,76 @@ object Graphs {
       .union(e.select(col("dst").as("id"))).distinct())
     var out = alive.agg(count(lit(1)).as("n_nodes"))
     for (r <- 1 to rounds) {
-      alive = materialize(e
-        .join(alive.select(col("id").as("src")), "src")
-        .join(alive.select(col("id").as("dst")), "dst")
-        .groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("src").as("id")))
+      alive = materialize(peelRound(e, alive, k))
       out = out.crossJoin(alive.agg(count(lit(1)).as(s"n_alive$r")))
     }
     out
+  }
+
+  /** ONE peel round at threshold k: survivors are the alive nodes with
+    * induced-subgraph degree ≥ k — the round body shared by the graded
+    * fixed-round [[kcorePeel]] and the full [[corenessDecomposition]],
+    * so the graded query is a prefix of the decomposition's first
+    * level BY CONSTRUCTION (spec-pinned too). Monotone: output ⊆
+    * input, so count equality detects the fixpoint. */
+  private[graft] def peelRound(e: DataFrame, alive: DataFrame,
+      k: Int): DataFrame =
+    e.join(alive.select(col("id").as("src")), "src")
+      .join(alive.select(col("id").as("dst")), "dst")
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("src").as("id"))
+
+  /** Full k-core CORENESS decomposition — each node's largest k such
+    * that it survives the k-core peel (Batagelj–Zaveršnik semantics,
+    * computed level-by-level as dataflow rounds): for k = 1, 2, …,
+    * peel the (k−1)-core to the k-core FIXPOINT; nodes that died
+    * between the two fixpoints have coreness k−1. The kmeansTrainFull
+    * discipline: every round runs distributed, only one long (the
+    * alive count) crosses the driver per round, and the
+    * data-dependent round count is why this is a library loop, not a
+    * graded query — the graded [[kcorePeel]] is a fixed-round prefix
+    * of level k's inner loop (shared [[peelRound]]).
+    *
+    * Total work: Σ_k rounds_k edge-frame joins; rounds_k is the peel
+    * depth at level k and the level count is the graph's degeneracy —
+    * both small for the power-law graphs this targets (the near-dup
+    * pair graph's degeneracy is single-digit).
+    *
+    * @param maxK safety backstop on the level loop (degeneracy can't
+    *             exceed max degree; 1000 is far beyond any real graph)
+    * @return (id, coreness) for every edge endpoint
+    */
+  def corenessDecomposition(edges: DataFrame, srcCol: String,
+      dstCol: String, maxK: Int = 1000): DataFrame = {
+    val e = materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    var alive = materialize(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    var aliveN = alive.count()
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var k = 1
+    while (aliveN > 0 && k <= maxK) {
+      // peel the (k-1)-core down to the k-core fixpoint
+      var prev = alive
+      var prevN = aliveN
+      var stable = false
+      while (!stable) {
+        val next = materialize(peelRound(e, prev, k))
+        val nextN = next.count()
+        stable = nextN == prevN // peel is monotone: counts suffice
+        prev = next
+        prevN = nextN
+      }
+      levels += alive.join(prev, Seq("id"), "left_anti")
+        .select(col("id"), lit((k - 1).toLong).as("coreness"))
+      alive = prev
+      aliveN = prevN
+      k += 1
+    }
+    levels.reduceOption(_ union _)
+      .getOrElse(e.select(col("src").as("id")).limit(0)
+        .withColumn("coreness", lit(0L)))
   }
 
   /** Fixed-round multi-source BFS over a DIRECTED edge list (pass both

@@ -104,6 +104,55 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     } finally g.unpersist()
   }
 
+  test("corenessDecomposition: hand graphs; graded peel is its prefix") {
+    import graft.operators.Graphs
+    def undirected(pairs: Seq[(Int, Int)]) =
+      pairs.flatMap { case (a, b) =>
+        Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+        .toDF("src", "dst")
+    // 4-clique {1,2,3,4} + pendant 5–1: clique coreness 3, pendant 1
+    val g1 = undirected(Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4),
+      (3, 4), (1, 5)))
+    val got1 = Graphs.corenessDecomposition(g1, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got1 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L))
+    // triangle {10,11,12} + tail 12–13: triangle 2, tail 1
+    val g2 = undirected(Seq((10, 11), (11, 12), (10, 12), (12, 13)))
+    val got2 = Graphs.corenessDecomposition(g2, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(10L -> 2L, 11L -> 2L, 12L -> 2L, 13L -> 1L))
+    // the graded fixed-round peel is a prefix of the decomposition's
+    // level-2 inner loop (shared peelRound): counts on g1 at k=2 —
+    // round 1 drops the pendant, then stable
+    val peel = Graphs.kcorePeel(g1, "src", "dst", k = 2, rounds = 3)
+      .collect().head
+    assert(Seq(peel.getLong(0), peel.getLong(1), peel.getLong(2),
+      peel.getLong(3)) == Seq(5L, 4L, 4L, 4L))
+  }
+
+  test("pagerankToTolerance: converges on a cycle; fixed-round prefix") {
+    import graft.operators.Graphs
+    // 3-cycle (both directions): uniform 1/3 is the stationary point —
+    // one round moves ranks by < 1e-9, so tol 1e-9 stops after round 1
+    val cyc = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L)).toDF("src", "dst")
+    val (pr, rounds) = Graphs.pagerankToTolerance(cyc, "src", "dst",
+      tol = 1e-9, maxIterations = 10)
+    assert(rounds == 1)
+    pr.as[(Long, Double)].collect().foreach { case (_, p) =>
+      assert(math.abs(p - 1.0 / 3.0) < 1e-9) }
+    // prefix: on an asymmetric directed graph, the loop stopped at
+    // maxIterations must equal the graded fixed-iteration pagerank
+    // exactly (shared pagerankRound, identical arithmetic)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val fixed = Graphs.pagerank(g, "src", "dst", iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    val (loop, n) = Graphs.pagerankToTolerance(g, "src", "dst",
+      tol = 0.0, maxIterations = 2)
+    assert(n == 2)
+    assert(loop.as[(Long, Double)].collect().toMap == fixed)
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
