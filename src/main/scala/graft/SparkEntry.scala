@@ -1190,6 +1190,54 @@ object SparkEntry {
           sum("allele_depth").cast("long").as("sum_allele_depth"))
     }),
 
+    "vcf_roundtrip" -> ((s, dir) => {
+      // the export/import cycle a warehouse runs (VERDICT r11 item 9):
+      // per-(site, sample) genotype cells (the vcf_merge_multisample
+      // assembly, with deterministic AD/DP per cell) are pivoted to
+      // 4-sample sites, FORMATTED into full multi-sample VCF lines by
+      // the writer (VcfFormat.toMultiSampleVcfLine), re-ingested by
+      // the REAL parser (VcfParser.parse), and rolled up per (strain,
+      // chr). The oracle re-derives the parse output ARITHMETICALLY
+      // from the synthesis numbers — equality proves writer and parser
+      // are mutual inverses on multi-sample sites, including the
+      // drop-0/0, drop-./., AD/DP FORMAT-index and genotype-prefix
+      // semantics the cycle has to preserve. Missing samples at a site
+      // are written as ./.:0,0:0 (parser-dropped, like the reference).
+      import s.implicits._
+      val cells = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 5).cast("long").as("chr"),
+          ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000)
+            .cast("long").as("pos"),
+          (col("l_suppkey") % 4).cast("long").as("idx"),
+          when((col("l_partkey") + col("l_suppkey")) % 3 === 0, "0/1")
+            .when((col("l_partkey") + col("l_suppkey")) % 3 === 1, "1/1")
+            .otherwise("0/0").as("gt"))
+        .groupBy("chr", "pos", "idx").agg(max("gt").as("gt"))
+        .select(col("chr"), col("pos"), col("idx"), concat(
+          col("gt"), lit(":"),
+          ((col("pos") + col("idx") * 2) % 20).cast("string"), lit(","),
+          (lit(1) + (col("pos") * 3 + col("idx")) % 15).cast("string"),
+          lit(":"),
+          ((col("pos") + col("idx") * 2) % 20 + (col("pos") * 3
+            + col("idx")) % 15 + 2).cast("string")).as("cell"))
+      val sampleAggs = (0 to 3).map(i =>
+        max(when(col("idx") === i, col("cell"))).as(s"s$i"))
+      val sites = cells.groupBy("chr", "pos")
+        .agg(sampleAggs.head, sampleAggs.tail: _*)
+      val lines = sites.select(VcfFormat.toMultiSampleVcfLine(
+          col("chr").cast("string"), col("pos"),
+          lit(null).cast("string"), baseOf(col("pos")),
+          baseOf(col("pos") + 1), lit("GT:AD:DP"),
+          (0 to 3).map(i => coalesce(col(s"s$i"), lit("./.:0,0:0"))))
+        .as("line")).as[String]
+      VcfParser.parse(lines, (0 to 3).map(i => s"S$i"))
+        .groupBy("strain", "chr")
+        .agg(count(lit(1)).as("n_variants"),
+          sum("allele_depth").cast("long").as("sum_allele_depth"),
+          sum("read_depth").cast("long").as("sum_read_depth"),
+          sum("total_depth").cast("long").as("sum_total_depth"))
+    }),
+
     "variant_pipeline" -> ((s, dir) => {
       // the reference's flagship flow END TO END: VCF text → common
       // format → typed/scored variants (zygosity filter included) →
@@ -3723,6 +3771,30 @@ object SparkEntry {
           |  CAST(sum(read_depth) AS BIGINT) AS sum_read_depth,
           |  CAST(sum(allele_depth) AS BIGINT) AS sum_allele_depth
           |FROM u GROUP BY strain, chr""".stripMargin,
+
+      // arithmetic re-derivation of the write→parse cycle: surviving
+      // cells are exactly the non-0/0 genotypes (missing cells are
+      // written ./.:0,0:0 and parser-dropped); allele_depth = the AD
+      // alt slot, read_depth = AD sum, total_depth = the DP field
+      "vcf_roundtrip" ->
+        """WITH c AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
+          |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT) AS pos,
+          |  CAST(l_suppkey % 4 AS BIGINT) AS idx,
+          |  CASE (l_partkey + l_suppkey) % 3 WHEN 0 THEN '0/1'
+          |    WHEN 1 THEN '1/1' ELSE '0/0' END AS gt
+          |  FROM lineitem),
+          |g AS (SELECT chr, pos, idx, max(gt) AS gt FROM c GROUP BY 1, 2, 3),
+          |k AS (SELECT chr, pos, idx,
+          |  (pos + idx*2) % 20 AS adref,
+          |  1 + (pos*3 + idx) % 15 AS adalt
+          |  FROM g WHERE gt IN ('0/1', '1/1'))
+          |SELECT 'S' || CAST(idx AS VARCHAR) AS strain,
+          |  CAST(chr AS VARCHAR) AS chr,
+          |  count(*) AS n_variants,
+          |  CAST(sum(adalt) AS BIGINT) AS sum_allele_depth,
+          |  CAST(sum(adref + adalt) AS BIGINT) AS sum_read_depth,
+          |  CAST(sum(adref + adalt + 1) AS BIGINT) AS sum_total_depth
+          |FROM k GROUP BY 1, 2""".stripMargin,
 
       // composed pipeline twin: same synthesized lines; strain A rows
       // always survive the zygosity filter (varReads = linenumber ≥ 1),

