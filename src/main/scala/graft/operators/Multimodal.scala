@@ -368,6 +368,14 @@ object Multimodal {
     * headers, video a real minimal RIFF/AVI container with `1 + id % 3`
     * 16-byte md5 frame chunks in its `movi` list (so frame sampling and
     * header decode both exercise the real parser). */
+  /** Frame count of a synthetic video — ONE constant shared with the
+    * oracle-side [[videoFrameCountSql]] so an oracle can never keep
+    * passing its own hardcoded copy of the layout (ADVICE r11). */
+  def videoFrameCount(id: Long): Long = 1 + id % 3
+
+  /** SQL twin of [[videoFrameCount]] over a `media_id` column. */
+  val videoFrameCountSql: String = "1 + media_id % 3"
+
   def syntheticMedia(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -378,7 +386,7 @@ object Multimodal {
         case 1 => MediaRow(id, "audio",
           MediaCodec.wavBytes((8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt))
         case _ =>
-          val frames = (0 until (1 + id % 3).toInt).map(i =>
+          val frames = (0 until videoFrameCount(id).toInt).map(i =>
             java.security.MessageDigest.getInstance("MD5")
               .digest(s"$id:$i".getBytes("UTF-8")))
           MediaRow(id, "video", MediaCodec.aviBytes(
