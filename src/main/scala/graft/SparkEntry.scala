@@ -940,6 +940,65 @@ object SparkEntry {
           count(lit(1)).as("n_segments"))
     }),
 
+    "sam_gene_coverage" -> ((s, dir) => {
+      // per-gene coverage rollup — the "is this exon sequenced deep
+      // enough to call" QC read: the pileup's constant-depth segments
+      // (already the COMPRESSED frame — one row per maximal
+      // constant-depth run, not per base) intersected with the gene
+      // intervals through the binned range join, overlaps clipped
+      // exactly, rolled up to breadth (bases at depth ≥ 1), aligned
+      // mass, max depth and a ×10⁴ breadth fraction per gene. Scale
+      // shape: sweep (one partial-agg shuffle + per-chr window over
+      // breakpoints), bin-bucketed equi-join (candidates bounded by
+      // bin occupancy, never segments × genes), one partial-agg
+      // shuffle on gene_id.
+      val aln = graft.sources.Sam.alignments(samSynthLines(s, dir))
+      val segs = Intervals.coverageSegments(aln, Seq("chr"),
+          col("pos"), col("end_pos"))
+        .select(col("chr"), col("pos").as("sstart"),
+          (col("end_pos") - 1).as("sstop"), col("depth"))
+      val genes = partGenes(s, dir).select(col("gene_id"),
+        concat(lit("chr"), col("chr").cast("string")).as("chr"),
+        col("gstart"), col("gstop"))
+      // binWidth 4096 (the genic-join width): synthesized coordinates
+      // span 0..102k, so the 1M default would put every segment of a
+      // chromosome in ONE bin — a per-chr cross product
+      val j = RangeJoin.overlapJoined(segs, genes, "sstart", "sstop",
+        "gstart", "gstop", Seq("chr"), binWidth = 4096)
+      val ov = least(col("sstop"), col("gstop")) -
+        greatest(col("sstart"), col("gstart")) + 1
+      j.groupBy("gene_id").agg(
+          sum(when(col("depth") > 0, ov).otherwise(0L)).as("covered_bp"),
+          sum(col("depth") * ov).as("aligned_bp"),
+          max("depth").as("max_depth"))
+        .join(partGenes(s, dir).select(col("gene_id"),
+          (col("gstop") - col("gstart") + 1).as("span")), "gene_id")
+        .select(col("gene_id"), col("span"), col("covered_bp"),
+          col("aligned_bp"), col("max_depth"),
+          round(col("covered_bp") * 10000.0 / col("span")).cast("long")
+            .as("breadth4"))
+    }),
+
+    "variant_tstv" -> ((s, dir) => {
+      // transition/transversion ratio per chromosome — THE standard
+      // variant-call QC metric (random sequencing errors push Ts/Tv
+      // toward 0.5; real variant sets sit well above): one narrow
+      // projection + one partial-agg shuffle; the ratio is one rounded
+      // division of exact counts per chr (the jacc4 ×10⁴ discipline)
+      val v = liVariants(s, dir)
+        .filter(col("ref_nuc") =!= col("var_nuc"))
+      val isTs = (col("ref_nuc").isin("A", "G") &&
+          col("var_nuc").isin("A", "G")) ||
+        (col("ref_nuc").isin("C", "T") && col("var_nuc").isin("C", "T"))
+      v.groupBy("chr").agg(
+          sum(when(isTs, 1L).otherwise(0L)).as("n_ts"),
+          sum(when(isTs, 0L).otherwise(1L)).as("n_tv"))
+        .select(col("chr"), col("n_ts"), col("n_tv"),
+          when(col("n_tv") > 0,
+            round(col("n_ts") * 10000.0 / col("n_tv")).cast("long"))
+            .as("tstv4"))
+    }),
+
     "variant_dnds" -> ((s, dir) => {
       // per-gene nonsynonymous/synonymous count ratio (the raw-count
       // dN/dS screen — the selection-pressure readout a variant
@@ -3547,6 +3606,58 @@ object SparkEntry {
           |  CAST(sum(clipped) AS BIGINT) AS sum_clipped,
           |  CAST(max(pos + ref_span - 1) AS BIGINT) AS max_end
           |FROM sam_reads GROUP BY 1""".stripMargin,
+
+      // pileup segments (same sweep as sam_pileup's oracle) clipped
+      // against the gene intervals with a plain inequality join — the
+      // binned strategy is Spark-side physics, the overlap predicate
+      // is the semantics both engines share
+      "sam_gene_coverage" ->
+        s"""WITH $samReadsCtes,
+          |del AS (SELECT chr, pos, 1 AS d FROM sam_reads
+          |  UNION ALL SELECT chr, pos + ref_span, -1 FROM sam_reads),
+          |bp AS (SELECT chr, pos, sum(d) AS delta FROM del
+          |  GROUP BY 1, 2 HAVING sum(d) <> 0),
+          |seg AS (SELECT chr, pos AS sstart,
+          |  CAST(sum(delta) OVER (PARTITION BY chr ORDER BY pos
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth,
+          |  lead(pos) OVER (PARTITION BY chr ORDER BY pos) - 1 AS sstop
+          |  FROM bp),
+          |s2 AS (SELECT chr, sstart, sstop, depth FROM seg
+          |  WHERE sstop IS NOT NULL),
+          |g AS (SELECT gene_id, 'chr' || CAST(chr AS VARCHAR) AS chr,
+          |  gstart, gstop FROM ($partGenesSql)),
+          |j AS (SELECT g.gene_id, s2.depth,
+          |  least(s2.sstop, g.gstop) - greatest(s2.sstart, g.gstart) + 1
+          |    AS ov
+          |  FROM s2 JOIN g ON g.chr = s2.chr
+          |    AND s2.sstart <= g.gstop AND g.gstart <= s2.sstop),
+          |a AS (SELECT gene_id,
+          |  CAST(sum(CASE WHEN depth > 0 THEN ov ELSE 0 END) AS BIGINT)
+          |    AS covered_bp,
+          |  CAST(sum(depth * ov) AS BIGINT) AS aligned_bp,
+          |  max(depth) AS max_depth
+          |  FROM j GROUP BY 1)
+          |SELECT a.gene_id, g2.span, a.covered_bp, a.aligned_bp,
+          |  a.max_depth,
+          |  CAST(round(a.covered_bp * 10000.0 / g2.span) AS BIGINT)
+          |    AS breadth4
+          |FROM a JOIN (SELECT gene_id,
+          |  gstop - gstart + 1 AS span FROM ($partGenesSql)) g2
+          |  USING (gene_id)""".stripMargin,
+
+      "variant_tstv" ->
+        s"""WITH v AS ($liVariantsSql),
+          |s AS (SELECT chr,
+          |  CASE WHEN (ref_nuc IN ('A','G') AND var_nuc IN ('A','G'))
+          |    OR (ref_nuc IN ('C','T') AND var_nuc IN ('C','T'))
+          |    THEN 1 ELSE 0 END AS ts
+          |  FROM v WHERE ref_nuc <> var_nuc)
+          |SELECT chr, CAST(sum(ts) AS BIGINT) AS n_ts,
+          |  CAST(sum(1 - ts) AS BIGINT) AS n_tv,
+          |  CASE WHEN sum(1 - ts) > 0 THEN
+          |    CAST(round(sum(ts) * 10000.0 / sum(1 - ts)) AS BIGINT)
+          |  END AS tstv4
+          |FROM s GROUP BY 1""".stripMargin,
 
       // the same sweep-line derivation interval_coverage's oracle uses,
       // run over the arithmetically re-derived read spans ([pos,

@@ -175,6 +175,57 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       ("S1", "3", 1234, "A", "G", 9, 9, 10)))
   }
 
+  test("sam_gene_coverage: hand case through parse → sweep → clip") {
+    import graft.operators.{Intervals, RangeJoin}
+    // reads [1,4], [3,6], [10,11]; gene [2,10] → clipped overlaps:
+    // [2,2]x1 + [3,4]x2 + [5,6]x1 + [7,9]x0 + [10,10]x1
+    // covered 1+2+2+1 = 6, aligned 1+4+2+1 = 8, max depth 2
+    def sam(q: String, pos: Long, cigar: String): String =
+      Seq(q, "0", "chr1", pos.toString, "30", cigar,
+        "*", "0", "0", "*", "*").mkString("\t")
+    val aln = Sam.alignments(
+      Seq(sam("a", 1, "4M"), sam("b", 3, "4M"), sam("c", 10, "2M")).toDS())
+    val segs = Intervals.coverageSegments(aln, Seq("chr"),
+        col("pos"), col("end_pos"))
+      .select(col("chr"), col("pos").as("sstart"),
+        (col("end_pos") - 1).as("sstop"), col("depth"))
+    val genes = Seq((7L, "chr1", 2L, 10L))
+      .toDF("gene_id", "chr", "gstart", "gstop")
+    val j = RangeJoin.overlapJoined(segs, genes, "sstart", "sstop",
+      "gstart", "gstop", Seq("chr"))
+    val ov = least(col("sstop"), col("gstop")) -
+      greatest(col("sstart"), col("gstart")) + 1
+    val got = j.groupBy("gene_id").agg(
+        sum(when(col("depth") > 0, ov).otherwise(0L)).as("covered_bp"),
+        sum(col("depth") * ov).as("aligned_bp"),
+        max("depth").as("max_depth"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((7L, 6L, 8L, 2L)))
+  }
+
+  test("variant_tstv: counts partition the mismatching variants") {
+    // independent re-derivation: ts iff {ref,var} = {A,G} or {C,T};
+    // totals must partition the ref≠var population per chr
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("variant_tstv")(spark, dir)
+      .select("chr", "n_ts", "n_tv").as[(Long, Long, Long)]
+      .collect().map { case (c, t, v) => c -> ((t, v)) }.toMap
+    val li = Tables.lineitem(spark, dir)
+      .select((col("l_orderkey") % 5).cast("long").as("chr"),
+        (col("l_partkey") % 4).cast("int").as("r"),
+        (col("l_suppkey") % 4).cast("int").as("v"))
+      .as[(Long, Int, Int)].collect()
+    def base(i: Int) = "ACGT" (i)
+    val expect = li.filter { case (_, r, v) => base(r) != base(v) }
+      .groupBy(_._1).map { case (chr, rows) =>
+        val ts = rows.count { case (_, r, v) =>
+          Set(base(r), base(v)).subsetOf(Set('A', 'G')) ||
+            Set(base(r), base(v)).subsetOf(Set('C', 'T')) }
+        chr -> ((ts.toLong, (rows.size - ts).toLong))
+      }
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
