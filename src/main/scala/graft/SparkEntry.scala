@@ -115,7 +115,10 @@ object SparkEntry {
       |  1 + (o*31 + l*7) % 100000 AS pos,
       |  (10 + o % 16) + (5 + p % 8) + (1 + o % 2) + 4 AS ref_span,
       |  (10 + o % 16) + (5 + p % 8) + 4 AS aligned,
-      |  1 + l % 4 AS clipped FROM sam_r)""".stripMargin
+      |  1 + l % 4 AS clipped,
+      |  'r' || CAST(o AS VARCHAR) || '_' || CAST(l AS VARCHAR) AS qname,
+      |  CAST((o % 2) * 16 AS BIGINT) AS flag,
+      |  CAST(20 + p % 40 AS BIGINT) AS mapq FROM sam_r)""".stripMargin
 
   /** Synthetic gene/exon intervals derived from part. */
   private def partGenes(s: SparkSession, dir: String): DataFrame =
@@ -977,6 +980,53 @@ object SparkEntry {
           col("aligned_bp"), col("max_depth"),
           round(col("covered_bp") * 10000.0 / col("span")).cast("long")
             .as("breadth4"))
+    }),
+
+    "sam_markdup" -> ((s, dir) => {
+      // PCR/optical duplicate marking (Picard MarkDuplicates
+      // semantics, the alignment-QC sibling of dedup_exact): reads
+      // sharing (chr, pos, strand) are one physical fragment observed
+      // multiple times — keep the best (mapq desc, qname asc as the
+      // deterministic tie-break; qname is unique), mark the rest.
+      // Scale shape: ONE window partitioned by the duplicate key
+      // (key cardinality ~ genome positions — never a global sort)
+      // then a per-chr partial agg; dup_rate4 from exact counts.
+      import org.apache.spark.sql.expressions.Window
+      val aln = graft.sources.Sam.alignments(samSynthLines(s, dir))
+      val w = Window.partitionBy("chr", "pos", "flag")
+        .orderBy(col("mapq").desc, col("qname"))
+      aln.withColumn("rn", row_number().over(w))
+        .groupBy("chr").agg(
+          count(lit(1)).as("n_reads"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("rn") === 1, col("mapq").cast("long"))
+            .otherwise(0L)).as("sum_kept_mapq"))
+        .select(col("chr"), col("n_reads"), col("n_dup"),
+          col("sum_kept_mapq"),
+          round(col("n_dup") * 10000.0 / col("n_reads")).cast("long")
+            .as("dup_rate4"))
+    }),
+
+    "corpus_split" -> ((s, dir) => {
+      // deterministic train/val/test split — the reproducibility
+      // primitive every training pipeline needs (re-runs and engines
+      // must agree on every document's split WITHOUT storing an
+      // assignment table): bucket = first 4 md5 hex chars of the
+      // doc_id, mod 100 → <80 train, <90 val, else test. Narrow
+      // projection + one partial-agg shuffle; the md5 is the
+      // cross-engine-stable hash (the scene-cut/genome discipline —
+      // xxhash64 would be Spark-only).
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+            16, 10).cast("long") % 100).as("bucket"))
+        .select(col("lang"), col("n_chars"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test")
+            .as("split"))
+        .groupBy("lang", "split").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
     }),
 
     "variant_tstv" -> ((s, dir) => {
@@ -3644,6 +3694,34 @@ object SparkEntry {
           |FROM a JOIN (SELECT gene_id,
           |  gstop - gstart + 1 AS span FROM ($partGenesSql)) g2
           |  USING (gene_id)""".stripMargin,
+
+      // same window derivation over the arithmetically re-derived
+      // reads; qname is unique so the (mapq desc, qname) order is total
+      "sam_markdup" ->
+        s"""WITH $samReadsCtes,
+          |r2 AS (SELECT chr, mapq,
+          |  row_number() OVER (PARTITION BY chr, pos, flag
+          |    ORDER BY mapq DESC, qname) AS rn
+          |  FROM sam_reads)
+          |SELECT chr, count(*) AS n_reads,
+          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_dup,
+          |  CAST(sum(CASE WHEN rn = 1 THEN mapq ELSE 0 END) AS BIGINT)
+          |    AS sum_kept_mapq,
+          |  CAST(round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+          |    * 10000.0 / count(*)) AS BIGINT) AS dup_rate4
+          |FROM r2 GROUP BY 1""".stripMargin,
+
+      "corpus_split" ->
+        """WITH b AS (SELECT lang, n_chars,
+          |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+          |    AS BIGINT) % 100 AS bucket FROM documents)
+          |SELECT lang,
+          |  CASE WHEN bucket < 80 THEN 'train'
+          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+          |  count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM b GROUP BY 1, 2""".stripMargin,
 
       "variant_tstv" ->
         s"""WITH v AS ($liVariantsSql),

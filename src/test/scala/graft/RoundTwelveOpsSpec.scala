@@ -226,6 +226,46 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("sam_markdup semantics: same (chr,pos,strand) marks, strand splits") {
+    import org.apache.spark.sql.expressions.Window
+    def sam(q: String, flag: Int, pos: Long, mapq: Int): String =
+      Seq(q, flag.toString, "chr1", pos.toString, mapq.toString, "10M",
+        "*", "0", "0", "*", "*").mkString("\t")
+    // a,b same pos+strand (b lower mapq → dup); c same pos opposite
+    // strand (kept); d ties a's position on mapq → qname breaks (a
+    // kept, d dup); e different pos (kept)
+    val aln = Sam.alignments(Seq(
+      sam("a", 0, 100, 60), sam("b", 0, 100, 30), sam("c", 16, 100, 60),
+      sam("d", 0, 100, 60), sam("e", 0, 200, 60)).toDS())
+    val w = Window.partitionBy("chr", "pos", "flag")
+      .orderBy(col("mapq").desc, col("qname"))
+    val marked = aln.withColumn("rn", row_number().over(w))
+      .select(col("qname"), (col("rn") > 1).as("dup"))
+      .as[(String, Boolean)].collect().toMap
+    assert(marked == Map("a" -> false, "b" -> true, "c" -> false,
+      "d" -> true, "e" -> false))
+  }
+
+  test("corpus_split: md5 buckets are stable and partition the corpus") {
+    // known vector: md5("1") = c4ca4238... → 0xc4ca = 50378 → bucket 78
+    val b = Seq(1L).toDF("doc_id")
+      .select((conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long") % 100).as("bucket"))
+      .as[Long].head()
+    assert(b == 0xc4ca % 100)
+    // the three splits partition every language's documents exactly
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("corpus_split")(spark, dir)
+      .groupBy("lang").agg(sum("n_docs").as("n"),
+        countDistinct("split").as("k"))
+      .as[(String, Long, Long)].collect()
+    val docs = Tables.documents(spark, dir).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (lang, n, k) =>
+      assert(n == docs(lang) && k >= 2, s"$lang: $n vs ${docs(lang)}") }
+    assert(got.nonEmpty)
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
