@@ -1029,6 +1029,31 @@ object SparkEntry {
           sum("n_chars").as("sum_chars"))
     }),
 
+    "dedup_recall_audit" -> ((s, dir) => {
+      // LSH quality audit — the dedup twin of ann_recall_audit (the
+      // recall-vs-bands curve, one point): did the minhash banding
+      // recover the CONFIRMED near-dup pairs (exact jaccard ≥ 0.2
+      // inside blocks — the graded truth frame)? recall = hits/truth;
+      // hit_rate = hits/candidates (a diagnostic, not precision — the
+      // banded candidates are a recall-oriented superset by design).
+      // Both input derivations are already graded individually
+      // (dedup_minhash_pairs / dedup_ngram_jaccard); integers + two
+      // rounded divisions.
+      val truth = docJaccardPairs(s, dir).select("id_a", "id_b")
+      val cand = Dedup.minhashCandidates(Tables.documents(s, dir),
+        "doc_id", "text", numHashes = 16, rowsPerBand = 4,
+        shingleLen = 3).select("id_a", "id_b")
+      val hits = truth.join(cand, Seq("id_a", "id_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_truth"), col("n_cand"), col("n_hits"),
+          round(lit(10000.0) * col("n_hits") / col("n_truth"))
+            .cast("long").as("recall4"),
+          round(lit(10000.0) * col("n_hits") / col("n_cand"))
+            .cast("long").as("hit_rate4"))
+    }),
+
     "variant_tstv" -> ((s, dir) => {
       // transition/transversion ratio per chromosome — THE standard
       // variant-call QC metric (random sequencing errors push Ts/Tv
@@ -3722,6 +3747,25 @@ object SparkEntry {
           |  count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM b GROUP BY 1, 2""".stripMargin,
+
+      // the minhash candidate CTEs at the top level, the jaccard truth
+      // as a NESTED WITH (both families define t/sh with different
+      // shapes — nesting scopes the names instead of renaming a shared
+      // derivation other oracles grade against)
+      "dedup_recall_audit" ->
+        s"""WITH $minhashPairCtes,
+          |truth AS (WITH $jaccardPairCtes
+          |  SELECT id_a, id_b FROM jp),
+          |hits AS (SELECT t.id_a, t.id_b FROM truth t
+          |  JOIN prs USING (id_a, id_b))
+          |SELECT
+          |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+          |  CAST((SELECT count(*) FROM prs) AS BIGINT) AS n_cand,
+          |  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+          |  CAST(round(10000.0 * (SELECT count(*) FROM hits)
+          |    / (SELECT count(*) FROM truth)) AS BIGINT) AS recall4,
+          |  CAST(round(10000.0 * (SELECT count(*) FROM hits)
+          |    / (SELECT count(*) FROM prs)) AS BIGINT) AS hit_rate4""".stripMargin,
 
       "variant_tstv" ->
         s"""WITH v AS ($liVariantsSql),

@@ -266,6 +266,16 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("dedup_recall_audit: hit counts bounded and ratios consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("dedup_recall_audit")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (truth, cand, hits, recall4, hitRate4) = r
+    assert(hits <= math.min(truth, cand) && truth > 0 && cand > 0)
+    assert(recall4 == math.round(10000.0 * hits / truth))
+    assert(hitRate4 == math.round(10000.0 * hits / cand))
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
