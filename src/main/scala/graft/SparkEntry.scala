@@ -1029,6 +1029,36 @@ object SparkEntry {
           sum("n_chars").as("sum_chars"))
     }),
 
+    "popgen_king" -> ((s, dir) => {
+      // KING-robust kinship per sample pair (Manichaikul et al. 2010
+      // eq. 11 — the relatedness estimator that tolerates population
+      // structure, run before any GWAS to drop cryptic relatives):
+      // φ = (N_het,het − 2·N_opp_hom) / (N_het(i) + N_het(j)) over the
+      // pair's shared sites. Same site-keyed self-join shape as
+      // popgen_ibs (per-site fan-out bounded by samples², rollup a
+      // 190-row frame); exact integer counts + one rounded division.
+      val cells = dosageCells(s, dir)
+      val a = cells.select(col("chr"), col("pos"),
+        col("sample").as("s1"), col("gv").as("g1"))
+      val b = cells.select(col("chr"), col("pos"),
+        col("sample").as("s2"), col("gv").as("g2"))
+      a.join(b, Seq("chr", "pos")).filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_sites"),
+          sum(when(col("g1") === 1 && col("g2") === 1, 1L).otherwise(0L))
+            .as("n_both_het"),
+          sum(when(abs(col("g1") - col("g2")) === 2, 1L).otherwise(0L))
+            .as("n_opp_hom"),
+          sum(when(col("g1") === 1, 1L).otherwise(0L)).as("n_het1"),
+          sum(when(col("g2") === 1, 1L).otherwise(0L)).as("n_het2"))
+        .select(col("s1"), col("s2"), col("n_sites"),
+          col("n_both_het"), col("n_opp_hom"),
+          when(col("n_het1") + col("n_het2") > 0,
+            round(lit(10000.0) * (col("n_both_het")
+              - lit(2) * col("n_opp_hom"))
+              / (col("n_het1") + col("n_het2"))).cast("long"))
+            .as("kinship4"))
+    }),
+
     "dedup_recall_audit" -> ((s, dir) => {
       // LSH quality audit — the dedup twin of ann_recall_audit (the
       // recall-vs-bands curve, one point): did the minhash banding
@@ -3747,6 +3777,28 @@ object SparkEntry {
           |  count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM b GROUP BY 1, 2""".stripMargin,
+
+      "popgen_king" ->
+        s"""WITH $dosageCellCtes,
+           |p AS (SELECT a.sample AS s1, b.sample AS s2,
+           |  a.gv AS g1, b.gv AS g2
+           |  FROM c a JOIN c b ON a.chr = b.chr AND a.pos = b.pos
+           |    AND a.sample < b.sample)
+           |SELECT s1, s2, count(*) AS n_sites,
+           |  CAST(sum(CASE WHEN g1 = 1 AND g2 = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_both_het,
+           |  CAST(sum(CASE WHEN abs(g1 - g2) = 2 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_opp_hom,
+           |  CASE WHEN sum(CASE WHEN g1 = 1 THEN 1 ELSE 0 END)
+           |      + sum(CASE WHEN g2 = 1 THEN 1 ELSE 0 END) > 0 THEN
+           |    CAST(round(10000.0
+           |      * (sum(CASE WHEN g1 = 1 AND g2 = 1 THEN 1 ELSE 0 END)
+           |        - 2 * sum(CASE WHEN abs(g1 - g2) = 2 THEN 1 ELSE 0 END))
+           |      / (sum(CASE WHEN g1 = 1 THEN 1 ELSE 0 END)
+           |        + sum(CASE WHEN g2 = 1 THEN 1 ELSE 0 END)))
+           |      AS BIGINT)
+           |  END AS kinship4
+           |FROM p GROUP BY 1, 2""".stripMargin,
 
       // the minhash candidate CTEs at the top level, the jaccard truth
       // as a NESTED WITH (both families define t/sh with different

@@ -276,6 +276,40 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(hitRate4 == math.round(10000.0 * hits / cand))
   }
 
+  test("popgen_king: hand kinship — duplicate, unrelated, opp-hom") {
+    // two samples with identical genotypes over 4 sites: n_both_het =
+    // het count, n_opp_hom = 0 → φ = het/(2·het) = 0.5 (duplicate);
+    // the KING duplicate criterion is exactly φ ≈ 0.5
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("popgen_king")(spark, dir)
+    val row = got.filter(col("s1") === 0 && col("s2") === 1)
+      .select("n_sites").as[Long].head()
+    assert(row > 0)
+    // pure-derivation hand case via the same aggregation shape
+    val cells = Seq(
+      // site 1: both het; site 2: opposite hom; site 3: s1 het only
+      (1L, "a", 1L), (1L, "b", 1L),
+      (2L, "a", 0L), (2L, "b", 2L),
+      (3L, "a", 1L), (3L, "b", 0L)).toDF("pos", "sample", "gv")
+    val a = cells.select(col("pos"), col("sample").as("s1"),
+      col("gv").as("g1"))
+    val b = cells.select(col("pos"), col("sample").as("s2"),
+      col("gv").as("g2"))
+    val k = a.join(b, Seq("pos")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(
+        sum(when(col("g1") === 1 && col("g2") === 1, 1L).otherwise(0L))
+          .as("bh"),
+        sum(when(abs(col("g1") - col("g2")) === 2, 1L).otherwise(0L))
+          .as("oh"),
+        sum(when(col("g1") === 1, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("g2") === 1, 1L).otherwise(0L)).as("h2"))
+      .select(round(lit(10000.0) * (col("bh") - lit(2) * col("oh"))
+        / (col("h1") + col("h2"))).cast("long"))
+      .as[Long].head()
+    // bh=1, oh=1, h1=2, h2=1 → 1e4·(1−2)/3 = −3333
+    assert(k == -3333L)
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
