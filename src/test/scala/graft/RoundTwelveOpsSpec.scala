@@ -310,6 +310,40 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(k == -3333L)
   }
 
+  test("StreamSam census across triggers equals the batch census") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamSam
+    implicit val sqlCtx = spark.sqlContext
+    def sam(q: String, chr: String, pos: Long, cigar: String): String =
+      Seq(q, "0", chr, pos.toString, "30", cigar,
+        "*", "0", "0", "*", "*").mkString("\t")
+    val batch1 = Seq(sam("a", "chr1", 100, "10M"),
+      sam("b", "chr2", 50, "3S7M"), "@HD\tVN:1.6")
+    val batch2 = Seq(sam("c", "chr1", 200, "5M2D3M"),
+      sam("bad", "chr1", 10, "10Z")) // quarantined in-stream too
+    val mem = MemoryStream[String]
+    val q = StreamSam.alignmentStats(mem.toDS())
+      .writeStream.format("memory").queryName("sam_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sam_stream")
+        .select("chr", "n_reads", "sum_ref_span", "sum_clipped")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val batch = Sam.alignments((batch1 ++ batch2).toDS())
+        .groupBy("chr").agg(count(lit(1)).as("n_reads"),
+          sum("ref_span").as("sum_ref_span"),
+          sum("n_clipped").as("sum_clipped"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed == Set(("chr1", 2L, 20L, 0L), ("chr2", 1L, 7L, 3L)))
+    } finally q.stop()
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
