@@ -1029,6 +1029,35 @@ object SparkEntry {
           sum("n_chars").as("sum_chars"))
     }),
 
+    "vcf_genotype_concordance" -> ((s, dir) => {
+      // two-callset genotype concordance per sample (the GATK
+      // Concordance / picard GenotypeConcordance QC: re-called or
+      // re-sequenced samples must agree with the truth set before a
+      // merge is trusted — the genotype-level refinement of the
+      // reference's verify-if-in-rgd membership probe): callset B is
+      // the shared dosage frame with a deterministic perturbation
+      // (every 17th (pos+sample) cell's genotype rotated +1 mod 3),
+      // joined co-partitioned on (chr, pos, sample); per-sample exact
+      // counts + one rounded concordance rate
+      val a = dosageCells(s, dir)
+      val b = dosageCells(s, dir).select(col("chr"), col("pos"),
+        col("sample"),
+        when((col("pos") + col("sample")) % 17 === 0,
+          (col("gv") + 1) % 3).otherwise(col("gv")).as("gv2"))
+      a.join(b, Seq("chr", "pos", "sample"))
+        .groupBy("sample").agg(
+          count(lit(1)).as("n_sites"),
+          sum(when(col("gv") === col("gv2"), 1L).otherwise(0L))
+            .as("n_concordant"),
+          sum(when(col("gv") =!= col("gv2")
+            && col("gv") =!= 1 && col("gv2") =!= 1, 1L).otherwise(0L))
+            .as("n_hom_flips"))
+        .select(col("sample"), col("n_sites"), col("n_concordant"),
+          col("n_hom_flips"),
+          round(lit(10000.0) * col("n_concordant") / col("n_sites"))
+            .cast("long").as("concordance4"))
+    }),
+
     "events_markov_stationary" -> ((s, dir) => {
       // steady-state share of each event type under the observed
       // transition matrix, 3 fixed power-iteration rounds (the
@@ -3786,6 +3815,23 @@ object SparkEntry {
           |  count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM b GROUP BY 1, 2""".stripMargin,
+
+      "vcf_genotype_concordance" ->
+        s"""WITH $dosageCellCtes,
+           |b AS (SELECT chr, pos, sample,
+           |  CASE WHEN (pos + sample) % 17 = 0 THEN (gv + 1) % 3
+           |       ELSE gv END AS gv2 FROM c),
+           |j AS (SELECT a.sample, a.gv, b.gv2 FROM c a
+           |  JOIN b ON a.chr = b.chr AND a.pos = b.pos
+           |    AND a.sample = b.sample)
+           |SELECT sample, count(*) AS n_sites,
+           |  CAST(sum(CASE WHEN gv = gv2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_concordant,
+           |  CAST(sum(CASE WHEN gv <> gv2 AND gv <> 1 AND gv2 <> 1
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hom_flips,
+           |  CAST(round(10000.0 * sum(CASE WHEN gv = gv2 THEN 1 ELSE 0
+           |    END) / count(*)) AS BIGINT) AS concordance4
+           |FROM j GROUP BY 1""".stripMargin,
 
       // the pagerank-oracle idiom (x10^12 exact longs per edge, bare
       // 1.0/n matching Spark's lit(1.0)/col) chained for 3 rounds over

@@ -360,6 +360,30 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got == Map("A" -> 0.3125, "B" -> 0.6875))
   }
 
+  test("vcf_genotype_concordance: discordance is exactly the perturbation") {
+    // every discordant cell must be one the perturbation touched AND
+    // whose rotation actually changed the genotype (it always does:
+    // +1 mod 3 has no fixed point), so n_sites − n_concordant ==
+    // count of (pos + sample) % 17 == 0 cells per sample
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("vcf_genotype_concordance")(spark, dir)
+      .select("sample", "n_sites", "n_concordant")
+      .as[(Long, Long, Long)].collect()
+      .map { case (sm, n, c) => sm -> (n - c) }.toMap
+    val cells = Tables.lineitem(spark, dir)
+      .select((col("l_orderkey") % 5).cast("long").as("chr"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 1000)
+          .cast("long").as("pos"),
+        (col("l_suppkey") % 20).cast("long").as("sample"))
+      .distinct()
+      .filter((col("pos") + col("sample")) % 17 === 0)
+      .groupBy("sample").count()
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (sm, d) =>
+      assert(d == cells.getOrElse(sm, 0L), s"sample $sm") }
+    assert(got.nonEmpty)
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
