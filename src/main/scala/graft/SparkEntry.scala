@@ -1029,6 +1029,44 @@ object SparkEntry {
           sum("n_chars").as("sum_chars"))
     }),
 
+    "events_seasonal_decompose" -> ((s, dir) => {
+      // STL-lite weekly seasonal profile (the classical-decomposition
+      // sibling of events_dow_profile, which averages RAW counts —
+      // this one removes the trend first, so a ramping counter doesn't
+      // masquerade as seasonality): per (type, day) counts → centered
+      // 7-day moving TREND (only where the full window exists) →
+      // detrended = x − trend → per-(type, day-of-week) mean of the
+      // detrended series. Exact integers throughout — detrended is
+      // kept ×7 (7x − Σwindow, a long), one rounded ×10⁴ division at
+      // the end. ROWS window over OBSERVED days (the dailyHoltWinters
+      // gap-free contract, shared with the oracle). Windows partition
+      // by type — vocabulary-sized frames, never a global sort.
+      import org.apache.spark.sql.expressions.Window
+      // ts is long NANOS (Tables.events nanosAsLong); day = exact
+      // integer µs // 86400000000, dow anchored +4 (epoch day 0 was a
+      // Thursday) — the events_dow_profile convention
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("(ts DIV 1000) DIV 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      daily
+        .withColumn("t7", sum("x").over(w))
+        .withColumn("nw", count(lit(1)).over(w))
+        .filter(col("nw") === 7)
+        .select(col("event_type"),
+          pmod(col("day") + 4, lit(7)).as("dow"),
+          (col("x") * 7 - col("t7")).as("det7"))
+        .groupBy("event_type", "dow").agg(
+          count(lit(1)).as("n_days"),
+          sum("det7").as("sum_det7"))
+        .select(col("event_type"), col("dow"), col("n_days"),
+          col("sum_det7"),
+          round(lit(10000.0) * col("sum_det7")
+            / (lit(7) * col("n_days"))).cast("long").as("seasonal4"))
+    }),
+
     "vcf_genotype_concordance" -> ((s, dir) => {
       // two-callset genotype concordance per sample (the GATK
       // Concordance / picard GenotypeConcordance QC: re-called or
@@ -3815,6 +3853,26 @@ object SparkEntry {
           |  count(*) AS n_docs,
           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM b GROUP BY 1, 2""".stripMargin,
+
+      // same centered ROWS window over observed days; det7 stays an
+      // exact long (7x − Σwindow) until the one rounded division
+      "events_seasonal_decompose" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |w AS (SELECT event_type, day, x,
+          |  CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+          |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+          |  count(*) OVER (PARTITION BY event_type ORDER BY day
+          |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+          |  FROM c),
+          |d AS (SELECT event_type, (day + 4) % 7 AS dow,
+          |  x * 7 - t7 AS det7 FROM w WHERE nw = 7)
+          |SELECT event_type, dow, count(*) AS n_days,
+          |  CAST(sum(det7) AS BIGINT) AS sum_det7,
+          |  CAST(round(10000.0 * sum(det7) / (7 * count(*))) AS BIGINT)
+          |    AS seasonal4
+          |FROM d GROUP BY 1, 2""".stripMargin,
 
       "vcf_genotype_concordance" ->
         s"""WITH $dosageCellCtes,

