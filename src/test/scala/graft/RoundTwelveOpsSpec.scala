@@ -5,10 +5,15 @@ import graft.sources.Sam
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-12 operators: the CIGAR codegen kernel pinned to the original
-  * pure-Column `aggregate`-fold formulation (parity on randomized
-  * well-formed CIGARs), plus the malformed-CIGAR quarantine the fold
-  * could not express.
+/** Round-12 operators: the CIGAR kernel pinned to the original
+  * `aggregate`-fold formulation + malformed-CIGAR quarantine; the SAM
+  * family built on it (pileup conservation, gene coverage, duplicate
+  * marking, streaming census twin); the materialize-once pair graph;
+  * the graph convergence loops (coreness, PageRank-to-tolerance) with
+  * their fixed-round graded prefixes; the VCF writer↔parser inverse;
+  * and the round's analytics (Ts/Tv, corpus split, LSH recall audit,
+  * KING kinship, Markov stationary, genotype concordance, seasonal
+  * decomposition).
   */
 class RoundTwelveOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
