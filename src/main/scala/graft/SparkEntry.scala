@@ -982,6 +982,40 @@ object SparkEntry {
             .as("breadth4"))
     }),
 
+    "sam_flagstat" -> ((s, dir) => {
+      // samtools-flagstat summary — THE first QC command run on any
+      // BAM: category counts decoded from the FLAG bitfield. A richer
+      // flag synthesis than the census (paired 0x1, proper 0x2,
+      // reverse 0x10, secondary 0x100, dup 0x400 — each driven by an
+      // independent residue) exercises real bitwise decode on the
+      // parsed int; one narrow projection + ONE single-row partial agg.
+      import s.implicits._
+      val o = col("l_orderkey").cast("long")
+      val l = col("l_linenumber").cast("long")
+      val p = col("l_partkey").cast("long")
+      val flagBits = (o % 2) * 1 +
+        when((o + p) % 3 === 0, 2L).otherwise(0L) +
+        (l % 2) * 16 +
+        when((o + l) % 7 === 0, 256L).otherwise(0L) +
+        when(p % 11 === 0, 1024L).otherwise(0L)
+      val line = concat_ws("\t",
+        concat(lit("f"), o, lit("_"), l), flagBits.cast("string"),
+        concat(lit("chr"), (o % 5).cast("string")),
+        (lit(1L) + (o * 31 + l * 7) % 100000).cast("string"),
+        lit("30"), concat((lit(10L) + p % 30).cast("string"), lit("M")),
+        lit("*"), lit("0"), lit("0"), lit("*"), lit("*"))
+      val aln = graft.sources.Sam.alignments(
+        Tables.lineitem(s, dir).select(line.as("line")).as[String])
+      def hasBit(b: Long) =
+        (col("flag").cast("long").bitwiseAND(b) =!= 0L)
+      aln.agg(count(lit(1)).as("n_total"),
+        sum(when(hasBit(1), 1L).otherwise(0L)).as("n_paired"),
+        sum(when(hasBit(2), 1L).otherwise(0L)).as("n_proper"),
+        sum(when(hasBit(16), 1L).otherwise(0L)).as("n_reverse"),
+        sum(when(hasBit(256), 1L).otherwise(0L)).as("n_secondary"),
+        sum(when(hasBit(1024), 1L).otherwise(0L)).as("n_dup"))
+    }),
+
     "sam_markdup" -> ((s, dir) => {
       // PCR/optical duplicate marking (Picard MarkDuplicates
       // semantics, the alignment-QC sibling of dedup_exact): reads
@@ -3825,6 +3859,23 @@ object SparkEntry {
           |FROM a JOIN (SELECT gene_id,
           |  gstop - gstart + 1 AS span FROM ($partGenesSql)) g2
           |  USING (gene_id)""".stripMargin,
+
+      // flag bits re-derived from the same residues — the oracle never
+      // touches the bitfield, so the compare proves the Spark-side
+      // bitwise decode against plain arithmetic
+      "sam_flagstat" ->
+        """SELECT count(*) AS n_total,
+          |  CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_paired,
+          |  CAST(sum(CASE WHEN (l_orderkey + l_partkey) % 3 = 0
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_proper,
+          |  CAST(sum(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_reverse,
+          |  CAST(sum(CASE WHEN (l_orderkey + l_linenumber) % 7 = 0
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_secondary,
+          |  CAST(sum(CASE WHEN l_partkey % 11 = 0 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_dup
+          |FROM lineitem""".stripMargin,
 
       // same window derivation over the arithmetically re-derived
       // reads; qname is unique so the (mapq desc, qname) order is total

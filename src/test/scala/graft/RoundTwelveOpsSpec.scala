@@ -413,6 +413,27 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       d >= 0 && d <= 6 && n >= 1 })
   }
 
+  test("sam_flagstat bit decode on hand flags") {
+    // 1299 = 0x1|0x2|0x10|0x100|0x400: decode each category from a
+    // hand-built flag set
+    def sam(q: String, flag: Long): String =
+      Seq(q, flag.toString, "chr1", "100", "30", "10M",
+        "*", "0", "0", "*", "*").mkString("\t")
+    val aln = Sam.alignments(Seq(
+      sam("a", 0), sam("b", 1), sam("c", 3), sam("d", 16),
+      sam("e", 1299)).toDS())
+    def hasBit(b: Long) =
+      (col("flag").cast("long").bitwiseAND(b) =!= 0L)
+    val r = aln.agg(
+      sum(when(hasBit(1), 1L).otherwise(0L)),
+      sum(when(hasBit(2), 1L).otherwise(0L)),
+      sum(when(hasBit(16), 1L).otherwise(0L)),
+      sum(when(hasBit(256), 1L).otherwise(0L)),
+      sum(when(hasBit(1024), 1L).otherwise(0L))).as[(Long, Long, Long,
+        Long, Long)].head()
+    assert(r == ((3L, 2L, 2L, 1L, 1L)))
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
