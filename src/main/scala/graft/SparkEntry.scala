@@ -2332,6 +2332,36 @@ object SparkEntry {
         TextAnalysis.wordBigrams(col("text")), step = 50L)
     }),
 
+    "dna_orf_finder" -> ((s, dir) => {
+      // open-reading-frame scan (start ATG through the FIRST in-frame
+      // stop TAA/TAG/TGA, all 3 reading frames — the gene-finding
+      // primitive upstream of the translate/annotate chain): codon
+      // positions explode once, frame = pos % 3 partitions them into
+      // step-3 sequences, and the "first stop at-or-after" is a
+      // conditional running min over a (doc, frame)-partitioned
+      // FOLLOWING window (fine-grained partitions — never a global
+      // sort; the same shape as q8's fixup windows). Output is the
+      // ORF-length histogram (nt, start through stop inclusive —
+      // always a multiple of 3), which is offset-convention-free so
+      // both engines' indexing can differ safely.
+      import org.apache.spark.sql.expressions.Window
+      val codons = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.Dna.kmers(docDna, 3)))
+        .select(col("doc_id"), col("pos").cast("long").as("i"),
+          pmod(col("pos"), lit(3)).as("frame"),
+          (col("col") === "ATG").as("is_start"),
+          col("col").isin("TAA", "TAG", "TGA").as("is_stop"))
+      val w = Window.partitionBy("doc_id", "frame").orderBy("i")
+        .rowsBetween(1, Window.unboundedFollowing)
+      codons
+        .withColumn("next_stop",
+          min(when(col("is_stop"), col("i"))).over(w))
+        .filter(col("is_start") && col("next_stop").isNotNull)
+        .select((col("next_stop") - col("i") + 3).as("orf_nt"))
+        .groupBy("orf_nt").agg(count(lit(1)).as("n_orfs"))
+    }),
+
     "dna_kmer_spectrum" -> ((s, dir) => {
       // 4-mer occurrence spectrum over the derived DNA sequences (the
       // k-mer counting classic; spectrum = histogram of multiplicities)
@@ -5595,6 +5625,25 @@ object SparkEntry {
            |  CAST(sum(new_tokens) OVER (ORDER BY up_to_id
            |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
            |FROM n""".stripMargin,
+
+      // same conditional running-min-over-FOLLOWING window; 1-based
+      // substr indexing vs Spark's 0-based is safe because the output
+      // is the offset-free length histogram
+      "dna_orf_finder" ->
+        s"""WITH d AS (SELECT doc_id, $docDnaSql AS dna FROM documents),
+           |c AS (SELECT doc_id, u.i AS i, (u.i - 1) % 3 AS frame,
+           |  substr(dna, CAST(u.i AS INT), 3) AS codon FROM d,
+           |  LATERAL unnest(generate_series(1, length(dna) - 2)) u(i)),
+           |n AS (SELECT doc_id, frame, i, codon = 'ATG' AS is_start,
+           |  min(CASE WHEN codon IN ('TAA', 'TAG', 'TGA') THEN i END)
+           |    OVER (PARTITION BY doc_id, frame ORDER BY i
+           |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           |    AS next_stop
+           |  FROM c)
+           |SELECT CAST(next_stop - i + 3 AS BIGINT) AS orf_nt,
+           |  count(*) AS n_orfs
+           |FROM n WHERE is_start AND next_stop IS NOT NULL
+           |GROUP BY 1""".stripMargin,
 
       "dna_kmer_spectrum" ->
         s"""WITH d AS (SELECT $docDnaSql AS dna FROM documents),

@@ -434,6 +434,30 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(r == ((3L, 2L, 2L, 1L, 1L)))
   }
 
+  test("ORF scan hand case: first in-frame stop, frames independent") {
+    import org.apache.spark.sql.expressions.Window
+    // ATGAAATAGATGTGA (len 15): frame 0 codons ATG AAA TAG ATG TGA →
+    // ORF1 = ATG..TAG (9 nt), ORF2 = ATG..TGA (6 nt); the TAG at
+    // offsets 7/8 belongs to other frames and must not close ORF1
+    // early; a start with no following stop (trailing ATG) yields none
+    val dna = Seq((1L, "ATGAAATAGATGTGA"), (2L, "AAAATG"))
+      .toDF("doc_id", "dna")
+    val codons = dna.select(col("doc_id"),
+        posexplode(graft.functions.Dna.kmers(col("dna"), 3)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        pmod(col("pos"), lit(3)).as("frame"),
+        (col("col") === "ATG").as("is_start"),
+        col("col").isin("TAA", "TAG", "TGA").as("is_stop"))
+    val w = Window.partitionBy("doc_id", "frame").orderBy("i")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val orfs = codons
+      .withColumn("next_stop", min(when(col("is_stop"), col("i"))).over(w))
+      .filter(col("is_start") && col("next_stop").isNotNull)
+      .select(col("doc_id"), (col("next_stop") - col("i") + 3).as("nt"))
+      .as[(Long, Long)].collect().sorted
+    assert(orfs.toSeq == Seq((1L, 6L), (1L, 9L)))
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
