@@ -2332,6 +2332,31 @@ object SparkEntry {
         TextAnalysis.wordBigrams(col("text")), step = 50L)
     }),
 
+    "embed_matryoshka_audit" -> ((s, dir) => {
+      // Matryoshka (MRL, Kusupati et al. 2022) truncation audit:
+      // recall@5 of retrieval on the 16-dim embedding PREFIX against
+      // the full-64-dim truth — the measured answer to "can the index
+      // store a quarter of the vector" (the storage/quality knob every
+      // embedding deployment tunes). Both paths reuse the graded
+      // cosineTopK machinery (6-dp rounded similarity, corpus_id
+      // tiebreak — ties deterministic cross-engine); integers + one
+      // rounded division, the recall-audit family shape.
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      def trunc(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val brute = Similarity.cosineTopK(emb, queries, "vec_id",
+        "embedding", k = 5).select("query_id", "corpus_id")
+      val pfx = Similarity.cosineTopK(trunc(emb), trunc(queries),
+        "vec_id", "embedding", k = 5).select("query_id", "corpus_id")
+      val hits = brute.join(pfx, Seq("query_id", "corpus_id"))
+      brute.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_truth"), col("n_hits"),
+          round(lit(10000.0) * col("n_hits") / col("n_truth"))
+            .cast("long").as("recall4"))
+    }),
+
     "dna_orf_finder" -> ((s, dir) => {
       // open-reading-frame scan (start ATG through the FIRST in-frame
       // stop TAA/TAG/TGA, all 3 reading frames — the gene-finding
@@ -5625,6 +5650,44 @@ object SparkEntry {
            |  CAST(sum(new_tokens) OVER (ORDER BY up_to_id
            |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
            |FROM n""".stripMargin,
+
+      // the ann_recall_audit shape with the prefix path scored on
+      // list-sliced vectors ([1:16] — DuckDB 1-based inclusive slice =
+      // Spark slice(col, 1, 16))
+      "embed_matryoshka_audit" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+          |  FROM embeddings),
+          |bq AS (SELECT vec_id AS query_id, vv AS qv FROM v
+          |  WHERE vec_id % 50 = 0),
+          |bs AS (SELECT query_id, vec_id AS corpus_id,
+          |  round(CASE WHEN sqrt(list_dot_product(qv,qv))
+          |      * sqrt(list_dot_product(vv,vv)) > 0
+          |    THEN list_dot_product(qv,vv) /
+          |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(vv,vv)))
+          |    ELSE 0 END, 6) AS cos_sim
+          |  FROM bq, v WHERE vec_id <> query_id),
+          |brute AS (SELECT query_id, corpus_id FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_sim DESC, corpus_id) AS rank FROM bs)
+          |  WHERE rank <= 5),
+          |ts AS (SELECT query_id, vec_id AS corpus_id,
+          |  round(CASE WHEN sqrt(list_dot_product(qv[1:16],qv[1:16]))
+          |      * sqrt(list_dot_product(vv[1:16],vv[1:16])) > 0
+          |    THEN list_dot_product(qv[1:16],vv[1:16]) /
+          |      (sqrt(list_dot_product(qv[1:16],qv[1:16]))
+          |        * sqrt(list_dot_product(vv[1:16],vv[1:16])))
+          |    ELSE 0 END, 6) AS cos_sim
+          |  FROM bq, v WHERE vec_id <> query_id),
+          |pfx AS (SELECT query_id, corpus_id FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_sim DESC, corpus_id) AS rank FROM ts)
+          |  WHERE rank <= 5),
+          |hits AS (SELECT b.query_id FROM brute b
+          |  JOIN pfx USING (query_id, corpus_id))
+          |SELECT CAST((SELECT count(*) FROM brute) AS BIGINT) AS n_truth,
+          |  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+          |  CAST(round(10000.0 * (SELECT count(*) FROM hits)
+          |    / (SELECT count(*) FROM brute)) AS BIGINT) AS recall4""".stripMargin,
 
       // same conditional running-min-over-FOLLOWING window; 1-based
       // substr indexing vs Spark's 0-based is safe because the output

@@ -458,6 +458,29 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(orfs.toSeq == Seq((1L, 6L), (1L, 9L)))
   }
 
+  test("matryoshka audit: zero-tail vectors give perfect prefix recall") {
+    import graft.operators.Similarity
+    // vectors with all mass in the first 16 dims: the truncated path
+    // scores every pair identically to the full path, so recall@5 is
+    // exactly 100% — the inverse pin for the graded audit (which reads
+    // low on the synthetic random embeddings, honestly: they have no
+    // MRL structure)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        if (d < 16) math.sin(i * 31 + d * 7).toFloat else 0f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    def trunc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val brute = Similarity.cosineTopK(vecs, queries, "vec_id",
+      "embedding", k = 5).select("query_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    val pfx = Similarity.cosineTopK(trunc(vecs), trunc(queries),
+      "vec_id", "embedding", k = 5).select("query_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    assert(brute == pfx && brute.size == 20)
+  }
+
   test("Sam.alignments drops malformed-CIGAR rows (quarantine gate)") {
     def sam(qname: String, cigar: String): String =
       Seq(qname, "0", "chr1", "100", "30", cigar,
