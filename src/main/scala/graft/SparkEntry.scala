@@ -2574,6 +2574,15 @@ object SparkEntry {
       Graphs.edgeJaccard(pairs, "id_a", "id_b")
     }),
 
+    "graph_assortativity" -> ((s, dir) => {
+      // degree assortativity of the near-dup graph (Newman 2002): do
+      // dup clusters attach through hubs or through low-degree bridge
+      // docs (the chain-merge shape)? One node-sized degree frame +
+      // one ONE-ROW moment agg (Graphs.degreeAssortativity) — the
+      // global scalar twin of graph_edge_jaccard's per-edge screen.
+      Graphs.degreeAssortativity(docJaccardPairs(s, dir), "id_a", "id_b")
+    }),
+
     "graph_bfs_hops" -> ((s, dir) => {
       // 3-round multi-source BFS blast radius over the undirected
       // near-dup graph: seeds = every 97th doc, output = nodes first
@@ -2999,6 +3008,15 @@ object SparkEntry {
           col("n_ibs1"), col("n_ibs2"),
           round(lit(10000.0) * (col("n_ibs1") + lit(2) * col("n_ibs2"))
             / (lit(2) * col("n_sites"))).cast("long").as("similarity4"))
+    }),
+
+    "popgen_inbreeding" -> ((s, dir) => {
+      // per-sample method-of-moments inbreeding coefficient F (the
+      // plink --het screen) over the shared dosage-cell frame — the
+      // per-SAMPLE homozygosity audit next to hwe_test's per-SITE one
+      // (PopGen.inbreedingF: sites-bounded agg + co-keyed join +
+      // sample agg; per-site ×10⁸ rounding keeps the sums order-free)
+      PopGen.inbreedingF(dosageCells(s, dir))
     }),
 
     "mendel_errors" -> ((s, dir) => {
@@ -6047,6 +6065,30 @@ object SparkEntry {
            |JOIN deg du ON du.id = e.u
            |JOIN deg dv ON dv.id = e.v""".stripMargin,
 
+      // both orientations of every unique pair symmetrize the moment
+      // sums; all moments exact BIGINT, one double division at the end
+      "graph_assortativity" ->
+        s"""WITH $jaccardPairCtes,
+           |e AS (SELECT id_a AS u, id_b AS v FROM jp),
+           |deg AS (SELECT id, count(*) AS deg FROM
+           |  (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+           |  GROUP BY 1),
+           |ends AS (SELECT du.deg AS dx, dv.deg AS dy FROM e
+           |  JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+           |  UNION ALL SELECT dv.deg, du.deg FROM e
+           |  JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+           |m AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+           |  sum(dx*dx) AS sxx, sum(dy*dy) AS syy,
+           |  sum(dx*dy) AS sxy FROM ends)
+           |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           |  (SELECT count(*) FROM e) AS n_edges,
+           |  CASE WHEN m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0 THEN
+           |    CAST(round(10000.0 * (m*sxy - sx*sy) /
+           |      (sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) *
+           |       sqrt(CAST(m*syy - sy*sy AS DOUBLE)))) AS BIGINT)
+           |  END AS r4
+           |FROM m""".stripMargin,
+
       // the same 3 BFS rounds chained: each frontier = distinct
       // expansion of the PREVIOUS frontier minus everything reached
       "graph_bfs_hops" ->
@@ -6552,6 +6594,32 @@ object SparkEntry {
            |      THEN 1 ELSE 0 END)) / (2 * count(*))) AS BIGINT)
            |    AS similarity4
            |FROM p GROUP BY 1, 2""".stripMargin,
+
+      // same per-site ×10⁸ expected-hom rounding as PopGen.expHomE8,
+      // so both engines sum identical longs; the F division mirrors
+      // the Spark formulation term by term
+      "popgen_inbreeding" ->
+        s"""WITH $dosageCellCtes,
+           |s AS (SELECT chr, pos, count(*) AS n,
+           |  sum(CASE WHEN gv = 1 THEN 1 ELSE 0 END) AS n1,
+           |  sum(CASE WHEN gv = 2 THEN 1 ELSE 0 END) AS n2
+           |  FROM c GROUP BY 1, 2),
+           |f AS (SELECT chr, pos, (2.0*n2 + n1) / (2.0*n) AS p FROM s),
+           |e AS (SELECT chr, pos, CAST(round(
+           |    100000000.0 * (1.0 - 2.0*p*(1.0 - p))) AS BIGINT) AS eh8
+           |  FROM f WHERE p > 0 AND p < 1),
+           |j AS (SELECT c.sample, c.gv, e.eh8
+           |  FROM c JOIN e ON c.chr = e.chr AND c.pos = e.pos),
+           |a AS (SELECT sample, count(*) AS n_sites,
+           |  CAST(sum(CASE WHEN gv <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS obs_hom,
+           |  CAST(sum(eh8) AS BIGINT) AS exp_hom_e8
+           |  FROM j GROUP BY 1)
+           |SELECT sample, n_sites, obs_hom, exp_hom_e8,
+           |  CAST(round(10000.0 *
+           |    (obs_hom * 100000000 - exp_hom_e8) /
+           |    (n_sites * 100000000 - exp_hom_e8)) AS BIGINT) AS f4
+           |FROM a""".stripMargin,
 
       // trio pivot by conditional max over the shared dosage cells;
       // the feasible-interval Mendel test is pure integer CASE logic

@@ -414,6 +414,66 @@ object Graphs {
           (col("deg_a") + col("deg_b") - nc)).cast("long").as("jacc4"))
   }
 
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation between the degrees at the two ends of an edge, over
+    * BOTH orientations of every undirected edge (the standard
+    * convention — it symmetrizes the moment sums, so r is well-defined
+    * without choosing an edge direction). Positive r = hubs link to
+    * hubs (social-graph shape); negative r = hubs link to leaves
+    * (star/bridge shape) — for a near-dup graph, a strongly negative
+    * r warns that big dup clusters are glued through low-degree
+    * bridge docs, the chain-merge risk dedup_groups guards against.
+    *
+    * Takes UNIQUE undirected pairs (enforced, same contract as
+    * [[edgeJaccard]]). Scale shape: one degree agg (node-sized), two
+    * node-sized degree joins onto the edge frame, one global moment
+    * agg — all sums are exact integers (degrees are longs), with the
+    * single double division at the very end. No window, no self-join;
+    * the moment frame is ONE row.
+    *
+    * @return one row (n_nodes, n_edges, r4) with r4 = r×10⁴ rounded,
+    *         null when the degree distribution is degenerate (zero
+    *         variance — e.g. a perfect matching or a single cycle)
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = materialize(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct())
+    val deg = materialize(e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg")))
+    // both orientations: (du, dv) and (dv, du) per undirected edge
+    val ends = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(explode(array(
+        struct(col("du").as("dx"), col("dv").as("dy")),
+        struct(col("dv").as("dx"), col("du").as("dy")))).as("p"))
+      .select(col("p.dx"), col("p.dy"))
+    val m = ends.agg(count(lit(1)).as("m"),
+      sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"))
+    // the two variance terms stay exact longs; their PRODUCT can
+    // overflow long (each is O(m·deg²) ~ 1e12 even at small scale),
+    // so each is cast to double separately and the denominators'
+    // square roots multiplied — same order in the oracle SQL
+    val num = col("m") * col("sxy") - col("sx") * col("sy")
+    val vx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vy = col("m") * col("syy") - col("sy") * col("sy")
+    m.crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_nodes"), col("n_edges"),
+        when(vx > 0 && vy > 0,
+          round(lit(10000.0) * num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+            .cast("long"))
+          .as("r4"))
+  }
+
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // materialize the normalized edge frame: it feeds deg, the
     // orientation, the closing-edge semi probe AND the n_edges

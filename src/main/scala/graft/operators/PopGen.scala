@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Population-genetics QC primitives (the per-site audits a variant
@@ -48,6 +48,59 @@ object PopGen {
   /** Alt-allele frequency of a site (exact-int ratio, one division). */
   def altFreq(n: Column, n1: Column, n2: Column): Column =
     (lit(2.0) * n2 + n1) / (lit(2.0) * n)
+
+  /** Per-site expected-homozygote fraction ×10⁸ as an exact long:
+    * 1 − 2p(1−p) under Hardy–Weinberg, the E-term of the
+    * method-of-moments inbreeding estimator (plink `--het` without the
+    * small-sample correction — documented choice: the correction's
+    * n/(n−1) factor varies per site with call count and would couple
+    * the estimate to missingness patterns; the uncorrected MoM is the
+    * classic F = (O(hom) − E(hom)) / (N − E(hom))). Rounding per SITE
+    * makes the per-sample sum order-free (the hweChi4 discipline). */
+  def expHomE8(p: Column): Column =
+    round(lit(1.0e8) * (lit(1.0) - lit(2.0) * p * (lit(1.0) - p)))
+      .cast("long")
+
+  /** Per-sample method-of-moments inbreeding coefficient F over a
+    * genotype-cell frame `(chr, pos, sample, gv)` with gv ∈ {0,1,2}
+    * (the plink `--het` screen: F ≫ 0 flags consanguinity or sample
+    * contamination-free excess homozygosity, F ≪ 0 flags mixture):
+    * per-site cohort alt frequency from the called cells, polymorphic
+    * sites only (0 < p < 1), [[expHomE8]] rounded PER SITE so the
+    * per-sample sums are order-free, then
+    * F = (O(hom) − E(hom)) / (N − E(hom)) per sample over its own
+    * called sites (absent cells simply don't join — the estimator's
+    * standard missingness behavior).
+    *
+    * Scale shape: one (chr,pos) partial-agg shuffle (sites-bounded),
+    * one co-keyed join back onto the cells, one sample agg with
+    * map-side partials — no window, no collect; every frame is sites-
+    * or samples-bounded.
+    *
+    * @return (sample, n_sites, obs_hom, exp_hom_e8, f4) with
+    *         f4 = F×10⁴ rounded
+    */
+  def inbreedingF(cells: DataFrame): DataFrame = {
+    val site = cells.groupBy("chr", "pos").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("gv") === 1, 1).otherwise(0)).as("n1"),
+      sum(when(col("gv") === 2, 1).otherwise(0)).as("n2"))
+    val p = altFreq(col("n"), col("n1"), col("n2"))
+    val eh = site.filter(p > 0 && p < 1)
+      .select(col("chr"), col("pos"), expHomE8(p).as("eh8"))
+    cells.join(eh, Seq("chr", "pos"))
+      .groupBy("sample").agg(
+        count(lit(1)).as("n_sites"),
+        sum(when(col("gv") =!= 1, 1L).otherwise(0L)).as("obs_hom"),
+        sum("eh8").as("exp_hom_e8"))
+      .select(col("sample"), col("n_sites"), col("obs_hom"),
+        col("exp_hom_e8"),
+        round(lit(10000.0) *
+          (col("obs_hom") * lit(100000000L) - col("exp_hom_e8"))
+            .cast("double") /
+          (col("n_sites") * lit(100000000L) - col("exp_hom_e8"))
+            .cast("double")).cast("long").as("f4"))
+  }
 
   /** True when ref→var is a transition (purine↔purine A–G or
     * pyrimidine↔pyrimidine C–T); callers exclude ref == var rows. */

@@ -490,4 +490,55 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     val got = Sam.alignments(lines).select("qname").as[String].collect()
     assert(got.toSeq == Seq("ok"))
   }
+
+  test("degreeAssortativity: star = -1, path = -1/2, matching = null") {
+    import graft.operators.Graphs
+    def r4(edges: Seq[(Long, Long)]): Option[Long] = {
+      val got = Graphs.degreeAssortativity(
+        edges.toDF("a", "b"), "a", "b").collect()
+      assert(got.length == 1)
+      if (got(0).isNullAt(2)) None else Some(got(0).getLong(2))
+    }
+    // star S3: every edge joins deg-3 hub to a deg-1 leaf — perfectly
+    // disassortative
+    assert(r4(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == Some(-10000L))
+    // path P4: degrees 1,2,2,1 → r = -1/2 by hand-computed moments
+    assert(r4(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == Some(-5000L))
+    // perfect matching: all degrees 1, zero variance → undefined
+    assert(r4(Seq((1L, 2L), (3L, 4L))).isEmpty)
+    // the unique-undirected-pair precondition is enforced, not
+    // assumed: duplicated + reversed input gives the same answer
+    val noisy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L))
+    assert(r4(noisy) == Some(-5000L))
+  }
+
+  test("inbreedingF: all-het vs all-hom-alt two-sample hand cohort") {
+    import graft.operators.PopGen
+    // 4 sites, sample 0 always het, sample 1 always hom-alt:
+    // p = 3/4 per site, E(hom) = 1 - 2pq = 0.625 per site.
+    // F(het sample)  = (0 - 2.5) / (4 - 2.5) = -5/3 → -16667
+    // F(hom sample)  = (4 - 2.5) / (4 - 2.5) = 1    →  10000
+    val cells = (0 until 4).flatMap(p =>
+      Seq((0L, p.toLong, 0L, 1), (0L, p.toLong, 1L, 2)))
+      .toDF("chr", "pos", "sample", "gv")
+    val got = PopGen.inbreedingF(cells)
+      .select("sample", "n_sites", "obs_hom", "exp_hom_e8", "f4")
+      .as[(Long, Long, Long, Long, Long)].collect().toMap2
+    assert(got(0L) == (4L, 0L, 250000000L, -16667L))
+    assert(got(1L) == (4L, 4L, 250000000L, 10000L))
+    // monomorphic sites are excluded: adding a site where both are
+    // hom-ref (p = 0) changes nothing
+    val mono = cells.union(Seq((0L, 9L, 0L, 0), (0L, 9L, 1L, 0))
+      .toDF("chr", "pos", "sample", "gv"))
+    val got2 = PopGen.inbreedingF(mono)
+      .select("sample", "n_sites", "obs_hom", "exp_hom_e8", "f4")
+      .as[(Long, Long, Long, Long, Long)].collect().toMap2
+    assert(got2 == got)
+  }
+
+  private implicit class Tup5Map(
+      rows: Array[(Long, Long, Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long, Long, Long)] =
+      rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+  }
 }
