@@ -3347,6 +3347,23 @@ object SparkEntry {
         expr("ts DIV 1000"))
     }),
 
+    "events_autocorr" -> ((s, dir) => {
+      // lag-1..7 autocorrelation of the per-type daily series — the
+      // audit that justifies (or debunks) the weekly seasonal queue
+      // in events_holt_winters; bounded daily frame, lag explode +
+      // co-keyed self-join, |types|×7 output (EventOps.dailyAutocorr)
+      EventOps.dailyAutocorr(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"))
+    }),
+
+    "events_user_gini" -> ((s, dir) => {
+      // per-type Gini concentration of user activity (whale/bot
+      // audit) via the value-histogram rank-sum identity — integer-
+      // exact, and the only window runs over the distinct-count-value
+      // histogram, never a per-user ranking (EventOps.userGini)
+      EventOps.userGini(Tables.events(s, dir), "user_id", "event_type")
+    }),
+
     "events_ab_test" -> ((s, dir) => {
       // two-proportion z-test over the md5-parity user split,
       // conversion = ≥1 purchase; unrounded z via a pinned SE chain
@@ -7033,6 +7050,49 @@ object SparkEntry {
           |SELECT c.event_type, dow, n,
           |  CAST(n * 7 AS DOUBLE) / CAST(total AS DOUBLE) AS idx
           |FROM c JOIN tt USING (event_type)""".stripMargin,
+
+      // moments exact BIGINT; variance terms sqrt'd separately (the
+      // assortativity overflow rule); pairs require both days observed
+      "events_autocorr" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |l AS (SELECT event_type, day - k.lag AS day,
+          |  CAST(k.lag AS BIGINT) AS lag, n AS x
+          |  FROM c, range(1, 8) AS k(lag)),
+          |j AS (SELECT l.event_type, l.lag, l.x, c.n AS y
+          |  FROM l JOIN c ON c.event_type = l.event_type
+          |    AND c.day = l.day),
+          |m AS (SELECT event_type, lag, count(*) AS np,
+          |  sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+          |  sum(y*y) AS syy, sum(x*y) AS sxy FROM j GROUP BY 1, 2)
+          |SELECT event_type, lag, np AS n_pairs,
+          |  CASE WHEN np*sxx - sx*sx > 0 AND np*syy - sy*sy > 0 THEN
+          |    CAST(round(10000.0 * (np*sxy - sx*sy) /
+          |      (sqrt(CAST(np*sxx - sx*sx AS DOUBLE)) *
+          |       sqrt(CAST(np*syy - sy*sy AS DOUBLE)))) AS BIGINT)
+          |  END AS r4
+          |FROM m""".stripMargin,
+
+      // the rank-sum identity over the ascending-c histogram: with P =
+      // users before the group, 2·Σ i·x_(i) = Σ c·m·(2P + m + 1) —
+      // integer-exact, one double division at the end
+      "events_user_gini" ->
+        """WITH u AS (SELECT event_type, user_id, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |h AS (SELECT event_type, c, count(*) AS m FROM u
+          |  GROUP BY 1, 2),
+          |w AS (SELECT event_type, c, m,
+          |  sum(m) OVER (PARTITION BY event_type ORDER BY c
+          |    ROWS UNBOUNDED PRECEDING) - m AS p FROM h),
+          |a AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS n,
+          |  CAST(sum(c*m) AS BIGINT) AS s,
+          |  CAST(sum(c*m*(2*p + m + 1)) AS BIGINT) AS s2
+          |  FROM w GROUP BY 1)
+          |SELECT event_type, n AS n_users, s AS n_events,
+          |  CAST(round(10000.0 * (s2 - (n+1)*s) / (n*s)) AS BIGINT)
+          |    AS gini4
+          |FROM a""".stripMargin,
 
       // two-proportion z: md5-parity arms, the SE chain mirrored in
       // the exact Spark operation order (1e0 literals — the DECIMAL

@@ -501,6 +501,100 @@ object EventOps {
           .as("idx"))
   }
 
+  /** Lag-k autocorrelation (k = 1..maxLag) of the per-type daily count
+    * series — the seasonality/persistence audit BEHIND the smoothing
+    * family: a strong r at lag 7 is what justifies dailyHoltWinters'
+    * weekly seasonal queue, r ≈ 0 at every lag says the series is
+    * noise and smoothing is cosmetic. Pearson correlation over the
+    * (x_t, x_{t−k}) day pairs where BOTH days are observed —
+    * zero-count calendar days are absent from the daily frame, so a
+    * gapped series pairs only observed days (the dailyHoltWinters gap
+    * caveat, stated rather than hidden; the synthetic series is
+    * gap-free).
+    *
+    * Parity: all five moments are exact long sums of counts; r4 ships
+    * as ONE double expression with the two variance terms cast to
+    * double SEPARATELY (their product overflows long — the
+    * degreeAssortativity lesson), null when either side is constant.
+    *
+    * Scale shape: one partial-agg shuffle to the |types|×|days| daily
+    * frame, a ×maxLag lag explode of THAT bounded frame, one co-keyed
+    * self-join on (type, day−k), one rollup to |types|×maxLag rows —
+    * nothing after the first agg touches corpus-sized data.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, lag, n_pairs, r4)
+    */
+  def dailyAutocorr(events: DataFrame, typeCol: String, tsUs: Column,
+                    maxLag: Int = 7): DataFrame = {
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    // x_t probes its own day−k for each lag; the join keeps only pairs
+    // with both endpoints observed
+    val probes = daily.select(col("event_type"), col("day"), col("n"),
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+      .select(col("event_type"), (col("day") - col("lag")).as("day"),
+        col("lag"), col("n").as("x"))
+    val m = probes
+      .join(daily.select(col("event_type"), col("day"),
+        col("n").as("y")), Seq("event_type", "day"))
+      .groupBy("event_type", "lag").agg(count(lit(1)).as("np"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val vx = col("np") * col("sxx") - col("sx") * col("sx")
+    val vy = col("np") * col("syy") - col("sy") * col("sy")
+    val num = col("np") * col("sxy") - col("sx") * col("sy")
+    m.select(col("event_type"), col("lag"), col("np").as("n_pairs"),
+      when(vx > 0 && vy > 0,
+        round(lit(10000.0) * num.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .cast("long")).as("r4"))
+  }
+
+  /** Per-type Gini concentration of user activity — the "does 1% of
+    * users generate 99% of the events" audit (bot/whale detection,
+    * the events-side twin of text_zipf's corpus law). Computed from
+    * the VALUE HISTOGRAM, never a per-user ranking: per-user counts
+    * collapse to (count value c, #users m with that count), and with
+    * P = users BEFORE the group in ascending-c order, the rank-sum
+    * identity 2·Σᵢ i·x₍ᵢ₎ = Σ_groups c·m·(2P + m + 1) makes
+    * G = (2Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) a pure integer computation —
+    * the ONLY window runs over the per-type histogram, a frame bounded
+    * by the distinct count VALUES (≪ users; the value_histogram
+    * discipline), not by users.
+    *
+    * @return (event_type, n_users, n_events, gini4) with
+    *         gini4 = G×10⁴ rounded; G = 0 ⇔ all users equal,
+    *         → 1 as one user takes all mass
+    */
+  def userGini(events: DataFrame, userCol: String,
+               typeCol: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(typeCol).as("event_type"), col(userCol).as("u"))
+      .agg(count(lit(1)).as("c"))
+    val hist = perUser.groupBy("event_type", "c")
+      .agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withPrefix = hist.withColumn("p", sum("m").over(w) - col("m"))
+    val a = withPrefix.groupBy("event_type").agg(
+      sum("m").as("n"), sum(col("c") * col("m")).as("s"),
+      sum(col("c") * col("m") *
+        (lit(2L) * col("p") + col("m") + lit(1L))).as("s2"))
+    a.select(col("event_type"), col("n").as("n_users"),
+      col("s").as("n_events"),
+      round(lit(10000.0) *
+        (col("s2") - (col("n") + lit(1L)) * col("s")).cast("double") /
+        (col("n") * col("s")).cast("double")).cast("long").as("gini4"))
+  }
+
   /** Two-proportion z-test over a DETERMINISTIC 50/50 user split — the
     * A/B-experiment readout (conversion = the user emitted `convType`
     * at least once). Arm assignment is the md5-parity of the user id

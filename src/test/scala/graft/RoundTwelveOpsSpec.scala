@@ -536,6 +536,52 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("dailyAutocorr: alternating series = -1 at lag 1, +1 at lag 2") {
+    import graft.operators.EventOps
+    // type "a": daily counts 1,2,1,2,1,2 over days 0..5;
+    // type "b": constant 3/day (zero variance at every lag)
+    val dayUs = 86400000000L
+    val rows = (0 until 6).flatMap { d =>
+      val ca = if (d % 2 == 0) 1 else 2
+      (0 until ca).map(i => ("a", d * dayUs + i)) ++
+        (0 until 3).map(i => ("b", d * dayUs + i))
+    }
+    val ev = rows.toDF("event_type", "us")
+    val got = EventOps.dailyAutocorr(ev, "event_type", col("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(("a", 1L)) == Some(-10000L))
+    assert(got(("a", 2L)) == Some(10000L))
+    // constant series: undefined correlation at every observed lag
+    (1L to 5L).foreach(k => assert(got(("b", k)).isEmpty))
+    // lag 5 for "a": single pair (zero variance) → null, not ±1
+    assert(got(("a", 5L)).isEmpty)
+  }
+
+  test("userGini: equal users = 0, whale and tie histograms by hand") {
+    import graft.operators.EventOps
+    val dayUs = 86400000000L
+    def burst(t: String, u: Long, n: Int) =
+      (0 until n).map(i => (t, u, dayUs + i))
+    // "eq": 4 users × 1 event → G = 0
+    // "whale": counts 1,1,1,5 → G = 12/32 = 0.375
+    // "ties": counts 1,1,2,2 → G = 4/24 → 1667
+    val rows =
+      (1L to 4L).flatMap(u => burst("eq", u, 1)) ++
+      (1L to 3L).flatMap(u => burst("whale", u, 1)) ++
+        burst("whale", 9L, 5) ++
+      (1L to 2L).flatMap(u => burst("ties", u, 1)) ++
+      (3L to 4L).flatMap(u => burst("ties", u, 2))
+    val ev = rows.toDF("event_type", "user_id", "us")
+    val got = EventOps.userGini(ev, "user_id", "event_type")
+      .select("event_type", "n_users", "n_events", "gini4")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got("eq") == (4L, 4L, 0L))
+    assert(got("whale") == (4L, 8L, 3750L))
+    assert(got("ties") == (4L, 6L, 1667L))
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
