@@ -2396,6 +2396,36 @@ object SparkEntry {
         .groupBy("n_occ").agg(count(lit(1)).as("n_kmers"))
     }),
 
+    "dna_gc_windows" -> ((s, dir) => {
+      // sliding GC-content / GC-skew profile over the derived DNA (the
+      // genome-browser GC track + the replication-origin skew screen —
+      // (G−C)/(G+C) flips sign at oriC): width-8 step-4 windows of the
+      // 32-mers; per window-start the corpus-wide EXACT G/C sums and
+      // two rounded divisions — a 7-row bounded output, corpus
+      // touched once, no shuffle bigger than the start-keyed agg
+      Tables.documents(s, dir)
+        .select(docDna.as("dna"))
+        .select(explode(sequence(lit(1), lit(25), lit(4))).as("start"),
+          col("dna"))
+        .select(col("start").cast("long").as("start"),
+          col("dna").substr(col("start"), lit(8)).as("w"))
+        .select(col("start"),
+          (lit(8) - length(translate(col("w"), "G", ""))).cast("long")
+            .as("g"),
+          (lit(8) - length(translate(col("w"), "C", ""))).cast("long")
+            .as("c"))
+        .groupBy("start").agg(count(lit(1)).as("n_windows"),
+          sum("g").as("n_g"), sum("c").as("n_c"))
+        .select(col("start"), col("n_windows"), col("n_g"), col("n_c"),
+          round(lit(10000.0) * (col("n_g") + col("n_c")).cast("double") /
+            (col("n_windows") * lit(8L)).cast("double")).cast("long")
+            .as("gc4"),
+          when(col("n_g") + col("n_c") > 0,
+            round(lit(10000.0) * (col("n_g") - col("n_c")).cast("double") /
+              (col("n_g") + col("n_c")).cast("double")).cast("long"))
+            .as("skew4"))
+    }),
+
     "dna_debruijn_stats" -> ((s, dir) => {
       // de Bruijn assembly-graph complexity census over the derived DNA
       // (the graph every short-read assembler builds: nodes = distinct
@@ -3198,6 +3228,16 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(Multimodal.imageHashes(imgs),
           maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long"))
+    }),
+
+    "multimodal_image_entropy" -> ((s, dir) => {
+      // per-image luminance-histogram entropy through the REAL BMP
+      // pixel walk — the blank/washed-out-frame curation screen; the
+      // oracle re-derives EVERY pixel from the synthetic md5 formula,
+      // so the graded entropy validates codec + histogram + entropy
+      // chain end to end (Multimodal.imageEntropy)
+      Multimodal.imageEntropy(
+        Multimodal.syntheticImages(Tables.documents(s, dir), "doc_id"))
     }),
 
     "multimodal_audio_energy" -> ((s, dir) => {
@@ -5750,6 +5790,28 @@ object SparkEntry {
            |c AS (SELECT kmer, count(*) AS n_occ FROM km GROUP BY 1)
            |SELECT n_occ, count(*) AS n_kmers FROM c GROUP BY 1""".stripMargin,
 
+      // same width-8 step-4 window walk; G/C counts via translate,
+      // both divisions mirrored as 10000.0 * BIGINT / BIGINT
+      "dna_gc_windows" ->
+        s"""WITH d AS (SELECT $docDnaSql AS dna FROM documents),
+           |w AS (SELECT u.i AS start,
+           |  substr(dna, CAST(u.i AS INT), 8) AS win FROM d,
+           |  LATERAL unnest(generate_series(1, 25, 4)) u(i)),
+           |g AS (SELECT start,
+           |  8 - length(translate(win, 'G', '')) AS gg,
+           |  8 - length(translate(win, 'C', '')) AS cc FROM w),
+           |a AS (SELECT CAST(start AS BIGINT) AS start,
+           |  count(*) AS n_windows, CAST(sum(gg) AS BIGINT) AS n_g,
+           |  CAST(sum(cc) AS BIGINT) AS n_c FROM g GROUP BY 1)
+           |SELECT start, n_windows, n_g, n_c,
+           |  CAST(round(10000.0 * (n_g + n_c) / (n_windows * 8))
+           |    AS BIGINT) AS gc4,
+           |  CASE WHEN n_g + n_c > 0 THEN
+           |    CAST(round(10000.0 * (n_g - n_c) / (n_g + n_c))
+           |      AS BIGINT)
+           |  END AS skew4
+           |FROM a""".stripMargin,
+
       // distinct 8-mer edges, 7-mer prefix/suffix degree aggs
       "dna_debruijn_stats" ->
         s"""WITH d AS (SELECT $docDnaSql AS dna FROM documents),
@@ -6816,6 +6878,36 @@ object SparkEntry {
       // the oracle recomputes expected frame energies straight from the
       // synthetic waveform formula — grading the WAV encode → decode →
       // frame round-trip against an independent derivation
+      // every pixel of the 16×16 md5 checkerboard re-derived (the
+      // image_dedup formula over the FULL grid, not the 8×8 sample);
+      // entropy term-rounding mirrors events_entropy exactly
+      "multimodal_image_entropy" ->
+        """WITH ids AS (SELECT doc_id AS media_id FROM documents),
+          |px AS (SELECT media_id, xx.x AS x, yy.y AS y FROM ids,
+          |  LATERAL unnest(generate_series(0, 15)) xx(x),
+          |  LATERAL unnest(generate_series(0, 15)) yy(y)),
+          |lum AS (SELECT media_id,
+          |  CASE WHEN ((CAST('0x' || substr(md5(
+          |        CAST(media_id // 4 AS VARCHAR) || ':' ||
+          |        CAST(x AS VARCHAR) || ',' ||
+          |        CAST(y AS VARCHAR)), 1, 1) AS BIGINT) < 8)
+          |    != ((media_id % 4 <> 0) AND x = 2 * (media_id % 4)
+          |      AND y = 0))
+          |  THEN 0 ELSE 255 END AS bin FROM px),
+          |b AS (SELECT media_id, bin, count(*) AS n_px FROM lum
+          |  GROUP BY 1, 2),
+          |tt AS (SELECT media_id, CAST(sum(n_px) AS BIGINT)
+          |    AS n_pixels FROM b GROUP BY 1),
+          |j AS (SELECT b.media_id, n_pixels,
+          |  CAST(n_px AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS p
+          |  FROM b JOIN tt USING (media_id)),
+          |t AS (SELECT media_id, n_pixels,
+          |  CAST(round(p * round(log2(p), 4) * (-1e4)) AS BIGINT)
+          |    AS t4 FROM j)
+          |SELECT media_id, max(n_pixels) AS n_pixels,
+          |  count(*) AS n_bins, CAST(sum(t4) AS BIGINT) AS entropy4
+          |FROM t GROUP BY 1""".stripMargin,
+
       "multimodal_audio_energy" ->
         """WITH i AS (SELECT doc_id AS media_id, u.i AS i FROM documents,
           |  LATERAL unnest(generate_series(0, 3999)) u(i)),

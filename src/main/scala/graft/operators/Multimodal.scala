@@ -290,6 +290,33 @@ object Multimodal {
       Some(bitsOut)
     }
 
+    /** Per-bin luminance histogram of an uncompressed 24-bit BMP:
+      * walks EVERY pixel (not the 8×8 [[aHashBmp]] sample),
+      * lum = (r+g+b)/3 by exact integer division into 256 bins. A
+      * histogram is row-order-free, so top-down vs bottom-up storage
+      * needs no branch. None for non-BMP payloads (quarantine). */
+    def lumHistogramBmp(p: Array[Byte]): Option[Array[Long]] = {
+      if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+      val w = le32(p, 18); val h = math.abs(le32(p, 22))
+      if (w <= 0 || h <= 0) return None
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      if (p.length < 54 + rowSize * h) return None
+      val bins = new Array[Long](256)
+      var y = 0
+      while (y < h) {
+        val off0 = 54 + y * rowSize
+        var x = 0
+        while (x < w) {
+          val off = off0 + x * 3
+          bins(((p(off) & 0xff) + (p(off + 1) & 0xff) +
+            (p(off + 2) & 0xff)) / 3) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some(bins)
+    }
+
     /** A complete uncompressed 24-bit BMP with pixel data; `pixel(x, y)`
       * returns packed 0xRRGGBB, y = 0 at the TOP (rows are stored
       * bottom-up as the format requires). */
@@ -515,6 +542,54 @@ object Multimodal {
     media.filter(col("kind") === "image").as[MediaRow]
       .mapPartitions(_.flatMap(r =>
         MediaCodec.aHashBmp(r.payload).map(ImageHash(r.media_id, _))))
+  }
+
+  /** One occupied luminance-histogram bin of one image. */
+  case class LumBin(media_id: Long, bin: Long, n_px: Long)
+
+  /** Occupied luminance bins per BMP image — the full-pixel walk
+    * behind [[imageEntropy]]; narrow per-partition decode, bytes never
+    * shuffle, only (id, bin, count) rows flow on (≤ 256 per image).
+    * Non-BMP payloads quarantine to zero rows. */
+  def imageLumBins(media: Dataset[MediaRow]): Dataset[LumBin] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions(_.flatMap(r =>
+        MediaCodec.lumHistogramBmp(r.payload).toSeq.flatMap(bins =>
+          bins.iterator.zipWithIndex.collect {
+            case (n, b) if n > 0 => LumBin(r.media_id, b.toLong, n)
+          })))
+  }
+
+  /** Per-image luminance-histogram Shannon entropy — the flat/washed-
+    * out frame screen of a media-curation pass (entropy ≈ 0 = blank or
+    * single-tone capture, worth dropping before any expensive model
+    * sees it; high = textured). Histogram from the REAL BMP pixel walk
+    * ([[MediaCodec.lumHistogramBmp]]); the entropy arithmetic runs in
+    * columns under the dailyEntropy parity discipline — per-bin
+    * p = n_px/n_pixels, term ×10⁴ rounded per BIN (p·round(log₂p, 4)
+    * ·(−10⁴)), summed — so the oracle can mirror it term by term.
+    *
+    * Scale shape: decode is a narrow mapPartitions (bytes stay
+    * partition-local), then one partial-agg shuffle over the ≤256-
+    * bins-per-image frame and a co-keyed totals join — everything
+    * after the walk is bins-bounded, never pixels-bounded.
+    *
+    * @return (media_id, n_pixels, n_bins, entropy4)
+    */
+  def imageEntropy(media: Dataset[MediaRow]): DataFrame = {
+    val bins = imageLumBins(media).toDF()
+    val tot = bins.groupBy("media_id")
+      .agg(sum("n_px").as("n_pixels"))
+    bins.join(tot, "media_id")
+      .withColumn("p",
+        col("n_px").cast("double") / col("n_pixels").cast("double"))
+      .withColumn("t4",
+        round(col("p") * round(log2(col("p")), 4) * lit(-10000.0))
+          .cast("long"))
+      .groupBy("media_id").agg(max("n_pixels").as("n_pixels"),
+        count(lit(1)).as("n_bins"), sum("t4").as("entropy4"))
   }
 
   /** Near-duplicate image pairs by pigeonhole-blocked hamming distance

