@@ -279,14 +279,23 @@ object SparkEntry {
     * no drift (the gopherCtes copy-divergence failure mode). `extraCtes`
     * must be empty or end with `,\n`-style termination ready to precede
     * the next CTE. */
-  private def pqAdcOracle(extraCtes: String, contribSql: String): String = {
+  /** The per-(vec, subspace, centroid) PQ assignment-distance rows over
+    * CTE `v` — ONE derivation shared by [[pqAdcOracle]] and the
+    * distortion oracle so the code-assignment arithmetic cannot drift
+    * between the search and audit twins. */
+  private def pqAsnRows: String = {
     val cbs = Similarity.pqQuantizer(8, 16, 8)
-    val asnRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
+    (for { m <- 0 until 8; j <- 0 until 16 } yield {
       val cv = cbs(m)(j)
       s"SELECT vec_id, $m AS m, $j AS j, ${Similarity.selfDot(cv)} - " +
         s"2*list_dot_product(list_slice(vv, ${m * 8 + 1}, ${m * 8 + 8}), " +
         s"${vecLit(cv)}) AS d FROM v"
     }).mkString("\n  UNION ALL ")
+  }
+
+  private def pqAdcOracle(extraCtes: String, contribSql: String): String = {
+    val cbs = Similarity.pqQuantizer(8, 16, 8)
+    val asnRows = pqAsnRows
     val cbRows = (for { m <- 0 until 8; j <- 0 until 16 } yield {
       val cv = cbs(m)(j)
       s"SELECT $m AS m, $j AS j, ${Similarity.selfDot(cv)} AS sd, " +
@@ -1724,6 +1733,17 @@ object SparkEntry {
           "vec_id", "embedding", Similarity.pqQuantizer(8, 16, 8), k = 5)
         .select(col("query_id"), col("corpus_id"), col("pq_dist"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    "pq_distortion" -> ((s, dir) => {
+      // per-subspace quantization MSE of the ann_pq codebooks — the
+      // compression-quality audit (ann_recall_audit grades what the
+      // index returns; this grades what the codes LOSE; a subspace
+      // whose MSE dwarfs the rest is where OPQ would rotate): kernel
+      // projection + posexplode + one 8-row partial agg, corpus
+      // scanned once (Similarity.pqDistortionStats)
+      Similarity.pqDistortionStats(Tables.embeddings(s, dir), "vec_id",
+        "embedding", Similarity.pqQuantizer(8, 16, 8))
     }),
 
     "ann_ivf_pq" -> ((s, dir) => {
@@ -3416,6 +3436,17 @@ object SparkEntry {
       // by the unrounded statistic via TopK.ranked
       TextAnalysis.chi2Terms(Tables.documents(s, dir), "doc_id", "text",
         col("lang") === "en", minDf = 5L, k = 50)
+    }),
+
+    "bloom_fpr_audit" -> ((s, dir) => {
+      // is the 8 KB filter performing to spec, or saturated and due a
+      // bigger m? measured key-level FPR vs the occupancy-based
+      // (s/m)^k expectation — integer-exact (s³ fits a long), no
+      // exp/pow cross-engine risk (BloomJoin.fprAudit); same
+      // BUILDING-customer filter as bloom_prefilter
+      BloomJoin.fprAudit(Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING"), "c_custkey")
     }),
 
     "bloom_prefilter" -> ((s, dir) => {
@@ -5157,6 +5188,31 @@ object SparkEntry {
           |  FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q
           |  JOIN codes c ON c.vec_id <> q.vec_id
           |  JOIN cb ON cb.m = c.m AND cb.j = c.code""".stripMargin),
+
+      // the shared pqAsnRows assignment; dmin = the argmin VALUE,
+      // |v_m|² via the same list_dot_product the assignment rows use;
+      // ×10⁶ rounded per (vec, subspace) before any sum
+      "pq_distortion" ->
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+           |  FROM embeddings),
+           |pqa AS (
+           |  $pqAsnRows),
+           |dmin AS (SELECT vec_id, m, min(d) AS dmin FROM pqa
+           |  GROUP BY 1, 2),
+           |sv AS (SELECT vec_id, u.m AS m, list_dot_product(
+           |    list_slice(vv, u.m*8 + 1, u.m*8 + 8),
+           |    list_slice(vv, u.m*8 + 1, u.m*8 + 8)) AS sd
+           |  FROM v, LATERAL unnest(generate_series(0, 7)) u(m)),
+           |t AS (SELECT d.vec_id, d.m,
+           |  CAST(round((sv.sd + d.dmin) * 1000000.0) AS BIGINT) AS d6
+           |  FROM dmin d JOIN sv ON sv.vec_id = d.vec_id
+           |    AND sv.m = d.m),
+           |a AS (SELECT CAST(m AS BIGINT) AS sub, count(*) AS n_vecs,
+           |  CAST(sum(d6) AS BIGINT) AS sum_d6 FROM t GROUP BY 1)
+           |SELECT sub, n_vecs, sum_d6,
+           |  CAST(round(CAST(sum_d6 AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+           |    AS BIGINT) AS mse6
+           |FROM a""".stripMargin,
 
       "ann_ivf_pq" -> {
         // coarse quantizer CTEs (the ann_ivf derivation) restrict the
@@ -7250,6 +7306,45 @@ object SparkEntry {
       // Bloom prefilter audit: identical md5-window probe positions,
       // 32-bit word packing (1<<63 overflows signed BIGINT), bit_or
       // build, 3-probe AND, ground truth from the exact key join
+      // identical filter build; key-level tallies + bit_count occupancy,
+      // expectation = s³/2⁴⁸ mirrored as one double division
+      "bloom_fpr_audit" ->
+        """WITH dk AS (SELECT DISTINCT c_custkey AS k FROM customer
+          |  WHERE c_mktsegment = 'BUILDING'),
+          |dpos AS (SELECT k, CAST('0x' ||
+          |    substr(md5(CAST(k AS VARCHAR)), i*4 + 1, 4) AS BIGINT) AS h
+          |  FROM dk, LATERAL unnest(generate_series(0, 2)) u(i)),
+          |bloom AS (SELECT h // 32 AS word,
+          |  bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
+          |  FROM dpos GROUP BY 1),
+          |occ AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT)
+          |    AS n_bits_set FROM bloom),
+          |fk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+          |fpos AS (SELECT k, CAST('0x' ||
+          |    substr(md5(CAST(k AS VARCHAR)), i*4 + 1, 4) AS BIGINT) AS h
+          |  FROM fk, LATERAL unnest(generate_series(0, 2)) u(i)),
+          |probe AS (SELECT k,
+          |  min(CASE WHEN bits IS NOT NULL AND (bits & mask) = mask
+          |    THEN 1 ELSE 0 END) AS pass
+          |  FROM (SELECT k, h // 32 AS word,
+          |    CAST(1 AS BIGINT) << CAST(h % 32 AS INT) AS mask FROM fpos) f
+          |  LEFT JOIN bloom USING (word) GROUP BY k),
+          |fin AS (SELECT p.k, p.pass,
+          |  CASE WHEN dk.k IS NOT NULL THEN 1 ELSE 0 END AS in_dim
+          |  FROM probe p LEFT JOIN dk ON dk.k = p.k),
+          |t AS (SELECT
+          |  CAST(sum(CASE WHEN in_dim = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_neg_keys,
+          |  CAST(sum(CASE WHEN in_dim = 0 AND pass = 1 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_fp_keys FROM fin)
+          |SELECT n_neg_keys, n_fp_keys, n_bits_set,
+          |  CASE WHEN n_neg_keys > 0 THEN
+          |    CAST(round(10000.0 * n_fp_keys / n_neg_keys) AS BIGINT)
+          |  END AS fpr4_measured,
+          |  CAST(round(10000.0 * (n_bits_set*n_bits_set*n_bits_set)
+          |    / 281474976710656) AS BIGINT) AS fpr4_expected
+          |FROM t CROSS JOIN occ""".stripMargin,
+
       "bloom_prefilter" ->
         """WITH dk AS (SELECT DISTINCT c_custkey AS k FROM customer
           |  WHERE c_mktsegment = 'BUILDING'),

@@ -108,6 +108,48 @@ object PqKernels {
     new GenericArrayData(rows)
   }
 
+  /** Per-subspace quantization distortion: `|v_m|² + min_j(|c_j|² −
+    * 2·v_m·c_j)` — the squared reconstruction error of the code each
+    * subvector would be assigned ([[encode]]'s argmin VALUE instead of
+    * its index, plus the subvector's own self-dot). Same float→double
+    * left-to-right accumulation and length-clamp as [[encode]], so the
+    * literal-formulation oracle re-derives it bit-identically. */
+  def distortions(vec: ArrayData, model: PqModel): ArrayData = {
+    val out = new Array[Double](model.numSub)
+    val vn = vec.numElements()
+    var m = 0
+    while (m < model.numSub) {
+      val off = m * model.subDim
+      val cb = model.codebooks(m)
+      val sds = model.selfDots(m)
+      val n = math.max(0, math.min(model.subDim, vn - off))
+      var sd = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getFloat(off + i).toDouble
+        sd += x * x
+        i += 1
+      }
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var acc = 0.0
+        var t = 0
+        while (t < n) {
+          acc += vec.getFloat(off + t).toDouble * c(t).toDouble
+          t += 1
+        }
+        val d = sds(j) - 2.0 * acc
+        if (d < bestD) bestD = d
+        j += 1
+      }
+      out(m) = sd + bestD
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC distance surrogate: `Σ_m lut[m][codes[m]]`, summed left to right
     * starting from the m=0 term — the exact fold order of the
     * `element_at` chain it replaces. */
@@ -152,6 +194,23 @@ case class PqLutExpr(child: Expression, model: PqModel)
     copy(child = newChild)
 }
 
+/** `pq_distortions(vec)` → `array<double>` per-subspace squared
+  * reconstruction error. */
+case class PqDistortionsExpr(child: Expression, model: PqModel)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    PqKernels.distortions(v.asInstanceOf[ArrayData], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqModel", model, classOf[PqModel].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PqKernels.distortions($c, $ref)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): PqDistortionsExpr = copy(child = newChild)
+}
+
 /** `pq_adc(lut, codes)` → double distance surrogate. */
 case class PqAdcExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -170,6 +229,9 @@ object Pq {
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(vec), model))
   def lut(vec: Column, model: PqModel): Column =
     ColumnBridge.column(PqLutExpr(ColumnBridge.expression(vec), model))
+  def distortions(vec: Column, model: PqModel): Column =
+    ColumnBridge.column(
+      PqDistortionsExpr(ColumnBridge.expression(vec), model))
   def adc(lut: Column, codes: Column): Column =
     ColumnBridge.column(
       PqAdcExpr(ColumnBridge.expression(lut), ColumnBridge.expression(codes)))

@@ -68,6 +68,59 @@ object BloomJoin {
     * @return one row: (n_fact_rows, n_fact_keys, n_candidate_rows,
     *         n_true_rows, n_false_pos_rows, n_missed)
     */
+  /** False-positive-rate audit of the filter itself — the sizing
+    * feedback loop ([[prefilterStats]] asks "how many rows pass";
+    * this asks "is the filter performing to spec, or is it saturated
+    * and due for a bigger m"). Measured key-level FPR (false-positive
+    * keys / negative keys) against the OCCUPANCY-based expectation
+    * (s/m)^k with s = bits actually set — the standard practical
+    * estimate, deliberately chosen over the 1−e^(−kn/m) approximation
+    * because it is integer-exact end to end: s ≤ 65536 so s³ fits a
+    * long, and no cross-engine `exp`/`pow` parity risk enters (the
+    * sqrt/log2-only transcendental discipline).
+    *
+    * Scale shape: identical to [[prefilterStats]] — the fact table
+    * never shuffles, only its distinct-key frame; the occupancy sum is
+    * a ≤2048-row agg crossed onto the one-row tally.
+    *
+    * @return one row: (n_neg_keys, n_fp_keys, n_bits_set,
+    *         fpr4_measured, fpr4_expected)
+    */
+  def fprAudit(fact: DataFrame, factKey: String,
+               dim: DataFrame, dimKey: String): DataFrame = {
+    val dimKeys = dim.select(col(dimKey).as("k")).distinct()
+    val bloom = broadcast(build(dimKeys, "k"))
+    val occ = bloom.agg(sum(bit_count(col("bits"))).as("n_bits_set"))
+    val factKeys = fact.select(col(factKey).as("k")).distinct()
+    val probed = factKeys
+      .select(col("k"), explode(array(positions(col("k")): _*)).as("h"))
+      .select(col("k"),
+        (col("h") - pmod(col("h"), lit(WordBits))).divide(WordBits)
+          .cast("long").as("word"),
+        expr(s"shiftleft(1L, CAST(h % $WordBits AS INT))").as("mask"))
+      .join(bloom, Seq("word"), "left")
+      .groupBy("k")
+      .agg(min(when(col("bits").isNotNull &&
+          col("bits").bitwiseAND(col("mask")) === col("mask"), 1L)
+        .otherwise(0L)).as("pass"))
+    val neg = col("in_dim").isNull
+    probed
+      .join(dimKeys.withColumn("in_dim", lit(1L)), Seq("k"), "left")
+      .agg(sum(when(neg, 1L).otherwise(0L)).as("n_neg_keys"),
+        sum(when(neg && col("pass") === 1, 1L).otherwise(0L))
+          .as("n_fp_keys"))
+      .crossJoin(occ)
+      .select(col("n_neg_keys"), col("n_fp_keys"), col("n_bits_set"),
+        when(col("n_neg_keys") > 0,
+          round(lit(10000.0) * col("n_fp_keys").cast("double") /
+            col("n_neg_keys").cast("double")).cast("long"))
+          .as("fpr4_measured"),
+        round(lit(10000.0) *
+          (col("n_bits_set") * col("n_bits_set") * col("n_bits_set"))
+            .cast("double") / lit((1L << 48).toDouble)).cast("long")
+          .as("fpr4_expected"))
+  }
+
   def prefilterStats(fact: DataFrame, factKey: String,
                      dim: DataFrame, dimKey: String): DataFrame = {
     val dimKeys = dim.select(col(dimKey).as("k")).distinct()

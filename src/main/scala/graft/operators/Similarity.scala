@@ -670,6 +670,40 @@ object Similarity {
       graft.functions.Pq.encode(col(vecCol), model).as("codes"))
   }
 
+  /** Per-subspace PQ quantization-distortion rollup — the compression-
+    * quality audit next to [[pqSearch]] (ann_recall_audit grades what
+    * the index RETURNS; this grades what the codes LOSE): for every
+    * vector, the squared reconstruction error of its chosen code per
+    * subspace (`|v_m − c|² = |v_m|² + (|c|² − 2·v_m·c)`, the encode
+    * argmin's VALUE), rounded ×10⁶ PER (vector, subspace) so the
+    * per-subspace sums are order-free (the surprisal discipline),
+    * rolled up to `numSub` rows. A subspace whose MSE dwarfs the others
+    * is where the codebook needs retraining — the diagnostic OPQ
+    * rotation reads.
+    *
+    * Scale shape: one kernel projection per row (codegen, under the
+    * JIT method limit — the PqModel reference-object discipline), one
+    * posexplode to numSub terms, one partial-agg shuffle onto the
+    * numSub-row frame. The corpus is scanned once, never shuffled.
+    *
+    * @return (sub, n_vecs, sum_d6, mse6) with mse6 = round(sum_d6/n)
+    */
+  def pqDistortionStats(corpus: DataFrame, idCol: String, vecCol: String,
+                        codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val model = new graft.functions.PqModel(codebooks)
+    corpus
+      .select(posexplode(
+        graft.functions.Pq.distortions(col(vecCol), model))
+        .as(Seq("sub", "d")))
+      .select(col("sub").cast("long").as("sub"),
+        round(col("d") * lit(1000000.0)).cast("long").as("d6"))
+      .groupBy("sub").agg(count(lit(1)).as("n_vecs"),
+        sum("d6").as("sum_d6"))
+      .select(col("sub"), col("n_vecs"), col("sum_d6"),
+        round(col("sum_d6").cast("double") / col("n_vecs").cast("double"))
+          .cast("long").as("mse6"))
+  }
+
   /** Asymmetric-distance PQ search: queries stay exact, the corpus is
     * its PQ codes, and the distance surrogate is
     * `Σ_m (|c_{m,code}|² − 2 · q_m · c_{m,code})` — the per-query `|q|²`

@@ -653,6 +653,60 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(derived == expected)
   }
 
+  test("fprAudit: occupancy matches an independent md5 recount") {
+    import graft.operators.BloomJoin
+    val dim = (1L to 100L).toDF("k")
+    val fact = ((1L to 100L) ++ (10001L to 10100L)).toDF("k")
+    val row = BloomJoin.fprAudit(fact, "k", dim, "k").collect()(0)
+    val (nNeg, nFp, occ) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nNeg == 100L)
+    // independent occupancy: 3 disjoint 16-bit md5 windows per dim key
+    val bits = (1L to 100L).flatMap { k =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 3).map(i =>
+        java.lang.Long.parseLong(hex.substring(i * 4, i * 4 + 4), 16))
+    }.toSet
+    assert(occ == bits.size.toLong)
+    assert(row.getLong(4) ==
+      math.round(1e4 * occ.toDouble * occ * occ / (1L << 48).toDouble))
+    // ~300 of 65536 bits set → (s/m)³ ≈ 1e-7: zero FPs on 100 negatives
+    assert(nFp == 0L && row.getLong(3) == 0L)
+  }
+
+  test("pq distortions: exactly zero at centroids, matches direct form") {
+    import graft.operators.Similarity
+    val cbs = Similarity.pqQuantizer(8, 16, 8)
+    // a vector stitched from centroid j=3 of every subspace: the
+    // expanded |v|²+|c|²−2v·c cancels EXACTLY (identical summation
+    // order on identical bits) → all-zero distortion rows
+    val v0 = cbs.flatMap(cb => cb(3))
+    val z = Similarity.pqDistortionStats(
+      Seq((0L, v0)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cbs).collect()
+    assert(z.length == 8 &&
+      z.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    // arbitrary vector: per-subspace distortion equals the DIRECT
+    // min_j |v_m − c_j|² recount within float-expansion tolerance
+    // (the expanded and subtracted forms differ only in rounding)
+    val rnd = new scala.util.Random(7)
+    val v1 = Array.fill(64)(rnd.nextFloat())
+    val got = Similarity.pqDistortionStats(
+      Seq((1L, v1)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cbs)
+      .orderBy("sub").collect().map(_.getLong(2))
+    val exp = (0 until 8).map { m =>
+      (0 until 16).map { j =>
+        val c = cbs(m)(j)
+        (0 until 8).map { i =>
+          val d = v1(m * 8 + i).toDouble - c(i).toDouble; d * d
+        }.sum
+      }.min
+    }
+    got.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g / 1e6 - e) < 1e-6, s"$g vs $e") }
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
