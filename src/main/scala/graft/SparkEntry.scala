@@ -930,6 +930,21 @@ object SparkEntry {
           max("end_pos").as("max_end"))
     }),
 
+    "sam_coverage_uniformity" -> ((s, dir) => {
+      // depth-uniformity Gini per chromosome over covered positions
+      // (the WGS evenness QC: capture bias and GC dropout read as high
+      // Gini long before a mean-depth number moves): the pileup
+      // segments collapse to the (depth, Σbp) VALUE HISTOGRAM and the
+      // events_user_gini rank-sum identity does the rest — the only
+      // window runs over depth LEVELS per chr (≤ max_depth rows),
+      // never positions. At full-genome position mass the long sums
+      // would move to DECIMAL (noted in kind, the embed_dim_variance
+      // caveat); the histogram agg shape is unchanged.
+      val aln = graft.sources.Sam.alignments(samSynthLines(s, dir))
+      Intervals.depthGini(Intervals.coverageSegments(aln, Seq("chr"),
+        col("pos"), col("end_pos")), Seq("chr"))
+    }),
+
     "sam_pileup" -> ((s, dir) => {
       // per-chromosome pileup: the coverageSegments sweep over the
       // parsed alignments' inclusive [pos, end_pos] reference spans,
@@ -1606,6 +1621,28 @@ object SparkEntry {
       Similarity.lshNearestSelfBanded(Tables.embeddings(s, dir), "vec_id",
           "embedding", k = 1, dim = 64)
         .select(col("query_id"), col("corpus_id").as("nearest_id"), col("cos_sim"))
+    }),
+
+    "corpus_dup_quality" -> ((s, dir) => {
+      // do duplicated documents skew low-quality? the dup-count ×
+      // quality interaction a curation pipeline reads before choosing
+      // dedup-before-filter vs filter-before-dedup: exact-hash group
+      // sizes (dedup_exact's md5 grouping) joined to the per-doc
+      // Gopher keep flag (quality_gopher's kernel), bucketed by group
+      // size — two existing graded derivations COMPOSED, one
+      // group-size join + one bucket agg on top
+      val docs = Tables.documents(s, dir)
+      val hashed = docs.select(col("doc_id"),
+        md5(Dedup.normText(col("text"))).as("fp"))
+      val sizes = hashed.groupBy("fp").agg(count(lit(1)).as("group_size"))
+      val keep = Curation.repetitionProfile(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("long").as("keep"))
+      hashed.join(sizes, "fp").join(keep, "doc_id")
+        .groupBy("group_size").agg(count(lit(1)).as("n_docs"),
+          sum("keep").as("n_keep"))
+        .select(col("group_size"), col("n_docs"), col("n_keep"),
+          round(lit(10000.0) * col("n_keep").cast("double") /
+            col("n_docs").cast("double")).cast("long").as("keep_rate4"))
     }),
 
     "dedup_exact" -> ((s, dir) => {
@@ -3260,6 +3297,17 @@ object SparkEntry {
         Multimodal.syntheticImages(Tables.documents(s, dir), "doc_id"))
     }),
 
+    "multimodal_audio_zcr" -> ((s, dir) => {
+      // framed zero-crossing rate over the same synthesized PCM as
+      // audio_energy — the speech/music/noise discriminator energy
+      // alone can't provide (loud hum vs loud hiss); oracle recomputes
+      // every sign flip from the waveform formula
+      // (Multimodal.audioZeroCrossings)
+      Multimodal.audioZeroCrossings(
+        Multimodal.syntheticAudio(Tables.documents(s, dir), "doc_id",
+          nSamples = 4000), frameSize = 512).toDF()
+    }),
+
     "multimodal_audio_energy" -> ((s, dir) => {
       // framed RMS energy over REAL synthesized 16-bit PCM WAVs; the
       // oracle recomputes expected energies from the waveform formula,
@@ -4198,6 +4246,34 @@ object SparkEntry {
       // the same sweep-line derivation interval_coverage's oracle uses,
       // run over the arithmetically re-derived read spans ([pos,
       // pos+ref_span-1] inclusive → −1 breakpoint at pos+ref_span)
+      // the sam_pileup sweep extended to the (depth, Σbp) histogram,
+      // then the events_user_gini rank-sum identity per chr
+      "sam_coverage_uniformity" ->
+        s"""WITH $samReadsCtes,
+          |del AS (SELECT chr, pos, 1 AS d FROM sam_reads
+          |  UNION ALL SELECT chr, pos + ref_span, -1 FROM sam_reads),
+          |bp AS (SELECT chr, pos, sum(d) AS delta FROM del
+          |  GROUP BY 1, 2 HAVING sum(d) <> 0),
+          |seg AS (SELECT chr,
+          |  CAST(sum(delta) OVER (PARTITION BY chr ORDER BY pos
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth,
+          |  lead(pos) OVER (PARTITION BY chr ORDER BY pos) - pos AS bp
+          |  FROM bp),
+          |h AS (SELECT chr, depth, CAST(sum(bp) AS BIGINT) AS m
+          |  FROM seg WHERE bp IS NOT NULL AND depth > 0 GROUP BY 1, 2),
+          |w AS (SELECT chr, depth, m,
+          |  sum(m) OVER (PARTITION BY chr ORDER BY depth
+          |    ROWS UNBOUNDED PRECEDING) - m AS p FROM h),
+          |a AS (SELECT chr, count(*) AS n_levels,
+          |  CAST(sum(m) AS BIGINT) AS covered_bp,
+          |  CAST(sum(depth * m) AS BIGINT) AS aligned_bp,
+          |  CAST(sum(depth * m * (2*p + m + 1)) AS BIGINT) AS s2v
+          |  FROM w GROUP BY 1)
+          |SELECT chr, n_levels, covered_bp, aligned_bp,
+          |  CAST(round(10000.0 * (s2v - (covered_bp + 1) * aligned_bp)
+          |    / (covered_bp * aligned_bp)) AS BIGINT) AS gini4
+          |FROM a""".stripMargin,
+
       "sam_pileup" ->
         s"""WITH $samReadsCtes,
           |del AS (SELECT chr, pos, 1 AS d FROM sam_reads
@@ -4738,6 +4814,23 @@ object SparkEntry {
            |  SELECT md5($normTextSql) AS fp, count(*) AS n_docs
            |  FROM documents GROUP BY 1)
            |GROUP BY n_docs""".stripMargin,
+
+      // dedup_exact's md5 grouping joined to quality_gopher's keep
+      // derivation (both shared CTE chains), bucketed by group size
+      "corpus_dup_quality" ->
+        s"""WITH base AS (SELECT doc_id, $normTextSql AS t FROM documents),
+           |hsh AS (SELECT doc_id, md5(t) AS fp FROM base),
+           |gs AS (SELECT fp, count(*) AS group_size FROM hsh GROUP BY 1),
+           |${gopherCtes("base")},
+           |k AS (SELECT doc_id,
+           |  CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS keep FROM fr),
+           |j AS (SELECT gs.group_size, k.keep FROM hsh
+           |  JOIN gs USING (fp) JOIN k USING (doc_id))
+           |SELECT group_size, count(*) AS n_docs,
+           |  CAST(sum(keep) AS BIGINT) AS n_keep,
+           |  CAST(round(10000.0 * sum(keep) / count(*)) AS BIGINT)
+           |    AS keep_rate4
+           |FROM j GROUP BY 1""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH $jaccardPairCtes
@@ -6963,6 +7056,28 @@ object SparkEntry {
           |SELECT media_id, max(n_pixels) AS n_pixels,
           |  count(*) AS n_bins, CAST(sum(t4) AS BIGINT) AS entropy4
           |FROM t GROUP BY 1""".stripMargin,
+
+      // every sign flip recomputed from the waveform formula; the
+      // i % 512 > 0 guard excludes the cross-frame boundary pair
+      "multimodal_audio_zcr" ->
+        """WITH i AS (SELECT doc_id AS media_id, u.i AS i FROM documents,
+          |  LATERAL unnest(generate_series(0, 3999)) u(i)),
+          |v AS (SELECT media_id, i, i // 512 AS frame_idx,
+          |  CASE WHEN ((media_id * 31 + i * 7) % 2003) - 1001 >= 0
+          |    THEN 1 ELSE 0 END AS sg FROM i),
+          |p AS (SELECT media_id, frame_idx, i % 512 AS k, sg,
+          |  lag(sg) OVER (PARTITION BY media_id ORDER BY i) AS prev
+          |  FROM v),
+          |a AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          |  count(*) AS n_samples,
+          |  CAST(sum(CASE WHEN k > 0 AND prev <> sg THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_zc
+          |  FROM p GROUP BY 1, 2)
+          |SELECT media_id, frame_idx, n_samples, n_zc,
+          |  CASE WHEN n_samples > 1 THEN
+          |    CAST(round(10000.0 * n_zc / (n_samples - 1)) AS BIGINT)
+          |  ELSE 0 END AS zcr4
+          |FROM a""".stripMargin,
 
       "multimodal_audio_energy" ->
         """WITH i AS (SELECT doc_id AS media_id, u.i AS i FROM documents,

@@ -71,6 +71,47 @@ object Intervals {
       .groupBy("depth")
       .agg(count(lit(1)).as("n_segments"), sum("bp").as("total_bp"))
 
+  /** Depth-uniformity Gini over the COVERED positions of a
+    * [[coverageSegments]] frame, per key group — the evenness QC a
+    * sequencing pipeline reads next to mean depth (capture bias and
+    * GC dropout show up as high Gini long before the mean moves;
+    * Gini 0 = perfectly uniform coverage). The segments collapse to
+    * the (depth, Σbp) VALUE HISTOGRAM and the rank-sum identity
+    * 2·Σᵢ i·x₍ᵢ₎ = Σ d·m·(2P+m+1) (the events_user_gini derivation,
+    * weighted by bases instead of users) makes G a pure integer
+    * computation with ONE double division; the only window runs over
+    * depth LEVELS per key (≤ max_depth rows), never positions. At
+    * full-genome position mass the long sums would move to DECIMAL
+    * (noted in kind — the embed_dim_variance caveat); the histogram
+    * agg shape is unchanged.
+    *
+    * @param segments a [[coverageSegments]] output (needs the keys +
+    *                 depth + bp columns)
+    * @return keys ++ (n_levels, covered_bp, aligned_bp, gini4)
+    */
+  def depthGini(segments: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "depth gini needs at least one key column")
+    val hist = segments.filter(col("depth") > 0)
+      .groupBy(keys.head, keys.tail :+ "depth": _*)
+      .agg(sum("bp").as("m"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("depth")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("p", sum("m").over(w) - col("m"))
+      .groupBy(keys.head, keys.tail: _*).agg(
+        count(lit(1)).as("n_levels"),
+        sum("m").as("covered_bp"),
+        sum(col("depth") * col("m")).as("aligned_bp"),
+        sum(col("depth") * col("m") *
+          (lit(2L) * col("p") + col("m") + lit(1L))).as("s2"))
+      .select(keys.map(col) ++ Seq(col("n_levels"), col("covered_bp"),
+        col("aligned_bp"),
+        round(lit(10000.0) *
+          (col("s2") - (col("covered_bp") + lit(1L)) *
+            col("aligned_bp")).cast("double") /
+          (col("covered_bp") * col("aligned_bp")).cast("double"))
+          .cast("long").as("gini4")): _*)
+  }
+
   /** Merge overlapping-or-adjacent closed intervals into maximal
     * disjoint blocks per key group (bedtools-merge semantics: [1,5] and
     * [6,9] touch, so they fuse into [1,9]) — the interval-union

@@ -666,6 +666,49 @@ object Multimodal {
       })
   }
 
+  /** One audio frame's zero-crossing census. */
+  case class ZcrFrame(media_id: Long, frame_idx: Long, n_samples: Long,
+                      n_zc: Long, zcr4: Long)
+
+  /** Framed zero-crossing rate over 16-bit PCM WAV payloads — the
+    * classic speech/music/noise discriminator next to [[audioEnergy]]
+    * (voiced speech ≈ low ZCR, fricatives/hiss ≈ high; energy alone
+    * cannot tell a loud hum from a loud hiss). A crossing is a sign
+    * flip between ADJACENT samples within the frame ((s ≥ 0) changing
+    * — zero counts as non-negative, the usual convention), so a full
+    * frame has n−1 comparisons; zcr4 = crossings/(n−1) ×10⁴ rounded.
+    * Same narrow per-partition walk as audioEnergy: payload bytes
+    * never shuffle, only the per-frame census rows flow on; non-PCM
+    * payloads quarantine to zero rows.
+    */
+  def audioZeroCrossings(media: Dataset[MediaRow],
+                         frameSize: Int): Dataset[ZcrFrame] = {
+    require(frameSize >= 2)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        MediaCodec.wavSamples(r.payload) match {
+          case Some((_, _, s)) =>
+            Iterator.range(0, s.length, frameSize).zipWithIndex.map {
+              case (start, idx) =>
+                val end = math.min(start + frameSize, s.length)
+                var zc = 0L
+                var i = start + 1
+                while (i < end) {
+                  if ((s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+                  i += 1
+                }
+                val n = end - start
+                val zcr4 = if (n > 1)
+                  math.round(10000.0 * zc / (n - 1)) else 0L
+                ZcrFrame(r.media_id, idx.toLong, n.toLong, zc, zcr4)
+            }
+          case None => Iterator.empty // quarantine: not 16-bit PCM WAV
+        }
+      })
+  }
+
   /** Energy-threshold voice-activity detection over WAV payloads —
     * the segmentation pass audio curation runs before transcription
     * (ship the speech segments, drop the silence; billing and quality

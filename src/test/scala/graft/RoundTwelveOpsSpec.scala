@@ -707,6 +707,61 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       assert(math.abs(g / 1e6 - e) < 1e-6, s"$g vs $e") }
   }
 
+  test("depthGini: uniform coverage = 0, hand-computed skewed case") {
+    import graft.operators.Intervals
+    // uniform: two identical reads [1,10] → depth 2 everywhere → G = 0
+    val uni = Seq(("chr1", 1L, 10L), ("chr1", 1L, 10L))
+      .toDF("chr", "start", "stop")
+    val g0 = Intervals.depthGini(Intervals.coverageSegments(uni,
+      Seq("chr"), col("start"), col("stop")), Seq("chr")).collect()(0)
+    assert(g0.getLong(4) == 0L && g0.getLong(2) == 10L)
+    // skewed: [1,10] + [1,2] → histogram depth1×8bp, depth2×2bp;
+    // s2 = 1·8·9 + 2·2·19 = 148, n = 10, S = 12 →
+    // G = (148 − 11·12)/120 = 16/120 → 1333
+    val skew = Seq(("chr1", 1L, 10L), ("chr1", 1L, 2L))
+      .toDF("chr", "start", "stop")
+    val g1 = Intervals.depthGini(Intervals.coverageSegments(skew,
+      Seq("chr"), col("start"), col("stop")), Seq("chr")).collect()(0)
+    assert((g1.getLong(1), g1.getLong(2), g1.getLong(3), g1.getLong(4))
+      == ((2L, 10L, 12L, 1333L)))
+  }
+
+  test("audioZeroCrossings: hand waveform flips, short-tail frame") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaCodec, MediaRow}
+    // frame 0 = [1,-1,2,3]: flips at (1,-1),(−1,2) → 2/3 → 6667
+    // frame 1 = [-5,0]: 0 counts non-negative → 1 flip/1 → 10000
+    val wav = MediaCodec.wavWithSamples(8000, 1,
+      Array[Short](1, -1, 2, 3, -5, 0))
+    val got = Multimodal.audioZeroCrossings(
+      Seq(MediaRow(7L, "audio", wav)).toDS(), frameSize = 4)
+      .collect().map(f => f.frame_idx -> ((f.n_samples, f.n_zc, f.zcr4)))
+      .toMap
+    assert(got(0L) == (4L, 2L, 6667L))
+    assert(got(1L) == (2L, 1L, 10000L))
+  }
+
+  test("corpus_dup_quality: end-to-end on a hand corpus") {
+    // ids 1-3 share a keepable text, 4-5 share a 1-word (reject) text,
+    // 6 is unique and keepable → buckets (3,3,10000) (2,0,0) (1,1,10000)
+    // keepable texts need enough DISTINCT bigrams that the top one
+    // stays ≤ 0.2 of bigram mass (a 6-word doc reads 0.22 and rejects)
+    val good = "spark join filter merge table scan group sort window " +
+      "batch stream hash key value row column"
+    val docs = Seq((1L, good), (2L, good), (3L, good),
+      (4L, "word"), (5L, "word"),
+      (6L, "data row key value column stream agg query plan stage " +
+        "task shuffle broadcast partition bucket"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dupq").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("corpus_dup_quality")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(3L -> ((3L, 3L, 10000L)),
+      2L -> ((2L, 0L, 0L)), 1L -> ((1L, 1L, 10000L))))
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
