@@ -930,6 +930,29 @@ object SparkEntry {
           max("end_pos").as("max_end"))
     }),
 
+    "sam_mapq_profile" -> ((s, dir) => {
+      // mapping-quality decade histogram per chromosome + the
+      // low-confidence fraction (the samtools-stats MAPQ panel: a
+      // low-MAPQ spike on one chr flags a repeat region or reference
+      // defect; threshold 30 — the bwa unique-mapping convention, and
+      // the synthetic MAPQs span 20..59 so a 20 cut would be a dead
+      // leg): one narrow parse projection, one (chr, decade)
+      // partial agg, one per-chr totals join — counts exact, ONE
+      // rounded fraction
+      val aln = graft.sources.Sam.alignments(samSynthLines(s, dir))
+      val dec = aln.groupBy(col("chr"),
+          (col("mapq") - pmod(col("mapq"), lit(10))).divide(10)
+            .cast("long").as("mapq_decade"))
+        .agg(count(lit(1)).as("n_reads"))
+      val tot = dec.groupBy("chr").agg(sum("n_reads").as("total"),
+        sum(when(col("mapq_decade") < 3, col("n_reads")).otherwise(0L))
+          .as("n_low"))
+      dec.join(tot, "chr")
+        .select(col("chr"), col("mapq_decade"), col("n_reads"),
+          round(lit(10000.0) * col("n_low").cast("double") /
+            col("total").cast("double")).cast("long").as("low_frac4"))
+    }),
+
     "sam_coverage_uniformity" -> ((s, dir) => {
       // depth-uniformity Gini per chromosome over covered positions
       // (the WGS evenness QC: capture bias and GC dropout read as high
@@ -2994,6 +3017,33 @@ object SparkEntry {
             .cast("long").as("fst_e4"))
     }),
 
+    "ld_prune_step" -> ((s, dir) => {
+      // one deterministic LD-pruning round (the plink --indep prefix,
+      // under the fixed-round discipline the graph loops use: the full
+      // greedy prune is order-sequential per window and ungradable;
+      // round 1 — drop every site with ANY earlier site in r² conflict
+      // — is deterministic, and repeated rounds converge to the greedy
+      // answer): conflicts from the shared ldSitePairs bin-join
+      // (window-bounded candidates), prune = one distinct + one
+      // anti-join against the variance-filtered site frame; kept-set
+      // sum(pos) checksum, not just a count (the bfsHops rule)
+      val conflicts = ldSitePairs(s, dir)
+        .filter(PopGen.ldR2e4(col("n"), col("s1"), col("s2"),
+          col("s11"), col("s22"), col("s12")) > 2000)
+        .select(col("chr"), col("pos2").as("pos")).distinct()
+      val sites = ldSitePairs(s, dir)
+        .select(col("chr"), explode(array(col("pos1"), col("pos2")))
+          .as("pos")).distinct()
+      sites.join(conflicts, Seq("chr", "pos"), "left_anti")
+        .groupBy("chr").agg(count(lit(1)).as("n_kept"),
+          sum("pos").as("sum_kept_pos"))
+        .join(sites.groupBy("chr").agg(count(lit(1)).as("n_sites")),
+          "chr")
+        .select(col("chr"), col("n_sites"), col("n_kept"),
+          (col("n_sites") - col("n_kept")).as("n_pruned"),
+          col("sum_kept_pos"))
+    }),
+
     "ld_pairwise" -> ((s, dir) => {
       // pairwise linkage disequilibrium r² between nearby sites (≤ 10 bp,
       // same chr), rolled up per chr: the site-pair domain is bounded by
@@ -3445,6 +3495,13 @@ object SparkEntry {
       // per-day Shannon entropy of the event-type mix — the class-
       // balance audit; su4 discipline on the log terms
       EventOps.dailyEntropy(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"))
+    }),
+
+    "events_hour_profile" -> ((s, dir) => {
+      // hour-of-day load profile per type — the intraday twin of the
+      // dow profile; |types|×24 bounded frame, one unrounded division
+      EventOps.hourProfile(Tables.events(s, dir), "event_type",
         expr("ts DIV 1000"))
     }),
 
@@ -4246,6 +4303,19 @@ object SparkEntry {
       // the same sweep-line derivation interval_coverage's oracle uses,
       // run over the arithmetically re-derived read spans ([pos,
       // pos+ref_span-1] inclusive → −1 breakpoint at pos+ref_span)
+      // decade = mapq - mapq % 10, over the arithmetically re-derived
+      // mapq (20 + p % 40); low fraction mirrored per chr
+      "sam_mapq_profile" ->
+        s"""WITH $samReadsCtes,
+          |d AS (SELECT chr, (mapq - mapq % 10) // 10 AS mapq_decade,
+          |  count(*) AS n_reads FROM sam_reads GROUP BY 1, 2),
+          |tt AS (SELECT chr, CAST(sum(n_reads) AS BIGINT) AS total,
+          |  CAST(sum(CASE WHEN mapq_decade < 3 THEN n_reads ELSE 0 END)
+          |    AS BIGINT) AS n_low FROM d GROUP BY 1)
+          |SELECT d.chr, mapq_decade, n_reads,
+          |  CAST(round(10000.0 * n_low / total) AS BIGINT) AS low_frac4
+          |FROM d JOIN tt USING (chr)""".stripMargin,
+
       // the sam_pileup sweep extended to the (depth, Σbp) histogram,
       // then the events_user_gini rank-sum identity per chr
       "sam_coverage_uniformity" ->
@@ -6763,6 +6833,25 @@ object SparkEntry {
       // the oracle pairs sites by a plain inequality self-join — the
       // Spark side's bin replication is the scale strategy, not the
       // semantics, so the twin skips it
+      // site domain = variance-filtered pair participants; conflicts =
+      // distinct later-site of every r² > 0.2 pair
+      "ld_prune_step" ->
+        s"""WITH $ldPairCtes,
+           |sites AS (SELECT chr, pos1 AS pos FROM r
+           |  UNION SELECT chr, pos2 FROM r),
+           |conf AS (SELECT DISTINCT chr, pos2 AS pos FROM r
+           |  WHERE r2e4 > 2000),
+           |kept AS (SELECT s.chr, s.pos FROM sites s
+           |  LEFT JOIN conf c ON c.chr = s.chr AND c.pos = s.pos
+           |  WHERE c.pos IS NULL),
+           |k AS (SELECT chr, count(*) AS n_kept,
+           |  CAST(sum(pos) AS BIGINT) AS sum_kept_pos FROM kept
+           |  GROUP BY 1),
+           |t AS (SELECT chr, count(*) AS n_sites FROM sites GROUP BY 1)
+           |SELECT t.chr, n_sites, n_kept, n_sites - n_kept AS n_pruned,
+           |  sum_kept_pos
+           |FROM t JOIN k ON k.chr = t.chr""".stripMargin,
+
       "ld_pairwise" ->
         s"""WITH $ldPairCtes
            |SELECT chr, count(*) AS n_pairs,
@@ -7304,6 +7393,16 @@ object SparkEntry {
 
       // dow profile: (epoch_day + 4) % 7, idx as the single unrounded
       // IEEE division of exact ints
+      "events_hour_profile" ->
+        """WITH c AS (SELECT event_type,
+          |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+          |  count(*) AS n FROM events GROUP BY 1, 2),
+          |tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+          |  FROM c GROUP BY 1)
+          |SELECT c.event_type, hour, n,
+          |  CAST(n * 24 AS DOUBLE) / CAST(total AS DOUBLE) AS idx
+          |FROM c JOIN tt USING (event_type)""".stripMargin,
+
       "events_dow_profile" ->
         """WITH c AS (SELECT event_type,
           |  ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,

@@ -501,6 +501,34 @@ object EventOps {
           .as("idx"))
   }
 
+  /** Per-type hour-of-day load profile — the intraday twin of
+    * [[dowProfile]] (capacity planning and anomaly baselines key off
+    * the daily cycle the same way weekly thresholds key off dow):
+    * hour by exact integer arithmetic ((µs DIV 3600·10⁶) mod 24, UTC
+    * like every day derivation here), ONE partial-agg shuffle to the
+    * |types|×24-bounded frame, idx = n·24/total as the single
+    * unrounded IEEE division of exact longs (the dowProfile parity
+    * rule).
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, hour, n, idx)
+    */
+  def hourProfile(events: DataFrame, typeCol: String,
+                  tsUs: Column): DataFrame = {
+    val hourUs = 3600000000L
+    val hour = pmod(((tsUs.cast("long") -
+      pmod(tsUs.cast("long"), lit(hourUs))) / hourUs).cast("long"),
+      lit(24L))
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"), hour.as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum("n").as("total"))
+    counts.join(totals, "event_type")
+      .select(col("event_type"), col("hour"), col("n"),
+        ((col("n") * lit(24L)).cast("double") / col("total").cast("double"))
+          .as("idx"))
+  }
+
   /** Lag-k autocorrelation (k = 1..maxLag) of the per-type daily count
     * series — the seasonality/persistence audit BEHIND the smoothing
     * family: a strong r at lag 7 is what justifies dailyHoltWinters'

@@ -762,6 +762,47 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       2L -> ((2L, 0L, 0L)), 1L -> ((1L, 1L, 10000L))))
   }
 
+  test("hourProfile: exact hour mapping and index arithmetic") {
+    import graft.operators.EventOps
+    val hourUs = 3600000000L
+    // type "a": events at 00:30, 01:30, 01:45 → hour0×1, hour1×2
+    val ev = Seq(("a", hourUs / 2), ("a", hourUs + hourUs / 2),
+      ("a", hourUs + 3 * hourUs / 4),
+      // 25h mark wraps to hour 1 on day 2
+      ("b", 25L * hourUs + 1L))
+      .toDF("event_type", "us")
+    val got = EventOps.hourProfile(ev, "event_type", col("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", 0L)) == (1L, 8.0))
+    assert(got(("a", 1L)) == (2L, 16.0))
+    assert(got(("b", 1L)) == (1L, 24.0))
+  }
+
+  test("ld_prune_step and sam_mapq_profile: internal identities at sf0.001") {
+    // ld: kept + pruned = sites per chr, checksum consistent with kept
+    val ld = SparkEntry.queries("ld_prune_step")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(ld.nonEmpty)
+    ld.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1))
+      assert(r.getLong(2) > 0 && r.getLong(4) > 0)
+    }
+    // mapq: decades confined to the synthetic 20..59 range and the
+    // low fraction re-derivable from the histogram rows themselves
+    val mq = SparkEntry.queries("sam_mapq_profile")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(mq.nonEmpty)
+    assert(mq.forall(r => (2L to 5L).contains(r.getLong(1))))
+    mq.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val tot = rows.map(_.getLong(2)).sum
+      val low = rows.filter(_.getLong(1) < 3).map(_.getLong(2)).sum
+      val expect = math.round(10000.0 * low / tot)
+      assert(rows.forall(_.getLong(3) == expect))
+      assert(low > 0 && low < tot) // threshold 30 keeps the leg alive
+    }
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
