@@ -2570,6 +2570,31 @@ object SparkEntry {
       TextAnalysis.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
     }),
 
+    "text_jm_ppl" -> ((s, dir) => {
+      // Jelinek-Mercer interpolated bigram surprisal (λ = 0.5) — the
+      // third classic smoothing next to add-1 (text_bigram_ppl) and
+      // Kneser-Ney (text_kn_ppl); same one-explode vocabulary-keyed
+      // shape (TextAnalysis.jmBigramSurprisal)
+      TextAnalysis.jmBigramSurprisal(Tables.documents(s, dir),
+        "doc_id", "text")
+    }),
+
+    "variant_density" -> ((s, dir) => {
+      // per-1kb variant-density track (the genome-browser density tile
+      // + the hotspot screen): DISTINCT variant sites first (the
+      // natural (chr,pos,ref,var) key — raw synthetic rows duplicate),
+      // then one (chr, window) partial agg — output bounded by
+      // coordinate space / 1 kb, never variant count
+      liVariants(s, dir)
+        .select(col("chr"), col("pos"), col("ref_nuc"), col("var_nuc"))
+        .filter(col("ref_nuc") =!= col("var_nuc"))
+        .distinct()
+        .groupBy(col("chr"),
+          (col("pos") - pmod(col("pos"), lit(1000L))).divide(1000)
+            .cast("long").as("win1k"))
+        .agg(count(lit(1)).as("n_variants"))
+    }),
+
     "events_mad" -> ((s, dir) => {
       // robust median/MAD anomaly twin of event_anomalies (a monster
       // spike can't mask itself by inflating the scale estimate)
@@ -6171,6 +6196,34 @@ object SparkEntry {
       // bigram twin of the text_surprisal chain: history counts
       // re-aggregated from the bigram table, add-1 smoothing over the
       // unigram vocabulary
+      // P = 0.5·c12/c1 + 0.5·c2/N in the literal Spark sequence; the
+      // unigram frame keeps doc-final words (c1 comes from bigrams)
+      "text_jm_ppl" ->
+        s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS ps
+           |  FROM documents),
+           |bg AS (SELECT doc_id, ps[CAST(u.i AS INT)] || ' ' ||
+           |    ps[CAST(u.i + 1 AS INT)] AS bg
+           |  FROM d, LATERAL unnest(generate_series(1, len(ps) - 1)) u(i)
+           |  WHERE len(ps) >= 2),
+           |bgc AS (SELECT bg, count(*) AS c12,
+           |  split_part(bg, ' ', 1) AS w1,
+           |  split_part(bg, ' ', 2) AS w2 FROM bg GROUP BY 1),
+           |w1c AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+           |  FROM bgc GROUP BY 1),
+           |tok AS (SELECT uw.w FROM d, LATERAL unnest(ps) uw(w)
+           |  WHERE length(uw.w) > 0),
+           |unic AS (SELECT w AS w2, count(*) AS c2 FROM tok GROUP BY 1),
+           |tot AS (SELECT count(*) AS n FROM tok),
+           |m AS (SELECT bg,
+           |  CAST(round(-log2(
+           |    0.5 * (CAST(c12 AS DOUBLE) / c1)
+           |      + 0.5 * (CAST(c2 AS DOUBLE) / n)) * 10000)
+           |    AS BIGINT) AS su4
+           |  FROM bgc JOIN w1c USING (w1) JOIN unic USING (w2), tot)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  sum(su4)/10000.0/count(*) AS avg_bits
+           |FROM bg JOIN m USING (bg) GROUP BY 1""".stripMargin,
+
       "text_bigram_ppl" ->
         s"""WITH d AS (SELECT doc_id, string_split($normTextSql, ' ') AS ps
            |  FROM documents),
@@ -6191,6 +6244,13 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_bigrams,
            |  sum(su4)/10000.0/count(*) AS avg_bits
            |FROM bg JOIN m USING (bg) GROUP BY 1""".stripMargin,
+
+      "variant_density" ->
+        s"""WITH v AS ($liVariantsSql),
+           |d AS (SELECT DISTINCT chr, pos, ref_nuc, var_nuc FROM v
+           |  WHERE ref_nuc <> var_nuc)
+           |SELECT chr, pos // 1000 AS win1k, count(*) AS n_variants
+           |FROM d GROUP BY 1, 2""".stripMargin,
 
       // robust twin of event_anomalies: same (type, day) frame, median/
       // MAD profile, identical literal sequence in the flag comparison

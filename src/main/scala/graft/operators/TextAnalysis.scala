@@ -481,6 +481,56 @@ object TextAnalysis {
         (col("su_sum") / 10000.0 / col("n_bigrams")).as("avg_bits"))
   }
 
+  /** Jelinek–Mercer interpolated bigram surprisal — the third classic
+    * smoothing next to [[bigramSurprisal]]'s add-1 and
+    * [[knBigramSurprisal]]'s Kneser–Ney (Jelinek & Mercer 1980; Chen &
+    * Goodman 1998 eq. 4.16, fixed λ = 0.5):
+    *
+    *   P(w2|w1) = λ·c12/c1 + (1−λ)·c2/N
+    *
+    * — the MLE bigram linearly mixed with the unigram, the smoothing a
+    * perplexity filter reaches for when held-out tuning of λ is not in
+    * budget. Never zero (every w2 in the model has c2 ≥ 1), so no
+    * add-1 floor is needed.
+    *
+    * Scale shape: identical to the siblings — ONE bigram explode, all
+    * model frames vocabulary-sized, model joins back on the bigram key
+    * (vocabulary-keyed, the honest non-broadcast shape; only the
+    * one-row token total broadcasts). Parity: P evaluates in one
+    * literal left-to-right sequence, bits round ×10⁴ per bigram before
+    * the order-free sum.
+    *
+    * @return (doc_id, n_bigrams, avg_bits)
+    */
+  def jmBigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(wordBigrams(col(textCol))).as("bg"))
+    val bgc = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val w1c = bgc.groupBy("w1").agg(sum("c12").as("c1"))
+    val unic = docs.select(
+        explode(split(normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w").as("w2")).agg(count(lit(1)).as("c2"))
+    // N from the vocabulary frame, not a second corpus explode (the
+    // token scan is the corpus-sized cost; everything above it here is
+    // vocabulary-sized)
+    val total = broadcast(unic.agg(sum("c2").as("n")))
+    val model = bgc.join(w1c, "w1").join(unic, "w2").crossJoin(total)
+      .select(col("bg"),
+        round(-log2(
+          lit(0.5) * (col("c12").cast("double") / col("c1"))
+            + lit(0.5) * (col("c2").cast("double") / col("n"))
+        ) * 10000).cast("long").as("su4"))
+    bg.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("su4").as("su_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("su_sum") / 10000.0 / col("n_bigrams")).as("avg_bits"))
+  }
+
   /** One BPE-training merge-selection step at corpus scale (Sennrich et
     * al. 2016 §3.2: count adjacent symbol pairs across the corpus, the
     * highest-frequency pair becomes the next merge): symbol = char

@@ -803,6 +803,31 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jmBigramSurprisal: hand corpus — interpolated P by hand") {
+    import graft.operators.TextAnalysis
+    // corpus "a b a b" + "a b": unigrams a:3 b:3 (N=6); bigrams
+    // "a b":3 "b a":1; c1(a)=3 c1(b)=1 →
+    // P(b|a) = .5·3/3 + .5·3/6 = .75, P(a|b) = .5·1/1 + .5·3/6 = .75
+    // → every bigram su4 = round(−log2(.75)·10⁴) = 4150
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.jmBigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == (3L, 3 * 4150L / 10000.0 / 3))
+    assert(got(2L) == (1L, 4150L / 10000.0 / 1))
+  }
+
+  test("variant_density: windows partition the distinct variant set") {
+    val rows = SparkEntry.queries("variant_density")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // coordinate space is 0..99999 → 1 kb windows 0..99
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 99))
+    // no window double-counts: (chr, win) keys unique
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length
+      == rows.length)
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
