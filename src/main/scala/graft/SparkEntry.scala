@@ -322,6 +322,38 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** The 3-round LPA label chain over the near-dup graph, ending in
+    * `l3(id, label)` — ONE derivation shared by the graph_label_prop
+    * and graph_modularity oracles so the round arithmetic cannot drift
+    * between the labeling and its quality audit. Splice after `WITH`. */
+  private def lpaCtes: String =
+    s"""$jaccardPairCtes,
+       |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp
+       |  UNION ALL SELECT id_b, id_a FROM jp),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |a1 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+       |  FROM e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
+       |b1 AS (SELECT id, label FROM (SELECT id, label, row_number()
+       |  OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+       |  FROM a1) WHERE rn = 1),
+       |l1 AS MATERIALIZED (SELECT l.id, coalesce(b.label, l.label) AS label
+       |  FROM l0 l LEFT JOIN b1 b ON b.id = l.id),
+       |a2 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+       |  FROM e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
+       |b2 AS (SELECT id, label FROM (SELECT id, label, row_number()
+       |  OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+       |  FROM a2) WHERE rn = 1),
+       |l2 AS MATERIALIZED (SELECT l.id, coalesce(b.label, l.label) AS label
+       |  FROM l1 l LEFT JOIN b2 b ON b.id = l.id),
+       |a3 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+       |  FROM e JOIN l2 l ON l.id = e.src GROUP BY 1, 2),
+       |b3 AS (SELECT id, label FROM (SELECT id, label, row_number()
+       |  OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
+       |  FROM a3) WHERE rn = 1),
+       |l3 AS MATERIALIZED (SELECT l.id, coalesce(b.label, l.label) AS label
+       |  FROM l2 l LEFT JOIN b3 b ON b.id = l.id)""".stripMargin
+
   /** Rare-shingle candidate + intersection CTE prefix ending in
     * `inter(id_a, id_b, n_inter)` + `sizes(doc_id, n_sh)`, parameterized
     * by the blocking-key SQL — shared by the jaccard family (lang +
@@ -2663,6 +2695,21 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_members")),
           20, col("n_members").desc, col("label").asc)
         .select("rank", "label", "n_members")
+    }),
+
+    "graph_modularity" -> ((s, dir) => {
+      // community-QUALITY audit over the 3-round LPA labels (the
+      // labeling's graded twin tells you WHAT the communities are;
+      // this tells you whether the partition beats random — low Q on
+      // a near-dup graph warns the clusters are chains): the
+      // all-integer rational form (4m·Σe_c − Σd_c²)/(4m²), one double
+      // division (Graphs.modularity)
+      val pairs = docJaccardPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = Graphs.labelPropagation(edges, "src", "dst",
+        iterations = 3)
+      Graphs.modularity(pairs, "id_a", "id_b", labels)
     }),
 
     "corpus_dup_sources" -> ((s, dir) => {
@@ -6345,33 +6392,28 @@ object SparkEntry {
 
       // the same 3 LPA rounds chained: adopt = argmax in-neighbor label
       // by (cnt desc, label asc); nodes without adoption keep theirs
+      // the shared LPA chain + the all-integer modularity rational
+      "graph_modularity" ->
+        s"""WITH $lpaCtes,
+           |eu AS (SELECT id_a AS u, id_b AS v FROM jp),
+           |mm AS (SELECT count(*) AS m FROM eu),
+           |ein AS (SELECT count(*) AS e_in FROM eu
+           |  JOIN l3 a ON a.id = eu.u JOIN l3 b ON b.id = eu.v
+           |  WHERE a.label = b.label),
+           |deg AS (SELECT id, count(*) AS deg FROM
+           |  (SELECT u AS id FROM eu UNION ALL SELECT v FROM eu)
+           |  GROUP BY 1),
+           |dc AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_c
+           |  FROM deg d JOIN l3 l ON l.id = d.id GROUP BY 1),
+           |s AS (SELECT count(*) AS n_communities,
+           |  CAST(sum(d_c*d_c) AS BIGINT) AS sum_d2 FROM dc)
+           |SELECT n_communities, CAST(m AS BIGINT) AS n_edges,
+           |  CAST(round(1000000.0 * (4*m*e_in - sum_d2) / (4*m*m))
+           |    AS BIGINT) AS modularity6
+           |FROM mm CROSS JOIN ein CROSS JOIN s""".stripMargin,
+
       "graph_label_prop" ->
-        s"""WITH $jaccardPairCtes,
-           |e AS (SELECT id_a AS src, id_b AS dst FROM jp
-           |  UNION ALL SELECT id_b, id_a FROM jp),
-           |nodes AS (SELECT DISTINCT src AS id FROM e),
-           |l0 AS (SELECT id, id AS label FROM nodes),
-           |a1 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
-           |  FROM e JOIN l0 l ON l.id = e.src GROUP BY 1, 2),
-           |b1 AS (SELECT id, label FROM (SELECT id, label, row_number()
-           |  OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
-           |  FROM a1) WHERE rn = 1),
-           |l1 AS (SELECT l.id, coalesce(b.label, l.label) AS label
-           |  FROM l0 l LEFT JOIN b1 b ON b.id = l.id),
-           |a2 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
-           |  FROM e JOIN l1 l ON l.id = e.src GROUP BY 1, 2),
-           |b2 AS (SELECT id, label FROM (SELECT id, label, row_number()
-           |  OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
-           |  FROM a2) WHERE rn = 1),
-           |l2 AS (SELECT l.id, coalesce(b.label, l.label) AS label
-           |  FROM l1 l LEFT JOIN b2 b ON b.id = l.id),
-           |a3 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
-           |  FROM e JOIN l2 l ON l.id = e.src GROUP BY 1, 2),
-           |b3 AS (SELECT id, label FROM (SELECT id, label, row_number()
-           |  OVER (PARTITION BY id ORDER BY cnt DESC, label) AS rn
-           |  FROM a3) WHERE rn = 1),
-           |l3 AS (SELECT l.id, coalesce(b.label, l.label) AS label
-           |  FROM l2 l LEFT JOIN b3 b ON b.id = l.id),
+        s"""WITH $lpaCtes,
            |g AS (SELECT label, count(*) AS n_members FROM l3 GROUP BY 1)
            |SELECT rank, label, n_members FROM (
            |  SELECT CAST(row_number() OVER (ORDER BY n_members DESC, label)

@@ -474,6 +474,57 @@ object Graphs {
           .as("r4"))
   }
 
+  /** Newman–Girvan modularity of a node partition (Newman 2004 eq. 5)
+    * — the community-QUALITY audit over a labeling ([[labelPropagation]]
+    * tells you WHAT the communities are; this tells you whether the
+    * partition beats random: Q ≈ 0 = no structure, Q ≳ 0.3 = real
+    * communities, and for a near-dup graph a LOW Q under the LPA labels
+    * warns the clusters are chains, the dedup_groups merge risk again):
+    *
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ]
+    *     = (4m·Σe_c − Σd_c²) / (4m²)   — all-integer numerator/denom
+    *
+    * with m = edge count, e_c = intra-community edges, d_c = degree
+    * mass of community c. The rational form keeps everything exact
+    * longs until ONE double division.
+    *
+    * Scale shape: two node-sized label joins onto the edge frame for
+    * e_c, one degree agg + label join for d_c, then three ONE-ROW
+    * frames crossed — no window, no self-join. Takes UNIQUE undirected
+    * pairs (enforced) and a (id, label) frame covering the nodes.
+    *
+    * @return one row (n_communities, n_edges, modularity6) with
+    *         modularity6 = Q×10⁶ rounded
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame): DataFrame = {
+    val e = materialize(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct())
+    val lab = materialize(labels.select(col("id"), col("label")))
+    val mRow = e.agg(count(lit(1)).as("m"))
+    val eIn = e
+      .join(lab.select(col("id").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("id").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .agg(count(lit(1)).as("e_in"))
+    val degC = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .join(lab, "id")
+      .groupBy("label").agg(sum("deg").as("d_c"))
+    val sums = degC.agg(count(lit(1)).as("n_communities"),
+      sum(col("d_c") * col("d_c")).as("sum_d2"))
+    mRow.crossJoin(eIn).crossJoin(sums)
+      .select(col("n_communities"), col("m").as("n_edges"),
+        round(lit(1000000.0) *
+          (lit(4L) * col("m") * col("e_in") - col("sum_d2"))
+            .cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double"))
+          .cast("long").as("modularity6"))
+  }
+
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // materialize the normalized edge frame: it feeds deg, the
     // orientation, the closing-edge semi probe AND the n_edges

@@ -828,6 +828,26 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       == rows.length)
   }
 
+  test("modularity: two bridged triangles, one-community zero, negatives") {
+    import graft.operators.Graphs
+    // two triangles {1,2,3} {4,5,6} + bridge 3-4: m = 7, e_in = 6,
+    // d_A = d_B = 7 → Q = (4·7·6 − 98)/196 = 70/196 → 357143
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    def q(labels: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Graphs.modularity(edges, "a", "b",
+        labels.toDF("id", "label")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val twoCom = (1L to 3L).map(_ -> 1L) ++ (4L to 6L).map(_ -> 2L)
+    assert(q(twoCom) == (2L, 7L, 357143L))
+    // everything in one community: Q = 0 exactly
+    assert(q((1L to 6L).map(_ -> 1L)) == (1L, 7L, 0L))
+    // singleton communities: e_in = 0 → Q strictly negative
+    val single = q((1L to 6L).map(i => i -> i))
+    assert(single._1 == 6L && single._3 < 0L)
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
