@@ -187,6 +187,27 @@ object SparkEntry {
       |c AS (SELECT chr, pos, sample, max(gt) AS gv
       |  FROM d GROUP BY 1, 2, 3)""".stripMargin
 
+  /** Tajima's D constants for M = 40 chromosomes (Tajima 1989 eqs.
+    * 3-38; a FIXED 3-sample panel (samples 0-2, M = 6 chromosomes)
+    * restricted to its fully-called sites keeps M constant at every
+    * SF — the full 20-sample cohort is complete-called only at sf0.1,
+    * so a 20-sample D would grade an empty frame at smaller SFs — a
+    * CONSTANT and the a/b/c/e chain is computed ONCE here and
+    * interpolated into BOTH the Spark literals and the oracle SQL —
+    * Scala's Double.toString round-trips, so the engines share
+    * bit-identical constants rather than re-deriving them). */
+  private val tajM = 6
+  private val tajA1 = (1 until tajM).map(1.0 / _).sum
+  private val tajA2 = (1 until tajM).map(i => 1.0 / (i.toLong * i)).sum
+  private val tajB1 = (tajM + 1).toDouble / (3.0 * (tajM - 1))
+  private val tajB2 =
+    2.0 * (tajM * tajM + tajM + 3) / (9.0 * tajM * (tajM - 1))
+  private val tajC1 = tajB1 - 1.0 / tajA1
+  private val tajC2 =
+    tajB2 - (tajM + 2) / (tajA1 * tajM) + tajA2 / (tajA1 * tajA1)
+  private val tajE1 = tajC1 / tajA1
+  private val tajE2 = tajC2 / (tajA1 * tajA1 + tajA2)
+
   /** Variance-filtered LD site-pair cross-moments, shared by
     * ld_pairwise and ld_decay (ONE derivation so the pair domain
     * cannot drift between its consumers): dosage cells from lineitem
@@ -1759,6 +1780,20 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "ann_filtered" -> ((s, dir) => {
+      // metadata-filtered top-k ("nearest WITHIN my label") — the
+      // predicate-push feature separating a vector DB from a vector
+      // index; post-filtering an unfiltered top-k under-returns when
+      // the predicate is selective. The filter is an EQUI-JOIN key —
+      // the scalable shape (Similarity.cosineTopKFiltered)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopKFiltered(emb,
+          emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("corpus_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "knn_classify" -> ((s, dir) => {
       // kNN classification: label each held-out vector by majority vote
       // of its 5 nearest labeled neighbors (vote ties break to the
@@ -2508,6 +2543,20 @@ object SparkEntry {
         .groupBy("n_occ").agg(count(lit(1)).as("n_kmers"))
     }),
 
+    "dna_palindrome_sites" -> ((s, dir) => {
+      // reverse-complement palindrome census over 6-mers — the
+      // restriction-enzyme recognition-site scan (EcoRI GAATTC etc.
+      // are exactly the 6-mers equal to their own revcomp): one
+      // k-mer explode, a per-row revcomp filter, one vocabulary-sized
+      // agg (palindromic 6-mer domain ≤ 4³ = 64 regardless of corpus)
+      val km = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Dna.kmers(docDna, 6)).as("kmer"))
+      km.filter(reverse(translate(col("kmer"), "ACGT", "TGCA"))
+          === col("kmer"))
+        .groupBy("kmer").agg(count(lit(1)).as("n_occ"),
+          countDistinct("doc_id").as("n_docs"))
+    }),
+
     "dna_gc_windows" -> ((s, dir) => {
       // sliding GC-content / GC-skew profile over the derived DNA (the
       // genome-browser GC track + the replication-origin skew screen —
@@ -3187,6 +3236,32 @@ object SparkEntry {
             (col("n_days") * col("sxx") - col("sx") * col("sx")) /
             ((col("n_days") - 1) * col("sx"))).cast("long")
             .as("dispersion4"))
+    }),
+
+    "popgen_tajima_d" -> ((s, dir) => {
+      // Tajima's D per chromosome (the neutrality test: D ≪ 0 =
+      // selective sweep / expansion, D ≫ 0 = balancing selection —
+      // the summary the SFS feeds): a FIXED 3-sample panel's fully-
+      // called polymorphic sites so M = 2n = 6 is constant and the a/b/c/e
+      // constants are shared literals (tajA1..tajE2, interpolated
+      // into the oracle too); per-site π ×10⁸-rounded before the
+      // order-free per-chr sum, then the one D expression in a
+      // pinned literal sequence
+      val site = dosageCells(s, dir).filter(col("sample") < 3)
+        .groupBy("chr", "pos")
+        .agg(count(lit(1)).as("n"), sum("gv").as("k"))
+        .filter(col("n") === 3 && col("k") > 0 && col("k") < 6)
+      val per = site.select(col("chr"),
+        round(lit(1.0e8) * (lit(2.0) * col("k") * (lit(6L) - col("k"))
+          / lit(30.0))).cast("long").as("pi8"))
+      val agg = per.groupBy("chr").agg(count(lit(1)).as("s_sites"),
+        sum("pi8").as("sum_pi8"))
+      val sD = col("s_sites").cast("double")
+      val num = col("sum_pi8").cast("double") / lit(1.0e8) -
+        sD / lit(tajA1)
+      val den = sqrt(lit(tajE1) * sD + lit(tajE2) * sD * (sD - lit(1.0)))
+      agg.select(col("chr"), col("s_sites"), col("sum_pi8"),
+        round(lit(10000.0) * num / den).cast("long").as("d4"))
     }),
 
     "popgen_ibs" -> ((s, dir) => {
@@ -5251,6 +5326,24 @@ object SparkEntry {
           |    ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank FROM s)
           |WHERE rank <= 5""".stripMargin,
 
+      // the cosine CTEs with the label equi-filter in the pair source
+      "ann_filtered" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+          |  label FROM embeddings WHERE vec_id % 50 = 0),
+          |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv,
+          |  label FROM embeddings),
+          |s AS (SELECT query_id, corpus_id,
+          |  round(CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) > 0
+          |    THEN list_dot_product(qv,cv) /
+          |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+          |    ELSE 0 END, 6) AS cos_sim
+          |  FROM q JOIN c ON c.label = q.label
+          |  WHERE corpus_id <> query_id)
+          |SELECT query_id, corpus_id, cos_sim, rank FROM (
+          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank FROM s)
+          |WHERE rank <= 5""".stripMargin,
+
       // same scoring CTEs, corpus restricted to labeled rows, majority
       // vote with the (votes desc, label asc) total order
       "knn_classify" ->
@@ -6080,6 +6173,17 @@ object SparkEntry {
            |  LATERAL unnest(generate_series(1, length(dna) - 3)) u(i)),
            |c AS (SELECT kmer, count(*) AS n_occ FROM km GROUP BY 1)
            |SELECT n_occ, count(*) AS n_kmers FROM c GROUP BY 1""".stripMargin,
+
+      "dna_palindrome_sites" ->
+        s"""WITH d AS (SELECT doc_id, $docDnaSql AS dna FROM documents),
+           |km AS (SELECT doc_id,
+           |  substr(dna, CAST(u.i AS INT), 6) AS kmer FROM d,
+           |  LATERAL unnest(generate_series(1, length(dna) - 5)) u(i)),
+           |pal AS (SELECT doc_id, kmer FROM km
+           |  WHERE reverse(translate(kmer, 'ACGT', 'TGCA')) = kmer)
+           |SELECT kmer, count(*) AS n_occ,
+           |  count(DISTINCT doc_id) AS n_docs
+           |FROM pal GROUP BY 1""".stripMargin,
 
       // same width-8 step-4 window walk; G/C counts via translate,
       // both divisions mirrored as 10000.0 * BIGINT / BIGINT
@@ -6995,6 +7099,28 @@ object SparkEntry {
 
       // plain site-keyed self-join over the shared dosage cells; the
       // IBS classes are integer CASE logic on the dosage difference
+      // the tajA1/E1/E2 constants interpolate from the SAME Scala vals
+      // the Spark literals use; π ×10⁸ rounded per site before summing
+      "popgen_tajima_d" ->
+        s"""WITH $dosageCellCtes,
+           |st AS (SELECT chr, pos, count(*) AS n,
+           |  CAST(sum(gv) AS BIGINT) AS k FROM c
+           |  WHERE sample < 3 GROUP BY 1, 2),
+           |f AS (SELECT chr, k FROM st
+           |  WHERE n = 3 AND k > 0 AND k < 6),
+           |p AS (SELECT chr, CAST(round(
+           |  100000000.0 * (2.0 * k * (6 - k) / 30.0)) AS BIGINT)
+           |  AS pi8 FROM f),
+           |a AS (SELECT chr, count(*) AS s_sites,
+           |  CAST(sum(pi8) AS BIGINT) AS sum_pi8 FROM p GROUP BY 1)
+           |SELECT chr, s_sites, sum_pi8,
+           |  CAST(round(10000.0 *
+           |    (sum_pi8 / 100000000.0 - s_sites / $tajA1)
+           |    / sqrt($tajE1 * s_sites
+           |      + $tajE2 * s_sites * (s_sites - 1.0))) AS BIGINT)
+           |    AS d4
+           |FROM a""".stripMargin,
+
       "popgen_ibs" ->
         s"""WITH $dosageCellCtes,
            |p AS (SELECT a.sample AS s1, b.sample AS s2,

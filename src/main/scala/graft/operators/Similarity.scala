@@ -63,6 +63,41 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Metadata-FILTERED cosine top-k — the predicate-push feature that
+    * separates a vector DATABASE from a vector index (per-query "top-k
+    * among rows WHERE label = mine"; post-filtering an unfiltered
+    * top-k instead silently under-returns when the predicate is
+    * selective). The filter column becomes an EQUI-JOIN key, which is
+    * exactly the scalable shape: the candidate set per query is its
+    * label partition, never the corpus, and Catalyst picks
+    * broadcast/sort-merge on (fkey) like any join — at 100 TB the
+    * corpus is bucketed by the filter key and the scan prunes to the
+    * probed partitions. Scoring/rounding/rank order identical to
+    * [[cosineTopK]] (same double ops — parity preserved).
+    *
+    * @return (query_id, corpus_id, cos_sim, rank ≤ k)
+    */
+  def cosineTopKFiltered(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, filterCol: String,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
+      col(filterCol).as("fkey")))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"), col(filterCol).as("fkey"))
+    val nn = col("q_norm") * col("c_norm")
+    val scored = c.join(q, "fkey")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(when(nn > 0, dot(col("q_vec"), col("c_vec")) / nn).otherwise(0.0), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane i, dim j)
     * in [-0.5, 0.5): md5-derived, computed once on the driver — the plane
     * matrix is constant, so it rides into the plan as array literals

@@ -848,6 +848,66 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(single._1 == 6L && single._3 < 0L)
   }
 
+  test("cosineTopKFiltered: neighbors stay inside the label partition") {
+    import graft.operators.Similarity
+    // query 0 (label 1): its globally-nearest vector (id 10, label 2)
+    // must NOT appear; within label 1, id 1 (aligned) beats id 2
+    // (orthogonal)
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val rows = Seq(
+      (0L, v(1, 0), 1), (1L, v(2, 0.1f), 1), (2L, v(0, 1), 1),
+      (10L, v(1, 0.001f), 2), (11L, v(0.9f, 0), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.cosineTopKFiltered(rows,
+      rows.filter(col("vec_id") === 0), "vec_id", "embedding", "label",
+      k = 2).select("corpus_id", "rank").as[(Long, Int)].collect().toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == 1 && got(2L) == 2)
+  }
+
+  test("tajima constants + D re-derived independently from outputs") {
+    // constants: a1 = H(5) against an independent BigDecimal sum
+    val a1 = (1 until 6).map(1.0 / _).sum
+    val h5 = (1 until 6).map(i =>
+      BigDecimal(1) / BigDecimal(i)).sum.toDouble
+    assert(math.abs(a1 - h5) < 1e-12)
+    // run the graded query; re-derive D from its own (s, pi8) outputs
+    // with the TEXTBOOK formula arrangement (different association
+    // order than the query's pinned sequence) — agreement within 1e-3
+    // of a D unit pins the expression against formula transcription
+    // errors without copying it
+    val rows = SparkEntry.queries("popgen_tajima_d")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val M = 6
+    val a2 = (1 until M).map(i => 1.0 / i / i).sum
+    val b1 = (M + 1.0) / (3.0 * (M - 1)); val b2 = 2.0 * (M * M + M + 3) / (9.0 * M * (M - 1))
+    val c1 = b1 - 1 / a1; val c2 = b2 - (M + 2) / (a1 * M) + a2 / a1 / a1
+    val e1 = c1 / a1; val e2 = c2 / (a1 * a1 + a2)
+    rows.foreach { r =>
+      val s = r.getLong(1).toDouble; val pi = r.getLong(2) / 1e8
+      val d = (pi - s / a1) / math.sqrt(e1 * s + e2 * s * (s - 1))
+      assert(math.abs(d - r.getLong(3) / 1e4) < 1e-3,
+        s"chr ${r.getLong(0)}: $d vs ${r.getLong(3) / 1e4}")
+    }
+  }
+
+  test("palindromic 6-mers: revcomp filter on hand sequences") {
+    import graft.functions.Dna
+    // GAATTC (EcoRI) is its own revcomp; AAAAAA and GATTCA are not
+    val seqs = Seq((1L, "GAATTCAA"), (2L, "AAAAAAGAATTC"),
+      (3L, "GATTCAGT")).toDF("doc_id", "dna")
+    val got = seqs
+      .select(col("doc_id"), explode(Dna.kmers(col("dna"), 6)).as("kmer"))
+      .filter(reverse(translate(col("kmer"), "ACGT", "TGCA"))
+        === col("kmer"))
+      .groupBy("kmer").agg(count(lit(1)).as("n"),
+        countDistinct("doc_id").as("nd"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map("GAATTC" -> ((2L, 2L))))
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
