@@ -44,6 +44,8 @@ class CodegenAuditSpec extends AnyFunSuite {
     "dna_kmer_canonical" -> "transform over per-document k-mer array (≤ text length ~102)",
     "dna_orf_finder" -> "transform over the 32-char derived-DNA codon array (≤ 30 elements)",
     "dna_kmer_spectrum" -> "transform over per-document k-mer array (≤ text length ~102)",
+    "dna_palindrome_sites" -> "transform over per-document k-mer array (≤ text length ~102)",
+    "text_jm_ppl" -> "transform over per-document bigram array (≤ text length ~102)",
     "embed_covariance" -> "transform over the 64-dim embedding vector",
     "embedding_stats" -> "fold over the 64-dim embedding vector",
     "events_ewma" -> "fold over per-type day series (calendar-bounded)",
