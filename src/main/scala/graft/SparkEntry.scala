@@ -135,6 +135,33 @@ object SparkEntry {
       "CAST((p_partkey*137) % 100000 + 50 + (p_partkey*97) % 2000 AS BIGINT) AS gstop " +
       "FROM part"
 
+  /** Gaps-and-islands merge chain over a `(chr, gstart, gstop)` CTE
+    * `src`, prefixed so two call sets can merge in one statement;
+    * ends in `<p>m(chr, mstart, mstop)` — the interval_merge oracle's
+    * exact semantics (adjacency fuses: a new block opens only when
+    * gstart clears the running max gstop by ≥ 2). */
+  private def mergeChainSql(src: String, p: String): String =
+    s"""${p}o AS (SELECT chr, gstart, gstop,
+       |  CASE WHEN max(gstop) OVER (PARTITION BY chr
+       |      ORDER BY gstart, gstop
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    IS NULL THEN 1
+       |  WHEN gstart > max(gstop) OVER (PARTITION BY chr
+       |      ORDER BY gstart, gstop
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |    THEN 1 ELSE 0 END AS op FROM $src),
+       |${p}b AS (SELECT chr, gstart, gstop,
+       |  sum(op) OVER (PARTITION BY chr ORDER BY gstart, gstop
+       |    ROWS UNBOUNDED PRECEDING) AS blk FROM ${p}o),
+       |${p}m AS (SELECT chr, CAST(min(gstart) AS BIGINT) AS mstart,
+       |  CAST(max(gstop) AS BIGINT) AS mstop FROM ${p}b
+       |  GROUP BY chr, blk)""".stripMargin
+
+  /** The 64 codon→AA pairs as a SQL VALUES list — interpolated from
+    * [[graft.functions.Dna.codonTable]], the one source of truth. */
+  private val codonValuesSql = graft.functions.DnaOps.codonTable
+    .map { case (c, a) => s"('$c', '$a')" }.mkString(", ")
+
   /** Normalized text (SQL twin of Dedup.normText; 'g' = global replace). */
   private val normTextSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -2543,6 +2570,35 @@ object SparkEntry {
         .groupBy("n_occ").agg(count(lit(1)).as("n_kmers"))
     }),
 
+    "dna_codon_usage" -> ((s, dir) => {
+      // relative synonymous codon usage (RSCU — the codon-bias table
+      // behind expression-level prediction and codon optimization;
+      // RSCU ≈ 1 = unbiased, the interesting genes deviate): frame-0
+      // codons of the derived DNA, one vocabulary-sized count agg
+      // (≤ 64 codons regardless of corpus), the 64-row codon→AA table
+      // broadcast from DnaOps.codonTable (ONE source of truth — the
+      // oracle interpolates the same table as VALUES);
+      // RSCU = n_occ·n_syn/total_aa, exact ints + one rounded division
+      import s.implicits._
+      val codons = Tables.documents(s, dir)
+        .select(docDna.as("dna"))
+        .select(explode(sequence(lit(1), lit(28), lit(3))).as("i"),
+          col("dna"))
+        .select(col("dna").substr(col("i"), lit(3)).as("codon"))
+        .groupBy("codon").agg(count(lit(1)).as("n_occ"))
+      val table = broadcast(graft.functions.DnaOps.codonTable
+        .map { case (c, a) => (c, a.toString) }
+        .toDF("codon", "aa"))
+      val nSyn = broadcast(table.groupBy("aa")
+        .agg(count(lit(1)).as("n_syn")))
+      val withAa = codons.join(table, "codon").join(nSyn, "aa")
+      val aaTot = withAa.groupBy("aa").agg(sum("n_occ").as("total_aa"))
+      withAa.join(aaTot, "aa")
+        .select(col("codon"), col("aa"), col("n_occ"),
+          round(lit(10000.0) * (col("n_occ") * col("n_syn")).cast("double")
+            / col("total_aa").cast("double")).cast("long").as("rscu4"))
+    }),
+
     "dna_palindrome_sites" -> ((s, dir) => {
       // reverse-complement palindrome census over 6-mers — the
       // restriction-enzyme recognition-site scan (EcoRI GAATTC etc.
@@ -3238,6 +3294,27 @@ object SparkEntry {
             .as("dispersion4"))
     }),
 
+    "popgen_pi_windows" -> ((s, dir) => {
+      // nucleotide-diversity track: per-site π with the site's OWN
+      // call count (π = 2k(M−k)/(M(M−1)), M = 2·n_called — the
+      // varying-n per-site estimator, unlike tajima_d's fixed panel),
+      // ×10⁸-rounded per site then summed per 100-bp window — the
+      // windowed diversity scan a selection screen reads (dips =
+      // sweeps); window domain is coordinate-bounded
+      val site = dosageCells(s, dir).groupBy("chr", "pos")
+        .agg(count(lit(1)).as("n"), sum("gv").as("k"))
+        .filter(col("n") >= 2 && col("k") > 0 &&
+          col("k") < lit(2L) * col("n"))
+      val m = (lit(2L) * col("n")).cast("double")
+      site.select(col("chr"),
+          (col("pos") - pmod(col("pos"), lit(100L))).divide(100)
+            .cast("long").as("win100"),
+          round(lit(1.0e8) * (lit(2.0) * col("k") * (m - col("k"))
+            / (m * (m - lit(1.0))))).cast("long").as("pi8"))
+        .groupBy("chr", "win100").agg(count(lit(1)).as("n_sites"),
+          sum("pi8").as("sum_pi8"))
+    }),
+
     "popgen_tajima_d" -> ((s, dir) => {
       // Tajima's D per chromosome (the neutrality test: D ≪ 0 =
       // selective sweep / expansion, D ≫ 0 = balancing selection —
@@ -3534,6 +3611,46 @@ object SparkEntry {
       Intervals.gaps(
         partGenes(s, dir).filter(col("gene_id") % 50 === 0), Seq("chr"),
         col("gstart"), col("gstop"))
+    }),
+
+    "interval_jaccard" -> ((s, dir) => {
+      // bedtools-jaccard between two call sets: |A∩B| / |A∪B| in BASE
+      // PAIRS over the MERGED sets (merging first is load-bearing —
+      // overlapping raw intervals would double-count intersection
+      // mass): gaps-and-islands merge per side, one binned range join
+      // between the DISJOINT block sets (candidates bin-bounded),
+      // exact integer bp sums + one rounded division per chr
+      val o = col("o_orderkey").cast("long")
+      val bRaw = Tables.orders(s, dir).select(
+        (o % 5).as("chr"),
+        ((o * 211) % 100000).as("gstart"),
+        ((o * 211) % 100000 + 30 + (o * 53) % 3000).as("gstop"))
+      val ma = Intervals.mergeIntervals(partGenes(s, dir), Seq("chr"),
+          col("gstart"), col("gstop"))
+        .select(col("chr"), col("mstart").as("a_start"),
+          col("mstop").as("a_stop"))
+      val mb = Intervals.mergeIntervals(bRaw, Seq("chr"),
+          col("gstart"), col("gstop"))
+        .select(col("chr"), col("mstart").as("b_start"),
+          col("mstop").as("b_stop"))
+      val inter = RangeJoin.overlapJoined(ma, mb, "a_start", "a_stop",
+          "b_start", "b_stop", keys = Seq("chr"), binWidth = 4096)
+        .select(col("chr"),
+          (least(col("a_stop"), col("b_stop")) -
+            greatest(col("a_start"), col("b_start")) + 1L).as("ov"))
+        .filter(col("ov") > 0)
+        .groupBy("chr").agg(sum("ov").as("inter_bp"))
+      val lenA = ma.groupBy("chr")
+        .agg(sum(col("a_stop") - col("a_start") + 1L).as("a_bp"))
+      val lenB = mb.groupBy("chr")
+        .agg(sum(col("b_stop") - col("b_start") + 1L).as("b_bp"))
+      lenA.join(lenB, "chr").join(inter, Seq("chr"), "left")
+        .select(col("chr"), col("a_bp"), col("b_bp"),
+          coalesce(col("inter_bp"), lit(0L)).as("inter_bp"))
+        .select(col("chr"), col("a_bp"), col("b_bp"), col("inter_bp"),
+          round(lit(10000.0) * col("inter_bp").cast("double") /
+            (col("a_bp") + col("b_bp") - col("inter_bp")).cast("double"))
+            .cast("long").as("jaccard4"))
     }),
 
     "sv_reciprocal_overlap" -> ((s, dir) => {
@@ -6174,6 +6291,24 @@ object SparkEntry {
            |c AS (SELECT kmer, count(*) AS n_occ FROM km GROUP BY 1)
            |SELECT n_occ, count(*) AS n_kmers FROM c GROUP BY 1""".stripMargin,
 
+      // codon→AA VALUES interpolated from Dna.codonTable (one truth);
+      // RSCU = n_occ·n_syn/total_aa with exact ints
+      "dna_codon_usage" ->
+        s"""WITH d AS (SELECT $docDnaSql AS dna FROM documents),
+           |co AS (SELECT substr(dna, CAST(u.i AS INT), 3) AS codon
+           |  FROM d, LATERAL unnest(generate_series(1, 28, 3)) u(i)),
+           |cc AS (SELECT codon, count(*) AS n_occ FROM co GROUP BY 1),
+           |ct AS (SELECT * FROM (VALUES $codonValuesSql) t(codon, aa)),
+           |ns AS (SELECT aa, count(*) AS n_syn FROM ct GROUP BY 1),
+           |j AS (SELECT cc.codon, ct.aa, cc.n_occ, ns.n_syn
+           |  FROM cc JOIN ct USING (codon) JOIN ns USING (aa)),
+           |tt AS (SELECT aa, CAST(sum(n_occ) AS BIGINT) AS total_aa
+           |  FROM j GROUP BY 1)
+           |SELECT j.codon, j.aa, j.n_occ,
+           |  CAST(round(10000.0 * (j.n_occ * j.n_syn) / tt.total_aa)
+           |    AS BIGINT) AS rscu4
+           |FROM j JOIN tt USING (aa)""".stripMargin,
+
       "dna_palindrome_sites" ->
         s"""WITH d AS (SELECT doc_id, $docDnaSql AS dna FROM documents),
            |km AS (SELECT doc_id,
@@ -7099,6 +7234,21 @@ object SparkEntry {
 
       // plain site-keyed self-join over the shared dosage cells; the
       // IBS classes are integer CASE logic on the dosage difference
+      // varying-n per-site π, windowed; ×10⁸ per-site rounding before
+      // the order-free window sums
+      "popgen_pi_windows" ->
+        s"""WITH $dosageCellCtes,
+           |st AS (SELECT chr, pos, count(*) AS n,
+           |  CAST(sum(gv) AS BIGINT) AS k FROM c GROUP BY 1, 2),
+           |f AS (SELECT chr, pos, k, CAST(2*n AS DOUBLE) AS m FROM st
+           |  WHERE n >= 2 AND k > 0 AND k < 2*n),
+           |p AS (SELECT chr, pos // 100 AS win100, CAST(round(
+           |  100000000.0 * (2.0 * k * (m - k) / (m * (m - 1.0))))
+           |  AS BIGINT) AS pi8 FROM f)
+           |SELECT chr, win100, count(*) AS n_sites,
+           |  CAST(sum(pi8) AS BIGINT) AS sum_pi8
+           |FROM p GROUP BY 1, 2""".stripMargin,
+
       // the tajA1/E1/E2 constants interpolate from the SAME Scala vals
       // the Spark literals use; π ×10⁸ rounded per site before summing
       "popgen_tajima_d" ->
@@ -7410,6 +7560,35 @@ object SparkEntry {
       // gaps-and-islands twin: same (start, stop)-ordered per-chr
       // windows — running max stop decides block opens, prefix-sum of
       // opens is the block id
+      // both sides merged by the shared gaps-and-islands chain, then a
+      // plain overlap inequality join of the DISJOINT blocks
+      "interval_jaccard" ->
+        s"""WITH ga AS ($partGenesSql),
+           |${mergeChainSql("ga", "a")},
+           |gb AS (SELECT CAST(o_orderkey % 5 AS BIGINT) AS chr,
+           |  CAST((o_orderkey*211) % 100000 AS BIGINT) AS gstart,
+           |  CAST((o_orderkey*211) % 100000 + 30 + (o_orderkey*53) % 3000
+           |    AS BIGINT) AS gstop FROM orders),
+           |${mergeChainSql("gb", "b")},
+           |iv AS (SELECT am.chr,
+           |  least(am.mstop, bm.mstop) -
+           |    greatest(am.mstart, bm.mstart) + 1 AS ov
+           |  FROM am JOIN bm ON bm.chr = am.chr
+           |    AND am.mstart <= bm.mstop AND bm.mstart <= am.mstop),
+           |ii AS (SELECT chr, CAST(sum(ov) AS BIGINT) AS inter_bp
+           |  FROM iv WHERE ov > 0 GROUP BY 1),
+           |la AS (SELECT chr, CAST(sum(mstop - mstart + 1) AS BIGINT)
+           |  AS a_bp FROM am GROUP BY 1),
+           |lb AS (SELECT chr, CAST(sum(mstop - mstart + 1) AS BIGINT)
+           |  AS b_bp FROM bm GROUP BY 1)
+           |SELECT la.chr, a_bp, b_bp,
+           |  coalesce(inter_bp, 0) AS inter_bp,
+           |  CAST(round(10000.0 * coalesce(inter_bp, 0) /
+           |    (a_bp + b_bp - coalesce(inter_bp, 0))) AS BIGINT)
+           |    AS jaccard4
+           |FROM la JOIN lb ON lb.chr = la.chr
+           |LEFT JOIN ii ON ii.chr = la.chr""".stripMargin,
+
       "interval_merge" ->
         s"""WITH g AS ($partGenesSql),
            |o AS (SELECT chr, gstart, gstop,

@@ -908,6 +908,68 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got == Map("GAATTC" -> ((2L, 2L))))
   }
 
+  test("interval jaccard: hand intersection through merge + range join") {
+    import graft.operators.{Intervals, RangeJoin}
+    // A = [1,6]+[4,10] (merges to [1,10]) + [20,30]; B = [5,25] →
+    // intersection [5,10] (6 bp) + [20,25] (6 bp) = 12 bp
+    val a = Seq((0L, 1L, 6L), (0L, 4L, 10L), (0L, 20L, 30L))
+      .toDF("chr", "gstart", "gstop")
+    val b = Seq((0L, 5L, 25L)).toDF("chr", "gstart", "gstop")
+    val ma = Intervals.mergeIntervals(a, Seq("chr"), col("gstart"),
+      col("gstop")).select(col("chr"), col("mstart").as("a_start"),
+      col("mstop").as("a_stop"))
+    val mb = Intervals.mergeIntervals(b, Seq("chr"), col("gstart"),
+      col("gstop")).select(col("chr"), col("mstart").as("b_start"),
+      col("mstop").as("b_stop"))
+    val inter = RangeJoin.overlapJoined(ma, mb, "a_start", "a_stop",
+        "b_start", "b_stop", keys = Seq("chr"), binWidth = 4096)
+      .select((least(col("a_stop"), col("b_stop")) -
+        greatest(col("a_start"), col("b_start")) + 1L).as("ov"))
+      .filter(col("ov") > 0).agg(sum("ov")).as[Long].collect()(0)
+    assert(inter == 12L)
+    // and the graded query's rows are self-consistent at sf0.001
+    val rows = SparkEntry.queries("interval_jaccard")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ab, bb, ib, j4) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(ib >= 0 && ib <= math.min(ab, bb))
+      assert(j4 == math.round(10000.0 * ib / (ab + bb - ib)))
+    }
+  }
+
+  test("codon usage: RSCU sums to n_syn x 1e4 per amino acid") {
+    import graft.functions.DnaOps
+    val rows = SparkEntry.queries("dna_codon_usage")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    val nSyn = DnaOps.codonTable.groupBy(_._2).map { case (a, cs) =>
+      a.toString -> cs.size }
+    // Σ_c RSCU over one AA's observed codons = n_syn exactly (up to
+    // per-codon rounding): Σ n_occ·n_syn/total = n_syn
+    rows.groupBy(_.getString(1)).foreach { case (aa, rs) =>
+      val sum4 = rs.map(_.getLong(3)).sum
+      assert(math.abs(sum4 - nSyn(aa) * 10000L) <= rs.length,
+        s"$aa: $sum4 vs ${nSyn(aa) * 10000}")
+    }
+    // total codon mass = 10 frame-0 codons per doc
+    val nDocs = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_.getLong(2)).sum == 10 * nDocs)
+  }
+
+  test("pi windows: per-site pi bounded, windows confined to the space") {
+    val rows = SparkEntry.queries("popgen_pi_windows")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 9) // pos < 1000
+      // max per-site π under the n ≥ 2 filter is M/(2(M−1)) ≤ 2/3
+      assert(r.getLong(3) <= r.getLong(2) * 66666667L)
+      assert(r.getLong(3) > 0)
+    }
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
