@@ -162,6 +162,25 @@ object SparkEntry {
   private val codonValuesSql = graft.functions.DnaOps.codonTable
     .map { case (c, a) => s"('$c', '$a')" }.mkString(", ")
 
+  /** The SCD2 test fixture shared by scd2_upsert and
+    * scd2_asof_snapshot (ONE derivation so the absorb input and the
+    * as-of churn matrix grade the same history): history = customers
+    * key%10≠0 all open since t=0; snapshot drops key%13=0, mutates
+    * key%7=0 to CHANGED, introduces key%10=0. */
+  private def scd2HistorySnap(s: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    val cust = Tables.customer(s, dir)
+    val history = cust.where(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    val snap = cust.where(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey").as("custkey"),
+        when(col("c_custkey") % 7 === 0, "CHANGED")
+          .otherwise(col("c_mktsegment")).as("segment"))
+    (history, snap)
+  }
+
   /** Normalized text (SQL twin of Dedup.normText; 'g' = global replace). */
   private val normTextSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -2376,17 +2395,29 @@ object SparkEntry {
       // since t=0; snapshot drops key % 13 == 0 (deletes), mutates the
       // segment of key % 7 == 0 (changes), and introduces key % 10 == 0
       // (inserts). Batch time 100.
-      val cust = Tables.customer(s, dir)
-      val history = cust.where(col("c_custkey") % 10 =!= 0)
-        .select(col("c_custkey").as("custkey"),
-          col("c_mktsegment").as("segment"),
-          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
-      val snap = cust.where(col("c_custkey") % 13 =!= 0)
-        .select(col("c_custkey").as("custkey"),
-          when(col("c_custkey") % 7 === 0, "CHANGED")
-            .otherwise(col("c_mktsegment")).as("segment"))
+      val (history, snap) = scd2HistorySnap(s, dir)
       Scd2.absorbSnapshot(history, snap, Seq("custkey"), Seq("segment"),
         batchTs = 100L)
+    }),
+
+    "scd2_asof_snapshot" -> ((s, dir) => {
+      // point-in-time AS OF through the absorbed history — the query a
+      // type-2 dimension exists to answer — composed into the segment
+      // CHURN MATRIX between two instants (t=50 pre-batch, t=150
+      // post-batch): the oracle derives the matrix DIRECTLY from the
+      // raw tables, so the graded compare proves absorb + asOf are
+      // jointly a faithful temporal store, not just self-consistent
+      val (history, snap) = scd2HistorySnap(s, dir)
+      val hist = Scd2.absorbSnapshot(history, snap,
+        Seq("custkey"), Seq("segment"), batchTs = 100L)
+      val before = Scd2.asOf(hist, 50L)
+        .select(col("custkey"), col("segment").as("seg_b"))
+      val after = Scd2.asOf(hist, 150L)
+        .select(col("custkey"), col("segment").as("seg_a"))
+      before.join(after, Seq("custkey"), "full")
+        .groupBy(coalesce(col("seg_b"), lit("<absent>")).as("seg_before"),
+          coalesce(col("seg_a"), lit("<absent>")).as("seg_after"))
+        .agg(count(lit(1)).as("n_keys"))
     }),
 
     "value_histogram" -> ((s, dir) => {
@@ -3760,6 +3791,26 @@ object SparkEntry {
       // balance audit; su4 discipline on the log terms
       EventOps.dailyEntropy(Tables.events(s, dir), "event_type",
         expr("ts DIV 1000"))
+    }),
+
+    "events_new_vs_returning" -> ((s, dir) => {
+      // daily growth accounting: active users split into NEW (first-
+      // ever day) vs RETURNING — the DAU decomposition next to
+      // events_retention's cohort matrix; the (user, day) distinct
+      // frame feeds a user-sized first-seen agg and joins back
+      // co-keyed, then a calendar-bounded rollup
+      val tsUs = expr("ts DIV 1000").cast("long")
+      val day = ((tsUs - pmod(tsUs, lit(86400000000L))) /
+        86400000000L).cast("long")
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), day.as("day")).distinct()
+      val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+      ud.join(first, "user_id")
+        .groupBy("day").agg(
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("day") > col("first_day"), 1L).otherwise(0L))
+            .as("n_returning"))
     }),
 
     "events_hour_profile" -> ((s, dir) => {
@@ -5971,6 +6022,20 @@ object SparkEntry {
           |SELECT g.user_id, g.day, CAST(coalesce(n, 0) AS BIGINT) AS n
           |FROM g LEFT JOIN c USING (user_id, day)""".stripMargin,
 
+      // the churn matrix derived DIRECTLY from the raw tables — the
+      // absorb+asOf composition must reproduce it end to end
+      "scd2_asof_snapshot" ->
+        """WITH h AS (SELECT c_custkey AS k, c_mktsegment AS seg
+          |  FROM customer WHERE c_custkey % 10 <> 0),
+          |s AS (SELECT c_custkey AS k,
+          |  CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED'
+          |    ELSE c_mktsegment END AS seg
+          |  FROM customer WHERE c_custkey % 13 <> 0)
+          |SELECT coalesce(h.seg, '<absent>') AS seg_before,
+          |  coalesce(s.seg, '<absent>') AS seg_after,
+          |  count(*) AS n_keys
+          |FROM h FULL JOIN s ON s.k = h.k GROUP BY 1, 2""".stripMargin,
+
       "scd2_upsert" ->
         """WITH h AS (SELECT c_custkey AS k, c_mktsegment AS seg
           |  FROM customer WHERE c_custkey % 10 <> 0),
@@ -7800,6 +7865,18 @@ object SparkEntry {
 
       // dow profile: (epoch_day + 4) % 7, idx as the single unrounded
       // IEEE division of exact ints
+      "events_new_vs_returning" ->
+        """WITH ud AS (SELECT DISTINCT user_id,
+          |  epoch_us(ts) // 86400000000 AS day FROM events),
+          |f AS (SELECT user_id, min(day) AS first_day FROM ud
+          |  GROUP BY 1)
+          |SELECT day,
+          |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_new,
+          |  CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_returning
+          |FROM ud JOIN f USING (user_id) GROUP BY 1""".stripMargin,
+
       "events_hour_profile" ->
         """WITH c AS (SELECT event_type,
           |  (epoch_us(ts) // 3600000000) % 24 AS hour,

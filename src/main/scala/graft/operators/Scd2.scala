@@ -34,6 +34,18 @@ object Scd2 {
     *  - key absent from snapshot → version closed at `batchTs` (delete);
     *  - key new in snapshot → open version from `batchTs`.
     */
+  /** Point-in-time reconstruction — the temporal AS OF query a type-2
+    * dimension exists to answer ("what did this customer look like
+    * last quarter"): the versions valid AT `t`, i.e.
+    * valid_from ≤ t < valid_to (open versions have no upper bound).
+    * A half-open read, so an as-of at exactly a batch time sees the
+    * POST-batch state — the convention warehouse time travel uses.
+    * Pure narrow filter: pushes into the history scan (at scale, onto
+    * the valid_from/valid_to zone maps). */
+  def asOf(history: DataFrame, t: Long): DataFrame =
+    history.where(col("valid_from") <= t &&
+      (col("valid_to").isNull || col("valid_to") > t))
+
   def absorbSnapshot(history: DataFrame, snapshot: DataFrame,
                      key: Seq[String], attrs: Seq[String],
                      batchTs: Long): DataFrame = {

@@ -970,6 +970,36 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Scd2.asOf: half-open validity — batch instant reads post-batch") {
+    import graft.operators.Scd2
+    val hist = Seq(
+      (1L, "A", 0L, Some(100L)), (1L, "B", 100L, None), // change at 100
+      (2L, "C", 0L, Some(100L))) // deleted at 100
+      .toDF("custkey", "segment", "valid_from", "valid_to")
+    def at(t: Long) = Scd2.asOf(hist, t)
+      .select("custkey", "segment").as[(Long, String)].collect().toMap
+    assert(at(50L) == Map(1L -> "A", 2L -> "C"))
+    assert(at(100L) == Map(1L -> "B")) // the batch instant is post-batch
+    assert(at(150L) == Map(1L -> "B"))
+  }
+
+  test("events_new_vs_returning: hand two-user growth accounting") {
+    val dayUs = 86400000000L
+    // user 1 active day 0 and 1; user 2 first appears day 1
+    val ev = Seq((1L, 10L), (1L, dayUs + 5L), (1L, dayUs + 9L),
+      (2L, dayUs + 7L)).toDF("user_id", "us")
+    val tmp = java.nio.file.Files.createTempDirectory("nvr").toString
+    ev.select(col("user_id"),
+        (col("us") * 1000).as("ts"), // store as ns like the real table
+        lit(0L).as("event_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = SparkEntry.queries("events_new_vs_returning")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(0L -> ((1L, 0L)), 1L -> ((1L, 1L))))
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
