@@ -3967,6 +3967,69 @@ object SparkEntry {
           Tables.documents(s, dir).select("doc_id"), "doc_id"),
         threshold = 1360L).toDF()
     }),
+
+    "popgen_grm" -> ((s, dir) => {
+      // VanRaden GRM entries per sample pair (the mixed-model GWAS
+      // kinship input next to popgen_king's robust classes): centered
+      // dosages rounded ×10⁴ per cell, denominator 2p(1−p) rounded
+      // ×10⁸ per site — both pairwise sums order-free exact longs,
+      // one final division (PopGen.grmPairs)
+      PopGen.grmPairs(dosageCells(s, dir))
+    }),
+
+    "events_lifetable" -> ((s, dir) => {
+      // actuarial life table over user lifetimes: last-day-at-cutoff
+      // = right-censored, discrete hazard ×10⁸ per duration; the KM
+      // frame without the one non-order-free float product
+      // (EventOps.lifeTable)
+      EventOps.lifeTable(Tables.events(s, dir), "user_id",
+        expr("ts DIV 1000"))
+    }),
+
+    "graph_clustering_coeff" -> ((s, dir) => {
+      // per-degree local clustering profile (Watts-Strogatz cc =
+      // closed/possible wedges per node) over the near-dup graph: the
+      // node-level read under graph_triangles' census — low-cc
+      // high-degree rows are the bridge docs that chain-merge
+      // clusters (Graphs.localClustering; deg < 2 undefined, excluded)
+      val lc = Graphs.localClustering(docJaccardPairs(s, dir),
+        "id_a", "id_b")
+      lc.select(col("deg"), col("tri"),
+          round(lit(10000.0) * lit(2.0) * col("tri") /
+            (col("deg") * (col("deg") - lit(1L))))
+            .cast("long").as("cc4"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"),
+          sum("tri").as("tri_inc"),
+          round(sum("cc4").cast("double") /
+            count(lit(1)).cast("double")).cast("long").as("avg_cc4"))
+    }),
+
+    "text_textrank" -> ((s, dir) => {
+      // TextRank keywords (Mihalcea & Tarau 2004): unweighted
+      // co-occurrence graph over ADJACENT normalized tokens, 3 fixed
+      // PageRank rounds with the ×10¹² order-free contribution idiom
+      // (the graph_pagerank dataflow on a word graph), top 25 by
+      // (pr desc, word) — every frame vocabulary-sized after the one
+      // bigram explode
+      val bg = Tables.documents(s, dir).select(
+          explode(TextAnalysis.wordBigrams(col("text"))).as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("wa"),
+          substring_index(col("bg"), " ", -1).as("wb"))
+        .filter(col("wa") =!= col("wb") &&
+          length(col("wa")) > 0 && length(col("wb")) > 0)
+      // the ONE corpus-sized step (explode + distinct shuffle); cut
+      // here so the degree/node aggs and all three rounds read the
+      // vocabulary-sized pair frame, not five re-reads of the
+      // corpus-explode exchange
+      val und = Graphs.materialize(
+        bg.select(least(col("wa"), col("wb")).as("u"),
+          greatest(col("wa"), col("wb")).as("v")).distinct())
+      val edges = und.select(col("u").as("src"), col("v").as("dst"))
+        .union(und.select(col("v").as("src"), col("u").as("dst")))
+      TopK.ranked(Graphs.pagerank(edges, "src", "dst", iterations = 3),
+          25, col("pr").desc, col("id").asc)
+        .select(col("rank"), col("id").as("word"), col("pr"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -8310,6 +8373,126 @@ object SparkEntry {
           |    AS n_cuts
           |FROM b JOIN v ON v.media_id = b.media_id
           |GROUP BY 1, 2""".stripMargin,
+
+      // VanRaden GRM: the same per-cell ×10⁴ / per-site ×10⁸ rounding
+      // sequence term by term — the 10⁸ scales cancel in the final
+      // ratio, so both engines divide the identical exact longs
+      "popgen_grm" ->
+        s"""WITH $dosageCellCtes,
+           |st AS (SELECT chr, pos, count(*) AS n,
+           |  sum(CASE WHEN gv = 1 THEN 1 ELSE 0 END) AS n1,
+           |  sum(CASE WHEN gv = 2 THEN 1 ELSE 0 END) AS n2
+           |  FROM c GROUP BY 1, 2),
+           |pk AS (SELECT chr, pos,
+           |  (2.0 * n2 + n1) / (2.0 * n) AS p,
+           |  CAST(round(100000000.0 * 2.0 * ((2.0 * n2 + n1) / (2.0 * n))
+           |    * (1.0 - (2.0 * n2 + n1) / (2.0 * n))) AS BIGINT) AS dq8
+           |  FROM st
+           |  WHERE (2.0 * n2 + n1) / (2.0 * n) > 0
+           |    AND (2.0 * n2 + n1) / (2.0 * n) < 1),
+           |z AS (SELECT c.chr, c.pos, c.sample,
+           |  CAST(round(10000.0 * (c.gv - 2.0 * pk.p)) AS BIGINT) AS zq4,
+           |  pk.dq8
+           |  FROM c JOIN pk ON pk.chr = c.chr AND pk.pos = c.pos)
+           |SELECT a.sample AS s1, b.sample AS s2,
+           |  count(*) AS n_shared,
+           |  CAST(round(10000.0 * sum(a.zq4 * b.zq4) / sum(a.dq8))
+           |    AS BIGINT) AS grm4
+           |FROM z a JOIN z b ON a.chr = b.chr AND a.pos = b.pos
+           |  AND a.sample < b.sample
+           |GROUP BY 1, 2""".stripMargin,
+
+      // life table: day = epoch_us // 86400000000 (the shared daily
+      // idiom), censoring at the global max day, at-risk via the
+      // bounded tail self-join — counts exact, one rounded division
+      "events_lifetable" ->
+        """WITH ud AS (SELECT user_id,
+          |  min(epoch_us(ts) // 86400000000) AS fd,
+          |  max(epoch_us(ts) // 86400000000) AS ld
+          |  FROM events GROUP BY 1),
+          |co AS (SELECT max(epoch_us(ts) // 86400000000) AS cutoff
+          |  FROM events),
+          |d AS (SELECT ld - fd AS t,
+          |  CASE WHEN ld = cutoff THEN 1 ELSE 0 END AS cen
+          |  FROM ud, co),
+          |bt AS (SELECT t, CAST(sum(1 - cen) AS BIGINT) AS n_churn,
+          |  CAST(sum(cen) AS BIGINT) AS n_censored FROM d GROUP BY 1)
+          |SELECT a.t,
+          |  CAST(sum(b.n_churn + b.n_censored) AS BIGINT) AS n_risk,
+          |  a.n_churn, a.n_censored,
+          |  CAST(round(100000000.0 * a.n_churn
+          |    / sum(b.n_churn + b.n_censored)) AS BIGINT) AS hazard8
+          |FROM bt a JOIN bt b ON b.t >= a.t
+          |GROUP BY 1, 3, 4""".stripMargin,
+
+      // the graph_triangles orientation chain extended per node: each
+      // closed wedge credited to its three corners via unnest, then
+      // the per-degree rollup of ×10⁴-rounded per-node coefficients
+      "graph_clustering_coeff" ->
+        s"""WITH $jaccardPairCtes,
+           |e AS (SELECT id_a AS u, id_b AS v FROM jp),
+           |dg AS (SELECT id, count(*) AS deg FROM (
+           |  SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+           |  GROUP BY 1),
+           |o AS (SELECT
+           |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+           |    THEN e.u ELSE e.v END AS src,
+           |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+           |    THEN e.v ELSE e.u END AS dst
+           |  FROM e JOIN dg du ON du.id = e.u JOIN dg dv ON dv.id = e.v),
+           |w AS (SELECT o1.src AS s, o1.dst AS w1, o2.dst AS w2
+           |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+           |tri AS (SELECT * FROM w WHERE EXISTS (SELECT 1 FROM e
+           |  WHERE e.u = least(w.w1, w.w2) AND e.v = greatest(w.w1, w.w2))),
+           |pn AS (SELECT id, count(*) AS tri FROM (
+           |  SELECT unnest([s, w1, w2]) AS id FROM tri) GROUP BY 1),
+           |cc AS (SELECT dg.id, dg.deg, coalesce(pn.tri, 0) AS tri,
+           |  CAST(round(10000.0 * 2.0 * coalesce(pn.tri, 0)
+           |    / (dg.deg * (dg.deg - 1))) AS BIGINT) AS cc4
+           |  FROM dg LEFT JOIN pn ON pn.id = dg.id WHERE dg.deg >= 2)
+           |SELECT deg, count(*) AS n_nodes,
+           |  CAST(sum(tri) AS BIGINT) AS tri_inc,
+           |  CAST(round(sum(cc4) / count(*)) AS BIGINT) AS avg_cc4
+           |FROM cc GROUP BY 1""".stripMargin,
+
+      // TextRank: the graph_pagerank round template on the adjacent-
+      // token co-occurrence graph, 3 rounds, ×10¹² exact contributions
+      "text_textrank" ->
+        s"""WITH t AS (SELECT $normTextSql AS t FROM documents),
+           |a AS (SELECT string_split(t, ' ') AS ws FROM t),
+           |bg AS (SELECT ws[CAST(i AS INT)] AS wa, ws[CAST(i AS INT) + 1] AS wb
+           |  FROM (SELECT ws, unnest(generate_series(1, length(ws) - 1)) AS i
+           |        FROM a WHERE length(ws) >= 2)),
+           |ue AS (SELECT DISTINCT least(wa, wb) AS u, greatest(wa, wb) AS v
+           |  FROM bg WHERE wa <> wb AND length(wa) > 0 AND length(wb) > 0),
+           |e AS (SELECT u AS src, v AS dst FROM ue
+           |  UNION ALL SELECT v, u FROM ue),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |nodes AS (SELECT DISTINCT src AS id FROM e),
+           |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+           |p0 AS (SELECT id, 1.0 / n_nodes AS pr FROM nodes, nn),
+           |c1 AS (SELECT dst, CAST(sum(CAST(round(pr / outdeg
+           |    * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s12
+           |  FROM e JOIN p0 ON p0.id = e.src JOIN deg USING (src)
+           |  GROUP BY 1),
+           |p1 AS (SELECT dst AS id, (CAST(1.0 AS DOUBLE) - 0.85) / n_nodes
+           |    + 0.85 * (s12 / 1000000000000.0) AS pr FROM c1, nn),
+           |c2 AS (SELECT dst, CAST(sum(CAST(round(pr / outdeg
+           |    * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s12
+           |  FROM e JOIN p1 ON p1.id = e.src JOIN deg USING (src)
+           |  GROUP BY 1),
+           |p2 AS (SELECT dst AS id, (CAST(1.0 AS DOUBLE) - 0.85) / n_nodes
+           |    + 0.85 * (s12 / 1000000000000.0) AS pr FROM c2, nn),
+           |c3 AS (SELECT dst, CAST(sum(CAST(round(pr / outdeg
+           |    * 1000000000000.0) AS BIGINT)) AS BIGINT) AS s12
+           |  FROM e JOIN p2 ON p2.id = e.src JOIN deg USING (src)
+           |  GROUP BY 1),
+           |p3 AS (SELECT dst AS id, (CAST(1.0 AS DOUBLE) - 0.85) / n_nodes
+           |    + 0.85 * (s12 / 1000000000000.0) AS pr FROM c3, nn)
+           |SELECT rank, word, pr FROM (
+           |  SELECT CAST(row_number() OVER (ORDER BY pr DESC, id)
+           |    AS BIGINT) AS rank, id AS word, pr FROM p3)
+           |WHERE rank <= 25""".stripMargin,
     )
   }
 }

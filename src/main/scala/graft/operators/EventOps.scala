@@ -918,4 +918,53 @@ object EventOps {
       count(col(s"t_$st")).cast("long").as(s"n_$st"))
     times.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Actuarial life table over user lifetimes (the Kaplan–Meier
+    * LIFE-TABLE frame — discrete-time survival analysis applied to
+    * churn, the standard retention read beyond events_retention's
+    * cohort matrix): a user's lifetime t = last active day − first
+    * active day; users whose last day IS the observation cutoff
+    * (the global max day) are right-CENSORED (still alive when the
+    * window closed), everyone else CHURNED at t. Per duration t the
+    * table reports the at-risk count n(t) = users with lifetime ≥ t
+    * (censored users count at-risk through their censoring time — the
+    * KM convention), the churn and censor counts at t, and the
+    * discrete hazard h(t) = churn/at-risk ×10⁸. The KM survivor curve
+    * is the running product of (1 − h) — deliberately NOT emitted:
+    * a cross-engine float product is the one non-order-free step, and
+    * the hazard column carries the same information exactly (integer
+    * counts + one rounded division per row).
+    *
+    * Scale shape: one user-sized partial agg, the 1-row cutoff frame
+    * broadcast-crossed, then everything lives on the duration frame —
+    * bounded by the CALENDAR SPAN in days, never by users — where the
+    * at-risk tail sum is a bounded non-equi self-join (no
+    * unpartitioned window; ≤ span² pairs of a few-hundred-row frame).
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (t, n_risk, n_churn, n_censored, hazard8)
+    */
+  def lifeTable(events: DataFrame, userCol: String,
+                tsUs: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    val perUser = events.select(col(userCol).as("u"), day.as("day"))
+      .groupBy("u").agg(min("day").as("fd"), max("day").as("ld"))
+    val cutoff = events.select(max(day).as("cutoff"))
+    val durations = perUser.crossJoin(broadcast(cutoff))
+      .select((col("ld") - col("fd")).as("t"),
+        when(col("ld") === col("cutoff"), 1L).otherwise(0L).as("cen"))
+    val byT = durations.groupBy("t").agg(
+      sum(lit(1L) - col("cen")).as("n_churn"),
+      sum("cen").as("n_censored"))
+    val tail = byT.select(col("t").as("t2"),
+      (col("n_churn") + col("n_censored")).as("exits"))
+    byT.join(tail, col("t2") >= col("t"))
+      .groupBy("t", "n_churn", "n_censored")
+      .agg(sum("exits").as("n_risk"))
+      .select(col("t"), col("n_risk"), col("n_churn"), col("n_censored"),
+        round(lit(1.0e8) * col("n_churn").cast("double") /
+          col("n_risk").cast("double")).cast("long").as("hazard8"))
+  }
 }

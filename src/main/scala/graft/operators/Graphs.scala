@@ -173,7 +173,7 @@ object Graphs {
     * kept, recomputed on block loss, and the blocks are dropped by the
     * ContextCleaner when the frame is GC'd (or by catalog.clearCache).
     */
-  private def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.isLocal) df.localCheckpoint()
     else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -559,5 +559,54 @@ object Graphs {
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Per-node triangle participation over unique undirected pairs —
+    * the node-level frame behind the local clustering coefficient
+    * (Watts–Strogatz 1998: cc(v) = closed wedges at v / C(deg v, 2);
+    * on a near-dup graph, low-cc high-degree nodes are the bridge
+    * documents whose removal splits chained clusters — the per-NODE
+    * refinement of [[triangles]]' global census and edgeJaccard's
+    * per-EDGE screen).
+    *
+    * Same degree-ordered orientation as [[triangles]] (wedge join
+    * bounded O(m^1.5), never deg²); each closed wedge is one triangle
+    * {src, w1, w2} credited to all three corners via a 3-way explode
+    * of the TRIANGLE frame (triangles ≪ wedges), then one node-sized
+    * count. Nodes of degree < 2 have no wedge and an undefined cc —
+    * excluded, documented. Input must be unique undirected pairs
+    * (enforced with distinct like [[edgeJaccard]]).
+    *
+    * @return (id, deg, tri) for deg ≥ 2; tri = triangles containing id
+    */
+  def localClustering(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val e = materialize(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct())
+    val deg = materialize(e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg")))
+    val toLarger = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = materialize(e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(when(toLarger, col("u")).otherwise(col("v")).as("src"),
+        when(toLarger, col("v")).otherwise(col("u")).as("dst")))
+    val wedges = o.select(col("src"), col("dst").as("w1"))
+      .join(o.select(col("src"), col("dst").as("w2")), "src")
+      .filter(col("w1") < col("w2"))
+    val closed = wedges.join(e,
+      least(col("w1"), col("w2")) === col("u") &&
+        greatest(col("w1"), col("w2")) === col("v"), "left_semi")
+    val perNode = closed
+      .select(explode(array(col("src"), col("w1"), col("w2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
   }
 }

@@ -168,4 +168,58 @@ object PopGen {
       when(m === 0, 0).otherwise(1)
     c < cmin || c > cmax
   }
+
+  /** VanRaden genomic relationship matrix (GRM) entries per sample
+    * pair (VanRaden 2008 method 1, the GCTA `--make-grm` estimator —
+    * the kinship matrix a mixed-model GWAS fits as its random effect;
+    * KING reads RELATEDNESS CLASSES robustly, the GRM is the
+    * VARIANCE-COMPONENT input): over a pair's shared called sites,
+    * G_ij = Σ_k (x_ik − 2p_k)(x_jk − 2p_k) / Σ_k 2p_k(1−p_k) with
+    * x ∈ {0,1,2} and p_k the cohort alt frequency; polymorphic sites
+    * only (a fixed site contributes 0/0).
+    *
+    * Parity: the per-cell centered dosage rounds ×10⁴ to a long ONCE
+    * per (site, sample) and the per-site denominator term rounds ×10⁸
+    * ONCE per site, so both pairwise sums are order-free exact longs
+    * (the expHomE8 discipline); the 10⁸ scales cancel in the ratio and
+    * ONE final double division produces grm4. Numerator products are
+    * ≤ 4×10⁸ per site — exact longs far under 2⁵³, so the final
+    * double casts are exact too.
+    *
+    * Scale shape: one (chr,pos) partial-agg shuffle (sites-bounded),
+    * the site frame joined back co-keyed, then the popgen_ibs
+    * site-keyed self-join — per-site fan-out bounded by samples², the
+    * result a samples²-bounded rollup. No window, no collect.
+    *
+    * @param cells (chr, pos, sample, gv) with gv ∈ {0,1,2}
+    * @return (s1, s2, n_shared, grm4), s1 < s2
+    */
+  def grmPairs(cells: DataFrame): DataFrame = {
+    val site = cells.groupBy("chr", "pos").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("gv") === 1, 1).otherwise(0)).as("n1"),
+      sum(when(col("gv") === 2, 1).otherwise(0)).as("n2"))
+    val p = altFreq(col("n"), col("n1"), col("n2"))
+    val pk = site.filter(p > 0 && p < 1).select(col("chr"), col("pos"),
+      p.as("p"),
+      round(lit(1.0e8) * lit(2.0) * p * (lit(1.0) - p)).cast("long")
+        .as("dq8"))
+    val z = cells.join(pk, Seq("chr", "pos"))
+      .select(col("chr"), col("pos"), col("sample"),
+        round(lit(10000.0) * (col("gv") - lit(2.0) * col("p")))
+          .cast("long").as("zq4"),
+        col("dq8"))
+    val a = z.select(col("chr"), col("pos"), col("sample").as("s1"),
+      col("zq4").as("z1"), col("dq8"))
+    val b = z.select(col("chr"), col("pos"), col("sample").as("s2"),
+      col("zq4").as("z2"))
+    a.join(b, Seq("chr", "pos")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(
+        count(lit(1)).as("n_shared"),
+        sum(col("z1") * col("z2")).as("num"),
+        sum("dq8").as("den8"))
+      .select(col("s1"), col("s2"), col("n_shared"),
+        round(lit(10000.0) * col("num").cast("double") /
+          col("den8").cast("double")).cast("long").as("grm4"))
+  }
 }

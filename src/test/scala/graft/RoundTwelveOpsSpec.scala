@@ -1000,6 +1000,91 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> ((1L, 0L)), 1L -> ((1L, 1L))))
   }
 
+  test("grmPairs: hand cohort — centered-dosage cross products over shared sites") {
+    // site pos1: gv = (0, 2, 1) → p = 1/2, dq8 = 5e7,
+    //   zq4 = (−10000, 10000, 0)
+    // site pos2: gv = (1, 1, 0) → p = 1/3, dq8 = round(4/9·1e8) =
+    //   44444444, zq4 = (3333, 3333, −6667)
+    val cells = Seq(
+      (0L, 1L, 0L, 0), (0L, 1L, 1L, 2), (0L, 1L, 2L, 1),
+      (0L, 2L, 0L, 1), (0L, 2L, 1L, 1), (0L, 2L, 2L, 0))
+      .toDF("chr", "pos", "sample", "gv")
+    val got = graft.operators.PopGen.grmPairs(cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (0,1): num = −1e8 + 3333² = −88891111, den = 94444444 → −9412
+    // (0,2): num = 0 + 3333·(−6667) = −22221111 → −2353
+    // (1,2): num = 0 + 3333·(−6667) = −22221111 → −2353
+    assert(got == Map(
+      (0L, 1L) -> ((2L, -9412L)),
+      (0L, 2L) -> ((2L, -2353L)),
+      (1L, 2L) -> ((2L, -2353L))))
+  }
+
+  test("grmPairs: monomorphic sites contribute nothing") {
+    // pos1 fixed hom-ref (p = 0), pos9 fixed hom-alt (p = 1) — both
+    // excluded; only pos2 (p = 1/2) grades the pair
+    val cells = Seq(
+      (0L, 1L, 0L, 0), (0L, 1L, 1L, 0),
+      (0L, 9L, 0L, 2), (0L, 9L, 1L, 2),
+      (0L, 2L, 0L, 0), (0L, 2L, 1L, 2))
+      .toDF("chr", "pos", "sample", "gv")
+    val rows = graft.operators.PopGen.grmPairs(cells).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // p = 1/2: zq4 = (−10000, 10000), dq8 = 5e7 →
+    // grm4 = round(1e4·(−1e8)/5e7) = −20000
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((0L, 1L, 1L, -20000L)))
+  }
+
+  test("lifeTable: censoring at the cutoff day, at-risk tail, hazard") {
+    val dayUs = 86400000000L
+    // A active days 0 and 5 → t=5 churn; B day 5 only → t=0 churn;
+    // C days 1..3 → t=2 churn; D day 6 (the cutoff) → t=0 CENSORED
+    val ev = Seq(
+      (1L, 0L * dayUs + 3L), (1L, 5L * dayUs + 9L),
+      (2L, 5L * dayUs + 1L),
+      (3L, 1L * dayUs), (3L, 2L * dayUs + 7L), (3L, 3L * dayUs),
+      (4L, 6L * dayUs + 11L))
+      .toDF("user_id", "us")
+    val got = graft.operators.EventOps.lifeTable(ev, "user_id", col("us"))
+      .as[(Long, Long, Long, Long, Long)].collect().toMap2
+    assert(got == Map(
+      0L -> ((4L, 1L, 1L, 25000000L)),
+      2L -> ((2L, 1L, 0L, 50000000L)),
+      5L -> ((1L, 1L, 0L, 100000000L))))
+  }
+
+  test("localClustering: K4 plus pendant — per-node triangles and exclusions") {
+    // 4-clique {1,2,3,4} + pendant 5–1: every clique node sits in 3 of
+    // the 4 triangles; node 1 has deg 4 (cc = 1/2), others deg 3
+    // (cc = 1); node 5 (deg 1) is excluded
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L)).toDF("a", "b")
+    val got = graft.operators.Graphs.localClustering(e, "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> ((4L, 3L)), 2L -> ((3L, 3L)),
+      3L -> ((3L, 3L)), 4L -> ((3L, 3L))))
+    // duplicate/both-direction input changes nothing (distinct gate)
+    val dup = e.union(e.select(col("b"), col("a")))
+    val got2 = graft.operators.Graphs.localClustering(dup, "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got2 == got)
+  }
+
+  test("text_textrank: two-word symmetric graph is a fixed point at 0.5") {
+    val tmp = java.nio.file.Files.createTempDirectory("trk").toString
+    Seq((1L, "a b a", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("text_textrank")(spark, tmp)
+      .as[(Long, String, Double)].collect().toList
+    assert(got == List((1L, "a", 0.5), (2L, "b", 0.5)))
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
