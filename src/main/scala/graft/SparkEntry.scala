@@ -4030,6 +4030,59 @@ object SparkEntry {
           25, col("pr").desc, col("id").asc)
         .select(col("rank"), col("id").as("word"), col("pr"))
     }),
+
+    "graph_conductance" -> ((s, dir) => {
+      // per-community conductance over the 3-round LPA labels — the
+      // cut-quality audit dual to graph_modularity's global score:
+      // φ(c) = cut/min(vol, 2m−vol), low φ = well-separated, φ → 1 =
+      // mostly boundary (Graphs.conductance; NULL when the complement
+      // has zero volume)
+      val pairs = docJaccardPairs(s, dir)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val labels = Graphs.labelPropagation(edges, "src", "dst",
+        iterations = 3)
+      Graphs.conductance(pairs, "id_a", "id_b", labels)
+    }),
+
+    "text_simpson" -> ((s, dir) => {
+      // Simpson lexical diversity per source: P(two tokens drawn
+      // without replacement are the same word) — exact integer
+      // numerator/denominator, one rounded division; high = templated
+      // or repetitive feed (TextAnalysis.simpsonDiversity)
+      TextAnalysis.simpsonDiversity(Tables.documents(s, dir),
+        "source", "text")
+    }),
+
+    "embed_ivf_balance" -> ((s, dir) => {
+      // IVF inverted-list load audit over the fixed quantizer the ANN
+      // family shares: load4 = count·numC/total ×10⁴ per list, empty
+      // lists emitted as zero rows (dead centroids are the finding) —
+      // the sizing feedback loop next to ann_recall_audit's quality one
+      Similarity.ivfListBalance(Tables.embeddings(s, dir),
+        "vec_id", "embedding", Similarity.ivfQuantizer(16, 64))
+    }),
+
+    "dna_minimizers" -> ((s, dir) => {
+      // (w=8, k=5)-minimizer selection density per derived DNA
+      // sequence (the minimap2/Kraken2 sampling scheme; winnowing's
+      // genomic twin): density6 vs the ~2/(w+1) expectation flags
+      // repetitive composition under-sampling (Sketches.minimizers)
+      Sketches.minimizers(
+          Tables.documents(s, dir).select(col("doc_id"), docDna.as("dna")),
+          "doc_id", "dna", k = 5, w = 8)
+        .select(col("id").as("doc_id"), col("n_windows"),
+          col("n_minimizers"), col("density6"))
+    }),
+
+    "events_burstiness" -> ((s, dir) => {
+      // Goh-Barabási burstiness of same-user inter-event gaps per
+      // type: B = (σ−μ)/(σ+μ) over integer-minute gaps — periodic
+      // bots read B ≪ 0, human bursts B > 0; the temporal half of the
+      // whale/bot audit next to events_user_gini (EventOps.burstiness)
+      EventOps.burstiness(Tables.events(s, dir), "event_type",
+        "user_id", expr("ts DIV 1000"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -8493,6 +8546,118 @@ object SparkEntry {
            |  SELECT CAST(row_number() OVER (ORDER BY pr DESC, id)
            |    AS BIGINT) AS rank, id AS word, pr FROM p3)
            |WHERE rank <= 25""".stripMargin,
+
+      // conductance: the modularity chain's edge/degree/label CTEs with
+      // a per-community cut tally (each boundary edge credits BOTH
+      // sides) and the integer min-volume guard
+      "graph_conductance" ->
+        s"""WITH $lpaCtes,
+           |eu AS (SELECT id_a AS u, id_b AS v FROM jp),
+           |mm AS (SELECT 2 * count(*) AS vol2m FROM eu),
+           |el AS (SELECT a.label AS lu, b.label AS lv FROM eu
+           |  JOIN l3 a ON a.id = eu.u JOIN l3 b ON b.id = eu.v),
+           |ct AS (SELECT label, count(*) AS cut FROM (
+           |  SELECT lu AS label FROM el WHERE lu <> lv
+           |  UNION ALL SELECT lv FROM el WHERE lu <> lv) GROUP BY 1),
+           |deg AS (SELECT id, count(*) AS deg FROM (
+           |  SELECT u AS id FROM eu UNION ALL SELECT v FROM eu)
+           |  GROUP BY 1),
+           |vl AS (SELECT l.label, count(*) AS n_nodes,
+           |  CAST(sum(d.deg) AS BIGINT) AS vol
+           |  FROM deg d JOIN l3 l ON l.id = d.id GROUP BY 1)
+           |SELECT vl.label, vl.n_nodes, vl.vol,
+           |  CAST(coalesce(ct.cut, 0) AS BIGINT) AS cut,
+           |  CASE WHEN least(vl.vol, vol2m - vl.vol) > 0
+           |    THEN CAST(round(1000000.0 * coalesce(ct.cut, 0)
+           |      / CAST(least(vl.vol, vol2m - vl.vol) AS DOUBLE)) AS BIGINT)
+           |  END AS conductance6
+           |FROM vl LEFT JOIN ct ON ct.label = vl.label, mm""".stripMargin,
+
+      // Simpson diversity: exact-integer Σc(c−1) and N(N−1), the two
+      // denominator factors cast to double separately (the
+      // variance-product rule), one rounded division
+      "text_simpson" ->
+        s"""WITH w AS (SELECT source, uw.w FROM
+           |  (SELECT source, $normTextSql AS t FROM documents) d,
+           |  LATERAL unnest(string_split(t, ' ')) uw(w)
+           |  WHERE length(uw.w) > 0),
+           |c AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2),
+           |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |  count(*) AS n_types, CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+           |  FROM c GROUP BY 1)
+           |SELECT source, n_tokens, n_types,
+           |  CASE WHEN n_tokens >= 2
+           |    THEN CAST(round(100000000.0 * coll /
+           |      (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE)))
+           |      AS BIGINT)
+           |  END AS simpson8
+           |FROM a""".stripMargin,
+
+      // IVF balance: the ann_ivf assignment chain (argmin by (d, c)
+      // over the same centroid literals), then the numC-domain left
+      // join so empty lists surface as zero rows
+      "embed_ivf_balance" ->
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+           |d AS (
+           |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),
+           |rnk AS (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
+           |cnt AS (SELECT c AS list_id, count(*) AS n_vecs FROM rnk
+           |  WHERE rn = 1 GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM cnt),
+           |ls AS (SELECT unnest(generate_series(0, 15)) AS list_id)
+           |SELECT CAST(ls.list_id AS BIGINT) AS list_id,
+           |  CAST(coalesce(cnt.n_vecs, 0) AS BIGINT) AS n_vecs,
+           |  CAST(round(10000.0 * (coalesce(cnt.n_vecs, 0) * 16)
+           |    / CAST(total AS DOUBLE)) AS BIGINT) AS load4
+           |FROM ls LEFT JOIN cnt ON cnt.list_id = ls.list_id, tot""".stripMargin,
+
+      // minimizers: hash·2¹⁶+pos packing, ONE bounded window min per
+      // position, window starts only, distinct argmin positions
+      "dna_minimizers" ->
+        s"""WITH d AS (SELECT doc_id, $docDnaSql AS dna FROM documents),
+           |km AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+           |  substr(dna, CAST(u.i AS INT), 5) AS kmer
+           |  FROM d, LATERAL unnest(generate_series(1, length(dna) - 4)) u(i)),
+           |ky AS (SELECT doc_id, pos,
+           |  CAST('0x' || substr(md5(kmer), 1, 10) AS BIGINT) * 65536 + pos
+           |    AS key FROM km),
+           |wm AS (SELECT doc_id, pos,
+           |  min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mink,
+           |  count(*) OVER (PARTITION BY doc_id) AS nk FROM ky),
+           |sel AS (SELECT DISTINCT doc_id, nk, mink % 65536 AS minpos
+           |  FROM wm WHERE pos <= nk - 8)
+           |SELECT doc_id, CAST(nk - 7 AS BIGINT) AS n_windows,
+           |  count(*) AS n_minimizers,
+           |  CAST(round(1000000.0 * count(*) / CAST(nk - 7 AS DOUBLE))
+           |    AS BIGINT) AS density6
+           |FROM sel GROUP BY doc_id, nk""".stripMargin,
+
+      // burstiness: gap = same-(type,user) µs delta // 60e6 exact
+      // minutes; μ/σ/B evaluate in the identical pinned double
+      // sequence (each long cast separately, sqrt the one
+      // transcendental, variance clamped at 0)
+      "events_burstiness" ->
+        """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS us
+          |  FROM events),
+          |g AS (SELECT event_type, (us - lag(us) OVER (
+          |    PARTITION BY event_type, user_id ORDER BY us)) // 60000000
+          |    AS gap FROM e),
+          |m AS (SELECT event_type, count(*) AS n_gaps,
+          |  CAST(sum(gap) AS BIGINT) AS s1,
+          |  CAST(sum(gap * gap) AS BIGINT) AS s2
+          |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+          |b AS (SELECT event_type, n_gaps, s1,
+          |  sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+          |    - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+          |      * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0)) AS sig,
+          |  CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu FROM m)
+          |SELECT event_type AS etype, n_gaps, s1 AS sum_gap_min,
+          |  CASE WHEN sig + mu > 0
+          |    THEN CAST(round(10000.0 * (sig - mu) / (sig + mu)) AS BIGINT)
+          |  END AS burstiness4
+          |FROM b""".stripMargin,
     )
   }
 }

@@ -967,4 +967,58 @@ object EventOps {
         round(lit(1.0e8) * col("n_churn").cast("double") /
           col("n_risk").cast("double")).cast("long").as("hazard8"))
   }
+
+  /** Per-type burstiness of inter-event times (Goh & Barabási 2008:
+    * B = (σ−μ)/(σ+μ) over the gap distribution — B → −1 periodic,
+    * B = 0 Poisson, B → 1 bursty. The inter-arrival-level companion to
+    * [[dailyDispersion]]'s count-level index: a bot fires periodically
+    * (B ≪ 0), humans burst (B > 0) — the temporal-signature half of
+    * the whale/bot audit next to the user-Gini concentration half.)
+    *
+    * Gaps are consecutive same-user same-type deltas in integer
+    * MINUTES (exact longs; µs gaps squared overflow — minutes keep
+    * Σg² under 2⁵³ at any realistic span×volume). Two moments sum
+    * exactly; μ, σ and B evaluate in ONE pinned double sequence
+    * (each long cast SEPARATELY — the variance-product rule), σ via
+    * sqrt (IEEE correctly-rounded, the one transcendental the parity
+    * discipline admits), variance clamped at 0 before the sqrt (a
+    * constant gap series lands at −ulp otherwise), and B rounds ×10⁴
+    * once. B = NULL when σ+μ = 0 (all gaps zero) — guarded on the
+    * double only after the integer moments pin it.
+    *
+    * Scale shape: the lag window partitions by (type, user) — frames
+    * bounded by one user's activity in one type, never corpus-wide —
+    * then ONE partial-agg shuffle to the |types| frame. Single-event
+    * users contribute no gap (lag = NULL dropped), matching the
+    * statistic's definition.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (etype, n_gaps, sum_gap_min, burstiness4)
+    */
+  def burstiness(events: DataFrame, typeCol: String, userCol: String,
+                 tsUs: Column): DataFrame = {
+    val minUs = 60000000L
+    val w = Window.partitionBy("etype", "u").orderBy("us")
+    val d = col("us") - lag("us", 1).over(w)
+    val gaps = events.select(col(typeCol).as("etype"),
+        col(userCol).as("u"), tsUs.cast("long").as("us"))
+      // subtract the mod first so the double division is exact (the
+      // lifeTable day idiom)
+      .select(col("etype"),
+        ((d - pmod(d, lit(minUs))) / minUs).cast("long").as("gap"))
+      .filter(col("gap").isNotNull)
+    val mom = gaps.groupBy("etype").agg(
+      count(lit(1)).as("n_gaps"),
+      sum("gap").as("s1"),
+      sum(col("gap") * col("gap")).as("s2"))
+    val mu = col("s1").cast("double") / col("n_gaps").cast("double")
+    val varr = greatest(
+      col("s2").cast("double") / col("n_gaps").cast("double") - mu * mu,
+      lit(0.0))
+    val sig = sqrt(varr)
+    mom.select(col("etype"), col("n_gaps"), col("s1").as("sum_gap_min"),
+      when(sig + mu > 0,
+        round(lit(10000.0) * (sig - mu) / (sig + mu)).cast("long"))
+        .as("burstiness4"))
+  }
 }

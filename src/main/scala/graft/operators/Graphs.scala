@@ -609,4 +609,58 @@ object Graphs {
       .select(col("id"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))
   }
+
+  /** Per-community conductance over a labeling (Kannan, Vempala &
+    * Vetta 2004 — the cut-quality audit DUAL to [[modularity]]'s
+    * degree-null-model score: φ(c) = cut(c) / min(vol(c), 2m−vol(c)),
+    * low φ = a well-separated community, φ → 1 = a community that is
+    * mostly boundary. On the near-dup graph a low-modularity HIGH-φ
+    * labeling says the "clusters" leak into each other — the
+    * chain-merge risk read at the cut level.)
+    *
+    * All-integer until one division: cut(c) counts boundary edges
+    * (each boundary edge credits BOTH its communities), vol(c) sums
+    * member degrees, m is one row crossed in. Communities whose
+    * complement has zero volume (a labeling with one community) get
+    * φ = NULL — the statistic is undefined, not zero; guarded on the
+    * INTEGER min, never a float.
+    *
+    * Scale shape: two node-sized label joins onto the edge frame, one
+    * degree agg + label join, one community-sized rollup, one 1-row
+    * cross — no window, no self-join. Input must be unique undirected
+    * pairs (enforced with distinct, the [[edgeJaccard]] gate) and a
+    * (id, label) frame covering the nodes.
+    *
+    * @return (label, n_nodes, vol, cut, conductance6)
+    */
+  def conductance(edges: DataFrame, srcCol: String, dstCol: String,
+                  labels: DataFrame): DataFrame = {
+    val e = materialize(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct())
+    val lab = materialize(labels.select(col("id"), col("label")))
+    val mRow = broadcast(e.agg((count(lit(1)) * 2L).as("vol2m")))
+    val el = e
+      .join(lab.select(col("id").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("id").as("v"), col("label").as("lv")), "v")
+    // a boundary edge credits both sides; an internal edge neither
+    val cut = el.filter(col("lu") =!= col("lv"))
+      .select(explode(array(col("lu"), col("lv"))).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("cut"))
+    val vol = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .join(lab, "id")
+      .groupBy("label").agg(count(lit(1)).as("n_nodes"),
+        sum("deg").as("vol"))
+    vol.join(cut, Seq("label"), "left")
+      .crossJoin(mRow)
+      .select(col("label"), col("n_nodes"), col("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        when(least(col("vol"), col("vol2m") - col("vol")) > 0,
+          round(lit(1.0e6) * coalesce(col("cut"), lit(0L)).cast("double") /
+            least(col("vol"), col("vol2m") - col("vol")).cast("double"))
+            .cast("long")).as("conductance6"))
+  }
 }

@@ -843,4 +843,47 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF inverted-list load audit (the index-SIZING feedback loop next
+    * to the recall audit: recall tells you the lists you probe contain
+    * the answers, this tells you whether probing a list costs what the
+    * nprobe/numC math assumes — a hot list makes every probe touching
+    * it a scan of the corpus's worst tail, the quantizer-side analogue
+    * of join skew).
+    *
+    * Per list: member count and load4 = count·numC/total ×10⁴ (10000 =
+    * perfectly balanced; FAISS's imbalance_factor is the
+    * load-weighted mean of exactly this ratio). EMPTY lists emit a
+    * zero row — a dead centroid is the thing this audit exists to
+    * catch, and a groupBy alone would silently drop it (the
+    * lists-frame left join restores the full centroid domain).
+    *
+    * Scale shape: assignment is the same narrow argmin-over-literals
+    * projection as [[ivfSearch]] (no shuffle, codegen), then ONE
+    * partial-agg shuffle to the numC-bounded frame crossed with a
+    * 1-row total. All-integer until the one rounded division.
+    *
+    * @return (list_id, n_vecs, load4), one row per centroid
+    */
+  def ivfListBalance(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Float]]): DataFrame = {
+    val numC = centroids.length
+    val assigned = corpus.select(
+      array_min(centroidDistStructs(col(vecCol), centroids))
+        .getField("c").as("list_id"))
+    val counts = assigned.groupBy("list_id")
+      .agg(count(lit(1)).as("n_vecs"))
+    val allLists = corpus.sparkSession.range(numC)
+      .select(col("id").cast("int").as("list_id"))
+    val total = broadcast(counts.agg(sum("n_vecs").as("total")))
+    // counts is the numC-bounded build side (a left join can only
+    // broadcast its right input)
+    allLists.join(broadcast(counts), Seq("list_id"), "left")
+      .crossJoin(total)
+      .select(col("list_id").cast("long").as("list_id"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        round(lit(10000.0) *
+          (coalesce(col("n_vecs"), lit(0L)) * numC).cast("double") /
+          col("total").cast("double")).cast("long").as("load4"))
+  }
 }

@@ -367,4 +367,56 @@ object Sketches {
         (col("est") - col("cnt")).as("overcount")),
       k, col("est").desc, col(keyCol).asc)
   }
+
+  /** (w,k)-minimizer selection density per sequence (Roberts et al.
+    * 2004; Schleimer et al. 2003 winnowing is the character-gram twin
+    * already graded as text_winnow — this is the GENOMIC k-mer form,
+    * the sampling scheme minimap2/Kraken2 index on): every window of
+    * `w` consecutive k-mers keeps its minimum-hash k-mer; adjacent
+    * windows usually agree, so ~2/(w+1) of positions survive — the
+    * audit compares each sequence's real density to that expectation
+    * (a skewed composition selects fewer distinct minimizers and the
+    * index under-samples exactly the repetitive regions).
+    *
+    * Engine parity: hash = first 10 md5 hex chars as an exact long
+    * (the engine-reproducible md5 discipline), packed hash·2¹⁶ + pos
+    * so ONE integer window-min carries the argmin position out (ties
+    * break to the smaller position, deterministic both engines);
+    * density6 is the single rounded division of exact ints.
+    *
+    * Scale shape: one k-mer posexplode, ONE (id)-partitioned
+    * bounded-frame window pass (w rows; sequences chunk id-locally at
+    * contig scale — the LineBlocks stitching pattern — so no frame
+    * ever exceeds a chunk), one distinct + id-sized rollup. The
+    * pos·2¹⁶ packing caps positions at 65536 per id — chunk longer
+    * sequences (documented, asserted nowhere hot).
+    *
+    * @return (id, n_windows, n_minimizers, density6); sequences
+    *         shorter than k+w−1 have no window and emit nothing
+    */
+  def minimizers(df: DataFrame, idCol: String, seqCol: String,
+                 k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && w > 1, "need k > 0 and w > 1")
+    val keyed = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.Dna.kmers(col(seqCol), k))
+          .as(Seq("pos", "kmer")))
+      .select(col("id"), col("pos"),
+        (conv(substring(md5(col("kmer")), 1, 10), 16, 10).cast("long")
+          * 65536L + col("pos")).as("key"))
+    val frame = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val perId = Window.partitionBy("id")
+    keyed
+      .withColumn("mink", min("key").over(frame))
+      .withColumn("nk", count(lit(1)).over(perId))
+      .filter(col("pos") <= col("nk") - w)
+      .select(col("id"), col("nk"), pmod(col("mink"), lit(65536L)).as("minpos"))
+      .groupBy("id", "nk")
+      .agg(countDistinct("minpos").as("n_minimizers"))
+      .select(col("id"), (col("nk") - (w - 1)).cast("long").as("n_windows"),
+        col("n_minimizers"),
+        round(lit(1.0e6) * col("n_minimizers").cast("double") /
+          (col("nk") - (w - 1)).cast("double")).cast("long").as("density6"))
+  }
 }

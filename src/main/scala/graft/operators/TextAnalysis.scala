@@ -706,4 +706,42 @@ object TextAnalysis {
     docs.select(col(idCol),
       explode(graft.functions.Shingles
         .winnowFps(normText(col(textCol)), k, window)).as("fp"))
+
+  /** Simpson lexical-diversity index per group (Simpson 1949 applied to
+    * token frequencies — the probability two tokens drawn WITHOUT
+    * replacement are the same word: D = Σ c_w(c_w−1) / (N(N−1)).
+    * High D = repetitive/templated text (boilerplate feeds, spam
+    * mirrors); the exact-rational companion to [[zipfFit]]'s fitted
+    * exponent and the lexical twin of the Gini concentration family.
+    * Unlike entropy it needs NO transcendental — both numerator and
+    * denominator are exact integer sums, so the cross-engine contract
+    * is one rounded division.
+    *
+    * Scale shape: one token explode → one (group, word) partial-agg
+    * shuffle → one group-sized rollup. The sums are exact longs up to
+    * ~3×10⁹ tokens per group (N(N−1) < 2⁶³); past that the two factors
+    * cast to double SEPARATELY (the variance-product rule) — done here
+    * from the start so the plan is scale-safe.
+    *
+    * D undefined for N < 2 → NULL, guarded on the integer count.
+    *
+    * @return (group, n_tokens, n_types, simpson8)
+    */
+  def simpsonDiversity(docs: org.apache.spark.sql.DataFrame,
+                       groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs.select(col(groupCol).as("grp"),
+        explode(split(normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w").agg(count(lit(1)).as("c"))
+    counts.groupBy("grp").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1L)).as("coll"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") >= 2L,
+          round(lit(1.0e8) * col("coll").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens") - 1L).cast("double"))).cast("long"))
+          .as("simpson8"))
+  }
 }

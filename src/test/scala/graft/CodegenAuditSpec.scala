@@ -42,6 +42,7 @@ class CodegenAuditSpec extends AnyFunSuite {
     "corpus_mix_temperature" -> "filter over vocabulary-sized source list",
     "dna_debruijn_stats" -> "transform over per-document k-mer array (≤ text length ~102)",
     "dna_kmer_canonical" -> "transform over per-document k-mer array (≤ text length ~102)",
+    "dna_minimizers" -> "transform over per-document k-mer array (≤ text length ~102)",
     "dna_orf_finder" -> "transform over the 32-char derived-DNA codon array (≤ 30 elements)",
     "dna_kmer_spectrum" -> "transform over per-document k-mer array (≤ text length ~102)",
     "dna_palindrome_sites" -> "transform over per-document k-mer array (≤ text length ~102)",

@@ -1085,6 +1085,121 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got == List((1L, "a", 0.5), (2L, "b", 0.5)))
   }
 
+  test("conductance: bridged triangles, singleton labeling, one-community NULL") {
+    // two triangles {1,2,3} {4,5,6} + bridge 3-4: m = 7, 2m = 14
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val twoComm = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("id", "label")
+    val got = graft.operators.Graphs.conductance(e, "a", "b", twoComm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // each side: vol = 2+2+3 = 7, cut = 1, min(7, 14-7) = 7 -> 1/7
+    assert(got == Map(10L -> ((3L, 7L, 1L, 142857L)),
+      20L -> ((3L, 7L, 1L, 142857L))))
+    // every node its own community: cut = vol = deg < 7 -> phi = 1
+    val selfComm = (1L to 6L).map(i => (i, i)).toDF("id", "label")
+    val self = graft.operators.Graphs.conductance(e, "a", "b", selfComm)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(self.length == 6)
+    self.foreach { case (vol, cut, c6) =>
+      assert(vol == cut && c6 == 1000000L)
+    }
+    // ONE community: complement volume 0 -> NULL, not 0
+    val oneComm = (1L to 6L).map(i => (i, 99L)).toDF("id", "label")
+    val one = graft.operators.Graphs.conductance(e, "a", "b", oneComm)
+      .collect()
+    assert(one.length == 1 && one.head.getLong(2) == 14L &&
+      one.head.getLong(3) == 0L && one.head.isNullAt(4))
+  }
+
+  test("simpsonDiversity: hand counts, single-token NULL guard") {
+    val docs = Seq(
+      ("A", "a a b"), ("B", "x"),
+      ("C", "t t t t")).toDF("source", "text")
+    val got = graft.operators.TextAnalysis
+      .simpsonDiversity(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // A: c = (2,1), coll = 2, N(N-1) = 6 -> round(1e8/3) = 33333333
+    // B: N = 1 -> NULL;  C: coll = 12 = N(N-1) -> exactly 1e8
+    assert(got == Map(
+      "A" -> ((3L, 2L, 33333333L)),
+      "B" -> ((1L, 1L, -1L)),
+      "C" -> ((4L, 1L, 100000000L))))
+  }
+
+  test("ivfListBalance: hand centroids, dead list emits a zero row") {
+    val cents = Array(Array(1f, 0f), Array(0f, 1f), Array(-9f, -9f))
+    val emb = Seq(
+      (1L, Array(2f, 0f)),   // d0 = 1-4 = -3 wins
+      (2L, Array(0f, 3f)),   // d1 = 1-6 = -5 wins
+      (3L, Array(1f, 1f)))   // d0 = -1 beats d1 = -1? tie -> smaller c
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .ivfListBalance(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // counts (2,1,0) of 3; load4 = n*3/3*1e4
+    assert(got == Map(
+      0L -> ((2L, 20000L)), 1L -> ((1L, 10000L)), 2L -> ((0L, 0L))))
+  }
+
+  test("minimizers: brute-force twin over hand sequences") {
+    val seqs = Seq((1L, "ACGTACGTACGTAC"), (2L, "AAAAAAAAAA"),
+      (3L, "ACGTA")) // len 5 = k+w-1-... only k=3,w=4: nk=3 < w -> none
+    val k = 3; val w = 4
+    def h40(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(10), 16)
+    }
+    val expected = seqs.flatMap { case (id, sq) =>
+      val nk = sq.length - k + 1
+      if (nk < w) None else {
+        val keys = (0 until nk).map(p => h40(sq.substring(p, p + k)) * 65536L + p)
+        val minpos = (0 to nk - w).map(j =>
+          (j until j + w).map(keys).min % 65536L).distinct
+        Some(id -> ((nk - w + 1L, minpos.size.toLong,
+          math.round(1.0e6 * minpos.size / (nk - w + 1)))))
+      }
+    }.toMap
+    val got = graft.operators.Sketches.minimizers(
+        seqs.toDF("id", "dna"), "id", "dna", k, w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected && got.contains(1L) && !got.contains(3L))
+    // constant sequence: every 3-mer identical, min key = earliest pos
+    // in each window -> minimizers = window starts = nk-w+1, density 1e6
+    assert(got(2L) == ((5L, 5L, 1000000L)))
+  }
+
+  test("burstiness: periodic, bursty, and all-zero-gap NULL") {
+    val m = 60000000L
+    val ev = Seq(
+      // X: one user, gaps 10,10 min -> sigma 0 -> B = -1e4
+      ("X", 1L, 0L * m), ("X", 1L, 10L * m), ("X", 1L, 20L * m),
+      // Y: gaps 30 (u1) and 1 (u2): mu 15.5, var 210.25, sigma 14.5
+      //    B = round(1e4 * -1/30) = -333
+      ("Y", 1L, 0L * m), ("Y", 1L, 30L * m),
+      ("Y", 2L, 0L * m), ("Y", 2L, 1L * m),
+      // Z: duplicate timestamp -> gap 0 -> sigma+mu = 0 -> NULL
+      ("Z", 3L, 5L * m), ("Z", 3L, 5L * m))
+      .toDF("etype", "user_id", "us")
+    val got = graft.operators.EventOps
+      .burstiness(ev, "etype", "user_id", col("us"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))).toMap
+    assert(got == Map(
+      "X" -> ((2L, 20L, -10000L)),
+      "Y" -> ((2L, 31L, -333L)),
+      "Z" -> ((1L, 0L, Long.MinValue))))
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
