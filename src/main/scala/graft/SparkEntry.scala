@@ -4083,6 +4083,60 @@ object SparkEntry {
       EventOps.burstiness(Tables.events(s, dir), "event_type",
         "user_id", expr("ts DIV 1000"))
     }),
+
+    "popgen_pca_step" -> ((s, dir) => {
+      // one power-iteration step on the quantized GRM — the first move
+      // of a kinship PCA (the top eigenvector IS the leading ancestry
+      // axis a mixed model corrects for); matrix entries are the
+      // ×10⁴-rounded longs popgen_grm grades, start vector md5-parity
+      // ±1, so the matvec is an exact-long sum (PopGen.grmPowerStep)
+      PopGen.grmPowerStep(dosageCells(s, dir))
+    }),
+
+    "events_trend_mk" -> ((s, dir) => {
+      // Mann-Kendall monotone-trend test per type over daily counts:
+      // exact-integer S and tie-corrected variance numerator, the
+      // normal-approximation z in one pinned double sequence — the
+      // significance audit under the holt smoothing family
+      // (EventOps.mannKendall)
+      EventOps.mannKendall(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"))
+    }),
+
+    "events_session_stats" -> ((s, dir) => {
+      // session-size profile over q20's 30-min-gap sessionization:
+      // per n_events bucket the session count and mean duration —
+      // the engagement-distribution readout a funnel can't show
+      Sessionize.sessions(Tables.events(s, dir), "user_id",
+          expr("ts DIV 1000000000"), col("event_id"), gapSec = 1800)
+        .groupBy("n_events").agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("sess_end") - col("sess_start")).as("sum_dur_sec"))
+        .select(col("n_events"), col("n_sessions"), col("sum_dur_sec"),
+          round(lit(10000.0) * col("sum_dur_sec").cast("double") /
+            col("n_sessions").cast("double")).cast("long")
+            .as("avg_dur4"))
+    }),
+
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      // component-size census over the transitive dedup groups — the
+      // distribution that sizes the dedup risk (a fat tail says the
+      // near-dup graph chains clusters; the summary dedup_groups'
+      // per-doc assignment carries but doesn't show)
+      Dedup.connectedComponents(docJaccardPairs(s, dir),
+          Tables.documents(s, dir), "doc_id")
+        .groupBy("group_id").agg(count(lit(1)).as("gsize"))
+        .groupBy("gsize").agg(count(lit(1)).as("n_groups"))
+    }),
+
+    "text_hapax" -> ((s, dir) => {
+      // hapax legomenon census per source — the Zipf-tail audit next
+      // to text_zipf's head fit and text_simpson's diversity index:
+      // rate toward 0 = templated feed, toward 1 = OCR/ID noise
+      // (TextAnalysis.hapaxStats)
+      TextAnalysis.hapaxStats(Tables.documents(s, dir), "source",
+        "text")
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -8658,6 +8712,123 @@ object SparkEntry {
           |    THEN CAST(round(10000.0 * (sig - mu) / (sig + mu)) AS BIGINT)
           |  END AS burstiness4
           |FROM b""".stripMargin,
+
+      // GRM power step: the popgen_grm rounding chain over ALL ordered
+      // pairs (incl. the diagonal), md5-parity ±1 start vector, exact
+      // matvec, one normalization division
+      "popgen_pca_step" ->
+        s"""WITH $dosageCellCtes,
+           |st AS (SELECT chr, pos, count(*) AS n,
+           |  sum(CASE WHEN gv = 1 THEN 1 ELSE 0 END) AS n1,
+           |  sum(CASE WHEN gv = 2 THEN 1 ELSE 0 END) AS n2
+           |  FROM c GROUP BY 1, 2),
+           |pk AS (SELECT chr, pos,
+           |  (2.0 * n2 + n1) / (2.0 * n) AS p,
+           |  CAST(round(100000000.0 * 2.0 * ((2.0 * n2 + n1) / (2.0 * n))
+           |    * (1.0 - (2.0 * n2 + n1) / (2.0 * n))) AS BIGINT) AS dq8
+           |  FROM st
+           |  WHERE (2.0 * n2 + n1) / (2.0 * n) > 0
+           |    AND (2.0 * n2 + n1) / (2.0 * n) < 1),
+           |z AS (SELECT c.chr, c.pos, c.sample,
+           |  CAST(round(10000.0 * (c.gv - 2.0 * pk.p)) AS BIGINT) AS zq4,
+           |  pk.dq8
+           |  FROM c JOIN pk ON pk.chr = c.chr AND pk.pos = c.pos),
+           |g AS (SELECT a.sample AS s1, b.sample AS s2,
+           |  CAST(round(10000.0 * sum(a.zq4 * b.zq4) / sum(a.dq8))
+           |    AS BIGINT) AS grm4
+           |  FROM z a JOIN z b ON a.chr = b.chr AND a.pos = b.pos
+           |  GROUP BY 1, 2),
+           |v1 AS (SELECT s1, count(*) AS n_terms,
+           |  CAST(sum(grm4 * ((CAST('0x' || substr(md5(
+           |    CAST(s2 AS VARCHAR)), 1, 6) AS BIGINT) % 2) * 2 - 1))
+           |    AS BIGINT) AS v1 FROM g GROUP BY 1),
+           |mx AS (SELECT max(abs(v1)) AS mx FROM v1)
+           |SELECT s1 AS sample, n_terms, v1,
+           |  CASE WHEN mx > 0 THEN CAST(round(10000.0 * v1
+           |    / CAST(mx AS DOUBLE)) AS BIGINT) END AS r4
+           |FROM v1, mx""".stripMargin,
+
+      // Mann-Kendall: exact S over day pairs, exact tie-corrected
+      // variance numerator, one pinned z sequence
+      "events_trend_mk" ->
+        """WITH d AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day FROM events),
+          |dc AS (SELECT event_type, day, count(*) AS x FROM d
+          |  GROUP BY 1, 2),
+          |sr AS (SELECT a.event_type, CAST(sum(CASE WHEN b.x > a.x THEN 1
+          |    WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+          |  FROM dc a JOIN dc b ON a.event_type = b.event_type
+          |    AND a.day < b.day GROUP BY 1),
+          |ti AS (SELECT event_type, x, count(*) AS t FROM dc GROUP BY 1, 2),
+          |tn AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+          |  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_num
+          |  FROM ti GROUP BY 1),
+          |v AS (SELECT tn.event_type, n_days,
+          |  CAST(coalesce(s_stat, 0) AS BIGINT) AS s_stat,
+          |  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_num
+          |    AS BIGINT) AS var_num
+          |  FROM tn LEFT JOIN sr ON sr.event_type = tn.event_type)
+          |SELECT event_type AS etype, n_days, s_stat, var_num,
+          |  CASE WHEN var_num = 0 THEN NULL
+          |    WHEN s_stat > 0 THEN CAST(round(10000.0
+          |      * CAST(s_stat - 1 AS DOUBLE)
+          |      / sqrt(CAST(var_num AS DOUBLE) / 18.0)) AS BIGINT)
+          |    WHEN s_stat < 0 THEN CAST(round(10000.0
+          |      * CAST(s_stat + 1 AS DOUBLE)
+          |      / sqrt(CAST(var_num AS DOUBLE) / 18.0)) AS BIGINT)
+          |    ELSE CAST(0 AS BIGINT) END AS z4
+          |FROM v""".stripMargin,
+
+      // session-size profile: the q20 chain rolled up by session size
+      "events_session_stats" ->
+        """WITH e AS (SELECT user_id, event_id,
+          |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+          |m AS (SELECT user_id, event_id, ts_sec,
+          |  CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+          |    OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 1800
+          |    THEN 1 ELSE 0 END AS new_s FROM e),
+          |s AS (SELECT user_id, ts_sec,
+          |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m),
+          |ses AS (SELECT user_id, session_id, count(*) AS n_events,
+          |  max(ts_sec) - min(ts_sec) AS dur FROM s GROUP BY 1, 2)
+          |SELECT n_events, count(*) AS n_sessions,
+          |  CAST(sum(dur) AS BIGINT) AS sum_dur_sec,
+          |  CAST(round(10000.0 * sum(dur) / CAST(count(*) AS DOUBLE))
+          |    AS BIGINT) AS avg_dur4
+          |FROM ses GROUP BY 1""".stripMargin,
+
+      // component-size census: the dedup_groups reachability chain
+      // rolled up twice
+      "dedup_cluster_sizes" ->
+        s"""WITH RECURSIVE $jaccardPairCtes,
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+           |  UNION SELECT id_b AS src, id_a AS dst FROM jp),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+           |g AS (SELECT id, min(lbl) AS group_id FROM reach GROUP BY 1),
+           |sz AS (SELECT group_id, count(*) AS gsize FROM g GROUP BY 1)
+           |SELECT gsize, count(*) AS n_groups FROM sz GROUP BY 1""".stripMargin,
+
+      // hapax census: the simpson count frame with the c = 1 tally and
+      // two exact-ratio normalizations
+      "text_hapax" ->
+        s"""WITH w AS (SELECT source, uw.w FROM
+           |  (SELECT source, $normTextSql AS t FROM documents) d,
+           |  LATERAL unnest(string_split(t, ' ')) uw(w)
+           |  WHERE length(uw.w) > 0),
+           |c AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2)
+           |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |  count(*) AS n_types,
+           |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hapax,
+           |  CAST(round(10000.0 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+           |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS hapax_type_rate4,
+           |  CAST(round(10000.0 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+           |    / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS hapax_tok_rate4
+           |FROM c GROUP BY 1""".stripMargin,
     )
   }
 }

@@ -1021,4 +1021,68 @@ object EventOps {
         round(lit(10000.0) * (sig - mu) / (sig + mu)).cast("long"))
         .as("burstiness4"))
   }
+
+  /** Mann–Kendall trend test per type over the daily count series
+    * (Mann 1945 / Kendall 1975 — the NONPARAMETRIC monotone-trend
+    * test every environmental/ops monitoring stack runs: no
+    * distribution assumption, ties handled exactly; the
+    * significance-bearing companion to the smoothing family — holt
+    * says where the level is going, this says whether the drift is
+    * distinguishable from noise).
+    *
+    * S = Σ_{i<j} sign(x_j − x_i) over day pairs and the tie-corrected
+    * variance numerator varNum = n(n−1)(2n+5) − Σ t(t−1)(2t+5) are
+    * EXACT integers; the normal approximation
+    * z = (S ∓ 1)/sqrt(varNum/18) evaluates in one pinned double
+    * sequence (sqrt the admitted transcendental), z = NULL when
+    * varNum = 0 (n < 2 or all values tied), z = 0 at S = 0 — guards
+    * on the integers.
+    *
+    * Scale shape: one partial-agg shuffle to the (type, day) frame
+    * (vocabulary × calendar bounded), then a bounded self-join on the
+    * type key (≤ days² pairs of a bounded frame — the
+    * events_lifetable at-risk shape) and a tie rollup. Nothing
+    * corpus-sized after the first agg.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (etype, n_days, s_stat, var_num, z4)
+    */
+  def mannKendall(events: DataFrame, typeCol: String,
+                  tsUs: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val t = tsUs.cast("long")
+    val day = ((t - pmod(t, lit(dayUs))) / dayUs).cast("long")
+    val daily = events.select(col(typeCol).as("etype"), day.as("day"))
+      .groupBy("etype", "day").agg(count(lit(1)).as("x"))
+    val a = daily.select(col("etype"), col("day").as("di"),
+      col("x").as("xi"))
+    val b = daily.select(col("etype"), col("day").as("dj"),
+      col("x").as("xj"))
+    val sRow = a.join(b, Seq("etype")).filter(col("di") < col("dj"))
+      .groupBy("etype").agg(
+        sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("etype", "x")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("etype").agg(
+        count(lit(1)).cast("long").as("n_groups"),
+        sum("t").as("n_days"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tie_num"))
+    val n = col("n_days")
+    val varNum = n * (n - 1L) * (lit(2L) * n + 5L) - col("tie_num")
+    ties.join(sRow, Seq("etype"), "left")
+      .select(col("etype"), col("n_days"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        varNum.as("var_num"))
+      .select(col("etype"), col("n_days"), col("s_stat"),
+        col("var_num"),
+        when(col("var_num") === 0, lit(null).cast("long"))
+          .when(col("s_stat") > 0,
+            round(lit(10000.0) * (col("s_stat") - 1L).cast("double") /
+              sqrt(col("var_num").cast("double") / 18.0)).cast("long"))
+          .when(col("s_stat") < 0,
+            round(lit(10000.0) * (col("s_stat") + 1L).cast("double") /
+              sqrt(col("var_num").cast("double") / 18.0)).cast("long"))
+          .otherwise(lit(0L)).as("z4"))
+  }
 }

@@ -194,7 +194,14 @@ object PopGen {
     * @param cells (chr, pos, sample, gv) with gv ∈ {0,1,2}
     * @return (s1, s2, n_shared, grm4), s1 < s2
     */
-  def grmPairs(cells: DataFrame): DataFrame = {
+  def grmPairs(cells: DataFrame): DataFrame =
+    grmOrderedPairs(cells).filter(col("s1") < col("s2"))
+
+  /** The [[grmPairs]] derivation over ALL ordered pairs INCLUDING the
+    * diagonal (G_ii uses z_i², the sample's own variance ratio) — the
+    * full symmetric matrix frame [[grmPowerStep]] multiplies against.
+    * Same rounding contract as [[grmPairs]]. */
+  private[graft] def grmOrderedPairs(cells: DataFrame): DataFrame = {
     val site = cells.groupBy("chr", "pos").agg(
       count(lit(1)).as("n"),
       sum(when(col("gv") === 1, 1).otherwise(0)).as("n1"),
@@ -213,7 +220,7 @@ object PopGen {
       col("zq4").as("z1"), col("dq8"))
     val b = z.select(col("chr"), col("pos"), col("sample").as("s2"),
       col("zq4").as("z2"))
-    a.join(b, Seq("chr", "pos")).filter(col("s1") < col("s2"))
+    a.join(b, Seq("chr", "pos"))
       .groupBy("s1", "s2").agg(
         count(lit(1)).as("n_shared"),
         sum(col("z1") * col("z2")).as("num"),
@@ -221,5 +228,42 @@ object PopGen {
       .select(col("s1"), col("s2"), col("n_shared"),
         round(lit(10000.0) * col("num").cast("double") /
           col("den8").cast("double")).cast("long").as("grm4"))
+  }
+
+  /** One distributed power-iteration step on the QUANTIZED GRM — the
+    * first move of a PCA on the kinship matrix (population structure:
+    * the top GRM eigenvector IS the leading ancestry axis a mixed
+    * model or PC-correction regresses out; Patterson et al. 2006).
+    *
+    * Parity design: the matrix entries are the ×10⁴-ROUNDED exact
+    * longs [[grmPairs]] already grades (one IEEE division each, both
+    * engines identical), the start vector is md5-parity ±1 (exact, no
+    * rand()), so the matvec v₁ = G₄·v₀ is an order-free exact-long
+    * sum and the only new float step is the final normalization
+    * r4 = v₁/max|v₁| ×10⁴ — one division. A float-true power step
+    * would chain engine-order-dependent double sums; quantizing the
+    * matrix first keeps every cross-engine step exact without
+    * changing what the step computes (G₄/10⁴ differs from G by
+    * ≤ 0.5×10⁻⁴ per entry).
+    *
+    * Scale shape: the [[grmOrderedPairs]] samples²-bounded frame, one
+    * sample-sized rollup, a 1-row max crossed in. No window, no
+    * collect.
+    *
+    * @return (sample, n_terms, v1, r4)
+    */
+  def grmPowerStep(cells: DataFrame): DataFrame = {
+    val g = grmOrderedPairs(cells)
+    val v0 = (pmod(conv(substring(md5(col("s2").cast("string")), 1, 6),
+      16, 10).cast("long"), lit(2L)) * 2L - 1L)
+    val v1 = g.select(col("s1"), (col("grm4") * v0).as("term"))
+      .groupBy("s1").agg(count(lit(1)).as("n_terms"),
+        sum("term").as("v1"))
+    val mx = broadcast(v1.agg(max(abs(col("v1"))).as("mx")))
+    v1.crossJoin(mx)
+      .select(col("s1").as("sample"), col("n_terms"), col("v1"),
+        when(col("mx") > 0,
+          round(lit(10000.0) * col("v1").cast("double") /
+            col("mx").cast("double")).cast("long")).as("r4"))
   }
 }

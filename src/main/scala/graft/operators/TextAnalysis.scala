@@ -727,6 +727,42 @@ object TextAnalysis {
     *
     * @return (group, n_tokens, n_types, simpson8)
     */
+  /** Hapax legomenon census per group (the Zipf-TAIL audit the zipfFit
+    * head fit can't see: in healthy natural text ~40–60% of the
+    * vocabulary occurs exactly once; a hapax rate collapsing toward 0
+    * flags templated/boilerplate feeds, one inflated toward 1 flags
+    * OCR noise or ID-like token floods — both are curation findings
+    * the diversity index alone smears): n_hapax over the same
+    * (group, word) count frame as [[simpsonDiversity]], with BOTH
+    * standard normalizations (share of vocabulary, share of tokens) as
+    * exact-integer ratios rounded once each.
+    *
+    * Scale shape: one token explode → one (group, word) partial agg →
+    * group-sized rollup — identical to the diversity plan.
+    *
+    * @return (group, n_tokens, n_types, n_hapax, hapax_type_rate4,
+    *         hapax_tok_rate4)
+    */
+  def hapaxStats(docs: org.apache.spark.sql.DataFrame,
+                 groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = docs.select(col(groupCol).as("grp"),
+        explode(split(normText(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w").agg(count(lit(1)).as("c"))
+    counts.groupBy("grp").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(lit(10000.0) * col("n_hapax").cast("double") /
+          col("n_types").cast("double")).cast("long")
+          .as("hapax_type_rate4"),
+        round(lit(10000.0) * col("n_hapax").cast("double") /
+          col("n_tokens").cast("double")).cast("long")
+          .as("hapax_tok_rate4"))
+  }
+
   def simpsonDiversity(docs: org.apache.spark.sql.DataFrame,
                        groupCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val counts = docs.select(col(groupCol).as("grp"),

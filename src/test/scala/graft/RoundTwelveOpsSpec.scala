@@ -1200,6 +1200,100 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       "Z" -> ((1L, 0L, Long.MinValue))))
   }
 
+  test("grmPowerStep: exact matvec over the hand-cohort matrix") {
+    // the grmPairs hand cohort: G4 off-diagonals (0,1) = -9412,
+    // (0,2) = (1,2) = -2353; diagonals from the same chain:
+    // G(0,0) = G(1,1) = round(1e4*111108889/94444444) = 11764,
+    // G(2,2) = round(1e4*44448889/94444444) = 4706
+    val cells = Seq(
+      (0L, 1L, 0L, 0), (0L, 1L, 1L, 2), (0L, 1L, 2L, 1),
+      (0L, 2L, 0L, 1), (0L, 2L, 1L, 1), (0L, 2L, 2L, 0))
+      .toDF("chr", "pos", "sample", "gv")
+    def parity(s: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(6), 16) % 2) * 2 - 1
+    }
+    val g = Map(
+      (0L, 0L) -> 11764L, (0L, 1L) -> -9412L, (0L, 2L) -> -2353L,
+      (1L, 0L) -> -9412L, (1L, 1L) -> 11764L, (1L, 2L) -> -2353L,
+      (2L, 0L) -> -2353L, (2L, 1L) -> -2353L, (2L, 2L) -> 4706L)
+    val expV1 = (0L to 2L).map(i =>
+      i -> (0L to 2L).map(j => g((i, j)) * parity(j)).sum).toMap
+    val mx = expV1.values.map(math.abs).max
+    val got = graft.operators.PopGen.grmPowerStep(cells)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = expV1.map { case (i, v) =>
+      i -> ((3L, v, math.round(10000.0 * v / mx)))
+    }
+    assert(got == expected)
+  }
+
+  test("mannKendall: monotone series, all-tied NULL, single-day NULL") {
+    val dayUs = 86400000000L
+    // "up": counts 1,2,3,4 over days 0..3 -> S = 6, no ties,
+    // var = 4*3*13 = 156; "flat": 2 days x 2 events -> var_num = 0;
+    // "one": a single day
+    val ev =
+      (0 until 4).flatMap(d => Seq.fill(d + 1)(("up", d.toLong * dayUs))) ++
+      Seq(("flat", 0L), ("flat", 1L), ("flat", dayUs), ("flat", dayUs + 5L)) ++
+      Seq(("one", 3L * dayUs))
+    val got = graft.operators.EventOps
+      .mannKendall(ev.toDF("etype", "us"), "etype", col("us"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+    val zUp = math.round(10000.0 * 5 / math.sqrt(156 / 18.0))
+    assert(got == Map(
+      "up" -> ((4L, 6L, 156L, zUp)),
+      "flat" -> ((2L, 0L, 0L, Long.MinValue)),
+      "one" -> ((1L, 0L, 0L, Long.MinValue))))
+  }
+
+  test("events_session_stats: hand sessions bucket correctly") {
+    val ns = 1000000000L
+    // user 1: events at 0s, 50s, 100s (one 3-event session, dur 100),
+    // then 10000s (singleton); user 2: one event
+    val ev = Seq(
+      (1L, 101L, 0L * ns), (1L, 102L, 50L * ns), (1L, 103L, 100L * ns),
+      (1L, 104L, 10000L * ns), (2L, 201L, 7L * ns))
+      .toDF("user_id", "event_id", "ts_ns")
+    val sess = graft.operators.Sessionize.sessions(
+      ev, "user_id", expr("ts_ns DIV 1000000000"), col("event_id"),
+      gapSec = 1800)
+    val got = sess.groupBy("n_events").agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("sess_end") - col("sess_start")).as("sum_dur_sec"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(3L -> ((1L, 100L)), 1L -> ((2L, 0L))))
+  }
+
+  test("dedup_cluster_sizes: component census over hand components") {
+    // components {1,2,3}, {4}, {5,6} -> sizes 3,1,2 one group each
+    val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.connectedComponents(pairs, docs, "doc_id")
+      .groupBy("group_id").agg(count(lit(1)).as("gsize"))
+      .groupBy("gsize").agg(count(lit(1)).as("n_groups"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("hapaxStats: hand counts and both normalizations") {
+    val docs = Seq(("A", "a a b c"), ("B", "z z")).toDF("source", "text")
+    val got = graft.operators.TextAnalysis.hapaxStats(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // A: tokens 4, types 3, hapax 2 -> 6667 / 5000; B: zero hapax
+    assert(got == Map(
+      "A" -> ((4L, 3L, 2L, 6667L, 5000L)),
+      "B" -> ((2L, 1L, 0L, 0L, 0L))))
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
