@@ -4137,6 +4137,89 @@ object SparkEntry {
       TextAnalysis.hapaxStats(Tables.documents(s, dir), "source",
         "text")
     }),
+
+    "variant_context96" -> ((s, dir) => {
+      // 96-class trinucleotide mutation-context census (the COSMIC
+      // mutational-signature input, Alexandrov et al. 2013): SNVs on
+      // the SQL-reproducible Md5Genome — ref IS the genome base at
+      // pos, alt a deterministic rotation, context the flanking
+      // bases; pyrimidine-normalized (A/G refs revcomp the triplet)
+      // so the domain is 6 substitutions × 16 contexts; zero-shuffle
+      // scan + one ≤96-row agg
+      def base(chr: Column, pos: Column): Column =
+        translate(substring(md5(concat(chr.cast("string"), lit(":"),
+          pos.cast("string"))), 1, 1),
+          "0123456789abcdef", "ACGTACGTACGTACGT")
+      def comp(x: Column): Column = translate(x, "ACGT", "TGCA")
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") % 5).cast("long").as("chr"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000)
+          .cast("long").as("pos"),
+        (col("l_suppkey") % 3 + 1).cast("int").as("rot"))
+      val v = li.filter(col("pos") >= 1).select(
+          col("chr"), col("pos"), col("rot"),
+          base(col("chr"), col("pos")).as("ref"),
+          base(col("chr"), col("pos") - 1).as("lb"),
+          base(col("chr"), col("pos") + 1).as("rb"))
+        .withColumn("alt",
+          when(col("rot") === 1, translate(col("ref"), "ACGT", "CGTA"))
+            .when(col("rot") === 2, translate(col("ref"), "ACGT", "GTAC"))
+            .otherwise(translate(col("ref"), "ACGT", "TACG")))
+        .select(col("chr"), col("pos"), col("ref"), col("alt"),
+          col("lb"), col("rb")).distinct()
+      val isPyr = col("ref").isin("C", "T")
+      v.select(
+          when(isPyr, concat(col("ref"), lit(">"), col("alt")))
+            .otherwise(concat(comp(col("ref")), lit(">"),
+              comp(col("alt")))).as("subst"),
+          when(isPyr, concat(col("lb"), col("ref"), col("rb")))
+            .otherwise(concat(comp(col("rb")), comp(col("ref")),
+              comp(col("lb")))).as("context"))
+        .groupBy("subst", "context").agg(count(lit(1)).as("n"))
+    }),
+
+    "events_dau_mau" -> ((s, dir) => {
+      // DAU/MAU stickiness per day — trailing-30-day distinct actives
+      // via the coverage-explode shape (a sliding count-distinct has
+      // no partial-agg form; the ×30 bounded explode + distinct IS the
+      // exact scalable formulation) (EventOps.dauMau)
+      EventOps.dauMau(Tables.events(s, dir), "user_id",
+        expr("ts DIV 1000"))
+    }),
+
+    "popgen_missingness" -> ((s, dir) => {
+      // per-sample call rate (plink --missing; the per-SAMPLE
+      // completeness audit next to popgen_inbreeding's per-sample
+      // homozygosity one): called cells vs the cohort site count,
+      // exact ints + one rounded division
+      val cells = dosageCells(s, dir)
+      val sites = broadcast(cells.select("chr", "pos").distinct()
+        .agg(count(lit(1)).as("n_sites")))
+      cells.groupBy("sample").agg(count(lit(1)).as("n_called"))
+        .crossJoin(sites)
+        .select(col("sample"), col("n_called"), col("n_sites"),
+          round(lit(10000.0) * col("n_called").cast("double") /
+            col("n_sites").cast("double")).cast("long").as("call_rate4"))
+    }),
+
+    "interval_closest" -> ((s, dir) => {
+      // bedtools closest -d for the SV call set: nearest part gene
+      // within 500 bp per orders-derived call (distance 0 on overlap,
+      // ties to smaller gene start then id — the annotation step after
+      // sv_reciprocal_overlap rejects a call); candidates from the
+      // widened binned interval join (NearestFeature.nearestInterval)
+      val g = partGenes(s, dir)
+      val o = col("o_orderkey").cast("long")
+      val calls = Tables.orders(s, dir).select(
+        (o % 5).as("chr"), o.as("call_id"),
+        ((o * 211) % 100000).as("c_start"),
+        ((o * 211) % 100000 + 30 + (o * 53) % 3000).as("c_stop"))
+      NearestFeature.nearestInterval(calls, g, "call_id",
+          "c_start", "c_stop", "gstart", "gstop", "gene_id",
+          keys = Seq("chr"), maxDist = 500L)
+        .select(col("chr"), col("call_id"), col("gene_id"),
+          col("distance"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -8829,6 +8912,87 @@ object SparkEntry {
            |  CAST(round(10000.0 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
            |    / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS hapax_tok_rate4
            |FROM c GROUP BY 1""".stripMargin,
+
+      // context96: the Md5Genome base formula inlined three times
+      // (pos−1, pos, pos+1), rotation alt, pyrimidine revcomp CASE
+      "variant_context96" ->
+        """WITH li AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
+          |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT) AS pos,
+          |  CAST(l_suppkey % 3 + 1 AS INT) AS rot FROM lineitem),
+          |b AS (SELECT chr, pos, rot,
+          |  translate(substr(md5(CAST(chr AS VARCHAR) || ':' ||
+          |    CAST(pos AS VARCHAR)), 1, 1),
+          |    '0123456789abcdef', 'ACGTACGTACGTACGT') AS ref,
+          |  translate(substr(md5(CAST(chr AS VARCHAR) || ':' ||
+          |    CAST(pos - 1 AS VARCHAR)), 1, 1),
+          |    '0123456789abcdef', 'ACGTACGTACGTACGT') AS lb,
+          |  translate(substr(md5(CAST(chr AS VARCHAR) || ':' ||
+          |    CAST(pos + 1 AS VARCHAR)), 1, 1),
+          |    '0123456789abcdef', 'ACGTACGTACGTACGT') AS rb
+          |  FROM li WHERE pos >= 1),
+          |v AS (SELECT DISTINCT chr, pos, ref,
+          |  CASE rot WHEN 1 THEN translate(ref, 'ACGT', 'CGTA')
+          |    WHEN 2 THEN translate(ref, 'ACGT', 'GTAC')
+          |    ELSE translate(ref, 'ACGT', 'TACG') END AS alt, lb, rb
+          |  FROM b),
+          |n AS (SELECT
+          |  CASE WHEN ref IN ('C','T') THEN ref || '>' || alt
+          |    ELSE translate(ref, 'ACGT', 'TGCA') || '>' ||
+          |      translate(alt, 'ACGT', 'TGCA') END AS subst,
+          |  CASE WHEN ref IN ('C','T') THEN lb || ref || rb
+          |    ELSE translate(rb, 'ACGT', 'TGCA') ||
+          |      translate(ref, 'ACGT', 'TGCA') ||
+          |      translate(lb, 'ACGT', 'TGCA') END AS context
+          |  FROM v)
+          |SELECT subst, context, count(*) AS n FROM n
+          |GROUP BY 1, 2""".stripMargin,
+
+      // DAU/MAU: the coverage-explode shape — each active (user, day)
+      // covers its 30 forward days, distinct collapses re-activations
+      "events_dau_mau" ->
+        """WITH ud AS (SELECT DISTINCT user_id,
+          |  epoch_us(ts) // 86400000000 AS day FROM events),
+          |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+          |cov AS (SELECT DISTINCT user_id, day + u.i AS cday FROM ud,
+          |  LATERAL unnest(generate_series(0, 29)) u(i)),
+          |mau AS (SELECT cday, count(*) AS mau FROM cov GROUP BY 1)
+          |SELECT d.day, d.dau, m.mau,
+          |  CAST(round(10000.0 * d.dau / CAST(m.mau AS DOUBLE))
+          |    AS BIGINT) AS stickiness4
+          |FROM dau d JOIN mau m ON m.cday = d.day""".stripMargin,
+
+      // missingness: called cells per sample vs the distinct-site count
+      "popgen_missingness" ->
+        s"""WITH $dosageCellCtes,
+           |ns AS (SELECT count(*) AS n_sites FROM
+           |  (SELECT DISTINCT chr, pos FROM c)),
+           |pc AS (SELECT sample, count(*) AS n_called FROM c GROUP BY 1)
+           |SELECT sample, n_called, n_sites,
+           |  CAST(round(10000.0 * n_called / CAST(n_sites AS DOUBLE))
+           |    AS BIGINT) AS call_rate4
+           |FROM pc, ns""".stripMargin,
+
+      // closest: widened inequality join + the same total-order
+      // row_number the Spark window applies
+      "interval_closest" ->
+        s"""WITH g AS ($partGenesSql),
+           |cl AS (SELECT CAST(o_orderkey % 5 AS BIGINT) AS chr,
+           |  CAST(o_orderkey AS BIGINT) AS call_id,
+           |  CAST((o_orderkey*211) % 100000 AS BIGINT) AS c_start,
+           |  CAST((o_orderkey*211) % 100000 + 30 + (o_orderkey*53) % 3000
+           |    AS BIGINT) AS c_stop FROM orders),
+           |cand AS (SELECT cl.chr, cl.call_id, g.gene_id, g.gstart,
+           |  greatest(0, g.gstart - cl.c_stop, cl.c_start - g.gstop)
+           |    AS distance
+           |  FROM cl JOIN g ON g.chr = cl.chr
+           |    AND cl.c_start <= g.gstop + 500
+           |    AND g.gstart - 500 <= cl.c_stop),
+           |r AS (SELECT chr, call_id, gene_id, distance, row_number()
+           |  OVER (PARTITION BY chr, call_id
+           |    ORDER BY distance, gstart, gene_id) AS rn FROM cand)
+           |SELECT chr, call_id, CAST(gene_id AS BIGINT) AS gene_id,
+           |  CAST(distance AS BIGINT) AS distance
+           |FROM r WHERE rn = 1""".stripMargin,
     )
   }
 }

@@ -1047,6 +1047,43 @@ object EventOps {
     * @param tsUs event time as exact epoch MICROSECONDS (long)
     * @return (etype, n_days, s_stat, var_num, z4)
     */
+  /** DAU/MAU stickiness per day (the engagement KPI every growth team
+    * tracks: what fraction of the trailing-30-day actives showed up
+    * today; ~0.03 = monthly habit, ≥ 0.5 = daily habit. The
+    * TRAILING-WINDOW DISTINCT is the interesting distributed problem —
+    * count distinct over a sliding window has no partial-agg form):
+    * solved by COVERAGE EXPLODE, the exact scalable shape — each
+    * (user, day) active pair covers the 30 forward days it keeps that
+    * user "monthly active" for, distinct (user, covered-day) collapses
+    * re-activations, one count per day. The explode is ×30 of the
+    * user-day frame (bounded), both distincts are plain partial-agg
+    * shuffles, no window at all.
+    *
+    * MAU days with no activity that day emit nothing (stickiness is a
+    * per-ACTIVE-day readout; the join keeps the DAU domain).
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (day, dau, mau, stickiness4)
+    */
+  def dauMau(events: DataFrame, userCol: String,
+             tsUs: Column, windowDays: Int = 30): DataFrame = {
+    val dayUs = 86400000000L
+    val t = tsUs.cast("long")
+    val day = ((t - pmod(t, lit(dayUs))) / dayUs).cast("long")
+    val ud = events.select(col(userCol).as("u"), day.as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .select(col("u"),
+        explode(sequence(col("day"),
+          col("day") + (windowDays - 1).toLong)).as("cday"))
+      .distinct()
+      .groupBy("cday").agg(count(lit(1)).as("mau"))
+    dau.join(mau, col("cday") === col("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(lit(10000.0) * col("dau").cast("double") /
+          col("mau").cast("double")).cast("long").as("stickiness4"))
+  }
+
   def mannKendall(events: DataFrame, typeCol: String,
                   tsUs: Column): DataFrame = {
     val dayUs = 86400000000L

@@ -1294,6 +1294,102 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       "B" -> ((2L, 1L, 0L, 0L, 0L))))
   }
 
+  test("nearestInterval: overlap wins, distance ties break to start, radius gates") {
+    val q = Seq((0L, 1L, 10L, 20L), (0L, 2L, 100L, 110L),
+      (0L, 3L, 50L, 52L)).toDF("chr", "call_id", "c_start", "c_stop")
+    val f = Seq(
+      (0L, 11L, 30L, 35L),   // dist 10 from q1
+      (0L, 12L, 22L, 60L),   // dist 2 from q1, overlap for q3
+      (0L, 13L, 5L, 12L),    // overlaps q1 -> dist 0 wins
+      (0L, 14L, 44L, 46L),   // dist 4 from q3 (overridden by overlap 12)
+      (0L, 15L, 700L, 720L)) // beyond 500 of nothing relevant? q2: 590 away
+      .toDF("chr", "gene_id", "gstart", "gstop")
+    val got = graft.operators.NearestFeature.nearestInterval(
+        q, f, "call_id", "c_start", "c_stop", "gstart", "gstop",
+        "gene_id", keys = Seq("chr"), maxDist = 500L)
+      .select("call_id", "gene_id", "distance")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // q2 [100,110]: f12 ends 60 -> dist 40; f15 starts 700 -> 590 > 500
+    assert(got == Map(1L -> ((13L, 0L)), 2L -> ((12L, 40L)),
+      3L -> ((12L, 0L))))
+    // distance tie: [40,40] sits 4 from [30,36] and 4 from [44,46]
+    // -> smaller gstart (21) wins
+    val q2 = Seq((0L, 9L, 40L, 40L)).toDF("chr", "call_id", "c_start", "c_stop")
+    val ft = Seq((0L, 21L, 30L, 36L), (0L, 22L, 44L, 46L))
+      .toDF("chr", "gene_id", "gstart", "gstop")
+    val tie = graft.operators.NearestFeature.nearestInterval(
+        q2, ft, "call_id", "c_start", "c_stop", "gstart", "gstop",
+        "gene_id", keys = Seq("chr"), maxDist = 500L)
+      .select("gene_id", "distance").collect().head
+    assert((tie.getLong(0), tie.getLong(1)) == ((21L, 4L)))
+  }
+
+  test("dauMau: coverage explode matches the hand 30-day window") {
+    val dayUs = 86400000000L
+    val ev = Seq((1L, 0L), (2L, 3L), (1L, 5L * dayUs), (2L, 40L * dayUs))
+      .toDF("user_id", "us")
+    val got = graft.operators.EventOps.dauMau(ev, "user_id", col("us"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // day0: dau 2, mau 2; day5: dau 1 (u1), mau 2 (both cover day 5);
+    // day40: dau 1 (u2), mau 1 (u1's day-5 coverage ends day 34)
+    assert(got == Map(
+      0L -> ((2L, 2L, 10000L)),
+      5L -> ((1L, 2L, 5000L)),
+      40L -> ((1L, 1L, 10000L))))
+  }
+
+  test("variant_context96: pyrimidine normalization against a driver twin") {
+    val tmp = java.nio.file.Files.createTempDirectory("ctx").toString
+    Seq((7L, 1, 2L), (12L, 3, 5L), (40L, 2, 9L), (3L, 1, 1L))
+      .toDF("l_orderkey", "l_linenumber", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    def b(chr: Long, pos: Long): Char = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"$chr:$pos".getBytes("UTF-8"))
+      "ACGTACGTACGTACGT".charAt((d(0) >> 4) & 0xf)
+    }
+    def comp(c: Char) = "TGCA"("ACGT".indexOf(c))
+    val expected = Seq((7L, 1, 2L), (12L, 3, 5L), (40L, 2, 9L), (3L, 1, 1L))
+      .map { case (o, l, sk) =>
+        val chr = o % 5; val pos = (o * 31 + l * 7) % 100000
+        val rot = (sk % 3 + 1).toInt
+        val ref = b(chr, pos)
+        val alt = "ACGT"(("ACGT".indexOf(ref) + rot) % 4)
+        val (lb, rb) = (b(chr, pos - 1), b(chr, pos + 1))
+        val cls = if (ref == 'C' || ref == 'T') (s"$ref>$alt", s"$lb$ref$rb")
+          else (s"${comp(ref)}>${comp(alt)}",
+            s"${comp(rb)}${comp(ref)}${comp(lb)}")
+        ((chr, pos, alt), cls)
+      }.distinct.map(_._2)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = SparkEntry.queries("variant_context96")(spark, tmp)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    got.keys.foreach { case (subst, ctx) =>
+      assert(subst(0) == ctx(1) && (subst(0) == 'C' || subst(0) == 'T'))
+    }
+  }
+
+  test("popgen_missingness: counts over a hand cell frame") {
+    // reuses the operator shape inline: 3 sites, sample 0 called at
+    // all 3, sample 1 at 1
+    val cells = Seq((0L, 1L, 0L, 1), (0L, 2L, 0L, 2), (1L, 9L, 0L, 0),
+      (0L, 2L, 1L, 1)).toDF("chr", "pos", "sample", "gv")
+    val sites = broadcast(cells.select("chr", "pos").distinct()
+      .agg(count(lit(1)).as("n_sites")))
+    val got = cells.groupBy("sample").agg(count(lit(1)).as("n_called"))
+      .crossJoin(sites)
+      .select(col("sample"), col("n_called"), col("n_sites"),
+        round(lit(10000.0) * col("n_called").cast("double") /
+          col("n_sites").cast("double")).cast("long").as("call_rate4"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(0L -> ((3L, 3L, 10000L)), 1L -> ((1L, 3L, 3333L))))
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
