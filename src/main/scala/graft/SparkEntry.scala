@@ -4202,6 +4202,37 @@ object SparkEntry {
             col("n_sites").cast("double")).cast("long").as("call_rate4"))
     }),
 
+    "interval_n50" -> ((s, dir) => {
+      // N50/L50 assembly-style length census over the part-gene
+      // interval set (the one-number length-distribution summary every
+      // assembler reports): everything runs on the bounded length
+      // HISTOGRAM — bounded self-join for the sum-from-above, argmax
+      // crossing row, exact integer ceil-div for L50's partial bucket
+      // (Intervals.n50Stats)
+      val g = partGenes(s, dir)
+      Intervals.n50Stats(
+        g.select((col("gstop") - col("gstart") + 1L).as("len")), "len")
+    }),
+
+    "multimodal_audio_stats" -> ((s, dir) => {
+      // sox-stats waveform QC per clip: DC offset (broken-mic audit),
+      // peak, crest factor peak/RMS (limiter-squash audit) — exact
+      // integer sums from the WAV decode kernel, the two ratios
+      // derived column-side with one pinned sequence each
+      // (Multimodal.audioStats)
+      val st = Multimodal.audioStats(
+        Multimodal.syntheticAudio(Tables.documents(s, dir), "doc_id",
+          nSamples = 4000)).toDF()
+      st.select(col("media_id"), col("n_samples").cast("long").as("n_samples"),
+        col("sum_s"), col("sum_sq"), col("peak").cast("long").as("peak"),
+        round(lit(10000.0) * col("sum_s").cast("double") /
+          col("n_samples").cast("double")).cast("long").as("mean4"),
+        when(col("sum_sq") > 0,
+          round(lit(10000.0) * col("peak").cast("double") /
+            sqrt(col("sum_sq").cast("double") /
+              col("n_samples").cast("double"))).cast("long")).as("crest4"))
+    }),
+
     "interval_closest" -> ((s, dir) => {
       // bedtools closest -d for the SV call set: nearest part gene
       // within 500 bp per orders-derived call (distance 0 on overlap,
@@ -8993,6 +9024,49 @@ object SparkEntry {
            |SELECT chr, call_id, CAST(gene_id AS BIGINT) AS gene_id,
            |  CAST(distance AS BIGINT) AS distance
            |FROM r WHERE rn = 1""".stripMargin,
+
+      // N50: histogram + sum-from-above self-join + the integer
+      // crossing rule 2·cum ≥ T, L50's partial bucket by exact
+      // integer ceil-div
+      "interval_n50" ->
+        s"""WITH g AS ($partGenesSql),
+           |h AS (SELECT gstop - gstart + 1 AS len, count(*) AS cnt
+           |  FROM g GROUP BY 1),
+           |tot AS (SELECT CAST(sum(len * cnt) AS BIGINT) AS t,
+           |  CAST(sum(cnt) AS BIGINT) AS n FROM h),
+           |cum AS (SELECT a.len, a.cnt,
+           |  CAST(coalesce(sum(b.len * b.cnt), 0) AS BIGINT) AS over,
+           |  CAST(coalesce(sum(b.cnt), 0) AS BIGINT) AS cnt_over
+           |  FROM h a LEFT JOIN h b ON b.len > a.len GROUP BY 1, 2),
+           |x AS (SELECT t, n, max({'len': len, 'over': over,
+           |    'cnt_over': cnt_over}) AS m
+           |  FROM cum, tot WHERE 2 * (over + len * cnt) >= t
+           |  GROUP BY 1, 2)
+           |SELECT n AS n_contigs, t AS total_len,
+           |  CAST(m.len AS BIGINT) AS n50,
+           |  CAST(m.cnt_over + (t - 2 * m.over + 2 * m.len - 1)
+           |    // (2 * m.len) AS BIGINT) AS l50
+           |FROM x""".stripMargin,
+
+      // audio stats: the waveform formula re-derives every sample;
+      // ratios in the identical pinned sequences (round HALF away from
+      // zero both engines — the column-side rounding rule)
+      "multimodal_audio_stats" ->
+        """WITH i AS (SELECT doc_id AS media_id, u.i AS i FROM documents,
+          |  LATERAL unnest(generate_series(0, 3999)) u(i)),
+          |v AS (SELECT media_id,
+          |  ((media_id * 31 + i * 7) % 2003) - 1001 AS s FROM i),
+          |a AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_samples,
+          |  CAST(sum(s) AS BIGINT) AS sum_s,
+          |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+          |  CAST(max(abs(s)) AS BIGINT) AS peak FROM v GROUP BY 1)
+          |SELECT media_id, n_samples, sum_s, sum_sq, peak,
+          |  CAST(round(10000.0 * sum_s / CAST(n_samples AS DOUBLE))
+          |    AS BIGINT) AS mean4,
+          |  CASE WHEN sum_sq > 0 THEN CAST(round(10000.0 * peak
+          |    / sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)))
+          |    AS BIGINT) END AS crest4
+          |FROM a""".stripMargin,
     )
   }
 }

@@ -51,6 +51,19 @@ object BloomJoin {
       .agg(expr(s"bit_or(shiftleft(1L, CAST(h % $WordBits AS INT)))")
         .as("bits"))
 
+  /** Merge two built filters: word-wise OR — Bloom filters over the
+    * SAME (m, k, hash) parameters form a semilattice, so
+    * build(A ∪ B) == merge(build(A), build(B)) EXACTLY (the HLL/CMS/
+    * KMV merge-law discipline applied to membership). This is what
+    * makes the filter incrementally maintainable: per-partition or
+    * per-batch filters merge without touching the raw keys — the
+    * streaming/backfill path at 100 TB builds per day and ORs.
+    * Spec-pinned as a set-equality law, not approximately. */
+  def merge(fa: DataFrame, fb: DataFrame): DataFrame =
+    fa.select(col("word"), col("bits"))
+      .unionAll(fb.select(col("word"), col("bits")))
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+
   /** End-to-end prefilter audit over a fact⋈dim pair: build the filter
     * from the dim keys, probe every fact key, and tally what the
     * prefilter would pass against ground truth from the exact join.

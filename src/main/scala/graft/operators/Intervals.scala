@@ -244,4 +244,51 @@ object Intervals {
         lit(den) * ov >= lit(num) * (col(stopB) - col(startB) + 1))
       .withColumn("ov", ov)
   }
+
+  /** N50/L50 assembly-style length statistics (the contig-QC census
+    * every assembler reports: N50 = the length L such that contigs of
+    * length ≥ L cover half the total; L50 = how many of the largest
+    * contigs that takes — the one-number shape summary of a length
+    * distribution, here applied to any interval set).
+    *
+    * Convention: half-coverage is the standard 2·cum ≥ total integer
+    * form (no ceil, no float); ties take the standard "length at the
+    * contig where the running sum crosses half".
+    *
+    * Scale shape: the length HISTOGRAM is the frame everything runs
+    * on (distinct lengths ≪ contigs — the value-histogram discipline
+    * events_user_gini set): one partial-agg shuffle builds it, the
+    * running sum-from-above is a bounded histogram self-join (the
+    * lifetable at-risk shape, ≤ distinct-lengths² pairs — NO
+    * unpartitioned window), the crossing row an argmax-by-struct, and
+    * L50's partial-bucket count is exact integer arithmetic:
+    * m = ⌈(T − 2·over)/(2·L)⌉ done as (T − 2·over + 2L − 1) div 2L.
+    *
+    * @return one row (n_contigs, total_len, n50, l50)
+    */
+  def n50Stats(df: DataFrame, lenCol: String): DataFrame = {
+    val h = df.select(col(lenCol).cast("long").as("len"))
+      .groupBy("len").agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(h.agg(sum(col("len") * col("cnt")).as("t"),
+      sum("cnt").as("n")))
+    val tail = h.select(col("len").as("len2"),
+      (col("len2") * col("cnt")).as("w2"), col("cnt").as("cnt2"))
+    val cum = h.join(tail, col("len2") > col("len"), "left")
+      .groupBy("len", "cnt").agg(
+        coalesce(sum("w2"), lit(0L)).as("over"),
+        coalesce(sum("cnt2"), lit(0L)).as("cnt_over"))
+    val crossing = cum.crossJoin(tot)
+      .filter(lit(2L) * (col("over") + col("len") * col("cnt")) >= col("t"))
+      .groupBy("t", "n")
+      .agg(max(struct(col("len"), col("over"), col("cnt_over"))).as("__m"))
+    // exact integer ceil-div via the mod-subtract idiom (a double
+    // division's truncation can land off by one on exact boundaries)
+    val x = col("t") - lit(2L) * col("__m.over") +
+      lit(2L) * col("__m.len") - 1L
+    val y = lit(2L) * col("__m.len")
+    crossing.select(col("n").as("n_contigs"), col("t").as("total_len"),
+      col("__m.len").as("n50"),
+      (col("__m.cnt_over") + ((x - pmod(x, y)) / y).cast("long"))
+        .as("l50"))
+  }
 }

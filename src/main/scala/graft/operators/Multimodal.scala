@@ -644,6 +644,54 @@ object Multimodal {
     * no float accumulation, no overflow below 2³³ samples per frame),
     * mean_sq one division. Non-WAV / compressed
     * payloads quarantine to zero frames rather than failing. */
+  /** Per-clip exact waveform sums (media_id, n_samples, sum_s, sum_sq,
+    * peak) — derived ratios live column-side so Spark's round (HALF_UP
+    * away from zero, the SQL convention) applies, not Scala
+    * math.round's half-ceiling (they disagree on negative .5 exactly
+    * where a DC offset lands). */
+  case class ClipStats(media_id: Long, n_samples: Int, sum_s: Long,
+                       sum_sq: Long, peak: Int)
+
+  /** Per-clip waveform statistics over 16-bit PCM WAVs — the sox-stats
+    * recording-QC triple the framed family doesn't carry: DC OFFSET
+    * (mean sample value; a nonzero mean = a broken mic / bad ADC bias,
+    * and it silently eats headroom), PEAK level, and the CREST FACTOR
+    * peak/RMS (≈ √2 for a sine, high for spiky speech, ~1 for
+    * square-wave-like clipping — the one-number "was this squashed by
+    * a limiter" audit).
+    *
+    * Same narrow shape as [[audioEnergy]]: per-partition decode, bytes
+    * never shuffle, one small row per clip. Sums are exact longs; the
+    * two derived values evaluate in ONE pinned sequence each —
+    * mean4 = round(10⁴·Σs/n), crest4 = round(10⁴·peak/√(Σs²/n)) with
+    * sqrt the admitted transcendental — derived COLUMN-side by the
+    * caller (see [[ClipStats]]'s rounding note); crest is NULL on an
+    * all-zero clip (RMS 0), guarded on the integer sum. Non-WAV
+    * payloads quarantine to zero rows.
+    */
+  def audioStats(media: Dataset[MediaRow]): Dataset[ClipStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        MediaCodec.wavSamples(r.payload) match {
+          case Some((_, _, s)) if s.nonEmpty =>
+            var sum = 0L; var sq = 0L; var peak = 0
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toInt
+              sum += v; sq += v.toLong * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            Iterator.single(
+              ClipStats(r.media_id, s.length, sum, sq, peak))
+          case _ => Iterator.empty // quarantine: not 16-bit PCM WAV
+        }
+      })
+  }
+
   def audioEnergy(media: Dataset[MediaRow], frameSize: Int): Dataset[AudioFrame] = {
     require(frameSize >= 1)
     val spark = media.sparkSession

@@ -1390,6 +1390,100 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> ((3L, 3L, 10000L)), 1L -> ((1L, 3L, 3333L))))
   }
 
+  test("n50Stats: textbook, all-equal, and single-contig cases") {
+    def run(lens: Seq[Long]) = {
+      val r = graft.operators.Intervals.n50Stats(
+        lens.map(Tuple1(_)).toDF("len"), "len").collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // [10,8,8,4,2]: T = 32, cum desc 10,18 -> N50 = 8 at the 2nd contig
+    assert(run(Seq(10L, 8L, 8L, 4L, 2L)) == ((5L, 32L, 8L, 2L)))
+    // all equal: half of 20 needs 2 of the 5s
+    assert(run(Seq(5L, 5L, 5L, 5L)) == ((4L, 20L, 5L, 2L)))
+    assert(run(Seq(7L)) == ((1L, 7L, 7L, 1L)))
+    // odd total: [3,2]: T = 5, 2*3 >= 5 -> N50 = 3, one contig
+    assert(run(Seq(3L, 2L)) == ((2L, 5L, 3L, 1L)))
+  }
+
+  test("audioStats: exact sums and peak through the WAV round-trip") {
+    import spark.implicits._
+    val s: Array[Short] = Array(100, -100, 50, 0)
+    val media = Seq(graft.operators.Multimodal.MediaRow(7L, "audio",
+      graft.operators.Multimodal.MediaCodec.wavWithSamples(8000, 1, s))).toDS()
+    val r = graft.operators.Multimodal.audioStats(media).collect().head
+    assert((r.media_id, r.n_samples, r.sum_s, r.sum_sq, r.peak) ==
+      ((7L, 4, 50L, 22500L, 100)))
+    // all-zero clip: sums zero (the crest NULL guard input)
+    val z = Seq(graft.operators.Multimodal.MediaRow(8L, "audio",
+      graft.operators.Multimodal.MediaCodec.wavWithSamples(8000, 1,
+        Array[Short](0, 0)))).toDS()
+    val rz = graft.operators.Multimodal.audioStats(z).collect().head
+    assert(rz.sum_sq == 0L && rz.peak == 0)
+  }
+
+  test("StreamGaps: per-key moments match batch burstiness across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamGaps
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val m = 60000000L
+    // key (X,1): gaps 10,10; (Y,1): 30; (Y,2): 1 — chopped so X's
+    // second gap spans triggers
+    val t1 = Seq(StreamGaps.Ev("X", 1L, 0L), StreamGaps.Ev("X", 1L, 10L * m),
+      StreamGaps.Ev("Y", 1L, 0L))
+    val t2 = Seq(StreamGaps.Ev("X", 1L, 20L * m), StreamGaps.Ev("Y", 2L, 0L))
+    val t3 = Seq(StreamGaps.Ev("Y", 1L, 30L * m), StreamGaps.Ev("Y", 2L, 1L * m))
+    val mem = MemoryStream[StreamGaps.Ev]
+    val q = StreamGaps.moments(mem.toDS())
+      .writeStream.format("memory").queryName("sg_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(t1); q.processAllAvailable()
+      mem.addData(t2); q.processAllAvailable()
+      mem.addData(t3); q.processAllAvailable()
+      val streamed = spark.table("sg_out")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case (k, rows) => k -> rows.maxBy(_._3) } // latest = max n
+        .values.toSeq
+      // per-TYPE rollup of the final streamed key moments == batch
+      val rolled = streamed.groupBy(_._1).map { case (t, rs) =>
+        t -> ((rs.map(_._3).sum, rs.map(_._4).sum, rs.map(_._5).sum))
+      }
+      val batchMoments = (t1 ++ t2 ++ t3)
+        .groupBy(e => (e.etype, e.user)).toSeq.flatMap { case ((t, _), es) =>
+          es.map(_.us).sorted.sliding(2).collect {
+            case Seq(a, b) => (t, (b - a) / m)
+          }
+        }.groupBy(_._1).map { case (t, gs) =>
+          t -> ((gs.size.toLong, gs.map(_._2).sum,
+            gs.map(g => g._2 * g._2).sum))
+        }
+      assert(rolled == batchMoments)
+      // and the graded operator agrees on (n_gaps, sum_gap_min)
+      val batch = graft.operators.EventOps.burstiness(
+        (t1 ++ t2 ++ t3).map(e => (e.etype, e.user, e.us))
+          .toDF("etype", "user_id", "us"), "etype", "user_id", col("us"))
+        .select("etype", "n_gaps", "sum_gap_min")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rolled.map { case (t, v) => t -> ((v._1, v._2)) } == batch)
+    } finally q.stop()
+  }
+
+  test("BloomJoin.merge: build(A union B) == merge(build(A), build(B))") {
+    val a = (1L to 400L).map(Tuple1(_)).toDF("k")
+    val b = (300L to 700L).map(Tuple1(_)).toDF("k")
+    val u = (1L to 700L).map(Tuple1(_)).toDF("k")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = asMap(graft.operators.BloomJoin.merge(
+      graft.operators.BloomJoin.build(a, "k"),
+      graft.operators.BloomJoin.build(b, "k")))
+    val direct = asMap(graft.operators.BloomJoin.build(u, "k"))
+    assert(merged == direct && merged.nonEmpty)
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
