@@ -4233,6 +4233,87 @@ object SparkEntry {
               col("n_samples").cast("double"))).cast("long")).as("crest4"))
     }),
 
+    "fastq_read_stats" -> ((s, dir) => {
+      // per-read QC through the REAL 4-line FASTQ record assembly (the
+      // synthesize-then-parse discipline: lines synthesize from the
+      // md5 formulas, sources.Fastq.parse reassembles records, the
+      // oracle re-derives the stats from the formulas directly — so
+      // the graded comparison validates the record grouping + gates):
+      // read length, GC count (translate-erase, no explode), exact
+      // Phred sum + mean
+      val qualAlphabet = "ABCDEFGHIJKLMNOP" // Phred 32..47 at offset 33
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        docDna.as("seq"),
+        translate(md5(col("text")), "0123456789abcdef", qualAlphabet)
+          .as("qual"))
+      val lines = d.select(col("doc_id"), explode(array(
+          struct(lit(0L).as("f"), concat(lit("@r"),
+            col("doc_id").cast("string")).as("t")),
+          struct(lit(1L).as("f"), col("seq").as("t")),
+          struct(lit(2L).as("f"), lit("+").as("t")),
+          struct(lit(3L).as("f"), col("qual").as("t")))).as("l"))
+        .select((col("doc_id") * 4 + col("l.f")).as("line_no"),
+          col("l.t").as("text"))
+      graft.sources.Fastq.parse(lines, "line_no", "text")
+        .select(col("read_id"),
+          length(col("seq")).cast("long").as("read_len"),
+          (length(col("seq")) -
+            length(translate(col("seq"), "GC", ""))).cast("long")
+            .as("gc_n"),
+          expr("aggregate(split(qual, ''), 0L," +
+            " (acc, c) -> acc + (ascii(c) - 33))").as("sum_q"))
+        .withColumn("mean_q4",
+          round(lit(10000.0) * col("sum_q").cast("double") /
+            col("read_len").cast("double")).cast("long"))
+    }),
+
+    "events_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the user's most
+      // recent non-purchase event AT-OR-BEFORE it (the as-of join
+      // applied to marketing analytics), 7-day lookback, simultaneous
+      // touches deterministically collapse to the max channel; the
+      // unattributed bucket is a first-class row
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), expr("ts DIV 1000").as("us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("us").as("tus"))
+        .agg(max("event_type").as("channel"))
+      val j = EventOps.asOfJoin(conv, touch, "user_id",
+        col("us"), col("tus"), Seq("channel"))
+      val horizon = 7L * 86400000000L
+      val byChannel = j.select(when(col("asof_ts").isNotNull &&
+            col("us") - col("asof_ts") <= horizon, col("asof_channel"))
+          .otherwise(lit("unattributed")).as("channel"))
+        .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
+      byChannel
+        .crossJoin(broadcast(byChannel.agg(
+          sum("n_conversions").as("__tot"))))
+        .select(col("channel"), col("n_conversions"),
+          round(lit(10000.0) * col("n_conversions").cast("double") /
+            col("__tot").cast("double")).cast("long").as("share4"))
+    }),
+
+    "dedup_keep_best" -> ((s, dir) => {
+      // keep-one-per-group POLICY over the transitive dedup groups:
+      // keep the LONGEST doc (ties to smaller id) — the curation
+      // decision dedup_groups' assignment feeds; emits every doc with
+      // its keep flag so the filter is auditable
+      val docs = Tables.documents(s, dir)
+      val groups = Dedup.connectedComponents(docJaccardPairs(s, dir),
+        docs, "doc_id")
+      val g = groups.join(docs.select(col("doc_id").as("id"),
+        col("n_chars")), "id")
+      val best = g.groupBy("group_id")
+        .agg(min(struct((-col("n_chars")).as("neg"), col("id").as("id")))
+          .as("__b"))
+        .select(col("group_id"), col("__b.id").as("keep_id"))
+      g.join(best, "group_id")
+        .select(col("id").as("doc_id"), col("group_id"),
+          when(col("id") === col("keep_id"), 1L).otherwise(0L).as("keep"))
+    }),
+
     "interval_closest" -> ((s, dir) => {
       // bedtools closest -d for the SV call set: nearest part gene
       // within 500 bp per orders-derived call (distance 0 on overlap,
@@ -9067,6 +9148,74 @@ object SparkEntry {
           |    / sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)))
           |    AS BIGINT) END AS crest4
           |FROM a""".stripMargin,
+
+      // FASTQ: the oracle re-derives every read's stats from the
+      // synthesis formulas directly — the Spark side must reproduce
+      // them THROUGH the 4-line record assembly
+      "fastq_read_stats" ->
+        s"""WITH d AS (SELECT doc_id, $docDnaSql AS seq,
+           |  translate(md5(text), '0123456789abcdef', 'ABCDEFGHIJKLMNOP')
+           |    AS qual FROM documents),
+           |s AS (SELECT doc_id,
+           |  sum(ascii(substr(qual, CAST(u.i AS INT), 1)) - 33) AS sum_q
+           |  FROM d, LATERAL unnest(generate_series(1, length(qual))) u(i)
+           |  GROUP BY 1)
+           |SELECT 'r' || CAST(d.doc_id AS VARCHAR) AS read_id,
+           |  CAST(length(d.seq) AS BIGINT) AS read_len,
+           |  CAST(length(d.seq) - length(translate(d.seq, 'GC', ''))
+           |    AS BIGINT) AS gc_n,
+           |  CAST(s.sum_q AS BIGINT) AS sum_q,
+           |  CAST(round(10000.0 * s.sum_q / CAST(length(d.seq) AS DOUBLE))
+           |    AS BIGINT) AS mean_q4
+           |FROM d JOIN s USING (doc_id)""".stripMargin,
+
+      // attribution: simultaneous touches pre-collapse to max channel,
+      // last touch via a per-conversion max, horizon applied after —
+      // the identical at-or-before tie rule the as-of window uses
+      "events_attribution" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+          |  FROM events),
+          |cv AS (SELECT user_id, us, count(*) AS m FROM e
+          |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+          |tc AS (SELECT user_id, us AS tus, max(event_type) AS channel
+          |  FROM e WHERE event_type <> 'purchase' GROUP BY 1, 2),
+          |j AS (SELECT c.user_id, c.us, c.m, max(t.tus) AS ltus
+          |  FROM cv c LEFT JOIN tc t ON t.user_id = c.user_id
+          |    AND t.tus <= c.us
+          |  GROUP BY 1, 2, 3),
+          |att AS (SELECT CASE WHEN j.ltus IS NOT NULL
+          |    AND j.us - j.ltus <= 604800000000 THEN t2.channel
+          |    ELSE 'unattributed' END AS channel, j.m
+          |  FROM j LEFT JOIN tc t2 ON t2.user_id = j.user_id
+          |    AND t2.tus = j.ltus),
+          |b AS (SELECT channel, CAST(sum(m) AS BIGINT) AS n_conversions
+          |  FROM att GROUP BY 1),
+          |t AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS tot FROM b)
+          |SELECT channel, n_conversions,
+          |  CAST(round(10000.0 * n_conversions / CAST(tot AS DOUBLE))
+          |    AS BIGINT) AS share4
+          |FROM b, t""".stripMargin,
+
+      // keep-best: the dedup_groups chain + the longest-doc argmin
+      // (negated length, then id — the same struct order)
+      "dedup_keep_best" ->
+        s"""WITH RECURSIVE $jaccardPairCtes,
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+           |  UNION SELECT id_b AS src, id_a AS dst FROM jp),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+           |g AS (SELECT id, CAST(min(lbl) AS BIGINT) AS group_id
+           |  FROM reach GROUP BY 1),
+           |gg AS (SELECT g.id, g.group_id, d.n_chars FROM g
+           |  JOIN documents d ON d.doc_id = g.id),
+           |best AS (SELECT group_id,
+           |  min({'neg': -n_chars, 'id': id}) AS b FROM gg GROUP BY 1)
+           |SELECT gg.id AS doc_id, gg.group_id,
+           |  CAST(CASE WHEN gg.id = best.b.id THEN 1 ELSE 0 END AS BIGINT)
+           |    AS keep
+           |FROM gg JOIN best ON best.group_id = gg.group_id""".stripMargin,
     )
   }
 }

@@ -54,6 +54,7 @@ class CodegenAuditSpec extends AnyFunSuite {
     "events_holt_backtest" -> "fold over per-type day series (calendar-bounded)",
     "events_holt_winters" -> "fold over per-type day series (calendar-bounded)",
     "quality_classifier" -> "fold over per-document token array (≤ text length ~102)",
+    "fastq_read_stats" -> "fold over the per-read 32-char quality string (bounded by read length)",
     "text_bigram_ppl" -> "transform over per-document bigram array (≤ text length ~102)",
     "text_collocations" -> "transform over per-document bigram array (≤ text length ~102)",
     "text_kn_ppl" -> "transform over per-document bigram array (≤ text length ~102)",

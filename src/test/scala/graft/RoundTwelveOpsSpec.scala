@@ -1484,6 +1484,71 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(merged == direct && merged.nonEmpty)
   }
 
+  test("Fastq.parse: record assembly gates malformed quartets") {
+    val lines = Seq(
+      // good record 0
+      (0L, "@r1"), (1L, "ACGT"), (2L, "+"), (3L, "IIII"),
+      // record 1: header missing '@'
+      (4L, "r2"), (5L, "AC"), (6L, "+"), (7L, "II"),
+      // record 2: seq/qual length mismatch
+      (8L, "@r3"), (9L, "ACG"), (10L, "+"), (11L, "II"),
+      // record 3: '+' line corrupt
+      (12L, "@r4"), (13L, "A"), (14L, "x"), (15L, "I"),
+      // record 4: missing final line
+      (16L, "@r5"), (17L, "A"), (18L, "+"),
+      // good record 5, '+' with comment
+      (20L, "@r6 extra"), (21L, "GG"), (22L, "+r6"), (23L, "#!"))
+      .toDF("line_no", "text")
+    val got = graft.sources.Fastq.parse(lines, "line_no", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == Set(("r1", "ACGT", "IIII"),
+      ("r6 extra", "GG", "#!")))
+  }
+
+  test("attribution composition: horizon, at-or-before tie, max-channel collapse") {
+    val day = 86400000000L
+    val conv = Seq((1L, 10L * day), (2L, 10L * day), (3L, 10L * day),
+      (4L, 10L * day)).toDF("user_id", "us")
+    val touch = Seq(
+      (1L, 9L * day, "ad"),            // within 7d -> ad
+      (2L, 1L * day, "email"),         // 9 days back -> unattributed
+      (3L, 10L * day, "ad"),           // simultaneous with conversion
+      (3L, 10L * day, "email"))        // -> max(channel) = email
+      .toDF("user_id", "tus", "event_type")
+      .groupBy(col("user_id"), col("tus"))
+      .agg(max("event_type").as("channel"))
+    // user 4 has no touch at all -> unattributed
+    val j = graft.operators.EventOps.asOfJoin(conv, touch, "user_id",
+      col("us"), col("tus"), Seq("channel"))
+    val got = j.select(when(col("asof_ts").isNotNull &&
+          col("us") - col("asof_ts") <= 7L * day, col("asof_channel"))
+        .otherwise(lit("unattributed")).as("channel"))
+      .groupBy("channel").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ad" -> 1L, "email" -> 1L, "unattributed" -> 2L))
+  }
+
+  test("dedup_keep_best policy: longest per component, singleton keeps itself") {
+    // components {1,2}, {3}; doc 2 longer -> keep 2; 3 keeps itself
+    val docs = Seq((1L, 100L), (2L, 200L), (3L, 50L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val groups = graft.operators.Dedup.connectedComponents(
+      pairs, docs, "doc_id")
+    val g = groups.join(docs.select(col("doc_id").as("id"),
+      col("n_chars")), "id")
+    val best = g.groupBy("group_id")
+      .agg(min(struct((-col("n_chars")).as("neg"), col("id").as("id")))
+        .as("__b"))
+      .select(col("group_id"), col("__b.id").as("keep_id"))
+    val got = g.join(best, "group_id")
+      .select(col("id"),
+        when(col("id") === col("keep_id"), 1L).otherwise(0L).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
