@@ -4314,6 +4314,39 @@ object SparkEntry {
           when(col("id") === col("keep_id"), 1L).otherwise(0L).as("keep"))
     }),
 
+    "vcf_norm_split" -> ((s, dir) => {
+      // bcftools-norm core: split multi-allelic records (one row per
+      // ALT) and trim each pair to parsimonious form — suffix first,
+      // then prefix advancing pos, while both alleles keep length > 1
+      // (VcfNorm.splitAndTrim; the pass that makes ACG>AC,A and CG>C
+      // merge as the same deletion instead of double-loading)
+      def base(chr: Column, pos: Column): Column =
+        translate(substring(md5(concat(chr.cast("string"), lit(":"),
+          pos.cast("string"))), 1, 1),
+          "0123456789abcdef", "ACGTACGTACGTACGT")
+      val li = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 5).cast("long").as("chr"),
+          ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000)
+            .cast("long").as("pos"),
+          (col("l_suppkey") % 3).cast("int").as("c"))
+        .filter(col("pos") >= 1)
+      val wb = li.select(col("chr"), col("pos"), col("c"),
+        base(col("chr"), col("pos")).as("r1"),
+        base(col("chr"), col("pos") + 1).as("r2"),
+        base(col("chr"), col("pos") + 2).as("r3"))
+      val v = wb.select(col("chr"), col("pos"),
+        concat(col("r1"), col("r2"), col("r3")).as("ref"),
+        when(col("c") === 0, array(col("r1")))
+          .when(col("c") === 1,
+            array(concat(col("r1"), col("r2")), col("r1")))
+          .otherwise(array(concat(col("r1"), col("r2"),
+            translate(col("r3"), "ACGT", "CGTA")))).as("alts"))
+      VcfNorm.splitAndTrim(v).toDF()
+        .select(col("chr"), col("pos"), col("ref"), col("alt"),
+          col("allele_idx").cast("long").as("allele_idx"),
+          col("n_alts").cast("long").as("n_alts"))
+    }),
+
     "interval_closest" -> ((s, dir) => {
       // bedtools closest -d for the SV call set: nearest part gene
       // within 500 bp per orders-derived call (distance 0 on overlap,
@@ -9216,6 +9249,60 @@ object SparkEntry {
            |  CAST(CASE WHEN gg.id = best.b.id THEN 1 ELSE 0 END AS BIGINT)
            |    AS keep
            |FROM gg JOIN best ON best.group_id = gg.group_id""".stripMargin,
+
+      // norm: the identical trim loop as a recursive CTE — suffix
+      // branch first, prefix advances pos, terminal rows are those
+      // where neither applies
+      "vcf_norm_split" ->
+        """WITH RECURSIVE li AS (SELECT CAST(l_orderkey % 5 AS BIGINT) AS chr,
+          |  CAST((l_orderkey*31 + l_linenumber*7) % 100000 AS BIGINT) AS pos,
+          |  CAST(l_suppkey % 3 AS INT) AS c FROM lineitem),
+          |b3 AS (SELECT chr, pos, c,
+          |  translate(substr(md5(CAST(chr AS VARCHAR) || ':' ||
+          |    CAST(pos AS VARCHAR)), 1, 1),
+          |    '0123456789abcdef', 'ACGTACGTACGTACGT') AS r1,
+          |  translate(substr(md5(CAST(chr AS VARCHAR) || ':' ||
+          |    CAST(pos + 1 AS VARCHAR)), 1, 1),
+          |    '0123456789abcdef', 'ACGTACGTACGTACGT') AS r2,
+          |  translate(substr(md5(CAST(chr AS VARCHAR) || ':' ||
+          |    CAST(pos + 2 AS VARCHAR)), 1, 1),
+          |    '0123456789abcdef', 'ACGTACGTACGTACGT') AS r3
+          |  FROM li WHERE pos >= 1),
+          |v0 AS (SELECT chr, pos, r1 || r2 || r3 AS ref,
+          |  CASE c WHEN 0 THEN [r1]
+          |         WHEN 1 THEN [r1 || r2, r1]
+          |         ELSE [r1 || r2 || translate(r3, 'ACGT', 'CGTA')]
+          |  END AS alts FROM b3),
+          |sp AS (SELECT chr, pos, ref,
+          |  CAST(len(alts) AS INT) AS n_alts,
+          |  alts[CAST(u.i AS INT)] AS alt,
+          |  CAST(u.i - 1 AS INT) AS allele_idx
+          |  FROM v0, LATERAL unnest(generate_series(1, len(alts))) u(i)),
+          |tr(chr, pos, ref, alt, allele_idx, n_alts) AS (
+          |  SELECT chr, pos, ref, alt, allele_idx, n_alts FROM sp
+          |  UNION ALL
+          |  SELECT chr,
+          |    CASE WHEN sfx THEN pos ELSE pos + 1 END,
+          |    CASE WHEN sfx THEN substr(ref, 1, length(ref) - 1)
+          |         ELSE substr(ref, 2) END,
+          |    CASE WHEN sfx THEN substr(alt, 1, length(alt) - 1)
+          |         ELSE substr(alt, 2) END,
+          |    allele_idx, n_alts
+          |  FROM (SELECT *,
+          |    length(ref) > 1 AND length(alt) > 1 AND
+          |      substr(ref, length(ref), 1) = substr(alt, length(alt), 1)
+          |      AS sfx,
+          |    length(ref) > 1 AND length(alt) > 1 AND
+          |      substr(ref, 1, 1) = substr(alt, 1, 1) AS pfx FROM tr)
+          |  WHERE sfx OR pfx)
+          |SELECT chr, pos, ref, alt,
+          |  CAST(allele_idx AS BIGINT) AS allele_idx,
+          |  CAST(n_alts AS BIGINT) AS n_alts
+          |FROM (SELECT *,
+          |  length(ref) > 1 AND length(alt) > 1 AND
+          |    (substr(ref, length(ref), 1) = substr(alt, length(alt), 1)
+          |     OR substr(ref, 1, 1) = substr(alt, 1, 1)) AS more FROM tr)
+          |WHERE NOT more""".stripMargin,
     )
   }
 }

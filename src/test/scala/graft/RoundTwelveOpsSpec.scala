@@ -1549,6 +1549,30 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("VcfNorm.splitAndTrim: split, suffix-then-prefix trim, minimal stays") {
+    val v = Seq(
+      // multiallelic split, no trim possible on either pair
+      (0L, 10L, "ACG", Seq("A", "T")),
+      // shared suffix G then shared prefix T -> (11, ACG, A)
+      (0L, 10L, "TACGG", Seq("TAG")),
+      // pure prefix trim: CC>CT -> (11, C, T)
+      (0L, 10L, "CC", Seq("CT")),
+      // suffix trim stops when alt hits length 1: AAA>AA -> (10, AA, A)
+      (0L, 10L, "AAA", Seq("AA")),
+      // already minimal SNV untouched
+      (1L, 5L, "G", Seq("C")))
+      .toDF("chr", "pos", "ref", "alts")
+    val got = graft.operators.VcfNorm.splitAndTrim(v).collect()
+      .map(n => (n.chr, n.pos, n.ref, n.alt, n.allele_idx, n.n_alts))
+      .toSet
+    assert(got == Set(
+      (0L, 10L, "ACG", "A", 0, 2), (0L, 10L, "ACG", "T", 1, 2),
+      (0L, 11L, "ACG", "A", 0, 1),
+      (0L, 11L, "C", "T", 0, 1),
+      (0L, 10L, "AA", "A", 0, 1),
+      (1L, 5L, "G", "C", 0, 1)))
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
