@@ -4129,6 +4129,24 @@ object SparkEntry {
         .groupBy("gsize").agg(count(lit(1)).as("n_groups"))
     }),
 
+    "text_readability" -> ((s, dir) => {
+      // Flesch reading ease + FK grade per doc (word-salad spam and
+      // boilerplate legalese both live at the extremes): exact
+      // word/sentence/vowel-group counts, the two formulas as the only
+      // float steps, one pinned sequence each (TextAnalysis.readability)
+      TextAnalysis.readability(Tables.documents(s, dir), "doc_id",
+        "text")
+    }),
+
+    "text_code_detect" -> ((s, dir) => {
+      // prose-vs-code curation gate: code-punctuation density +
+      // \b-bounded keyword hits (the native count kernel), thresholds
+      // documented on the flag — the signals are the contract
+      // (TextAnalysis.codeSignals)
+      TextAnalysis.codeSignals(Tables.documents(s, dir), "doc_id",
+        "text")
+    }),
+
     "text_hapax" -> ((s, dir) => {
       // hapax legomenon census per source — the Zipf-tail audit next
       // to text_zipf's head fit and text_simpson's diversity index:
@@ -9039,6 +9057,56 @@ object SparkEntry {
            |g AS (SELECT id, min(lbl) AS group_id FROM reach GROUP BY 1),
            |sz AS (SELECT group_id, count(*) AS gsize FROM g GROUP BY 1)
            |SELECT gsize, count(*) AS n_groups FROM sz GROUP BY 1""".stripMargin,
+
+      // readability: the identical count approximations and the two
+      // pinned formula sequences
+      "text_readability" ->
+        s"""WITH d AS (SELECT doc_id, text, $normTextSql AS t FROM documents),
+           |c AS (SELECT doc_id,
+           |  CAST(CASE WHEN length(t) = 0 THEN 0
+           |    ELSE array_length(string_split(t, ' ')) END AS BIGINT)
+           |    AS n_words,
+           |  CAST(greatest(1, length(text)
+           |    - length(translate(text, '.!?', ''))) AS BIGINT)
+           |    AS n_sentences,
+           |  CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT)
+           |    AS n_syllables
+           |  FROM d)
+           |SELECT doc_id, n_words, n_sentences, n_syllables,
+           |  CASE WHEN n_words > 0 THEN CAST(round(100.0 * (0.39
+           |    * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           |    + 11.8 * (CAST(n_syllables AS DOUBLE)
+           |      / CAST(n_words AS DOUBLE)) - 15.59)) AS BIGINT)
+           |  END AS fk2,
+           |  CASE WHEN n_words > 0 THEN CAST(round(100.0 * (206.835
+           |    - 1.015 * (CAST(n_words AS DOUBLE)
+           |      / CAST(n_sentences AS DOUBLE))
+           |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+           |      / CAST(n_words AS DOUBLE)))) AS BIGINT)
+           |  END AS flesch2
+           |FROM c""".stripMargin,
+
+      // code detection: translate-erase symbol density + the langScore
+      // keyword-count formula over the SAME keyword list (built from
+      // TextAnalysis.codeKeywords so the two engines cannot drift)
+      "text_code_detect" -> {
+        val kwSum = TextAnalysis.codeKeywords.map(w =>
+          s"CAST(floor((length(t) - length(regexp_replace(t, " +
+            s"'\\b$w\\b', '', 'g'))) / ${w.length}) AS BIGINT)")
+          .mkString(" + ")
+        s"""WITH d AS (SELECT doc_id, text, $normTextSql AS t FROM documents),
+           |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(length(text) - length(translate(text, '{};()=<>[]', ''))
+           |    AS BIGINT) AS n_sym,
+           |  CAST($kwSum AS BIGINT) AS n_kw FROM d),
+           |r AS (SELECT *, CAST(round(10000.0 * n_sym
+           |  / CAST(greatest(1, n_chars) AS DOUBLE)) AS BIGINT)
+           |  AS sym_ratio4 FROM c)
+           |SELECT doc_id, n_chars, n_sym, n_kw, sym_ratio4,
+           |  CAST(CASE WHEN sym_ratio4 >= 300 OR n_kw >= 3 THEN 1
+           |    ELSE 0 END AS BIGINT) AS is_code
+           |FROM r""".stripMargin
+      },
 
       // hapax census: the simpson count frame with the c = 1 tally and
       // two exact-ratio normalizations

@@ -727,6 +727,84 @@ object TextAnalysis {
     *
     * @return (group, n_tokens, n_types, simpson8)
     */
+  /** Flesch readability per document (Flesch 1948 reading ease;
+    * Kincaid et al. 1975 grade level — the classic pair every
+    * readability-filtered corpus pipeline computes; extreme scores
+    * flag word-salad spam on one end and boilerplate legalese on the
+    * other). Counts are the standard cheap approximations, stated:
+    * words = whitespace tokens of the normalized text, sentences =
+    * `.!?` characters in the RAW text floored at 1, syllables =
+    * maximal vowel-group runs (`[aeiouy]+`) — each exact integers, so
+    * the two formulas are the only float steps and evaluate in ONE
+    * pinned sequence each, ×100-rounded (NULL when a doc has no
+    * words, guarded on the integer count).
+    *
+    * Scale shape: zero-shuffle expression scan; one row per doc.
+    *
+    * @return (id, n_words, n_sentences, n_syllables, fk2, flesch2)
+    */
+  def readability(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val raw = col(textCol)
+    val t = normText(raw)
+    val w = when(length(t) === 0, 0L)
+      .otherwise(size(split(t, " "))).cast("long")
+    val sent = greatest(lit(1L),
+      (length(raw) - length(translate(raw, ".!?", ""))).cast("long"))
+    val syl = size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val wd = col("n_words").cast("double")
+    val sd = col("n_sentences").cast("double")
+    val yd = col("n_syllables").cast("double")
+    docs.select(col(idCol), w.as("n_words"), sent.as("n_sentences"),
+        syl.as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0,
+          round(lit(100.0) * (lit(0.39) * (wd / sd)
+            + lit(11.8) * (yd / wd) - lit(15.59))).cast("long"))
+          .as("fk2"),
+        when(col("n_words") > 0,
+          round(lit(100.0) * (lit(206.835) - lit(1.015) * (wd / sd)
+            - lit(84.6) * (yd / wd))).cast("long")).as("flesch2"))
+  }
+
+  /** Code-detection signals per document (the "is this prose or
+    * source code" curation gate every web-corpus pipeline runs before
+    * language ID — code pollutes prose perplexity models and vice
+    * versa): symbol density over the code-punctuation alphabet
+    * `{};()=<>[]` (translate-erase, exact) and \b-bounded keyword
+    * hits via the same native count kernel language ID uses. The
+    * `is_code` flag applies the documented thresholds (symbol density
+    * ≥ 3 % or ≥ 3 keyword hits) — thresholds are heuristics, the
+    * SIGNALS are the contract.
+    *
+    * Scale shape: zero-shuffle expression scan; one row per doc.
+    *
+    * @return (id, n_chars, n_sym, n_kw, sym_ratio4, is_code)
+    */
+  val codeKeywords: Seq[String] = Seq("class", "const", "def", "else",
+    "for", "function", "if", "import", "return", "var")
+
+  def codeSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val raw = col(textCol)
+    val t = normText(raw)
+    val nSym = (length(raw) -
+      length(translate(raw, "{};()=<>[]", ""))).cast("long")
+    val nKw = codeKeywords.map(k => wordHits(t, k))
+      .reduce(_ + _).cast("long")
+    docs.select(col(idCol), length(raw).cast("long").as("n_chars"),
+        nSym.as("n_sym"), nKw.as("n_kw"))
+      .select(col(idCol), col("n_chars"), col("n_sym"), col("n_kw"),
+        round(lit(10000.0) * col("n_sym").cast("double") /
+          greatest(lit(1L), col("n_chars")).cast("double")).cast("long")
+          .as("sym_ratio4"))
+      .withColumn("is_code",
+        when(col("sym_ratio4") >= 300 || col("n_kw") >= 3, 1L)
+          .otherwise(0L))
+  }
+
   /** Hapax legomenon census per group (the Zipf-TAIL audit the zipfFit
     * head fit can't see: in healthy natural text ~40–60% of the
     * vocabulary occurs exactly once; a hapax rate collapsing toward 0

@@ -1573,6 +1573,40 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
       (1L, 5L, "G", "C", 0, 1)))
   }
 
+  test("readability: hand counts and pinned formulas, empty-doc NULL") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences
+      (2L, "")).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis
+      .readability(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    val (w, s2, y) = (r1.getLong(1), r1.getLong(2), r1.getLong(3))
+    assert((w, s2) == ((6L, 2L)))
+    // vowel groups: e,a,a,e,o,a = 6
+    assert(y == 6L)
+    val fk = math.round(100.0 * (0.39 * (w.toDouble / s2) +
+      11.8 * (y.toDouble / w) - 15.59))
+    assert(r1.getLong(4) == fk)
+    assert(rows(2L).getLong(1) == 0L && rows(2L).isNullAt(4))
+  }
+
+  test("codeSignals: symbol density and keyword hits trip the flag") {
+    val docs = Seq(
+      (1L, "def f(x) { return x; }"),       // keywords def+return, symbols
+      (2L, "a plain english sentence here"),
+      (3L, "x=(1);y=(2);z=(3);")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .codeSignals(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    // doc 1: syms {}();} -> {,},(,),;,} count: ( ) { ; } = 5, kw 2
+    assert(got(1L)._2 == 2L && got(1L)._3 == 1L)
+    assert(got(2L) == ((0L, 0L, 0L)))
+    // doc 3: = ( ) ; x3 -> 12 symbols over 18 chars -> ratio >= 300
+    assert(got(3L)._1 == 12L && got(3L)._3 == 1L)
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
