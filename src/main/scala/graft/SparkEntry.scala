@@ -4129,6 +4129,35 @@ object SparkEntry {
         .groupBy("gsize").agg(count(lit(1)).as("n_groups"))
     }),
 
+    "dna_seq_entropy" -> ((s, dir) => {
+      // per-sequence base-composition Shannon entropy — the DUST-style
+      // low-complexity screen (repeat-masking candidates score low;
+      // the sequence-side twin of events_entropy's class-balance
+      // audit): four translate-erase counts (exact, no explode), one
+      // su4 log term per base in the identical literal sequence both
+      // engines evaluate, summed as exact longs; zero-shuffle scan
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        docDna.as("seq"))
+      val len = length(col("seq")).cast("long")
+      def cnt(b: String) =
+        (length(col("seq")) - length(translate(col("seq"), b, "")))
+          .cast("long")
+      def t4(c: Column) = {
+        val p = c.cast("double") / col("len").cast("double")
+        when(c > 0, round(p * round(log2(p), 4) * lit(-10000.0))
+          .cast("long")).otherwise(0L)
+      }
+      d.select(col("doc_id"), len.as("len"), cnt("A").as("n_a"),
+          cnt("C").as("n_c"), cnt("G").as("n_g"), cnt("T").as("n_t"))
+        .select(col("doc_id"), col("len"), col("n_a"), col("n_c"),
+          col("n_g"), col("n_t"),
+          ((col("n_a") > 0).cast("long") + (col("n_c") > 0).cast("long") +
+            (col("n_g") > 0).cast("long") + (col("n_t") > 0).cast("long"))
+            .as("n_distinct"),
+          (t4(col("n_a")) + t4(col("n_c")) + t4(col("n_g")) +
+            t4(col("n_t"))).as("entropy4"))
+    }),
+
     "text_readability" -> ((s, dir) => {
       // Flesch reading ease + FK grade per doc (word-salad spam and
       // boilerplate legalese both live at the extremes): exact
@@ -9057,6 +9086,29 @@ object SparkEntry {
            |g AS (SELECT id, min(lbl) AS group_id FROM reach GROUP BY 1),
            |sz AS (SELECT group_id, count(*) AS gsize FROM g GROUP BY 1)
            |SELECT gsize, count(*) AS n_groups FROM sz GROUP BY 1""".stripMargin,
+
+      // seq entropy: the four translate-erase counts and the identical
+      // su4 term sequence per base
+      "dna_seq_entropy" ->
+        s"""WITH d AS (SELECT doc_id, $docDnaSql AS seq FROM documents),
+           |c AS (SELECT doc_id, CAST(length(seq) AS BIGINT) AS len,
+           |  CAST(length(seq) - length(translate(seq, 'A', '')) AS BIGINT) AS n_a,
+           |  CAST(length(seq) - length(translate(seq, 'C', '')) AS BIGINT) AS n_c,
+           |  CAST(length(seq) - length(translate(seq, 'G', '')) AS BIGINT) AS n_g,
+           |  CAST(length(seq) - length(translate(seq, 'T', '')) AS BIGINT) AS n_t
+           |  FROM d)
+           |SELECT doc_id, len, n_a, n_c, n_g, n_t,
+           |  CAST((CASE WHEN n_a > 0 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN n_c > 0 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN n_g > 0 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN n_t > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_distinct,
+           |  CAST((CASE WHEN n_a > 0 THEN CAST(round((CAST(n_a AS DOUBLE) / CAST(len AS DOUBLE)) * round(log2(CAST(n_a AS DOUBLE) / CAST(len AS DOUBLE)), 4) * (-1e4)) AS BIGINT) ELSE 0 END)
+           |    + (CASE WHEN n_c > 0 THEN CAST(round((CAST(n_c AS DOUBLE) / CAST(len AS DOUBLE)) * round(log2(CAST(n_c AS DOUBLE) / CAST(len AS DOUBLE)), 4) * (-1e4)) AS BIGINT) ELSE 0 END)
+           |    + (CASE WHEN n_g > 0 THEN CAST(round((CAST(n_g AS DOUBLE) / CAST(len AS DOUBLE)) * round(log2(CAST(n_g AS DOUBLE) / CAST(len AS DOUBLE)), 4) * (-1e4)) AS BIGINT) ELSE 0 END)
+           |    + (CASE WHEN n_t > 0 THEN CAST(round((CAST(n_t AS DOUBLE) / CAST(len AS DOUBLE)) * round(log2(CAST(n_t AS DOUBLE) / CAST(len AS DOUBLE)), 4) * (-1e4)) AS BIGINT) ELSE 0 END)
+           |    AS BIGINT) AS entropy4
+           |FROM c""".stripMargin,
 
       // readability: the identical count approximations and the two
       // pinned formula sequences

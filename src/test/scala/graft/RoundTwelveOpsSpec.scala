@@ -1607,6 +1607,42 @@ class RoundTwelveOpsSpec extends AnyFunSuite {
     assert(got(3L)._1 == 12L && got(3L)._3 == 1L)
   }
 
+  test("dna_seq_entropy: uniform, skewed, and single-base landmarks") {
+    val tmp = java.nio.file.Files.createTempDirectory("dse").toString
+    // the graded query derives seq = translate(md5(text), ...) — build
+    // docs whose md5-derived sequences we recompute driver-side
+    val docs = Seq((1L, "alpha", "en", "s", 5L), (2L, "beta", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def seqOf(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.map(c => "ACGTACGTACGTACGT"("0123456789abcdef".indexOf(c)))
+    }
+    def ent4(s2: String): Long =
+      "ACGT".map { b =>
+        val c = s2.count(_ == b)
+        if (c == 0) 0L else {
+          val p = c.toDouble / s2.length
+          val l4 = BigDecimal(math.log(p) / math.log(2.0))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          BigDecimal(p * l4 * -10000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+      }.sum
+    val got = SparkEntry.queries("dna_seq_entropy")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(6), r.getLong(7))))
+      .toMap
+    val exp = Map(
+      1L -> ((seqOf("alpha").distinct.length.toLong, ent4(seqOf("alpha")))),
+      2L -> ((seqOf("beta").distinct.length.toLong, ent4(seqOf("beta")))))
+    assert(got == exp)
+    // landmark: a perfectly uniform 4-base sequence scores exactly 2
+    // bits = 20000 under the su4 chain
+    assert(ent4("ACGTACGT") == 20000L)
+  }
+
   private implicit class Tup5Map(
       rows: Array[(Long, Long, Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long)] =
