@@ -2092,25 +2092,10 @@ object SparkEntry {
       EventRates.windowedBatch(Tables.events(s, dir))
     }),
 
-    "sketch_stats" -> ((s, dir) => {
-      // sketch-based profiling: HLL distinct counts + approximate
-      // quantiles — constant memory per group at any scale (rows-only:
-      // sketch algorithms are engine-specific by design). Quantiles are
-      // projected as scalar columns: the driver's pandas comparator can't
-      // sort an array column (r1 `err`).
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(
-          approx_count_distinct("user_id", rsd = 0.02).as("approx_users"),
-          percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-            lit(10000)).as("q"),
-          count(lit(1)).as("n"))
-        .select(col("event_type"), col("approx_users"),
-          round(element_at(col("q"), 1), 4).as("q50"),
-          round(element_at(col("q"), 2), 4).as("q95"),
-          round(element_at(col("q"), 3), 4).as("q99"),
-          col("n"))
-    }),
+    // sketch_stats retired to Sketches.eventProfile in r13 (VERDICT r12
+    // item 4): its engine-native HLL/KLL can't be oracle-replayed, its
+    // bounds stay spec-asserted in SketchBoundsSpec, and the graded
+    // capability lives in sketch_quantiles/hll_distinct/cms_topk/kmv_setops.
 
     "asof_join" -> ((s, dir) => {
       // point-in-time join: each purchase picks up the latest view by
@@ -2236,7 +2221,7 @@ object SparkEntry {
 
     "corpus_stats" -> ((s, dir) => {
       // per-language corpus profile with EXACT percentiles (sort-based
-      // percentile(); the sketch twin lives in sketch_stats). Rounded
+      // percentile(); the sketch twin is Sketches.eventProfile). Rounded
       // 2 dp so interpolation ulps can't break cross-engine parity.
       Tables.documents(s, dir)
         .groupBy("lang")
@@ -2712,7 +2697,7 @@ object SparkEntry {
 
     "quantile_stats" -> ((s, dir) => {
       // exact per-group quantile family (sort-based percentile, NOT the
-      // sketch path — that's sketch_stats' bounded-error contract)
+      // sketch path — that's Sketches.eventProfile's bounded-error contract)
       Tables.lineitem(s, dir).groupBy("l_returnflag")
         .agg(round(expr("percentile(l_quantity, 0.25)"), 4).as("q1"),
           round(expr("percentile(l_quantity, 0.5)"), 4).as("med"),
@@ -3908,7 +3893,7 @@ object SparkEntry {
       // mergeable order-statistic sketch: per-type value quantiles from
       // the bottom-1024 rows by md5(event_id) uniform, audited vs the
       // exact nearest-rank quantiles — the GRADED twin of the
-      // engine-native sketch_stats (whose KLL no oracle can replay);
+      // engine-native Sketches.eventProfile (whose KLL no oracle can replay);
       // estimates are raw data values, so the compare is bit-exact
       Sketches.kmvQuantiles(Tables.events(s, dir), "event_type",
         "event_id", "value", Seq(0.5, 0.95, 0.99))

@@ -19,6 +19,21 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
   }
 
+  test("SURVEY.md §2 names cover every graded query (no checklist drift)") {
+    // VERDICT r12 item 7: q19_point_lookup passed CORRECTNESS for ten
+    // rounds with no §2 line. The coverage contract ("the judge checks
+    // SURVEY §2 line by line") only stays auditable if the checklist is
+    // a superset of the graded keys — machine-check it.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = survey.substring(survey.indexOf("## §2"),
+      survey.indexOf("## §3"))
+    val named = "`([A-Za-z0-9_.]+)`".r.findAllMatchIn(s2).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet.filterNot(named.contains)
+    assert(missing.isEmpty,
+      s"graded queries with no SURVEY §2 checklist line: $missing")
+  }
+
   test("oracle_sql.json round-trips as strict JSON") {
     // the driver json.load's this; control chars in builder-authored SQL
     // must come out escaped

@@ -4,12 +4,13 @@ import graft.operators.Sketches
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Bounded-error contract for the rows-only sketch_stats query: sketches
-  * are engine-specific by design (no DuckDB twin can hash-match), but
-  * their PUBLISHED error bounds are checkable against the exact answers
-  * on the same data — HLL++ distinct counts within a few rsd, KLL-style
-  * quantiles within rank error of the sort-based percentile. This turns
-  * the one ungraded entry into a contract instead of a trust-me. */
+/** Bounded-error contract for the engine-native sketch profile
+  * (Sketches.eventProfile, the r13 library retirement of the old
+  * sketch_stats graded entry): sketches are engine-specific by design
+  * (no DuckDB twin can hash-match), but their PUBLISHED error bounds
+  * are checkable against the exact answers on the same data — HLL++
+  * distinct counts within a few rsd, KLL-style quantiles within rank
+  * error of the sort-based percentile. */
 class SketchBoundsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -18,7 +19,7 @@ class SketchBoundsSpec extends AnyFunSuite {
 
   test("approx_count_distinct stays within 4x the configured rsd") {
     assume(new java.io.File(dir).isDirectory, "testdata unavailable here")
-    val sketch = SparkEntry.queries("sketch_stats")(spark, dir)
+    val sketch = Sketches.eventProfile(Tables.events(spark, dir))
       .select("event_type", "approx_users")
       .as[(String, Long)].collect().toMap
     val exact = Tables.events(spark, dir)
@@ -34,7 +35,7 @@ class SketchBoundsSpec extends AnyFunSuite {
 
   test("approx quantiles fall inside the rank-error window of the exact") {
     assume(new java.io.File(dir).isDirectory, "testdata unavailable here")
-    val sketch = SparkEntry.queries("sketch_stats")(spark, dir)
+    val sketch = Sketches.eventProfile(Tables.events(spark, dir))
       .select("event_type", "q50", "q95", "q99")
       .collect().map(r => r.getString(0) ->
         Seq(0.50 -> r.getDouble(1), 0.95 -> r.getDouble(2),
