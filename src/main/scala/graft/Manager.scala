@@ -210,10 +210,20 @@ object Manager {
           spark.read.parquet(opt("info"))), "polyphen_predictions")
 
       case "ClinVar2Vcf" =>
-        writeVcf(SourceConverters.clinVarToVcf(
-          spark.read.parquet(opt("input")), col("chr"), col("pos"),
-          col("rgd_id"), col("name"), col("ref_nuc"), col("var_nuc"),
-          col("rs_id")))
+        // the reference tool's SELECT gates on object_type
+        // (ClinVar2Vcf.java:83, incl. microsatellite per Feb 2025
+        // changes.txt) — apply it by default when the input carries the
+        // column; a pre-filtered extract without it passes through
+        val cv = spark.read.parquet(opt("input"))
+        writeVcf(
+          if (cv.columns.contains("object_type"))
+            SourceConverters.clinVarToVcf(cv, col("chr"), col("pos"),
+              col("rgd_id"), col("name"), col("ref_nuc"), col("var_nuc"),
+              col("rs_id"), col("object_type"))
+          else
+            SourceConverters.clinVarToVcf(cv, col("chr"), col("pos"),
+              col("rgd_id"), col("name"), col("ref_nuc"), col("var_nuc"),
+              col("rs_id")))
 
       case "DbSnp2Vcf" =>
         writeVcf(SourceConverters.dbSnpToVcf(

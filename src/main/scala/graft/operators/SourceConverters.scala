@@ -33,8 +33,27 @@ object SourceConverters {
       lit("PASS"), lit("VALIDATED=1"), info, lit("GT;AD;DP"),
       lit(s"0/1:$refCount,$varCount:${refCount + varCount}"))
 
+  /** The reference's ClinVar object-type gate (ClinVar2Vcf.java:83 —
+    * the SELECT's `object_type in (...)` list; 'microsatellite' added
+    * Feb 2025 per the reference changes.txt). Rows of any other type
+    * (e.g. 'copy number gain', 'inversion', 'translocation') never
+    * reach the VCF writer in the reference tool. */
+  val ClinVarObjectTypes: Seq[String] = Seq(
+    "single nucleotide variant", "deletion", "insertion", "duplication",
+    "microsatellite")
+
   /** ClinVar mapping (ClinVar2Vcf.writeVcfLine): ID = `RGDID:<id>;<name>`,
-    * INFO = `DB:<rsId>` when an rs id is known, else empty. */
+    * INFO = `DB:<rsId>` when an rs id is known, else empty. This
+    * overload applies the reference's default object-type gate
+    * ([[ClinVarObjectTypes]]); the 8-arg overload skips it for callers
+    * with pre-filtered (or type-less) frames. */
+  def clinVarToVcf(df: DataFrame, chr: Column, pos: Column, rgdId: Column,
+                   name: Column, ref: Column, vr: Column,
+                   rsId: Column, objectType: Column): DataFrame =
+    clinVarToVcf(df.filter(objectType.isin(ClinVarObjectTypes: _*)),
+      chr, pos, rgdId, name, ref, vr, rsId)
+
+  /** ClinVar mapping without the type gate (caller pre-filtered). */
   def clinVarToVcf(df: DataFrame, chr: Column, pos: Column, rgdId: Column,
                    name: Column, ref: Column, vr: Column,
                    rsId: Column): DataFrame =

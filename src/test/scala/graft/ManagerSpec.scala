@@ -246,6 +246,24 @@ class ManagerSpec extends AnyFunSuite {
     assert(lines.length == 1)
     assert(lines.head.startsWith("1\t100\tRGDID:7;nm\tA\tG\tPASS\t"))
     assert(lines.head.contains("DB:rs5"))
+    // ClinVar2Vcf.java:83 object-type gate: only the five listed types
+    // survive when the input carries object_type (microsatellite added
+    // Feb 2025 per changes.txt); CNVs/inversions drop even with clean
+    // alleles
+    Seq(("1", 100L, 7L, "nm", "A", "G", "rs5", "single nucleotide variant"),
+        ("1", 110L, 9L, "nm3", "A", "G", "rs6", "copy number gain"),
+        ("1", 120L, 10L, "nm4", "A", "G", "rs7", "inversion"),
+        ("1", 130L, 11L, "nm5", "ACA", "A", null, "microsatellite"))
+      .toDF("chr", "pos", "rgd_id", "name", "ref_nuc", "var_nuc", "rs_id",
+        "object_type")
+      .write.parquet(s"$dir/cvt")
+    val outT = tmpDir()
+    Manager.runTool(spark, "ClinVar2Vcf",
+      Array("--input", s"$dir/cvt", "--outDir", outT))
+    val typed = spark.read.textFile(s"$outT/vcf").collect().sorted
+    assert(typed.length == 2, s"type gate failed: ${typed.mkString("; ")}")
+    assert(typed(0).startsWith("1\t100\tRGDID:7;nm\tA\tG\t"))
+    assert(typed(1).startsWith("1\t130\tRGDID:11;nm5\tACA\tA\t"))
     // dbSnp: ID = snp name, empty INFO slot
     Seq(("2", 300L, "rs9", "C", "T"))
       .toDF("chr", "pos", "snp_name", "ref_nuc", "var_nuc")
