@@ -4030,6 +4030,17 @@ object SparkEntry {
       Graphs.conductance(pairs, "id_a", "id_b", labels)
     }),
 
+    "graph_community_audit" -> ((s, dir) => {
+      // the materialize-once production composition (VERDICT r12 item
+      // 2): pair graph derived ONCE, LPA labels computed ONCE, then
+      // global modularity + per-community conductance + the size
+      // census all read the same two materialized frames
+      // (PairGraph.communityAudit) — the shape a 100 TB caller runs
+      // instead of three standalone re-derivations
+      PairGraph.communityAudit(docJaccardPairs(s, dir), "id_a", "id_b",
+        iterations = 3)
+    }),
+
     "text_simpson" -> ((s, dir) => {
       // Simpson lexical diversity per source: P(two tokens drawn
       // without replacement are the same word) — exact integer
@@ -8886,6 +8897,49 @@ object SparkEntry {
            |      / CAST(least(vl.vol, vol2m - vl.vol) AS DOUBLE)) AS BIGINT)
            |  END AS conductance6
            |FROM vl LEFT JOIN ct ON ct.label = vl.label, mm""".stripMargin,
+
+      // the composed audit: ONE label chain (l3) feeds the modularity
+      // rational, the per-community conductance AND the size census —
+      // same CTEs as the standalone oracles so the three derivations
+      // cannot drift from their standalone twins
+      "graph_community_audit" ->
+        s"""WITH $lpaCtes,
+           |eu AS (SELECT id_a AS u, id_b AS v FROM jp),
+           |mm AS (SELECT count(*) AS m FROM eu),
+           |ein AS (SELECT count(*) AS e_in FROM eu
+           |  JOIN l3 a ON a.id = eu.u JOIN l3 b ON b.id = eu.v
+           |  WHERE a.label = b.label),
+           |deg AS (SELECT id, count(*) AS deg FROM
+           |  (SELECT u AS id FROM eu UNION ALL SELECT v FROM eu)
+           |  GROUP BY 1),
+           |dc AS (SELECT l.label, count(*) AS n_nodes,
+           |  CAST(sum(d.deg) AS BIGINT) AS vol
+           |  FROM deg d JOIN l3 l ON l.id = d.id GROUP BY 1),
+           |s AS (SELECT count(*) AS n_communities,
+           |  CAST(sum(vol*vol) AS BIGINT) AS sum_d2 FROM dc),
+           |el AS (SELECT a.label AS lu, b.label AS lv FROM eu
+           |  JOIN l3 a ON a.id = eu.u JOIN l3 b ON b.id = eu.v),
+           |ct AS (SELECT label, count(*) AS cut FROM (
+           |  SELECT lu AS label FROM el WHERE lu <> lv
+           |  UNION ALL SELECT lv FROM el WHERE lu <> lv) GROUP BY 1),
+           |cen AS (SELECT n_nodes, count(*) AS n_size_peers
+           |  FROM dc GROUP BY 1),
+           |gaud AS (SELECT n_communities, CAST(m AS BIGINT) AS n_edges,
+           |  CAST(round(1000000.0 * (4*m*e_in - sum_d2) / (4*m*m))
+           |    AS BIGINT) AS modularity6, 2*m AS vol2m
+           |  FROM mm CROSS JOIN ein CROSS JOIN s)
+           |SELECT dc.label, dc.n_nodes AS n_members, dc.vol,
+           |  CAST(coalesce(ct.cut, 0) AS BIGINT) AS cut,
+           |  CASE WHEN least(dc.vol, gaud.vol2m - dc.vol) > 0
+           |    THEN CAST(round(1000000.0 * coalesce(ct.cut, 0)
+           |      / CAST(least(dc.vol, gaud.vol2m - dc.vol) AS DOUBLE))
+           |      AS BIGINT)
+           |  END AS conductance6,
+           |  CAST(cen.n_size_peers AS BIGINT) AS n_size_peers,
+           |  gaud.n_communities, gaud.n_edges, gaud.modularity6
+           |FROM dc LEFT JOIN ct ON ct.label = dc.label
+           |JOIN cen ON cen.n_nodes = dc.n_nodes
+           |CROSS JOIN gaud""".stripMargin,
 
       // Simpson diversity: exact-integer Σc(c−1) and N(N−1), the two
       // denominator factors cast to double separately (the

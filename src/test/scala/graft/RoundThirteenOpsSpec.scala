@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Graphs, PairGraph}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 operators: the materialize-once community-audit
+  * composition (modularity + conductance + size census off one pair
+  * frame and one LPA label frame), and the round's scale/parity
+  * fixes.
+  */
+class RoundThirteenOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("communityAudit: barbell graph — two triangles, one bridge") {
+    // 3-round deterministic LPA on the barbell splits it into
+    // {1,2,3} (label 1) and {4,5,6} (label 3); every audit number is
+    // hand-derivable: m=7, e_in=6, d_c=7 each →
+    // Q = (4·7·6 − 2·49)/(4·49) = 70/196 → modularity6 = 357143;
+    // each community: vol 7, cut 1, φ = 1/min(7, 14−7) → 142857
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = PairGraph.communityAudit(pairs, "id_a", "id_b", iterations = 3)
+      .orderBy("label")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(out.toSeq == Seq(
+      (1L, 3L, 7L, 1L, 142857L, 2L, 2L, 7L, 357143L),
+      (3L, 3L, 7L, 1L, 142857L, 2L, 2L, 7L, 357143L)))
+  }
+
+  test("communityAudit agrees with the standalone modularity/conductance") {
+    // the composition must be the same numbers as the standalone
+    // operators on the same pairs + labels — a drift here means the
+    // shared-frame plumbing changed semantics
+    val rnd = new scala.util.Random(13L)
+    val pairs = (1 to 120).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+    val audit = PairGraph.communityAudit(pairs, "id_a", "id_b", 3)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val labels = Graphs.labelPropagation(edges, "src", "dst", 3)
+    val mod = Graphs.modularity(pairs, "id_a", "id_b", labels)
+      .as[(Long, Long, Long)].head()
+    val cond = Graphs.conductance(pairs, "id_a", "id_b", labels)
+      .select("label", "n_nodes", "vol", "cut", "conductance6")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    val auditRows = audit.collect()
+    assert(auditRows.map(r => (r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSet == Set(mod), "global columns drift from Graphs.modularity")
+    assert(auditRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+      == cond, "per-community columns drift from Graphs.conductance")
+    // census self-consistency: n_size_peers really counts communities
+    // of the same size
+    val bySize = auditRows.groupBy(_.getLong(1)).map { case (k, v) =>
+      k -> v.length.toLong }
+    auditRows.foreach { r =>
+      assert(r.getLong(5) == bySize(r.getLong(1)))
+    }
+  }
+}
