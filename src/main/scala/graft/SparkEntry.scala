@@ -1874,6 +1874,25 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    "ann_ivf_probe_disk" -> ((s, dir) => {
+      // build-once/probe-many (VERDICT r12 item 3): the inverted lists
+      // persist as a parquet table BUCKETED on list_id
+      // (Similarity.ivfWriteIndex — the writeBucketed discipline), and
+      // the probe reads them back with ZERO exchange on the index side
+      // (bucketed scan + broadcast query side; spec-asserted). Same
+      // results as ann_ivf — what changes is WHERE the corpus-sized
+      // assignment cost is paid: once at write time, not per probe.
+      val emb = Tables.embeddings(s, dir)
+      val cent = Similarity.ivfQuantizer(16, 64)
+      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", cent,
+        table = "graft_ivf_index", buckets = 16)
+      Similarity.ivfProbeIndex(s, "graft_ivf_index",
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          cent, k = 5, nprobe = 2)
+        .select(col("query_id"), col("corpus_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "ann_recall_audit" -> ((s, dir) => {
       // recall@5 of the IVF index against the brute-force truth — the
       // index-quality audit every ANN deployment needs before trusting
@@ -5764,6 +5783,32 @@ object SparkEntry {
       },
 
       "ann_ivf" -> {
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+           |d AS (
+           |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),
+           |rnk AS (SELECT vec_id, c,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
+           |asn AS (SELECT a.vec_id AS corpus_id, a.c AS list_id, vv AS cv
+           |  FROM rnk a JOIN v ON v.vec_id = a.vec_id WHERE a.rn = 1),
+           |prb AS (SELECT p.vec_id AS query_id, p.c AS list_id, vv AS qv
+           |  FROM rnk p JOIN v ON v.vec_id = p.vec_id
+           |  WHERE p.rn <= 2 AND p.vec_id % 50 = 0),
+           |s AS (SELECT query_id, corpus_id,
+           |  round(CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) > 0
+           |    THEN list_dot_product(qv,cv) /
+           |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+           |    ELSE 0 END, 6) AS cos_sim
+           |  FROM prb JOIN asn USING (list_id) WHERE corpus_id <> query_id)
+           |SELECT query_id, corpus_id, cos_sim, rank FROM (
+           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank FROM s)
+           |WHERE rank <= 5""".stripMargin
+      },
+
+      // probe-from-disk is result-identical to ann_ivf (only WHERE the
+      // assignment cost is paid changes — write time vs probe time), so
+      // the oracle replays the same assignment/probe/score chain
+      "ann_ivf_probe_disk" -> {
         s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
            |d AS (
            |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),

@@ -25,6 +25,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
   // checkpoint frame
   private val whitelist = Set("vocab_growth", "corpus_budget_select")
 
+  // AQE roots every eligible physical plan in AdaptiveSparkPlanExec —
+  // a LEAF node, so a plain plan.collect inspects NOTHING inside it
+  // (verified r13: a literal crossJoin's CartesianProductExec was
+  // invisible to the old traversal). Unwrap recursively.
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: allNodes(a.executedPlan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
   test("no cartesian product in any graded query") {
     // a CartesianProductExec multiplies partitions x partitions — at
     // 100 TB that is a run-forever plan. The deliberate scalar
@@ -33,10 +44,10 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // fine and NOT matched here.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, dir).queryExecution.executedPlan
-        val cart = plan.collect {
-          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-        }
+        val cart = allNodes(fn(spark, dir).queryExecution.executedPlan)
+          .collect {
+            case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          }
         if (cart.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty, s"cartesian product in: $offenders")

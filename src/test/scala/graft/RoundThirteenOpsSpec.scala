@@ -62,4 +62,57 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
       assert(r.getLong(5) == bySize(r.getLong(1)))
     }
   }
+
+  test("ivfProbeIndex: bucketed scan, zero exchange on the index side") {
+    import graft.operators.Similarity
+    // build a tiny index from deterministic vectors, probe it, and
+    // assert the serving-shape contract (VERDICT r12 item 3): the only
+    // shuffle in the probe plan is the per-query top-k window over
+    // SCORED rows — the persisted index streams from its bucketed scan
+    // straight into the broadcast join
+    val rnd = new scala.util.Random(7L)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val cent = Similarity.ivfQuantizer(16, 64)
+    Similarity.ivfWriteIndex(emb, "vec_id", "embedding", cent,
+      table = "graft_ivf_index_spec", buckets = 8)
+    val probe = Similarity.ivfProbeIndex(spark, "graft_ivf_index_spec",
+      emb.filter($"vec_id" % 40 === 0), "vec_id", "embedding", cent,
+      k = 3, nprobe = 2)
+    // AQE roots the plan in AdaptiveSparkPlanExec (a LEAF node — a
+    // plain .collect sees nothing inside); unwrap it explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val nodes = allNodes(probe.queryExecution.executedPlan)
+    val planStr = probe.queryExecution.executedPlan.toString
+    val shuffles = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length == 1,
+      s"expected exactly the top-k window shuffle, got:\n$planStr")
+    // that one shuffle sits ABOVE the probe join: its subtree already
+    // contains the join, so the index scan → join path is exchange-free
+    val joinInShuffleChild = shuffles.head.child.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joinInShuffleChild.nonEmpty,
+      s"probe join not below the single shuffle:\n$planStr")
+    // and the index side really is the bucketed layout (not a re-read
+    // of raw embeddings): the scan reports its bucket spec
+    val bucketedScans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.bucketSpec.isDefined => f
+    }
+    assert(bucketedScans.nonEmpty, s"no bucketed scan in probe plan:\n$planStr")
+    // and the results equal the one-plan ivfSearch on the same data
+    val fused = Similarity.ivfSearch(emb, emb.filter($"vec_id" % 40 === 0),
+      "vec_id", "embedding", cent, k = 3, nprobe = 2)
+      .select("query_id", "corpus_id", "cos_sim", "rank")
+    assert(probe.select("query_id", "corpus_id", "cos_sim", "rank")
+      .collect().toSet == fused.collect().toSet)
+  }
 }
