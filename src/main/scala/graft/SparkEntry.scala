@@ -2107,6 +2107,26 @@ object SparkEntry {
         Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id")).toDF()
     }),
 
+    "multimodal_quarantine" -> ((s, dir) => {
+      // per-kind quarantine census (VERDICT r12 item 8): the synthesis
+      // deliberately includes a JPEG header (format needs a real
+      // decoder) and a truncated RIFF (malformed on arrival); both
+      // decode to the honest (0,0) and the census pins how many rows
+      // per kind took that path — the negative-path grade the decode
+      // quarantine never had. Spark goes THROUGH syntheticMediaMixed →
+      // MediaCodec.decode; the oracle re-derives every count and
+      // decoded dimension sum arithmetically from the residue formulas.
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticMediaMixed(
+        Tables.documents(s, dir).select("doc_id"), "doc_id")).toDF()
+      val dec = col("width") =!= 0 || col("height") =!= 0
+      feats.groupBy("kind").agg(
+        count(lit(1)).as("n_total"),
+        sum(when(dec, 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(dec, 0L).otherwise(1L)).as("n_quarantined"),
+        sum(when(dec, col("width").cast("long")).otherwise(0L)).as("sum_w"),
+        sum(when(dec, col("height").cast("long")).otherwise(0L)).as("sum_h"))
+    }),
+
     "stream_event_rates" -> ((s, dir) => {
       EventRates.windowedBatch(Tables.events(s, dir))
     }),
@@ -5653,6 +5673,30 @@ object SparkEntry {
           |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 256
           |    WHEN 1 THEN 1 + doc_id % 2 ELSE 24 + doc_id % 48 END AS INT) AS height
           |FROM documents""".stripMargin,
+
+      // the negative path graded: residues 3 (JPEG header — needs a
+      // real decoder) and 4 (truncated RIFF) MUST land in the
+      // quarantine column; decoded dimension sums re-derived from the
+      // same synthesis formulas as multimodal_meta
+      "multimodal_quarantine" ->
+        """WITH cls AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 5 IN (0, 3) THEN 'image'
+          |    WHEN doc_id % 5 IN (1, 4) THEN 'audio'
+          |    ELSE 'video' END AS kind,
+          |  CASE WHEN doc_id % 5 <= 2 THEN 1 ELSE 0 END AS dec,
+          |  CASE doc_id % 5 WHEN 0 THEN 16 + doc_id % 256
+          |    WHEN 1 THEN 8000 + (doc_id % 8) * 1000
+          |    WHEN 2 THEN 32 + doc_id % 64 ELSE 0 END AS w,
+          |  CASE doc_id % 5 WHEN 0 THEN 16 + (doc_id * 7) % 256
+          |    WHEN 1 THEN 1 + doc_id % 2
+          |    WHEN 2 THEN 24 + doc_id % 48 ELSE 0 END AS h
+          |  FROM documents)
+          |SELECT kind, count(*) AS n_total,
+          |  CAST(sum(dec) AS BIGINT) AS n_decoded,
+          |  CAST(count(*) - sum(dec) AS BIGINT) AS n_quarantined,
+          |  CAST(sum(w) AS BIGINT) AS sum_w,
+          |  CAST(sum(h) AS BIGINT) AS sum_h
+          |FROM cls GROUP BY 1""".stripMargin,
 
       "dedup_exact" ->
         s"""SELECT n_docs, count(*) AS n_groups FROM (

