@@ -7594,15 +7594,25 @@ object SparkEntry {
       // the Holt-Winters 9-slot state fold: elements wrapped as
       // [x, 0×8] so list_reduce's first accumulator IS the Spark seed;
       // the l_t text is duplicated into the trend AND seasonal slots
-      // exactly as the Spark lambda duplicates it
+      // exactly as the Spark lambda duplicates it. CALENDAR-DENSIFIED
+      // like the Spark fold (r13): generate_series over the observed
+      // span, zero-filling gap days, so both engines rotate the
+      // seasonal queue once per CALENDAR day
       "events_holt_winters" ->
         """WITH c AS (SELECT event_type,
           |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
           |  FROM events GROUP BY 1, 2),
+          |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          |  FROM c GROUP BY 1),
+          |cal AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+          |  FROM bounds),
+          |dense AS (SELECT cal.event_type, cal.day, coalesce(c.n, 0) AS n
+          |  FROM cal LEFT JOIN c
+          |  ON c.event_type = cal.event_type AND c.day = cal.day),
           |s AS (SELECT event_type, count(*) AS n_days, max(day) AS last_day,
           |  list([CAST(n AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
           |    0.0] ORDER BY day) AS ser
-          |  FROM c GROUP BY 1),
+          |  FROM dense GROUP BY 1),
           |h AS (SELECT event_type, n_days, last_day,
           |  list_reduce(ser, (acc, x) ->
           |    [0.5 * (x[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),

@@ -20,7 +20,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The fold spells the three recurrence lines in the batch lambda's
   * exact operation order (α=0.5, β=γ=0.25 — exactly representable)
   * so JVM and codegen doubles agree bit for bit, including the
-  * l_t-duplicated trend and seasonal terms.
+  * l_t-duplicated trend and seasonal terms. CALENDAR-DENSIFIED like
+  * the batch twin (r13): each re-fold runs over every day in the
+  * observed span with gaps zero-filled, so sparse series keep their
+  * day-of-week phase; nDays is the calendar span.
   */
 object StreamHoltWinters {
 
@@ -52,8 +55,11 @@ object StreamHoltWinters {
       m.updated(d, m.getOrElse(d, 0L) + n)
     }
     state.update(merged)
-    val days = merged.keys.toVector.sorted
-    val xs = days.map(merged)
+    // calendar-densified like the batch twin (r13): fold over EVERY
+    // day in the observed span, zero-filling gaps, so the weekly
+    // seasonal queue keeps day-of-week alignment on sparse series
+    val days = (merged.keys.min to merged.keys.max).toVector
+    val xs = days.map(d => merged.getOrElse(d, 0L))
     // the batch lambda verbatim: l' = .5(x−s)+.5(l+b);
     // b' = .25(l'−l)+.75b; s' = .25(x−l')+.75s, seasonal queue rotates
     var l = xs.head.toDouble

@@ -111,6 +111,56 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(hw._3 != 0.0)
   }
 
+  test("dailyHoltWinters: gapped series keeps day-of-week alignment") {
+    import graft.operators.EventOps
+    // 14-day calendar span with days 3, 7, 8, 9 MISSING. The r13
+    // calendar-densified fold runs over all 14 days with zeros filled
+    // in, so update step t still consumes the seasonal written at
+    // t−7 — the same day of week. (The old observed-days-only fold
+    // rotated the queue once per OBSERVED day: four missing days
+    // shifted the weekly phase by four slots.)
+    val us = 86400000000L
+    val observed = Map(0 -> 2, 1 -> 4, 2 -> 1, 4 -> 5, 5 -> 2, 6 -> 4,
+      10 -> 3, 11 -> 2, 12 -> 5, 13 -> 1)
+    val rows = observed.toSeq.flatMap { case (d, n) =>
+      (0 until n).map(i => ("a", d * us + i))
+    }.toDF("event_type", "ts_us")
+    val (a, bb, g, m) = (0.5, 0.25, 0.25, 7)
+    // hand fold over the DENSE calendar series, zeros at the gaps
+    val dense = (0 to 13).map(d => observed.getOrElse(d, 0))
+    var l = dense.head.toDouble; var b = 0.0
+    var q = Vector.fill(m)(0.0)
+    for (x0 <- dense.tail) {
+      val x = x0.toDouble
+      val lN = a * (x - q(0)) + (1 - a) * (l + b)
+      val bN = bb * (lN - l) + (1 - bb) * b
+      val sN = g * (x - lN) + (1 - g) * q(0)
+      l = lN; b = bN; q = q.tail :+ sN
+    }
+    val got = EventOps.dailyHoltWinters(rows, "event_type",
+        col("ts_us"), a, bb, g, m)
+      .select("n_days", "last_day", "level", "trend", "season_next",
+        "forecast")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    // n_days = CALENDAR span (14), not observed count (10)
+    assert(got == ((14L, 13L, l, b, q(0), l + b + q(0))))
+    // and the streaming twin runs the identical zero-filled fold on
+    // the same gapped state
+    import graft.streaming.{StreamHolt, StreamHoltWinters}
+    val evs = observed.toSeq.flatMap { case (d, n) =>
+      (0 until n).map(i => StreamHolt.Ev("a", d * us + i))
+    }
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[Map[Long, Long]](
+      org.apache.spark.api.java.Optional.empty[Map[Long, Long]](),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val emitted = StreamHoltWinters.update("a", evs.iterator, st).toSeq
+    assert(emitted == Seq(StreamHoltWinters.HwRow("a", 14L, 13L,
+      l, b, q(0), l + b + q(0))))
+  }
+
   test("reciprocalOverlapPairs keeps only size-compatible matches") {
     import graft.operators.Intervals
     // A = [0,99] len 100 on chr 1; candidates:
