@@ -141,16 +141,25 @@ object ScaleUp {
         col("event_type"), col("value"), col("props")),
       "events", 16)
 
-    // Caesar-rotate letters per copy: copy 0 is the original corpus
-    // verbatim; copy i>0 maps a..z -> rotate(i mod 26), which changes
-    // EVERY character shingle (a word suffix leaves interior shingles
-    // shared and the LSH family then banded copies into ever-denser
-    // near-dup clusters — quadratic pair growth by construction)
+    // Per-copy SEEDED LETTER PERMUTATION: copy 0 is the original corpus
+    // verbatim; copy i>0 maps a..z through an i-seeded shuffle, which
+    // changes EVERY character shingle (a word suffix leaves interior
+    // shingles shared and the LSH family then banded copies into
+    // ever-denser near-dup clusters — quadratic pair growth by
+    // construction). r13: a permutation, not the old Caesar rotation —
+    // rotation collides at i ≡ j (mod 26), so any factor > 26 (the sf10
+    // build is factor 100) manufactured EXACT duplicate texts across
+    // copies and the dedup family's pair volume exploded by artifact.
+    // 100 seeded shuffles of 26! permutations collide with probability
+    // ~0; shared shingles between distinct permutations require the two
+    // permutations to agree on a 3-letter window — rare and unsystematic.
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def perm(i: Int): String = {
+      val r = new scala.util.Random(i * 7919L)
+      r.shuffle(alpha.toList).mkString
+    }
     val rotTxt = (1 until factor).foldLeft(col("text")) { (acc, i) =>
-      val r = i % 26
-      val to = alpha.drop(r) + alpha.take(r)
-      when(col("__copy") === i, translate(col("text"), alpha, to))
+      when(col("__copy") === i, translate(col("text"), alpha, perm(i)))
         .otherwise(acc)
     }
     write(replicate(read("documents"), factor)
@@ -158,11 +167,17 @@ object ScaleUp {
         col("source"), length(rotTxt).cast("long").as("n_chars")),
       "documents", 16)
 
-    // cyclic rotation by copy index: norm-preserving, cluster-remapping
+    // cyclic rotation by copy index composed with per-(copy, dim)
+    // xxhash sign flips: norm-preserving, cluster-remapping. r13: the
+    // sign flips break the rotation's collision at i ≡ j (mod dim) —
+    // factor 100 > dim 64 would otherwise manufacture EXACT duplicate
+    // vectors across copies (the text Caesar artifact, vector edition)
     val dim = size(col("embedding"))
     val rot = transform(sequence(lit(0), dim - 1), i =>
       element_at(col("embedding"),
-        (pmod(i + col("__copy"), dim) + 1).cast("int")))
+        (pmod(i + col("__copy"), dim) + 1).cast("int"))
+      * (lit(1.0f) - lit(2.0f)
+        * pmod(xxhash64(col("__copy"), i), lit(2L)).cast("float")))
     write(replicate(read("embeddings"), factor)
       .select(off("vec_id").as("vec_id"),
         rot.cast("array<float>").as("embedding"), col("label")),
