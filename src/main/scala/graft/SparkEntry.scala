@@ -3851,6 +3851,32 @@ object SparkEntry {
         expr("ts DIV 1000"))
     }),
 
+    "events_calendar_heatmap" -> ((s, dir) => {
+      // dow×hour weekly load grid per type — the two profile axes
+      // composed onto 168 cells (cron jobs read as single-cell spikes
+      // the marginals can't show); |types|×168 bounded frame, one
+      // unrounded division (EventOps.calendarProfile)
+      EventOps.calendarProfile(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"))
+    }),
+
+    "events_pareto_share" -> ((s, dir) => {
+      // top-decile concentration per type ("the top 10% of users
+      // produce X% of events") via the userGini value-histogram
+      // rank-sum — the only window runs over activity LEVELS, never
+      // users; exact under count ties (EventOps.paretoShare)
+      EventOps.paretoShare(Tables.events(s, dir), "user_id",
+        "event_type")
+    }),
+
+    "events_streak_census" -> ((s, dir) => {
+      // longest consecutive-active-day streak per user, rolled to a
+      // (streak_len, n_users) census — gaps-and-islands with windows
+      // partitioned BY USER (EventOps.streakCensus)
+      EventOps.streakCensus(Tables.events(s, dir), "user_id",
+        expr("ts DIV 1000"))
+    }),
+
     "events_autocorr" -> ((s, dir) => {
       // lag-1..7 autocorrelation of the per-type daily series — the
       // audit that justifies (or debunks) the weekly seasonal queue
@@ -8463,6 +8489,57 @@ object SparkEntry {
       // the rank-sum identity over the ascending-c histogram: with P =
       // users before the group, 2·Σ i·x_(i) = Σ c·m·(2P + m + 1) —
       // integer-exact, one double division at the end
+      // the dow and hour derivations of the two profile oracles,
+      // composed; idx = n·168/total as the same unrounded division
+      "events_calendar_heatmap" ->
+        """WITH c AS (SELECT event_type,
+          |  ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+          |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+          |  count(*) AS n FROM events GROUP BY 1, 2, 3),
+          |tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+          |  FROM c GROUP BY 1)
+          |SELECT c.event_type, dow, hour, n,
+          |  CAST(n * 168 AS DOUBLE) / CAST(total AS DOUBLE) AS idx
+          |FROM c JOIN tt USING (event_type)""".stripMargin,
+
+      // the gini histogram CTEs ordered count-DESC with a running user
+      // prefix; the crossing level contributes (k − prefix_below)·c
+      "events_pareto_share" ->
+        """WITH u AS (SELECT event_type, user_id, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |h AS (SELECT event_type, c, count(*) AS m FROM u
+          |  GROUP BY 1, 2),
+          |w AS (SELECT event_type, c, m,
+          |  sum(m) OVER (PARTITION BY event_type ORDER BY c DESC
+          |    ROWS UNBOUNDED PRECEDING) AS wu,
+          |  sum(c*m) OVER (PARTITION BY event_type ORDER BY c DESC
+          |    ROWS UNBOUNDED PRECEDING) AS ws FROM h),
+          |tt AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS n_users,
+          |  CAST(sum(c*m) AS BIGINT) AS n_events FROM w GROUP BY 1),
+          |x AS (SELECT w.event_type, n_users, n_events,
+          |  (n_users + 9) // 10 AS k,
+          |  ws - c*m + ((n_users + 9) // 10 - (wu - m)) * c AS top_events
+          |  FROM w JOIN tt USING (event_type)
+          |  WHERE wu >= (n_users + 9) // 10
+          |    AND wu - m < (n_users + 9) // 10)
+          |SELECT event_type, n_users, n_events,
+          |  CAST(k AS BIGINT) AS k_top,
+          |  CAST(top_events AS BIGINT) AS top_events,
+          |  CAST(round(10000.0 * top_events / n_events) AS BIGINT)
+          |    AS share4
+          |FROM x""".stripMargin,
+
+      // gaps-and-islands: island id = day − row_number per user
+      "events_streak_census" ->
+        """WITH ud AS (SELECT DISTINCT user_id AS u,
+          |  epoch_us(ts) // 86400000000 AS day FROM events),
+          |i AS (SELECT u, day - row_number()
+          |  OVER (PARTITION BY u ORDER BY day) AS island FROM ud),
+          |r AS (SELECT u, island, count(*) AS len FROM i GROUP BY 1, 2),
+          |mx AS (SELECT u, max(len) AS streak_len FROM r GROUP BY 1)
+          |SELECT streak_len, count(*) AS n_users FROM mx
+          |GROUP BY 1""".stripMargin,
+
       "events_user_gini" ->
         """WITH u AS (SELECT event_type, user_id, count(*) AS c
           |  FROM events GROUP BY 1, 2),

@@ -637,6 +637,121 @@ object EventOps {
         (col("n") * col("s")).cast("double")).cast("long").as("gini4"))
   }
 
+  /** (dow × hour) calendar load profile per type — [[dowProfile]] and
+    * [[hourProfile]] composed onto the full weekly 168-cell grid (the
+    * load-heatmap every on-call rota and capacity plan is drawn from;
+    * a cell whose idx dwarfs its row/column marginals is a cron job,
+    * not a usage pattern). idx = n·168/total as the ONE unrounded
+    * IEEE division of exact longs (the dowProfile parity rule).
+    *
+    * Scale shape: one partial-agg shuffle to the |types|×168-bounded
+    * frame; totals re-aggregate it and join back broadcast.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, dow, hour, n, idx); dow 0 = Sunday
+    */
+  def calendarProfile(events: DataFrame, typeCol: String,
+                      tsUs: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val hourUs = 3600000000L
+    val ts = tsUs.cast("long")
+    val day = ((ts - pmod(ts, lit(dayUs))) / dayUs).cast("long")
+    val hour = pmod(((ts - pmod(ts, lit(hourUs))) / hourUs).cast("long"),
+      lit(24L))
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"),
+        pmod(day + lit(4L), lit(7L)).as("dow"), hour.as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum("n").as("total"))
+    counts.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("dow"), col("hour"), col("n"),
+        ((col("n") * lit(168L)).cast("double") / col("total").cast("double"))
+          .as("idx"))
+  }
+
+  /** Top-decile activity concentration per type (the Pareto/80-20
+    * audit next to [[userGini]]'s full-curve score: "what share of
+    * events do the top 10% of users produce" is the number abuse and
+    * capacity reviews actually quote). k = ceil(n_users/10); the top-k
+    * event mass is EXACT even under count ties, because any k users
+    * chosen at the tie level carry the same mass.
+    *
+    * Scale shape — the userGini value-histogram discipline: the only
+    * window runs over the (type, activity-level) HISTOGRAM (rows =
+    * distinct per-user counts, never users), ordered count-desc with a
+    * running user prefix; the crossing level contributes
+    * (k − prefix)·c and everything above it its full c·m. One
+    * partial-agg shuffle to the per-user frame, one to the histogram.
+    *
+    * @return (event_type, n_users, n_events, k_top, top_events,
+    *         share4) — share4 = top_events/n_events ×10⁴ rounded
+    */
+  def paretoShare(events: DataFrame, userCol: String,
+                  typeCol: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(typeCol).as("event_type"), col(userCol).as("u"))
+      .agg(count(lit(1)).as("c"))
+    val hist = perUser.groupBy("event_type", "c")
+      .agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withPrefix = hist
+      .withColumn("wu", sum("m").over(w))          // users at ≥ this level
+      .withColumn("ws", sum(col("c") * col("m")).over(w)) // their events
+    val totals = withPrefix.groupBy("event_type").agg(
+      sum("m").as("n_users"), sum(col("c") * col("m")).as("n_events"))
+    // k = ceil(n/10) in pure integer: (n + 9) DIV 10
+    val k = ((col("n_users") + lit(9L)) / lit(10L)).cast("long")
+    val levels = withPrefix.join(broadcast(totals), "event_type")
+      .withColumn("k", k)
+      // the first level (count-desc) whose cumulative user mass
+      // reaches k: top mass = full mass above + partial at the level
+      .filter(col("wu") >= col("k") &&
+        col("wu") - col("m") < col("k"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        col("k").as("k_top"),
+        (col("ws") - col("c") * col("m")
+          + (col("k") - (col("wu") - col("m"))) * col("c"))
+          .as("top_events"))
+    levels.select(col("event_type"), col("n_users"), col("n_events"),
+      col("k_top"), col("top_events"),
+      round(lit(10000.0) * col("top_events").cast("double")
+        / col("n_events").cast("double")).cast("long").as("share4"))
+  }
+
+  /** Longest consecutive-active-day streak per user, rolled to a
+    * (streak_len, n_users) census — the habit/retention lens the DAU
+    * family lacks (DAU says how many came back; the streak census says
+    * how STICKY the comers are, and a fat 1-day bucket under a healthy
+    * DAU is drive-by traffic). Classic gaps-and-islands: distinct
+    * active days per user, island id = day − row_number (constant
+    * within a consecutive run), max run length per user.
+    *
+    * Scale shape: one partial-agg shuffle to the (user, day) distinct
+    * frame (retention-bounded days per user), windows partitioned BY
+    * USER (the events_retention class — never global), two bounded
+    * rollups to the census.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (streak_len, n_users)
+    */
+  def streakCensus(events: DataFrame, userCol: String,
+                   tsUs: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val ts = tsUs.cast("long")
+    val day = ((ts - pmod(ts, lit(dayUs))) / dayUs).cast("long")
+    val userDays = events
+      .select(col(userCol).as("u"), day.as("day")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("day")
+    val runs = userDays
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("u", "island").agg(count(lit(1)).as("len"))
+      .groupBy("u").agg(max("len").as("streak_len"))
+    runs.groupBy("streak_len").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Two-proportion z-test over a DETERMINISTIC 50/50 user split — the
     * A/B-experiment readout (conversion = the user emitted `convType`
     * at least once). Arm assignment is the md5-parity of the user id

@@ -63,6 +63,55 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("calendarProfile: known cells land on the right (dow, hour)") {
+    import graft.operators.EventOps
+    // 1970-01-01 (day 0) is a Thursday → dow 4 with the +4 convention;
+    // day 3 (Sunday) → dow 0. Hours straight from the µs offset.
+    val us = 86400000000L
+    val rows = Seq(
+      ("a", 0L),                   // Thu 00h
+      ("a", 3600000000L * 5),      // Thu 05h
+      ("a", 3 * us + 3600000000L * 23), // Sun 23h
+      ("a", 3 * us + 3600000000L * 23)  // Sun 23h again
+    ).toDF("event_type", "ts_us")
+    val got = EventOps.calendarProfile(rows, "event_type", col("ts_us"))
+      .select("dow", "hour", "n", "idx")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((4L, 0L, 1L, 168.0 / 4), (4L, 5L, 1L, 168.0 / 4),
+      (0L, 23L, 2L, 2 * 168.0 / 4)))
+  }
+
+  test("paretoShare: whale case and exact-tie case by hand") {
+    import graft.operators.EventOps
+    // whale: one user with 10 events + nine with 1 → k=1, top=10/19
+    val whale = (1 to 10).map(i => ("w", "u1", i)) ++
+      (2 to 10).map(u => ("w", s"u$u", 0))
+    // ties: 20 users with 2 events each → k=2, top=4/40 exactly
+    val ties = (1 to 20).flatMap(u => Seq(("t", s"v$u", 0), ("t", s"v$u", 1)))
+    val rows = (whale ++ ties).toDF("event_type", "user_id", "i")
+    val got = EventOps.paretoShare(rows, "user_id", "event_type")
+      .select("event_type", "n_users", "n_events", "k_top", "top_events",
+        "share4")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("w", 10L, 19L, 1L, 10L, math.round(10000.0 * 10 / 19)),
+      ("t", 20L, 40L, 2L, 4L, 1000L)))
+  }
+
+  test("streakCensus: gaps-and-islands by hand") {
+    import graft.operators.EventOps
+    val us = 86400000000L
+    // A: days 0,1,2 then 5,6 → longest 3; B: day 10 only → 1;
+    // C: days 20,21 (two events on 21 — distinct collapses) → 2
+    val rows = Seq(("A", 0L), ("A", 1L), ("A", 2L), ("A", 5L), ("A", 6L),
+      ("B", 10L), ("C", 20L), ("C", 21L), ("C", 21L))
+      .map { case (u, d) => (u, d * us + 7L) }
+      .toDF("user_id", "ts_us")
+    val got = EventOps.streakCensus(rows, "user_id", col("ts_us"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
   test("syntheticMediaMixed: quarantine arms decode to (0,0), valid arms don't") {
     import graft.operators.Multimodal
     // ids 0..9 cover every residue twice
