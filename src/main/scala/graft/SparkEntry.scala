@@ -4115,6 +4115,92 @@ object SparkEntry {
         "source", "text")
     }),
 
+    "text_compression_proxy" -> ((s, dir) => {
+      // per-source compressibility proxy: distinct 3-shingles / total
+      // 3-shingle occurrences (a gzip-ratio stand-in with no codec —
+      // the character-level twin of text_simpson's token view; a
+      // template farm reads low because the same trigrams repeat
+      // across docs). Totals are ARITHMETIC (Σ max(len−2, 0) — no
+      // explode); only the distinct count pays the corpus-sized
+      // shingle shuffle, map-side combined onto (source, sh). Exact
+      // longs, one rounded division.
+      val d = Tables.documents(s, dir)
+        .select(col("source"), Dedup.normText(col("text")).as("t"))
+      val totals = d.groupBy("source").agg(
+        sum(greatest(length(col("t")) - 2, lit(0)).cast("long"))
+          .as("n_trigrams"))
+      val distincts = d.filter(length(col("t")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"))
+          .as("sh"))
+        .distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+      totals.join(distincts, Seq("source"), "left")
+        .select(col("source"), col("n_trigrams"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          when(col("n_trigrams") > 0,
+            round(lit(10000.0) * coalesce(col("n_distinct"), lit(0L))
+              .cast("double") / col("n_trigrams").cast("double"))
+              .cast("long")).as("ratio4"))
+    }),
+
+    "dna_cpg_oe" -> ((s, dir) => {
+      // CpG observed/expected ratio per derived sequence with the
+      // Gardiner-Garden 1987 island criteria (obs/exp ≥ 0.6 AND
+      // GC ≥ 50%) as ALL-INTEGER comparisons — CpG depletion is the
+      // methylation signature, islands mark promoters; the screen
+      // beside dna_gc_windows' composition track. n_cg via
+      // non-overlapping replace-erase (CG cannot self-overlap),
+      // n_c/n_g via translate-erase — zero-shuffle scan, no explode.
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), docDna.as("seq"))
+      val len = length(col("seq")).cast("long")
+      val nCg = ((length(col("seq"))
+        - length(expr("replace(seq, 'CG', '')"))) / 2).cast("long")
+      val nC = (length(col("seq"))
+        - length(translate(col("seq"), "C", ""))).cast("long")
+      val nG = (length(col("seq"))
+        - length(translate(col("seq"), "G", ""))).cast("long")
+      d.select(col("doc_id"), len.as("len"), nCg.as("n_cg"),
+          nC.as("n_c"), nG.as("n_g"))
+        .withColumn("oe4", when(col("n_c") > 0 && col("n_g") > 0,
+          round(lit(10000.0) * (col("n_cg") * col("len")).cast("double")
+            / (col("n_c") * col("n_g")).cast("double")).cast("long")))
+        .withColumn("island",
+          col("n_c") > 0 && col("n_g") > 0 &&
+          col("n_cg") * col("len") * 10 >= col("n_c") * col("n_g") * 6 &&
+          (col("n_c") + col("n_g")) * 2 >= col("len"))
+    }),
+
+    "embed_norm_outliers" -> ((s, dir) => {
+      // per-label embedding-norm outlier census (the cheap corruption
+      // screen before any ANN build: a batch of near-zero or exploded
+      // norms is a failed encoder run, caught per label before cosine
+      // hides it): norms ×10⁴-round to exact longs so the moment sums
+      // are order-free; the 2σ flag is the ALL-INTEGER comparison
+      // (n·x − S)² > 4·(n·SS − S²) evaluated in decimal(38) — Spark
+      // decimal vs DuckDB hugeint, both exact, no float boundary.
+      val e = Tables.embeddings(s, dir).select(col("label"),
+        round(Similarity.norm(col("embedding")) * 10000).cast("long")
+          .as("x4"))
+      val stats = e.groupBy("label").agg(
+        count(lit(1)).as("n"), sum("x4").as("s"),
+        sum(col("x4") * col("x4")).as("ss"))
+      // n·x−S fits a long (≤ 2e10 at graded scales); the SQUARES and
+      // n·SS − S² do not — promote to decimal(38) BEFORE multiplying
+      // (the embed_dim_variance overflow lesson; DuckDB runs the same
+      // chain in HUGEINT)
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val dev = dec(col("n") * col("x4") - col("s"))
+      val varTerm = dec(col("n")) * dec(col("ss")) - dec(col("s")) * dec(col("s"))
+      e.join(broadcast(stats), "label")
+        .select(col("label"), col("n"), col("s"),
+          when(dev * dev > varTerm * 4, 1L).otherwise(0L).as("flag"))
+        .groupBy("label").agg(
+          first("n").as("n"), first("s").as("sum_norm4"),
+          sum("flag").as("n_outliers"))
+    }),
+
     "embed_ivf_balance" -> ((s, dir) => {
       // IVF inverted-list load audit over the fixed quantizer the ANN
       // family shares: load4 = count·numC/total ×10⁴ per list, empty
@@ -9116,6 +9202,66 @@ object SparkEntry {
            |FROM dc LEFT JOIN ct ON ct.label = dc.label
            |JOIN cen ON cen.n_nodes = dc.n_nodes
            |CROSS JOIN gaud""".stripMargin,
+
+      // totals arithmetic (Σ max(len−2,0)), distincts through the same
+      // per-source trigram derivation as the shingle family
+      "text_compression_proxy" ->
+        s"""WITH d AS (SELECT source, $normTextSql AS t FROM documents),
+           |tot AS (SELECT source,
+           |  CAST(sum(greatest(length(t) - 2, 0)) AS BIGINT)
+           |    AS n_trigrams FROM d GROUP BY 1),
+           |sh AS (SELECT DISTINCT source, substr(t, CAST(i AS INT), 3) AS sh
+           |  FROM (SELECT source, t,
+           |    unnest(generate_series(1, length(t) - 2)) AS i
+           |    FROM d WHERE length(t) >= 3)),
+           |ds AS (SELECT source, count(*) AS n_distinct FROM sh GROUP BY 1)
+           |SELECT tot.source, n_trigrams,
+           |  CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct,
+           |  CASE WHEN n_trigrams > 0 THEN
+           |    CAST(round(10000.0 * coalesce(n_distinct, 0) / n_trigrams)
+           |      AS BIGINT) END AS ratio4
+           |FROM tot LEFT JOIN ds ON ds.source = tot.source""".stripMargin,
+
+      // CpG counts by replace/translate-erase, the island gate as the
+      // identical all-integer comparisons
+      "dna_cpg_oe" ->
+        s"""WITH d AS (SELECT doc_id, $docDnaSql AS seq FROM documents),
+           |c AS (SELECT doc_id, CAST(length(seq) AS BIGINT) AS len,
+           |  CAST((length(seq) - length(replace(seq, 'CG', ''))) // 2
+           |    AS BIGINT) AS n_cg,
+           |  CAST(length(seq) - length(replace(seq, 'C', '')) AS BIGINT)
+           |    AS n_c,
+           |  CAST(length(seq) - length(replace(seq, 'G', '')) AS BIGINT)
+           |    AS n_g
+           |  FROM d)
+           |SELECT doc_id, len, n_cg, n_c, n_g,
+           |  CASE WHEN n_c > 0 AND n_g > 0 THEN
+           |    CAST(round(10000.0 * n_cg * len / (n_c * n_g)) AS BIGINT)
+           |  END AS oe4,
+           |  (n_c > 0 AND n_g > 0
+           |    AND n_cg * len * 10 >= n_c * n_g * 6
+           |    AND (n_c + n_g) * 2 >= len) AS island
+           |FROM c""".stripMargin,
+
+      // norms x1e4-rounded to exact ints; the 2-sigma flag chain runs
+      // in HUGEINT exactly as Spark runs it in decimal(38)
+      "embed_norm_outliers" ->
+        """WITH e AS (SELECT label, CAST(round(10000 * sqrt(
+          |    list_dot_product(CAST(embedding AS DOUBLE[]),
+          |      CAST(embedding AS DOUBLE[])))) AS BIGINT) AS x4
+          |  FROM embeddings),
+          |st AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(x4) AS BIGINT) AS s,
+          |  CAST(sum(x4*x4) AS BIGINT) AS ss FROM e GROUP BY 1),
+          |f AS (SELECT e.label, n, s,
+          |  CASE WHEN CAST(n*x4 - s AS HUGEINT) * CAST(n*x4 - s AS HUGEINT)
+          |    > 4 * (CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
+          |      - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+          |    THEN 1 ELSE 0 END AS flag
+          |  FROM e JOIN st USING (label))
+          |SELECT label, any_value(n) AS n, any_value(s) AS sum_norm4,
+          |  CAST(sum(flag) AS BIGINT) AS n_outliers
+          |FROM f GROUP BY 1""".stripMargin,
 
       // Simpson diversity: exact-integer Σc(c−1) and N(N−1), the two
       // denominator factors cast to double separately (the
