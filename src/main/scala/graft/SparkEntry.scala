@@ -1128,6 +1128,53 @@ object SparkEntry {
             .as("breadth4"))
     }),
 
+    "sam_insert_size" -> ((s, dir) => {
+      // per-chromosome insert-size (TLEN) panel through the REAL
+      // parser's new mate-field surface (Sam.pairedAlignments — the
+      // samtools-stats "insert size average" row, THE library-prep QC:
+      // a shifted mean flags the wrong fragment ladder, an improper
+      // spike flags chimeras): both mates of each template synthesized
+      // (R1 flag 99/TLEN +t, R2 flag 147/TLEN −t; every 17th pair
+      // improper: flags 65/129), header + unmapped arms exercise the
+      // gate; stats read R1 rows only (tlen > 0 — each template once,
+      // the samtools convention); one narrow parse + one 5-row agg.
+      import s.implicits._
+      val o = col("l_orderkey").cast("long")
+      val l = col("l_linenumber").cast("long")
+      val p = col("l_partkey").cast("long")
+      val pos1 = lit(1L) + (o * 31 + l * 7) % 100000
+      val t = lit(120L) + p % 280
+      val pos2 = pos1 + t - 50
+      val chr = concat(lit("chr"), (o % 5).cast("string"))
+      val proper = (o + l) % 17 =!= 0
+      val qn = concat(lit("p"), o, lit("_"), l)
+      def read(flagP: Column, flagI: Column, pos: Column, pnext: Column,
+               tlen: Column) = concat_ws("\t", qn,
+        when(proper, flagP).otherwise(flagI).cast("string"), chr,
+        pos.cast("string"), lit("30"), lit("50M"), lit("="),
+        pnext.cast("string"), tlen.cast("string"), lit("*"), lit("*"))
+      val line = when((o + l) % 13 === 0, array(
+          lit("@SQ\tSN:chr0\tLN:100000")))
+        .when((o + l) % 11 === 0, array(concat_ws("\t", qn, lit("4"),
+          lit("*"), lit("0"), lit("0"), lit("*"), lit("*"), lit("0"),
+          lit("0"), lit("*"), lit("*"))))
+        .otherwise(array(
+          read(lit(99L), lit(65L), pos1, pos2, t),
+          read(lit(147L), lit(129L), pos2, pos1, -t)))
+      val lines = Tables.lineitem(s, dir)
+        .select(explode(line).as("line")).as[String]
+      graft.sources.Sam.pairedAlignments(lines)
+        .filter(col("tlen") > 0)
+        .groupBy("chr").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("flag").cast("long").bitwiseAND(2L) =!= 0L, 1L)
+            .otherwise(0L)).as("n_proper"),
+          sum("tlen").as("sum_tlen"),
+          round(lit(10000.0) * sum("tlen").cast("double")
+            / count(lit(1)).cast("double")).cast("long").as("mean4"),
+          max("tlen").as("max_tlen"))
+    }),
+
     "sam_flagstat" -> ((s, dir) => {
       // samtools-flagstat summary — THE first QC command run on any
       // BAM: category counts decoded from the FLAG bitfield. A richer
@@ -5032,6 +5079,27 @@ object SparkEntry {
           |FROM a JOIN (SELECT gene_id,
           |  gstop - gstart + 1 AS span FROM ($partGenesSql)) g2
           |  USING (gene_id)""".stripMargin,
+
+      // TLEN/proper re-derived arithmetically from the pair-synthesis
+      // residues — the compare proves the mate-field parse AND the
+      // R1-only (tlen > 0) template convention cross-engine
+      "sam_insert_size" ->
+        """WITH pr AS (SELECT CAST(l_orderkey AS BIGINT) AS o,
+          |  CAST(l_linenumber AS BIGINT) AS l,
+          |  CAST(l_partkey AS BIGINT) AS p FROM lineitem
+          |  WHERE (l_orderkey + l_linenumber) % 13 <> 0
+          |    AND (l_orderkey + l_linenumber) % 11 <> 0),
+          |t AS (SELECT 'chr' || CAST(o % 5 AS VARCHAR) AS chr,
+          |  120 + p % 280 AS tlen,
+          |  CASE WHEN (o + l) % 17 <> 0 THEN 1 ELSE 0 END AS proper
+          |  FROM pr)
+          |SELECT chr, count(*) AS n_pairs,
+          |  CAST(sum(proper) AS BIGINT) AS n_proper,
+          |  CAST(sum(tlen) AS BIGINT) AS sum_tlen,
+          |  CAST(round(10000.0 * sum(tlen) / count(*)) AS BIGINT)
+          |    AS mean4,
+          |  CAST(max(tlen) AS BIGINT) AS max_tlen
+          |FROM t GROUP BY 1""".stripMargin,
 
       // flag bits re-derived from the same residues — the oracle never
       // touches the bitfield, so the compare proves the Spark-side

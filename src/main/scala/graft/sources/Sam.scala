@@ -91,4 +91,37 @@ object Sam {
     import spark.implicits._
     lines.mapPartitions(_.flatMap(parseAlignment)).toDF()
   }
+
+  /** Alignment row with the MATE fields (SAMv1 columns 7–9): RNEXT,
+    * PNEXT, TLEN — the template/insert-size surface [[SamRow]] omits. */
+  case class SamPairRow(qname: String, flag: Int, chr: String, pos: Long,
+                        mapq: Int, rnext: String, pnext: Long, tlen: Long)
+
+  /** [[parseAlignment]]'s gate chain plus the mate columns; a
+    * non-numeric PNEXT/TLEN quarantines like any other malformed
+    * field. None = quarantined. */
+  private[graft] def parsePaired(line: String): Option[SamPairRow] = {
+    if (line.isEmpty || line.charAt(0) == '@') return None
+    val f = line.split("\t", -1)
+    if (f.length < 11) return None
+    if (f(5) == "*") return None
+    val pos = try f(3).toLong catch {
+      case _: NumberFormatException => return None
+    }
+    if (pos <= 0) return None
+    if (SamKernelOps.cigarSpansRaw(f(5)) == null) return None
+    try {
+      for (flag <- toIntOpt(f(1)); mapq <- toIntOpt(f(4)))
+        yield SamPairRow(f(0), flag, f(2), pos, mapq, f(6),
+          f(7).toLong, f(8).toLong)
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** One row per mapped, well-formed alignment WITH mate fields —
+    * same imperative one-pass shape as [[alignments]]. */
+  def pairedAlignments(lines: Dataset[String]): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.mapPartitions(_.flatMap(parsePaired)).toDF()
+  }
 }

@@ -163,6 +163,28 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     assert(out == 1L, s"expected exactly the planted outlier, got $out")
   }
 
+  test("Sam.parsePaired: mate fields parse, malformed quarantines") {
+    import graft.sources.Sam
+    // a proper R1: TLEN +300, PNEXT 451
+    val r1 = Sam.parsePaired(
+      "p1_1\t99\tchr2\t201\t30\t50M\t=\t451\t300\t*\t*")
+    assert(r1.contains(Sam.SamPairRow("p1_1", 99, "chr2", 201L, 30,
+      "=", 451L, 300L)))
+    // its R2: TLEN −300
+    val r2 = Sam.parsePaired(
+      "p1_1\t147\tchr2\t451\t30\t50M\t=\t201\t-300\t*\t*")
+    assert(r2.exists(_.tlen == -300L))
+    // quarantines: header, unmapped (* cigar), non-numeric TLEN,
+    // malformed CIGAR
+    assert(Sam.parsePaired("@SQ\tSN:chr0\tLN:1").isEmpty)
+    assert(Sam.parsePaired(
+      "q\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*").isEmpty)
+    assert(Sam.parsePaired(
+      "q\t99\tchr1\t10\t30\t50M\t=\t60\tNaNv\t*\t*").isEmpty)
+    assert(Sam.parsePaired(
+      "q\t99\tchr1\t10\t30\t5Q\t=\t60\t300\t*\t*").isEmpty)
+  }
+
   test("syntheticMediaMixed: quarantine arms decode to (0,0), valid arms don't") {
     import graft.operators.Multimodal
     // ids 0..9 cover every residue twice
