@@ -1827,6 +1827,21 @@ object SparkEntry {
           col("n_a").cast("long"), col("n_b").cast("long"), col("jaccard"))
     }),
 
+    "dedup_jaccard_hist" -> ((s, dir) => {
+      // similarity histogram of the confirmed pairs — the
+      // threshold-tuning curve every dedup deployment reads before
+      // picking its cut (a mass bulge just above the current threshold
+      // says the cut is arbitrary; a bimodal split says it's safe).
+      // Buckets derive from the INTEGERIZED jaccard (j4 = round×10⁴,
+      // already the graded rounding) — bucket = j4 DIV 1000, so no
+      // float×10-floor boundary can disagree cross-engine.
+      val j4 = round(col("jaccard") * 10000).cast("long")
+      docJaccardPairs(s, dir)
+        .select((j4 / lit(1000L)).cast("long").as("bucket"), j4.as("j4"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"),
+          min("j4").as("min_j4"), max("j4").as("max_j4"))
+    }),
+
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text",
         numHashes = 16, shingleLen = 3)
@@ -3099,6 +3114,15 @@ object SparkEntry {
       // fold so the sum is order-free
       EventOps.holtBacktest(Tables.events(s, dir), "event_type",
         expr("ts DIV 1000"), alpha = 0.5, beta = 0.25)
+    }),
+
+    "events_mase_baseline" -> ((s, dir) => {
+      // seasonal-naive vs naive MAE over the densified daily series —
+      // the MASE yardstick the smoothing family's backtests read
+      // against; ratio4 < 10000 says the weekly cycle beats plain
+      // persistence (EventOps.seasonalNaiveBaseline)
+      EventOps.seasonalNaiveBaseline(Tables.events(s, dir),
+        "event_type", expr("ts DIV 1000"))
     }),
 
     "events_holt_winters" -> ((s, dir) => {
@@ -7771,6 +7795,46 @@ object SparkEntry {
           |    ELSE 0 END AS mae4
           |FROM h""".stripMargin,
 
+      // the HW oracle's densify CTEs + lag self-joins on day offsets
+      // (equivalent to the Spark fold's index arithmetic because the
+      // dense frame is calendar-contiguous by construction)
+      "events_mase_baseline" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          |  FROM c GROUP BY 1),
+          |cal AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+          |  FROM bounds),
+          |dense AS (SELECT cal.event_type, cal.day, coalesce(c.n, 0) AS n
+          |  FROM cal LEFT JOIN c
+          |  ON c.event_type = cal.event_type AND c.day = cal.day),
+          |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+          |  FROM dense GROUP BY 1),
+          |l7 AS (SELECT a.event_type,
+          |  CAST(sum(abs(a.n - b.n)) AS BIGINT) AS s7 FROM dense a
+          |  JOIN dense b ON b.event_type = a.event_type
+          |    AND b.day = a.day - 7 GROUP BY 1),
+          |l1 AS (SELECT a.event_type,
+          |  CAST(sum(abs(a.n - b.n)) AS BIGINT) AS s1 FROM dense a
+          |  JOIN dense b ON b.event_type = a.event_type
+          |    AND b.day = a.day - 1 GROUP BY 1)
+          |SELECT nd.event_type, n_days,
+          |  CASE WHEN n_days > 7 THEN s7 END AS sum_abs7,
+          |  CASE WHEN n_days > 7 THEN
+          |    CAST(round(10000.0 * s7 / (n_days - 7)) AS BIGINT)
+          |  END AS mae7_4,
+          |  CASE WHEN n_days > 1 THEN s1 END AS sum_abs1,
+          |  CASE WHEN n_days > 1 THEN
+          |    CAST(round(10000.0 * s1 / (n_days - 1)) AS BIGINT)
+          |  END AS mae1_4,
+          |  CASE WHEN n_days > 7 AND s1 > 0 THEN
+          |    CAST(round(10000.0 * s7 * (n_days - 1)
+          |      / ((n_days - 7) * s1)) AS BIGINT)
+          |  END AS ratio4
+          |FROM nd LEFT JOIN l7 ON l7.event_type = nd.event_type
+          |LEFT JOIN l1 ON l1.event_type = nd.event_type""".stripMargin,
+
       // the Holt-Winters 9-slot state fold: elements wrapped as
       // [x, 0×8] so list_reduce's first accumulator IS the Spark seed;
       // the l_t text is duplicated into the trend AND seasonal slots
@@ -9227,6 +9291,17 @@ object SparkEntry {
            |      / CAST(least(vl.vol, vol2m - vl.vol) AS DOUBLE)) AS BIGINT)
            |  END AS conductance6
            |FROM vl LEFT JOIN ct ON ct.label = vl.label, mm""".stripMargin,
+
+      // buckets from the integerized jaccard (j4 DIV 1000) — no
+      // float×10 floor boundary
+      "dedup_jaccard_hist" ->
+        s"""WITH $jaccardPairCtes,
+           |j AS (SELECT CAST(round(jaccard * 10000) AS BIGINT) AS j4
+           |  FROM jp)
+           |SELECT j4 // 1000 AS bucket, count(*) AS n_pairs,
+           |  CAST(min(j4) AS BIGINT) AS min_j4,
+           |  CAST(max(j4) AS BIGINT) AS max_j4
+           |FROM j GROUP BY 1""".stripMargin,
 
       // the composed audit: ONE label chain (l3) feeds the modularity
       // rational, the per-community conductance AND the size census —

@@ -349,6 +349,65 @@ object EventOps {
           + element_at(col("hw"), 3)).as("forecast"))
   }
 
+  /** Seasonal-naive vs naive forecast baselines over the CALENDAR-
+    * DENSIFIED daily series — the MASE denominator of Hyndman &
+    * Koehler 2006 ("a forecaster is only good if it beats x̂_t =
+    * x_{t−m}"): mae7 = mean |x_t − x_{t−7}|, mae1 = mean
+    * |x_t − x_{t−1}|, ratio = mae7/mae1 (< 1 ⇔ the weekly cycle is
+    * real — the naive-baseline twin of events_autocorr's lag-7 r, and
+    * the yardstick events_holt_backtest's MAE should be read against).
+    * Zero-filled span like [[dailyHoltWinters]] (r13): without
+    * densification a gap shifts every lag-7 pair off its weekday.
+    *
+    * All-integer: counts are longs, |differences| sum exactly, the
+    * two MAEs and the ratio are single rounded divisions of exact
+    * products. Same scale shape as the smoother family: one
+    * partial-agg shuffle to the (type, day) frame, one span-sized
+    * fold per type.
+    *
+    * @param tsUs event time as exact epoch MICROSECONDS (long)
+    * @return (event_type, n_days, sum_abs7, mae7_4, sum_abs1, mae1_4,
+    *         ratio4); lag columns NULL when the span is too short
+    */
+  def seasonalNaiveBaseline(events: DataFrame, typeCol: String,
+                            tsUs: Column): DataFrame = {
+    val dayUs = 86400000000L
+    val day = ((tsUs.cast("long") - pmod(tsUs.cast("long"), lit(dayUs)))
+      / dayUs).cast("long")
+    def lagSum(k: Int) =
+      expr(s"""aggregate(sequence(${k + 1}, size(dense)),
+             |  0L, (acc, i) -> acc +
+             |    abs(element_at(dense, i).n
+             |        - element_at(dense, i - $k).n))""".stripMargin)
+    events
+      .groupBy(col(typeCol).as("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+        .as("series"))
+      .withColumn("m", map_from_entries(col("series")))
+      .withColumn("dense",
+        expr("""transform(
+               |  sequence(element_at(series, 1).day,
+               |           element_at(series, -1).day),
+               |  d -> struct(d AS day,
+               |    coalesce(element_at(m, d), 0L) AS n))""".stripMargin))
+      .withColumn("nd", size(col("dense")).cast("long"))
+      .withColumn("s7", when(col("nd") > 7, lagSum(7)))
+      .withColumn("s1", when(col("nd") > 1, lagSum(1)))
+      .select(col("event_type"), col("nd").as("n_days"),
+        col("s7").as("sum_abs7"),
+        when(col("nd") > 7, round(lit(10000.0) * col("s7").cast("double")
+          / (col("nd") - 7).cast("double")).cast("long")).as("mae7_4"),
+        col("s1").as("sum_abs1"),
+        when(col("nd") > 1, round(lit(10000.0) * col("s1").cast("double")
+          / (col("nd") - 1).cast("double")).cast("long")).as("mae1_4"),
+        when(col("nd") > 7 && col("s1") > 0,
+          round(lit(10000.0) * (col("s7") * (col("nd") - 1)).cast("double")
+            / ((col("nd") - 7) * col("s1")).cast("double")).cast("long"))
+          .as("ratio4"))
+  }
+
   /** Walk-forward backtest of the Holt forecaster ([[dailyHolt]]) —
     * the eval loop every deployed forecaster needs (a smoother is only
     * trusted after its 1-step-ahead error is measured out-of-sample;

@@ -163,6 +163,45 @@ class RoundThirteenOpsSpec extends AnyFunSuite {
     assert(out == 1L, s"expected exactly the planted outlier, got $out")
   }
 
+  test("seasonalNaiveBaseline: hand series with a gap") {
+    import graft.operators.EventOps
+    // 10-day span, day 4 missing (zero-filled): counts
+    // [3,1,4,1,0,9,2,6,5,3] after densify
+    val us = 86400000000L
+    val observed = Map(0 -> 3, 1 -> 1, 2 -> 4, 3 -> 1, 5 -> 9, 6 -> 2,
+      7 -> 6, 8 -> 5, 9 -> 3)
+    val rows = observed.toSeq.flatMap { case (d, n) =>
+      (0 until n).map(i => ("a", d * us + i))
+    }.toDF("event_type", "ts_us")
+    val dense = (0 to 9).map(d => observed.getOrElse(d, 0))
+    val s7 = (7 to 9).map(i => math.abs(dense(i) - dense(i - 7))).sum
+    val s1 = (1 to 9).map(i => math.abs(dense(i) - dense(i - 1))).sum
+    val got = EventOps.seasonalNaiveBaseline(rows, "event_type",
+        col("ts_us"))
+      .select("n_days", "sum_abs7", "mae7_4", "sum_abs1", "mae1_4",
+        "ratio4")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((10L, s7.toLong, math.round(10000.0 * s7 / 3),
+      s1.toLong, math.round(10000.0 * s1 / 9),
+      math.round(10000.0 * s7 * 9 / (3.0 * s1)))))
+  }
+
+  test("dedup_jaccard_hist: buckets partition the graded pair frame") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "testdata unavailable here")
+    val h = SparkEntry.queries("dedup_jaccard_hist")(spark, dir).collect()
+    assert(h.nonEmpty)
+    // buckets at/above the 0.2 threshold only; min/max inside bucket
+    h.foreach { r =>
+      val (b, minJ, maxJ) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(b >= 2 && b <= 10)
+      assert(minJ >= b * 1000 && (b == 10 || maxJ < (b + 1) * 1000))
+    }
+    // total pairs == the graded pair count
+    val n = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).count()
+    assert(h.map(_.getLong(1)).sum == n)
+  }
+
   test("Sam.parsePaired: mate fields parse, malformed quarantines") {
     import graft.sources.Sam
     // a proper R1: TLEN +300, PNEXT 451
