@@ -34,6 +34,19 @@ class OracleSqlSpec extends AnyFunSuite {
       s"graded queries with no SURVEY §2 checklist line: $missing")
   }
 
+  test("BASELINE.md carries a floor row for every graded query") {
+    // the bench gate ("zero queries above 2x floor") is only meaningful
+    // if every query HAS a floor — machine-check the coverage like the
+    // SURVEY sweep above (floor rows are "| <name> |" table lines)
+    val base = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    val floored = "(?m)^\\| ([A-Za-z0-9_.]+)".r
+      .findAllMatchIn(base).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet.filterNot(floored.contains)
+    assert(missing.isEmpty,
+      s"graded queries with no BASELINE floor row: $missing")
+  }
+
   test("oracle_sql.json round-trips as strict JSON") {
     // the driver json.load's this; control chars in builder-authored SQL
     // must come out escaped
