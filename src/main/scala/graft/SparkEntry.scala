@@ -339,6 +339,34 @@ object SparkEntry {
         s"2*list_dot_product(vv, ${vecLit(cv)}) AS d FROM v"
     }.mkString("\n  UNION ALL ")
 
+  /** Full IVF assign/probe/score/top-k oracle over the fixed 16×64
+    * quantizer — ONE derivation shared by ann_ivf, ann_ivf_probe_disk
+    * and ann_ivf_probe_batch (which differ only in WHERE the assignment
+    * cost is paid and in the query-batch predicate), so the probe
+    * arithmetic cannot drift between the in-memory, build-once and
+    * probe-many twins. `queryPred` filters `p.vec_id` to the batch. */
+  private def ivfProbeOracle(queryPred: String): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |d AS (
+       |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),
+       |rnk AS (SELECT vec_id, c,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
+       |asn AS (SELECT a.vec_id AS corpus_id, a.c AS list_id, vv AS cv
+       |  FROM rnk a JOIN v ON v.vec_id = a.vec_id WHERE a.rn = 1),
+       |prb AS (SELECT p.vec_id AS query_id, p.c AS list_id, vv AS qv
+       |  FROM rnk p JOIN v ON v.vec_id = p.vec_id
+       |  WHERE p.rn <= 2 AND $queryPred),
+       |s AS (SELECT query_id, corpus_id,
+       |  round(CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) > 0
+       |    THEN list_dot_product(qv,cv) /
+       |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
+       |    ELSE 0 END, 6) AS cos_sim
+       |  FROM prb JOIN asn USING (list_id) WHERE corpus_id <> query_id)
+       |SELECT query_id, corpus_id, cos_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank FROM s)
+       |WHERE rank <= 5""".stripMargin
+
   /** PQ ADC oracle skeleton over the fixed 8×16×8 codebooks: `v` +
     * caller CTEs + code assignment (`pqa`/`codes`) + codebook table
     * (`cb`) + caller `contrib` body + pivot + left-to-right fold +
@@ -1946,10 +1974,31 @@ object SparkEntry {
       // assignment cost is paid: once at write time, not per probe.
       val emb = Tables.embeddings(s, dir)
       val cent = Similarity.ivfQuantizer(16, 64)
-      Similarity.ivfWriteIndex(emb, "vec_id", "embedding", cent,
-        table = "graft_ivf_index", buckets = 16)
-      Similarity.ivfProbeIndex(s, "graft_ivf_index",
+      val table = Similarity.ivfIndexTable(dir)
+      Similarity.ivfEnsureIndex(emb, "vec_id", "embedding", cent,
+        table = table, buckets = 16)
+      Similarity.ivfProbeIndex(s, table,
           emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          cent, k = 5, nprobe = 2)
+        .select(col("query_id"), col("corpus_id"), col("cos_sim"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    "ann_ivf_probe_batch" -> ((s, dir) => {
+      // probe-MANY over the SAME persisted index (VERDICT r13 item 2):
+      // reuses the dataset-keyed bucketed table ann_ivf_probe_disk
+      // builds (ivfEnsureIndex — first caller in the session pays the
+      // corpus-sized assignment write, every later batch is probe-only),
+      // and answers a ~7x larger query batch in one job. The plan is the
+      // amortized serving shape: bucketed index scan with ZERO
+      // index-side exchange, broadcast query side, per-query top-k.
+      val emb = Tables.embeddings(s, dir)
+      val cent = Similarity.ivfQuantizer(16, 64)
+      val table = Similarity.ivfIndexTable(dir)
+      Similarity.ivfEnsureIndex(emb, "vec_id", "embedding", cent,
+        table = table, buckets = 16)
+      Similarity.ivfProbeIndex(s, table,
+          emb.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
           cent, k = 5, nprobe = 2)
         .select(col("query_id"), col("corpus_id"), col("cos_sim"),
           col("rank").cast("long").as("rank"))
@@ -6030,54 +6079,16 @@ object SparkEntry {
            |FROM h""".stripMargin
       },
 
-      "ann_ivf" -> {
-        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
-           |d AS (
-           |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),
-           |rnk AS (SELECT vec_id, c,
-           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
-           |asn AS (SELECT a.vec_id AS corpus_id, a.c AS list_id, vv AS cv
-           |  FROM rnk a JOIN v ON v.vec_id = a.vec_id WHERE a.rn = 1),
-           |prb AS (SELECT p.vec_id AS query_id, p.c AS list_id, vv AS qv
-           |  FROM rnk p JOIN v ON v.vec_id = p.vec_id
-           |  WHERE p.rn <= 2 AND p.vec_id % 50 = 0),
-           |s AS (SELECT query_id, corpus_id,
-           |  round(CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) > 0
-           |    THEN list_dot_product(qv,cv) /
-           |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
-           |    ELSE 0 END, 6) AS cos_sim
-           |  FROM prb JOIN asn USING (list_id) WHERE corpus_id <> query_id)
-           |SELECT query_id, corpus_id, cos_sim, rank FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank FROM s)
-           |WHERE rank <= 5""".stripMargin
-      },
+      "ann_ivf" -> ivfProbeOracle("p.vec_id % 50 = 0"),
 
       // probe-from-disk is result-identical to ann_ivf (only WHERE the
       // assignment cost is paid changes — write time vs probe time), so
       // the oracle replays the same assignment/probe/score chain
-      "ann_ivf_probe_disk" -> {
-        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
-           |d AS (
-           |  ${coarseDistRows(Similarity.ivfQuantizer(16, 64))}),
-           |rnk AS (SELECT vec_id, c,
-           |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d),
-           |asn AS (SELECT a.vec_id AS corpus_id, a.c AS list_id, vv AS cv
-           |  FROM rnk a JOIN v ON v.vec_id = a.vec_id WHERE a.rn = 1),
-           |prb AS (SELECT p.vec_id AS query_id, p.c AS list_id, vv AS qv
-           |  FROM rnk p JOIN v ON v.vec_id = p.vec_id
-           |  WHERE p.rn <= 2 AND p.vec_id % 50 = 0),
-           |s AS (SELECT query_id, corpus_id,
-           |  round(CASE WHEN sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)) > 0
-           |    THEN list_dot_product(qv,cv) /
-           |      (sqrt(list_dot_product(qv,qv)) * sqrt(list_dot_product(cv,cv)))
-           |    ELSE 0 END, 6) AS cos_sim
-           |  FROM prb JOIN asn USING (list_id) WHERE corpus_id <> query_id)
-           |SELECT query_id, corpus_id, cos_sim, rank FROM (
-           |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cos_sim DESC, corpus_id) AS BIGINT) AS rank FROM s)
-           |WHERE rank <= 5""".stripMargin
-      },
+      "ann_ivf_probe_disk" -> ivfProbeOracle("p.vec_id % 50 = 0"),
+
+      // probe-many: the same persisted index answering a ~7x larger
+      // query batch — the oracle differs only in the batch predicate
+      "ann_ivf_probe_batch" -> ivfProbeOracle("p.vec_id % 7 = 3"),
 
       // pigeonhole-blocked simhash pairs: same signature derivation, 4
       // blocks of 15 bits, same maxBucket cap, exact hamming via

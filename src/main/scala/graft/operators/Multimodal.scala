@@ -451,7 +451,10 @@ object Multimodal {
           0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00)
           .map(_.toByte))
         case _ => MediaRow(id, "audio",
-          "RIFF   WA".getBytes("US-ASCII"))
+          // truncated RIFF: header claims 4 payload bytes but the chunk
+          // list is cut mid-"WAVE" tag — bytes spelled as escapes so the
+          // source file stays text to grep/diff tooling (r13 ADVICE)
+          Array[Byte]('R', 'I', 'F', 'F', 4, 0, 0, 0, 'W', 'A'))
       }
     }
   }

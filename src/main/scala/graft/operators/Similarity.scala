@@ -660,6 +660,32 @@ object Similarity {
       Seq("list_id"), buckets)
   }
 
+  /** Catalog table name for the persisted IVF index of one dataset
+    * directory — keyed by an md5 of the dir so two scale factors (or two
+    * datasets) interleaved in one session can never probe each other's
+    * lists (the r13 ADVICE finding: a fixed global name let a plan-only
+    * audit build sf0.01 lists and a later sf0.1 probe read them). */
+  def ivfIndexTable(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_ivf_index_${h.take(10)}"
+  }
+
+  /** Idempotent build: [[ivfWriteIndex]] only if the catalog does not
+    * already have `table`. Because the name is dataset-keyed
+    * ([[ivfIndexTable]]) and the test datasets are immutable, an existing
+    * table IS the index — so repeated query construction (plan-only
+    * audits, verify-then-bench in one session, probe-many batches) pays
+    * the corpus-sized assignment write exactly once per dataset. A fresh
+    * JVM has a fresh in-memory metastore, so existence is per-session;
+    * [[ivfWriteIndex]]'s stale-warehouse-dir cleanup handles the
+    * cross-JVM leftover files. */
+  def ivfEnsureIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Float]], table: String,
+                     buckets: Int = 16): Unit =
+    if (!corpus.sparkSession.catalog.tableExists(table))
+      ivfWriteIndex(corpus, idCol, vecCol, centroids, table, buckets)
+
   /** PROBE-MANY: run [[ivfProbe]] against a persisted [[ivfWriteIndex]]
     * table. The index side is a bucketed scan — no exchange, no
     * re-assignment; only the query batch (small by definition) does any

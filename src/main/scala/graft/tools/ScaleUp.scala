@@ -172,12 +172,16 @@ object ScaleUp {
     // sign flips break the rotation's collision at i ≡ j (mod dim) —
     // factor 100 > dim 64 would otherwise manufacture EXACT duplicate
     // vectors across copies (the text Caesar artifact, vector edition)
+    // copy 0 stays VERBATIM (rotation by 0, flip gated off) so a
+    // factor-1 run is an identity replication, matching the text path's
+    // copy-0 invariant (r13 ADVICE: the ungated flip scrambled copy 0)
     val dim = size(col("embedding"))
     val rot = transform(sequence(lit(0), dim - 1), i =>
       element_at(col("embedding"),
         (pmod(i + col("__copy"), dim) + 1).cast("int"))
-      * (lit(1.0f) - lit(2.0f)
-        * pmod(xxhash64(col("__copy"), i), lit(2L)).cast("float")))
+      * when(col("__copy") === 0, lit(1.0f))
+        .otherwise(lit(1.0f) - lit(2.0f)
+          * pmod(xxhash64(col("__copy"), i), lit(2L)).cast("float")))
     write(replicate(read("embeddings"), factor)
       .select(off("vec_id").as("vec_id"),
         rot.cast("array<float>").as("embedding"), col("label")),
