@@ -4000,10 +4000,22 @@ object SparkEntry {
     "events_autocorr" -> ((s, dir) => {
       // lag-1..7 autocorrelation of the per-type daily series — the
       // audit that justifies (or debunks) the weekly seasonal queue
-      // in events_holt_winters; bounded daily frame, lag explode +
-      // co-keyed self-join, |types|×7 output (EventOps.dailyAutocorr)
+      // in events_holt_winters; CALENDAR-DENSIFIED (r14) so gap days
+      // correlate as true zeros and lag-7 pairs stay on-weekday;
+      // bounded daily frame, lag explode + co-keyed self-join,
+      // |types|×7 output (EventOps.dailyAutocorr)
       EventOps.dailyAutocorr(Tables.events(s, dir), "event_type",
         expr("ts DIV 1000"))
+    }),
+
+    "events_mase" -> ((s, dir) => {
+      // the composed forecast skill score (VERDICT r13 item 4): MASE =
+      // Holt walk-forward MAE / seasonal-naive lag-7 MAE, both parents'
+      // folds over ONE densified daily series in one pass — MASE < 1
+      // says the smoother earns its keep vs "same day last week"
+      // (EventOps.holtMase)
+      EventOps.holtMase(Tables.events(s, dir), "event_type",
+        expr("ts DIV 1000"), alpha = 0.5, beta = 0.25)
     }),
 
     "events_user_gini" -> ((s, dir) => {
@@ -7806,6 +7818,50 @@ object SparkEntry {
           |    ELSE 0 END AS mae4
           |FROM h""".stripMargin,
 
+      // the composed skill score: densify CTEs + the holt_backtest
+      // list_reduce fold over the DENSE series + the lag-7 self-join;
+      // mase4 is the exact-product division (×10⁴ scales cancel)
+      "events_mase" ->
+        """WITH c AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          |  FROM c GROUP BY 1),
+          |cal AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+          |  FROM bounds),
+          |dense AS (SELECT cal.event_type, cal.day, coalesce(c.n, 0) AS n
+          |  FROM cal LEFT JOIN c
+          |  ON c.event_type = cal.event_type AND c.day = cal.day),
+          |s AS (SELECT event_type, count(*) AS nd,
+          |  list([CAST(n AS DOUBLE), 0.0, 0.0] ORDER BY day) AS ser
+          |  FROM dense GROUP BY 1),
+          |h AS (SELECT event_type, nd,
+          |  list_reduce(ser, (acc, x) ->
+          |    [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+          |     0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2]))
+          |       - acc[1]) + 0.75 * acc[2],
+          |     acc[3] + round(abs(x[1] - (acc[1] + acc[2])) * 10000)])
+          |    AS bt
+          |  FROM s),
+          |l7 AS (SELECT a.event_type,
+          |  CAST(sum(abs(a.n - b.n)) AS BIGINT) AS s7 FROM dense a
+          |  JOIN dense b ON b.event_type = a.event_type
+          |    AND b.day = a.day - 7 GROUP BY 1)
+          |SELECT h.event_type, CAST(nd AS BIGINT) AS n_days,
+          |  CAST(nd - 1 AS BIGINT) AS n_evals,
+          |  CAST(bt[3] AS BIGINT) AS holt_sum_abs_err4,
+          |  CASE WHEN nd > 1
+          |    THEN CAST(round(bt[3] / (nd - 1)) AS BIGINT)
+          |    ELSE 0 END AS holt_mae4,
+          |  CASE WHEN nd > 7 THEN s7 END AS naive7_sum_abs,
+          |  CASE WHEN nd > 7 THEN
+          |    CAST(round(10000.0 * s7 / (nd - 7)) AS BIGINT)
+          |  END AS naive7_mae4,
+          |  CASE WHEN nd > 7 AND s7 > 0 THEN
+          |    CAST(round(bt[3] * (nd - 7) / ((nd - 1) * s7)) AS BIGINT)
+          |  END AS mase4
+          |FROM h LEFT JOIN l7 ON l7.event_type = h.event_type""".stripMargin,
+
       // the HW oracle's densify CTEs + lag self-joins on day offsets
       // (equivalent to the Spark fold's index arithmetic because the
       // dense frame is calendar-contiguous by construction)
@@ -8694,16 +8750,25 @@ object SparkEntry {
 
       // moments exact BIGINT; variance terms sqrt'd separately (the
       // assortativity overflow rule); pairs require both days observed
+      // CALENDAR-DENSIFIED (r14): the HW oracle's densify CTEs feed the
+      // lag pairs, so gap days enter as true zeros on both engines
       "events_autocorr" ->
         """WITH c AS (SELECT event_type,
           |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
           |  FROM events GROUP BY 1, 2),
+          |bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          |  FROM c GROUP BY 1),
+          |cal AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+          |  FROM bounds),
+          |dense AS (SELECT cal.event_type, cal.day, coalesce(c.n, 0) AS n
+          |  FROM cal LEFT JOIN c
+          |  ON c.event_type = cal.event_type AND c.day = cal.day),
           |l AS (SELECT event_type, day - k.lag AS day,
           |  CAST(k.lag AS BIGINT) AS lag, n AS x
-          |  FROM c, range(1, 8) AS k(lag)),
-          |j AS (SELECT l.event_type, l.lag, l.x, c.n AS y
-          |  FROM l JOIN c ON c.event_type = l.event_type
-          |    AND c.day = l.day),
+          |  FROM dense, range(1, 8) AS k(lag)),
+          |j AS (SELECT l.event_type, l.lag, l.x, dense.n AS y
+          |  FROM l JOIN dense ON dense.event_type = l.event_type
+          |    AND dense.day = l.day),
           |m AS (SELECT event_type, lag, count(*) AS np,
           |  sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
           |  sum(y*y) AS syy, sum(x*y) AS sxy FROM j GROUP BY 1, 2)

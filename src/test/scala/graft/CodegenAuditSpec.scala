@@ -37,7 +37,9 @@ class CodegenAuditSpec extends AnyFunSuite {
   private val hofWhitelist: Map[String, String] = Map(
     "ann_ivf" -> "sort/transform over nprobe-of-16 coarse centroid list",
     "ann_ivf_probe_disk" -> "sort/transform over nprobe-of-16 coarse centroid list (the ann_ivf probe side, query rows only)",
+    "ann_ivf_probe_batch" -> "sort/transform over nprobe-of-16 coarse centroid list (the ann_ivf probe side, query rows only)",
     "events_mase_baseline" -> "fold over per-type day series (calendar-bounded, the events_holt class)",
+    "events_mase" -> "both parents' folds over ONE densified per-type day series (calendar-bounded, the events_holt class)",
     "text_compression_proxy" -> "transform over per-document trigram index sequence (≤ text length ~102)",
     "ann_ivf_pq" -> "sort/transform over 16-entry centroid list",
     "ann_recall_audit" -> "sort/transform over 16-entry centroid list",

@@ -63,4 +63,71 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     assert(fromDisk == fused)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
+
+  test("holtMase: hand series with a gap — both parents' numbers in one row") {
+    import graft.operators.EventOps
+    // 10-day span, day 4 missing (zero-filled): counts
+    // [3,1,4,1,0,9,2,6,5,3] after densify — the r13 seasonal-naive
+    // fixture, so the naive7 half is hand-checked against that spec
+    val us = 86400000000L
+    val observed = Map(0 -> 3, 1 -> 1, 2 -> 4, 3 -> 1, 5 -> 9, 6 -> 2,
+      7 -> 6, 8 -> 5, 9 -> 3)
+    val rows = observed.toSeq.flatMap { case (d, n) =>
+      (0 until n).map(i => ("a", d * us + i))
+    }.toDF("event_type", "ts_us")
+    val dense = (0 to 9).map(d => observed.getOrElse(d, 0))
+    // Holt walk-forward fold by hand (α=0.5, β=0.25, seed l=x₀, b=0;
+    // error banked pre-update, ×1e4-rounded per step)
+    var (l, b, s4) = (dense(0).toDouble, 0.0, 0.0)
+    for (x <- dense.tail) {
+      s4 += math.round(math.abs(x - (l + b)) * 10000).toDouble
+      val lNew = 0.5 * x + 0.5 * (l + b)
+      b = 0.25 * (lNew - l) + 0.75 * b
+      l = lNew
+    }
+    val s7 = (7 to 9).map(i => math.abs(dense(i) - dense(i - 7))).sum
+    val got = EventOps.holtMase(rows, "event_type", col("ts_us"),
+        alpha = 0.5, beta = 0.25)
+      .select("n_days", "n_evals", "holt_sum_abs_err4", "holt_mae4",
+        "naive7_sum_abs", "naive7_mae4", "mase4")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((10L, 9L, s4.toLong, math.round(s4 / 9),
+      s7.toLong, math.round(10000.0 * s7 / 3),
+      math.round(s4 * 3 / (9.0 * s7)))))
+  }
+
+  test("dailyAutocorr: densified — gap days correlate as true zeros") {
+    import graft.operators.EventOps
+    val us = 86400000000L
+    val observed = Map(0 -> 3, 1 -> 1, 2 -> 4, 3 -> 1, 5 -> 9, 6 -> 2,
+      7 -> 6, 8 -> 5, 9 -> 3)
+    val rows = observed.toSeq.flatMap { case (d, n) =>
+      (0 until n).map(i => ("a", d * us + i))
+    }.toDF("event_type", "ts_us")
+    val dense = (0 to 9).map(d => observed.getOrElse(d, 0).toLong)
+    def r4(k: Int): (Long, Option[Long]) = {
+      val pairs = (k to 9).map(i => (dense(i), dense(i - k)))
+      val np = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val (vx, vy) = (np * sxx - sx * sx, np * syy - sy * sy)
+      (np, if (vx > 0 && vy > 0)
+        Some(math.round(10000.0 * (np * sxy - sx * sy)
+          / (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))))
+      else None)
+    }
+    val got = EventOps.dailyAutocorr(rows, "event_type", col("ts_us"))
+      .orderBy("lag")
+      .select("lag", "n_pairs", "r4")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got.length == 7)
+    for ((lag, np, r) <- got) {
+      val (expNp, expR) = r4(lag.toInt)
+      // a dense 10-day span pairs exactly 10−k days — the gap day is IN
+      assert(np == expNp, s"lag $lag")
+      assert(r == expR, s"lag $lag")
+    }
+  }
 }
