@@ -157,9 +157,18 @@ object Selection {
     *  2. exclusive bin-offset cumsum over that bounded frame (the ONE
     *     small unpartitioned window, vocab_growth's whitelist class),
     *     broadcast back;
-    *  3. per-doc running sum WITHIN each bin partition (bounded by bin
-    *     occupancy — the skew knob is binWidth) + its bin offset =
-    *     exact global prefix, each doc in parallel.
+    *  3. (r14, VERDICT r13 item 6 — the skew level) exclusive
+    *     per-exact-score offsets WITHIN each bin: the sub-frame has at
+    *     most binWidth rows per bin BY CONSTRUCTION (bin = score4 div
+    *     binWidth), so a score distribution concentrated in one bin —
+    *     the quantile-shaped worst case the r13 watch item named —
+    *     costs a ≤ binWidth-row window, never a corpus-sized one;
+    *  4. per-doc running sum WITHIN each (bin, score4) partition + both
+    *     offsets = exact global prefix, each doc in parallel. The
+    *     residual skew key is EXACT 4-dp score ties (docs sharing one
+    *     score4 value land in one ordered partition — unavoidable for
+    *     an exact prefix, since the within-tie order is doc_id itself);
+    *     mean-token-length scores spread ties by construction.
     *
     * Budget is a FRACTION of the corpus' total tokens (computed in the
     * same pass, integer-exact `4·total div 10` for 40%), so the query
@@ -195,11 +204,22 @@ object Selection {
         wBins.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("bin", "bin_offset")
     val total = base.agg(sum("n_tokens").as("total_tokens"))
-    val wIn = Window.partitionBy("bin")
-      .orderBy(col("score4").desc, col("doc_id"))
+    // level 2: one row per exact score value — ≤ binWidth rows per bin
+    // by construction, so this window is skew-proof against any score
+    // distribution; sub_offset = tokens of strictly-higher scores in
+    // the same bin
+    val scoreTot = binned.groupBy("bin", "score4")
+      .agg(sum("n_tokens").as("score_tokens"))
+    val wScores = Window.partitionBy("bin").orderBy(col("score4").desc)
+    val subOffsets = scoreTot.withColumn("sub_offset",
+      coalesce(sum("score_tokens").over(
+        wScores.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bin", "score4", "sub_offset")
+    val wIn = Window.partitionBy("bin", "score4").orderBy(col("doc_id"))
     binned
       .join(broadcast(offsets), "bin")
-      .withColumn("cum_tokens", col("bin_offset") +
+      .join(broadcast(subOffsets), Seq("bin", "score4"))
+      .withColumn("cum_tokens", col("bin_offset") + col("sub_offset") +
         sum("n_tokens").over(
           wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(total))

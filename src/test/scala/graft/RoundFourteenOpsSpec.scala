@@ -64,6 +64,65 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 
+  test("budgetSelect: one-bin-concentrated scores — no corpus-sized window") {
+    import graft.operators.Selection
+    // adversarial distribution (VERDICT r13 item 6): binWidth 2^40 puts
+    // EVERY document in bin 0 — the degenerate quantile-concentration
+    // case. The r13 shape would window the whole corpus in one
+    // partition; the two-level prefix must keep doc-level partitions
+    // keyed by the exact score too.
+    val rnd = new scala.util.Random(41L)
+    val rows = (1 to 400).map { i =>
+      val words = (0 until 5 + rnd.nextInt(20))
+        .map(_ => "a" * (3 + rnd.nextInt(5)))
+      (i.toLong, "s" + (i % 3), words.mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "src", "text")
+    val sel = Selection.budgetSelect(docs, "doc_id", "text", "src",
+      binWidth = 1L << 40)
+    // reference: exact greedy prefix on the driver, same arithmetic
+    val scored = rows.map { case (id, src, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val n = ws.length.toLong
+      (id, src, math.round(10000.0 * ws.map(_.length.toLong).sum / n), n)
+    }
+    val totalToks = scored.map(_._4).sum
+    val budget = totalToks * 4 / 10
+    var cum = 0L
+    val expect = scored.sortBy(t => (-t._3, t._1)).iterator.map { t =>
+      cum += t._4; (t._1, t._2, t._3, t._4, cum)
+    }.takeWhile(_._5 <= budget).toSeq
+    val got = sel.as[(Long, String, Long, Long, Long)].collect()
+      .sortBy(_._5)
+    assert(got.toSeq == expect)
+    // plan invariant: every window over DOC rows partitions by the
+    // exact score too; bin-only / unpartitioned windows are allowed
+    // only over aggregated (bounded) frames
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val nodes = allNodes(sel.queryExecution.executedPlan)
+    val wins = nodes.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    for (w <- wins) {
+      val keys = w.partitionSpec.map(_.toString)
+      val docLevel = keys.exists(_.contains("score4"))
+      val aggBelow = allNodes(w.child).exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+             _: SortAggregateExec => true
+        case _ => false
+      }
+      assert(docLevel || aggBelow,
+        s"window partitioned by $keys runs over raw doc rows:\n$w")
+    }
+  }
+
   test("holtMase: hand series with a gap — both parents' numbers in one row") {
     import graft.operators.EventOps
     // 10-day span, day 4 missing (zero-filled): counts
