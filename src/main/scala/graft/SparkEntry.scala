@@ -4102,12 +4102,16 @@ object SparkEntry {
       // (patched 54-byte header + file-order pixel rows: file row y
       // samples input image row 15−2y — bottom-up rows make the
       // resample bottom-anchored in image space) so every byte of
-      // decode → resample → re-encode is graded
-      Multimodal.resizeImages(
-        Multimodal.syntheticImages(
+      // decode → resample → re-encode is graded. r14 (VERDICT r13
+      // item 7): the synthesis now carries two QUARANTINE arms — a
+      // JPEG header (id%7=5) and an 8-bit BMP (id%7=6) — which must
+      // pass through byte-identical with resized=false; the oracle
+      // grades their hex as literals of the same fixture constants
+      Multimodal.resizeImagesTagged(
+        Multimodal.syntheticImagesMixed(
           Tables.documents(s, dir).select("doc_id"), "doc_id"), 8, 8)
-        .toDF()
-        .select(col("media_id"), lower(hex(col("payload"))).as("bmp_hex"))
+        .select(col("media_id"), col("resized"),
+          lower(hex(col("payload"))).as("bmp_hex"))
     }),
 
     "multimodal_frame_sample" -> ((s, dir) => {
@@ -4144,10 +4148,15 @@ object SparkEntry {
       // re-derives every frame byte from the md5 hex formula, so the
       // graded compare proves the container offsets AND the delta
       // arithmetic
-      Multimodal.sceneCuts(
-        Multimodal.syntheticMedia(
+      // r14 (VERDICT r13 item 7): the video synthesis now carries two
+      // QUARANTINE arms — a truncated RIFF (id%3=0) and an MP4 ftyp box
+      // (id%3=1) — and the tagged variant emits one decoded=false row
+      // per unindexable video instead of silently dropping it; the
+      // valid arm (id%3=2) keeps the exact syntheticMedia AVI formula
+      Multimodal.sceneCutsTagged(
+        Multimodal.syntheticVideosMixed(
           Tables.documents(s, dir).select("doc_id"), "doc_id"),
-        threshold = 1360L).toDF()
+        threshold = 1360L)
     }),
 
     "popgen_grm" -> ((s, dir) => {
@@ -9136,8 +9145,12 @@ object SparkEntry {
       // row y samples input image row 15−2y (bottom-up anchoring), so
       // the single-pixel id%4 perturbation at image row 0 never
       // survives the resample — pixels are pure base pattern
+      // valid arms: the full file-hex re-derivation as before, now with
+      // resized=true; quarantine arms (id%7 = 5 JPEG header / 6 8-bit
+      // BMP): pass-through hex graded against the SAME fixture
+      // constants the synthesis uses (Multimodal.jpegHeaderHex/bmp8Hex)
       "multimodal_image_resize" ->
-        """WITH px AS (SELECT d.doc_id AS media_id, y.y AS y, x.x AS x,
+        s"""WITH px AS (SELECT d.doc_id AS media_id, y.y AS y, x.x AS x,
           |  CASE WHEN substr(md5(CAST(d.doc_id // 4 AS VARCHAR) || ':' ||
           |      CAST(2 * x.x AS VARCHAR) || ',' ||
           |      CAST(15 - 2 * y.y AS VARCHAR)), 1, 1)
@@ -9145,14 +9158,23 @@ object SparkEntry {
           |    THEN '000000' ELSE 'ffffff' END AS h
           |  FROM documents d,
           |    LATERAL unnest(generate_series(0, 7)) y(y),
-          |    LATERAL unnest(generate_series(0, 7)) x(x)),
+          |    LATERAL unnest(generate_series(0, 7)) x(x)
+          |  WHERE d.doc_id % 7 NOT IN (5, 6)),
           |agg AS (SELECT media_id,
           |  string_agg(h, '' ORDER BY y, x) AS pix FROM px GROUP BY 1)
-          |SELECT media_id,
+          |SELECT media_id, TRUE AS resized,
           |  '424d' || 'f6000000' || '00000000' || '36000000' ||
           |  '28000000' || '08000000' || '08000000' || '0100' || '1800' ||
           |  repeat('00', 24) || pix AS bmp_hex
-          |FROM agg""".stripMargin,
+          |FROM agg
+          |UNION ALL
+          |SELECT doc_id AS media_id, FALSE AS resized,
+          |  '${Multimodal.jpegHeaderHex}' AS bmp_hex
+          |FROM documents WHERE doc_id % 7 = 5
+          |UNION ALL
+          |SELECT doc_id AS media_id, FALSE AS resized,
+          |  '${Multimodal.bmp8Hex}' AS bmp_hex
+          |FROM documents WHERE doc_id % 7 = 6""".stripMargin,
 
       // arithmetic re-derivation of the sampled frame grid: every
       // id%3==2 video carries frames 0..2 whose BYTES are the md5
@@ -9200,6 +9222,10 @@ object SparkEntry {
       // uses (Multimodal.videoFrameCountSql), not a literal copy of it
       // (ADVICE r11) — if the synthetic layout changes, this oracle
       // follows instead of grading its own stale assumption.
+      // r14: valid arm (id%3=2) as before with decoded=true (the
+      // single-frame case pairs zero rows, hence the LEFT JOIN);
+      // quarantine arms (id%3 = 0 truncated RIFF / 1 MP4 ftyp) grade as
+      // explicit decoded=false zero rows
       "multimodal_scene_cut" ->
         s"""WITH v AS (SELECT doc_id AS media_id,
           |  CAST(${Multimodal.videoFrameCountSql} AS BIGINT) AS n_frames
@@ -9215,12 +9241,17 @@ object SparkEntry {
           |  FROM v, LATERAL unnest(generate_series(0, n_frames - 2)) u(i),
           |    LATERAL unnest(generate_series(0, 15)) j(j)
           |  GROUP BY 1, 2)
-          |SELECT b.media_id, v.n_frames,
-          |  count(*) AS n_pairs, CAST(sum(delta) AS BIGINT) AS sum_delta,
-          |  CAST(sum(CASE WHEN delta > 1360 THEN 1 ELSE 0 END) AS BIGINT)
-          |    AS n_cuts
-          |FROM b JOIN v ON v.media_id = b.media_id
-          |GROUP BY 1, 2""".stripMargin,
+          |SELECT v.media_id, TRUE AS decoded, v.n_frames,
+          |  count(b.media_id) AS n_pairs,
+          |  CAST(coalesce(sum(delta), 0) AS BIGINT) AS sum_delta,
+          |  CAST(coalesce(sum(CASE WHEN delta > 1360 THEN 1 ELSE 0 END),
+          |    0) AS BIGINT) AS n_cuts
+          |FROM v LEFT JOIN b ON b.media_id = v.media_id
+          |GROUP BY 1, 2, 3
+          |UNION ALL
+          |SELECT doc_id AS media_id, FALSE AS decoded,
+          |  0 AS n_frames, 0 AS n_pairs, 0 AS sum_delta, 0 AS n_cuts
+          |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin,
 
       // VanRaden GRM: the same per-cell ×10⁴ / per-site ×10⁸ rounding
       // sequence term by term — the 10⁸ scales cancel in the final

@@ -459,6 +459,90 @@ object Multimodal {
     }
   }
 
+  /** The two quarantine image fixtures (r14, VERDICT r13 item 7) — id-
+    * independent constants so the oracle embeds their hex as literals:
+    * a JPEG SOI/APP0 header (a REAL format this library-free codec
+    * cannot resize) and an 8-bit-depth BMP (structurally a BMP, but
+    * resizeBmp only walks 24-bit uncompressed pixels — depth != 24 is
+    * the quarantine the r13 census never drove through RESIZE). */
+  val jpegHeaderBytes: Array[Byte] = Array(
+    0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00)
+    .map(_.toByte)
+  val bmp8Bytes: Array[Byte] = {
+    // 54-byte header + 4 palette-less pixel bytes; bitcount (offset 28)
+    // = 8 — everything else mirrors a 2×1 bmpWithPixels header
+    val b = new Array[Byte](58)
+    b(0) = 'B'; b(1) = 'M'
+    b(2) = 58 // le32 file size
+    b(10) = 54 // le32 pixel offset
+    b(14) = 40 // le32 info header size
+    b(18) = 2 // le32 width
+    b(22) = 1 // le32 height
+    b(26) = 1 // le16 planes
+    b(28) = 8 // le16 bitcount — the quarantine trigger
+    b
+  }
+  private def hexOf(bs: Array[Byte]): String =
+    bs.map("%02x".format(_)).mkString
+  /** Oracle-side hex literals of the two fixtures. */
+  val jpegHeaderHex: String = hexOf(jpegHeaderBytes)
+  val bmp8Hex: String = hexOf(bmp8Bytes)
+
+  /** [[syntheticImages]] with DELIBERATELY unresizable arms (r14): ids
+    * with id % 7 == 5 carry the JPEG header, id % 7 == 6 the 8-bit BMP;
+    * every other id keeps the exact [[syntheticImages]] pixel formula —
+    * so the resize grade now drives the quarantine (pass-through)
+    * branch, not just the happy path. */
+  def syntheticImagesMixed(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      (id % 7) match {
+        case 5 => MediaRow(id, "image", jpegHeaderBytes)
+        case 6 => MediaRow(id, "image", bmp8Bytes)
+        case _ =>
+          val g = id / 4; val v = (id % 4).toInt
+          val md = java.security.MessageDigest.getInstance("MD5")
+          MediaRow(id, "image", MediaCodec.bmpWithPixels(16, 16, (x, y) => {
+            val hex = md.digest(s"$g:$x,$y".getBytes("UTF-8"))
+            val base = ((hex(0) >> 4) & 0xf) < 8
+            val pert = v != 0 && x == 2 * v && y == 0
+            if (base ^ pert) 0x000000 else 0xFFFFFF
+          }))
+      }
+    }
+  }
+
+  /** The two quarantine VIDEO fixtures (r14): a truncated RIFF (header
+    * claims 4 payload bytes, cut mid-tag) and an MP4 `ftyp` box — a
+    * real container this demux-library-free walk cannot index. */
+  val truncatedRiffVideoBytes: Array[Byte] =
+    Array[Byte]('R', 'I', 'F', 'F', 4, 0, 0, 0, 'A', 'V')
+  val mp4FtypBytes: Array[Byte] =
+    Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm')
+
+  /** Video synthesis with DELIBERATELY unindexable arms (r14): ids with
+    * id % 3 == 2 keep the exact [[syntheticMedia]] AVI formula (so the
+    * valid-arm oracle derivation is unchanged); id % 3 == 0 carries the
+    * truncated RIFF, id % 3 == 1 the MP4 ftyp box — both kind "video",
+    * so the scene-cut walk must quarantine them EXPLICITLY. */
+  def syntheticVideosMixed(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 => MediaRow(id, "video", truncatedRiffVideoBytes)
+        case 1 => MediaRow(id, "video", mp4FtypBytes)
+        case _ =>
+          val frames = (0 until videoFrameCount(id).toInt).map(i =>
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$id:$i".getBytes("UTF-8")))
+          MediaRow(id, "video", MediaCodec.aviBytes(
+            (32 + id % 64).toInt, (24 + id % 48).toInt, frames))
+      }
+    }
+  }
+
   /** Real file ingestion: Spark's `binaryFile` source → MediaRow. Kind is
     * taken from the file extension; ids from a stable hash of the path. */
   def fromBinaryFiles(spark: SparkSession, path: String): Dataset[MediaRow] = {
@@ -492,6 +576,23 @@ object Multimodal {
           .map(p => r.copy(payload = p)).getOrElse(r)
       else r
     })
+  }
+
+  /** [[resizeImages]] with the quarantine made EXPLICIT (r14): one row
+    * per image, `resized` true iff the 24-bit BMP walk succeeded —
+    * quarantined payloads pass through byte-identical. Same narrow
+    * mapPartitions shape; the flag costs nothing (it IS the Option). */
+  def resizeImagesTagged(media: Dataset[MediaRow], width: Int,
+                         height: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        MediaCodec.resizeBmp(r.payload, width, height) match {
+          case Some(p) => (r.media_id, true, p)
+          case None => (r.media_id, false, r.payload)
+        }
+      }).toDF("media_id", "resized", "payload")
   }
 
   /** Every-`everyN`-th-frame sampling over video payloads — REAL
@@ -545,24 +646,50 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("kind") === "video").as[MediaRow]
-      .mapPartitions(_.flatMap { r =>
-        MediaCodec.aviFrameRanges(r.payload).map { ranges =>
-          val fs = ranges.map { case (off, len) =>
-            java.util.Arrays.copyOfRange(r.payload, off, off + len) }
-          val deltas = fs.iterator.zip(fs.iterator.drop(1)).map {
-            case (f1, f2) =>
-              val n = math.min(f1.length, f2.length)
-              var d = 0L
-              var i = 0
-              while (i < n) {
-                d += math.abs((f1(i) & 0xff) - (f2(i) & 0xff)); i += 1
-              }
-              d + 255L * (math.max(f1.length, f2.length) - n)
-          }.toVector
-          SceneStats(r.media_id, fs.length.toLong, deltas.length.toLong,
-            deltas.sum, deltas.count(_ > threshold).toLong)
+      .mapPartitions(_.flatMap(r =>
+        sceneStatsOf(r.payload, threshold).map { case (nf, np, sd, nc) =>
+          SceneStats(r.media_id, nf, np, sd, nc) }))
+  }
+
+  /** The shared per-payload scene-cut kernel: ONE definition feeding
+    * [[sceneCuts]] and [[sceneCutsTagged]] so the delta arithmetic
+    * cannot drift between the silent and census variants. */
+  private def sceneStatsOf(payload: Array[Byte], threshold: Long)
+      : Option[(Long, Long, Long, Long)] =
+    MediaCodec.aviFrameRanges(payload).map { ranges =>
+      val fs = ranges.map { case (off, len) =>
+        java.util.Arrays.copyOfRange(payload, off, off + len) }
+      val deltas = fs.iterator.zip(fs.iterator.drop(1)).map {
+        case (f1, f2) =>
+          val n = math.min(f1.length, f2.length)
+          var d = 0L
+          var i = 0
+          while (i < n) {
+            d += math.abs((f1(i) & 0xff) - (f2(i) & 0xff)); i += 1
+          }
+          d + 255L * (math.max(f1.length, f2.length) - n)
+      }.toVector
+      (fs.length.toLong, deltas.length.toLong,
+        deltas.sum, deltas.count(_ > threshold).toLong)
+    }
+
+  /** [[sceneCuts]] with the quarantine made EXPLICIT (r14): every video
+    * row emits exactly one stats row; payloads the RIFF walk cannot
+    * index come back `decoded` = false with zeroed stats instead of
+    * silently vanishing — the census shape a curation pipeline needs to
+    * know how much of its video corpus it actually scanned. */
+  def sceneCutsTagged(media: Dataset[MediaRow],
+                      threshold: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        sceneStatsOf(r.payload, threshold) match {
+          case Some((nf, np, sd, nc)) => (r.media_id, true, nf, np, sd, nc)
+          case None => (r.media_id, false, 0L, 0L, 0L, 0L)
         }
-      })
+      }).toDF("media_id", "decoded", "n_frames", "n_pairs", "sum_delta",
+        "n_cuts")
   }
 
   /** Per-image perceptual fingerprint row. */

@@ -123,6 +123,51 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeImagesTagged / sceneCutsTagged: explicit quarantine rows") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaCodec, MediaRow}
+    // resize: a real 16×16 BMP resizes (flag true, bytes change); the
+    // JPEG header and the 8-bit BMP pass through BYTE-IDENTICAL with
+    // flag false
+    val bmp = MediaCodec.bmpWithPixels(16, 16,
+      (x, y) => if ((x + y) % 2 == 0) 0 else 0xFFFFFF)
+    val imgs = Seq(
+      MediaRow(1L, "image", bmp),
+      MediaRow(2L, "image", Multimodal.jpegHeaderBytes),
+      MediaRow(3L, "image", Multimodal.bmp8Bytes)).toDS()
+    val rz = Multimodal.resizeImagesTagged(imgs, 8, 8)
+      .as[(Long, Boolean, Array[Byte])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(rz(1L)._1 && !java.util.Arrays.equals(rz(1L)._2, bmp))
+    assert(java.util.Arrays.equals(rz(1L)._2,
+      MediaCodec.resizeBmp(bmp, 8, 8).get))
+    assert(!rz(2L)._1 &&
+      java.util.Arrays.equals(rz(2L)._2, Multimodal.jpegHeaderBytes))
+    assert(!rz(3L)._1 &&
+      java.util.Arrays.equals(rz(3L)._2, Multimodal.bmp8Bytes))
+    // scene cuts: a valid 3-frame AVI gets the SAME numbers as the
+    // silent variant plus decoded=true; the truncated RIFF and the MP4
+    // ftyp box emit explicit zero rows, not nothing
+    val frames = (0 until 3).map(i =>
+      Array.tabulate[Byte](16)(j => ((i * 40 + j) & 0x7f).toByte))
+    val avi = MediaCodec.aviBytes(32, 24, frames)
+    val vids = Seq(
+      MediaRow(10L, "video", avi),
+      MediaRow(11L, "video", Multimodal.truncatedRiffVideoBytes),
+      MediaRow(12L, "video", Multimodal.mp4FtypBytes)).toDS()
+    val tag = Multimodal.sceneCutsTagged(vids, threshold = 100L)
+      .as[(Long, Boolean, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(tag.keySet == Set(10L, 11L, 12L))
+    val silent = Multimodal.sceneCuts(vids, threshold = 100L).collect()
+    assert(silent.length == 1 && silent.head.media_id == 10L)
+    val s = silent.head
+    assert(tag(10L) == ((10L, true, s.n_frames, s.n_pairs, s.sum_delta,
+      s.n_cuts)))
+    assert(tag(11L) == ((11L, false, 0L, 0L, 0L, 0L)))
+    assert(tag(12L) == ((12L, false, 0L, 0L, 0L, 0L)))
+  }
+
   test("holtMase: hand series with a gap — both parents' numbers in one row") {
     import graft.operators.EventOps
     // 10-day span, day 4 missing (zero-filled): counts
