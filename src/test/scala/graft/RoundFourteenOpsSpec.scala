@@ -123,6 +123,66 @@ class RoundFourteenOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("StreamAttribution across triggers equals the batch as-of join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamAttribution
+    import graft.operators.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    val horizon = 1000000L // 1s lookback
+    // touches: (user, us, channel); conversions: (user, us)
+    val touches1 = Seq(("u1", 100000L, "email"), ("u1", 500000L, "ad"),
+      ("u2", 200000L, "search"))
+    val touches2 = Seq(("u1", 700000L, "social"), // late-arriving touch
+      ("u3", 900000L, "ad"),
+      // watermark pushers: far-future rows let append-mode results flush
+      ("wm", 100000000L, "x"))
+    val convs1 = Seq(("u1", 800000L)) // sees email/ad now, social late
+    val convs2 = Seq(("u2", 300000L), // in-horizon search touch
+      ("u2", 2000000L), // touch out of horizon → no row (inner join)
+      ("wm2", 100000000L))
+    val memT = MemoryStream[(String, Long, String)]
+    val memC = MemoryStream[(String, Long)]
+    val q = StreamAttribution.lastTouch(
+        memC.toDF().toDF("user_id", "us"),
+        memT.toDF().toDF("user_id", "us", "channel"),
+        horizonUs = horizon, delay = "2 seconds")
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memT.addData(touches1: _*); memC.addData(convs1: _*)
+      q.processAllAvailable()
+      memT.addData(touches2: _*); memC.addData(convs2: _*)
+      q.processAllAvailable()
+      // one more empty-ish batch so the advanced watermark finalizes
+      memT.addData(("wm", 200000000L, "x")); memC.addData(("wm3", 200000000L))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_stream")
+        .select(col("user_id"),
+          unix_micros(col("conv_t")).as("conv_us"),
+          unix_micros(col("touch_t")).as("touch_us"), col("channel"))
+        .filter(!col("user_id").startsWith("wm"))
+        .as[(String, Long, Long, String)].collect().toSet
+      // the LATE u1 touch (700000, arrived batch 2, within the 2s
+      // delay) must win last-touch for the batch-1 conversion
+      assert(streamed == Set(
+        ("u1", 800000L, 700000L, "social"),
+        ("u2", 300000L, 200000L, "search")))
+      // batch parity: asOfJoin over the pooled data, attributed half
+      val allT = (touches1 ++ touches2).toDF("user_id", "tus", "channel")
+      val allC = (convs1 ++ convs2).toDF("user_id", "us")
+      val batch = EventOps.asOfJoin(allC, allT, "user_id",
+          col("us"), col("tus"), Seq("channel"))
+        .filter(col("asof_ts").isNotNull &&
+          col("us") - col("asof_ts") <= horizon)
+        .filter(!col("user_id").startsWith("wm"))
+        .select(col("user_id"), col("us"), col("asof_ts"),
+          col("asof_channel"))
+        .as[(String, Long, Long, String)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("resizeImagesTagged / sceneCutsTagged: explicit quarantine rows") {
     import graft.operators.Multimodal
     import graft.operators.Multimodal.{MediaCodec, MediaRow}
