@@ -1972,11 +1972,17 @@ object SparkEntry {
       // (bucketed scan + broadcast query side; spec-asserted). Same
       // results as ann_ivf — what changes is WHERE the corpus-sized
       // assignment cost is paid: once at write time, not per probe.
+      // buckets = 64 ≫ the 16 lists (r14 sf10 finding): a bucketed READ
+      // coalesces each bucket to ONE task, and hash(list_id) at
+      // buckets == lists collides 2-3 hot lists into one bucket — a
+      // single task then spill-sorts their whole scored frame (431 s vs
+      // 107 s for the unbucketed twin at sf10). Spreading lists over 4x
+      // the buckets restores probe-side parallelism at zero cost.
       val emb = Tables.embeddings(s, dir)
       val cent = Similarity.ivfQuantizer(16, 64)
       val table = Similarity.ivfIndexTable(dir)
       Similarity.ivfEnsureIndex(emb, "vec_id", "embedding", cent,
-        table = table, buckets = 16)
+        table = table, buckets = 64)
       Similarity.ivfProbeIndex(s, table,
           emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
           cent, k = 5, nprobe = 2)
@@ -1996,7 +2002,7 @@ object SparkEntry {
       val cent = Similarity.ivfQuantizer(16, 64)
       val table = Similarity.ivfIndexTable(dir)
       Similarity.ivfEnsureIndex(emb, "vec_id", "embedding", cent,
-        table = table, buckets = 16)
+        table = table, buckets = 64)
       Similarity.ivfProbeIndex(s, table,
           emb.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
           cent, k = 5, nprobe = 2)
