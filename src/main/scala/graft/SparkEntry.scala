@@ -51,7 +51,7 @@ object SparkEntry {
     * AD=0,s9. */
   private def synthVcfLines(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.lineitem(s, dir).select(concat_ws("\t",
+    Tables.lineitemSpread(s, dir).select(concat_ws("\t",
       (col("l_orderkey") % 5 + 1).cast("string"),
       ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100000).cast("string"),
       lit("."),
@@ -97,7 +97,7 @@ object SparkEntry {
         concat(sC, lit("S"), m1, lit("M"), ins, lit("I"),
           m2, lit("M"), del, lit("D"), lit("4M")),
         lit("*"), lit("0"), lit("0"), lit("*"), lit("*")))
-    Tables.lineitem(s, dir).select(line.as("line")).as[String]
+    Tables.lineitemSpread(s, dir).select(line.as("line")).as[String]
   }
 
   /** Oracle twin of [[samSynthLines]] ∘ Sam.alignments: the mapped,
@@ -1808,7 +1808,7 @@ object SparkEntry {
 
     "corpus_curate" -> ((s, dir) => {
       CorpusPipeline.stats(
-        CorpusPipeline.curate(Tables.documents(s, dir), "doc_id", "text",
+        CorpusPipeline.curate(Tables.documentsSpread(s, dir), "doc_id", "text",
           docBlockCol))
     }),
 
@@ -2430,7 +2430,7 @@ object SparkEntry {
         s"'$c', ${c}__n, ${c}__nd, ${c}__min, ${c}__max, ${c}__avg")
         .mkString(", ") +
         ") as (column_name, n, n_distinct, min_val, max_val, avg_val)"
-      Tables.lineitem(s, dir)
+      Tables.lineitemSpread(s, dir)
         .agg(aggs.head, aggs.tail: _*)
         .select(expr(stacked))
     }),
@@ -2674,7 +2674,7 @@ object SparkEntry {
       // Heaps-law vocabulary growth at 50-doc checkpoints over word
       // BIGRAMS (the unigram vocabulary is closed and tiny by
       // construction — only a composite unit grows)
-      TextAnalysis.vocabGrowth(Tables.documents(s, dir), "doc_id",
+      TextAnalysis.vocabGrowth(Tables.documentsSpread(s, dir), "doc_id",
         TextAnalysis.wordBigrams(col("text")), step = 50L)
     }),
 
@@ -2876,7 +2876,7 @@ object SparkEntry {
     "text_bigram_ppl" -> ((s, dir) => {
       // bigram-LM surprisal (the KenLM perplexity-filter shape, one
       // word of history up from text_surprisal)
-      TextAnalysis.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+      TextAnalysis.bigramSurprisal(Tables.documentsSpread(s, dir), "doc_id", "text")
     }),
 
     "text_jm_ppl" -> ((s, dir) => {
@@ -2884,7 +2884,7 @@ object SparkEntry {
       // third classic smoothing next to add-1 (text_bigram_ppl) and
       // Kneser-Ney (text_kn_ppl); same one-explode vocabulary-keyed
       // shape (TextAnalysis.jmBigramSurprisal)
-      TextAnalysis.jmBigramSurprisal(Tables.documents(s, dir),
+      TextAnalysis.jmBigramSurprisal(Tables.documentsSpread(s, dir),
         "doc_id", "text")
     }),
 
@@ -3224,7 +3224,7 @@ object SparkEntry {
       // discipline. GRADED: the oracle replays every round as a
       // chained CTE (count → argmax → replace), so selection order,
       // tie-breaks and counts are all checked.
-      val merges = TextAnalysis.bpeTrain(Tables.documents(s, dir),
+      val merges = TextAnalysis.bpeTrain(Tables.documentsSpread(s, dir),
         "text", numMerges = 10)
       import s.implicits._
       merges.zipWithIndex
@@ -3241,9 +3241,9 @@ object SparkEntry {
       // lowest-rank-first merge loop as a recursive CTE over the
       // word vocabulary.
       val model = graft.functions.BpeOps.BpeModel(
-        TextAnalysis.bpeTrain(Tables.documents(s, dir), "text",
+        TextAnalysis.bpeTrain(Tables.documentsSpread(s, dir), "text",
           numMerges = 10).map(m => (m._1, m._2)))
-      TopK.ranked(Tables.documents(s, dir)
+      TopK.ranked(Tables.documentsSpread(s, dir)
           .select(explode(graft.functions.Bpe.encode(col("text"), model))
             .as("token"))
           .groupBy("token").agg(count(lit(1)).as("n_occ")),
@@ -3261,9 +3261,9 @@ object SparkEntry {
       // per occurrence), joins back per-(lang, word) frequencies, one
       // lang-sized rollup; integers + one rounded division.
       val model = graft.functions.BpeOps.BpeModel(
-        TextAnalysis.bpeTrain(Tables.documents(s, dir), "text",
+        TextAnalysis.bpeTrain(Tables.documentsSpread(s, dir), "text",
           numMerges = 10).map(m => (m._1, m._2)))
-      val wl = Tables.documents(s, dir)
+      val wl = Tables.documentsSpread(s, dir)
         .select(col("lang"),
           explode(split(Dedup.normText(col("text")), " ")).as("w"))
         .filter(length(col("w")) > 0)
@@ -3901,7 +3901,7 @@ object SparkEntry {
     "text_kn_ppl" -> ((s, dir) => {
       // interpolated Kneser-Ney bigram surprisal (continuation-count
       // backoff, D = 0.75) — the KenLM-smoothing twin of text_bigram_ppl
-      TextAnalysis.knBigramSurprisal(Tables.documents(s, dir), "doc_id",
+      TextAnalysis.knBigramSurprisal(Tables.documentsSpread(s, dir), "doc_id",
         "text")
     }),
 
@@ -4208,7 +4208,7 @@ object SparkEntry {
       // (the graph_pagerank dataflow on a word graph), top 25 by
       // (pr desc, word) — every frame vocabulary-sized after the one
       // bigram explode
-      val bg = Tables.documents(s, dir).select(
+      val bg = Tables.documentsSpread(s, dir).select(
           explode(TextAnalysis.wordBigrams(col("text"))).as("bg"))
         .select(substring_index(col("bg"), " ", 1).as("wa"),
           substring_index(col("bg"), " ", -1).as("wb"))
