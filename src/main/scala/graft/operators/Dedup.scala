@@ -33,6 +33,11 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     graft.functions.Shingles.charShingles(normText(text), n)
 
+  /** [[shingles]] packed to longs (n ≤ 4) — same distinct set up to the
+    * injective char16 packing; see PackedCharShingles. */
+  def packedShingles(text: Column, n: Int = 3): Column =
+    graft.functions.Shingles.packedCharShingles(normText(text), n)
+
   /** MinHash signature: for each of `numHashes` (≤16) hash families, the
     * minimum family-hash over the document's shingles. The families are
     * stride-3 8-hex-char (32-bit) windows of two md5 digests per shingle
@@ -205,8 +210,21 @@ object Dedup {
                         blockCol: Column, n: Int = 3,
                         minJaccard: Double = 0.0,
                         maxDf: Int = 8): DataFrame = {
+    // n ≤ 4 grams pack injectively into a long (16 bits per UTF-16 code
+    // unit), so the whole candidate pipeline — explode, (block, sh)
+    // window sort, the verify-side arrays and their intersection —
+    // works on primitive longs instead of short strings: identical
+    // distinct sets, counts and jaccard by the bijection, ~half the
+    // exchange bytes and primitive sort keys (guide §2.3).
+    val packed = n <= 4
+    val shingleCol =
+      if (packed) packedShingles(col(textCol), n)
+      else shingles(col(textCol), n)
+    def interCount(a: Column, b: Column): Column =
+      if (packed) graft.functions.Shingles.intersectCountLong(a, b)
+      else graft.functions.Shingles.intersectCount(a, b)
     val base = docs.select(col(idCol).as("id"), blockCol.as("block"),
-      shingles(col(textCol), n).as("shs"))
+      shingleCol.as("shs"))
     val sh = base.select(col("id"), col("block"), explode(col("shs")).as("sh"))
     // candidate generation in ONE pass over the shingle pipeline: the
     // earlier dfreq-join + rare-self-join shape re-derived `sh` four
@@ -233,7 +251,7 @@ object Dedup {
       .join(arr.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
       .join(arr.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        graft.functions.Shingles.intersectCount(col("shs_a"), col("shs_b"))
+        interCount(col("shs_a"), col("shs_b"))
           .cast("long").as("n_inter"),
         size(col("shs_a")).cast("long").as("n_a"),
         size(col("shs_b")).cast("long").as("n_b"))
@@ -361,8 +379,10 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
+    // no checkpoint on the seed labels: the frame is a scan+project
+    // (cheap to recompute the 2-3 times round 1's plan references it)
+    // and the eager materialization was a whole job before round 1
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("group_id"))
-      .localCheckpoint()
     // Relabel in ONE exchange: a node's new label is min over {its own
     // label} ∪ {neighbor labels}, so union the self rows with the
     // edge-propagated rows and take one grouped min — replacing the
@@ -389,6 +409,15 @@ object Dedup {
     // round 1 jumps unsalted BY PROOF, not heuristic: labels start as
     // own unique ids, so no label has fan-in > 1
     var hotLabels = false
+    // conservative running bound on the max label fan-in: every label
+    // starts with fan-in 1 and a label only GAINS a member when that
+    // member's row changes label, so max_mult ≤ 1 + Σ changed so far.
+    // While the bound stays under saltThreshold the exact multiplicity
+    // check (a groupBy(group_id) + 1-row agg — two keyed exchanges per
+    // round) is provably unnecessary and is skipped; it re-engages
+    // exactly when a mega-component COULD have formed (guide §1.2:
+    // remove passes that compute things you throw away).
+    var multBound = 1L
     while (!done && it < maxIter) {
       // LAZY localCheckpoint: the convergence action is what
       // materializes the round's blocks, so each round is ONE job
@@ -399,29 +428,37 @@ object Dedup {
       // (3.8 s vs 3.3 s total): the jump self-join duplicates its
       // unmaterialized input subtree, so lineage depth between
       // checkpoints must stay at one pass.
+      // The change count rides the materializing action as an observe()
+      // metric — zero extra exchanges, the count() aggregate is
+      // partial-agged per partition.
+      val ob = new org.apache.spark.sql.Observation(s"cc_round_$it")
       val jumped = labelJump(relabel(
         labels.withColumn("old_gid", col("group_id"))), hotLabels)
         .localCheckpoint(eager = false)
-      // ONE action per round carrying BOTH loop controls: the change
-      // count (convergence) and the max label fan-in (whether the NEXT
-      // round's jump needs the salted shape — unconditional salting
-      // measured 2x the floor at sf0.1, where labels are near-distinct
-      // and the replicate buys nothing). Both partial-agg exchanges
-      // are bounded (≤ #labels rows, then 1).
-      val stats = jumped.groupBy(col("group_id"))
-        .agg(count(lit(1)).as("m"),
-          sum(when(col("group_id") =!= col("old_gid"), 1L)
-            .otherwise(0L)).as("ch"))
-        .agg(max(col("m")).as("max_mult"), sum(col("ch")).as("changed"))
-        .collect()(0)
-      val changed = stats.getLong(1)
-      hotLabels = stats.getLong(0) > saltThreshold
+      // ONE action: materializes the round's blocks AND carries the
+      // change count as an observe() metric over them (observe sits
+      // ABOVE the checkpoint so the metric fires inside this count's
+      // query execution; one in-memory pass, no exchange)
+      jumped.observe(ob, coalesce(
+        sum(when(col("group_id") =!= col("old_gid"), 1L).otherwise(0L)),
+        lit(0L)).as("changed")).count()
+      val changed = ob.get("changed").asInstanceOf[Long]
+      multBound += changed
+      hotLabels = multBound > saltThreshold && {
+        // bound crossed: pay the exact check (bounded: ≤ #labels rows,
+        // then 1) and reset the bound to the measured truth
+        val maxMult = jumped.groupBy(col("group_id"))
+          .agg(count(lit(1)).as("m")).agg(max(col("m")))
+          .collect()(0).getLong(0)
+        multBound = maxMult
+        maxMult > saltThreshold
+      }
       done = changed == 0L
       labels = jumped.drop("old_gid")
       it += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $it changed=$changed " +
-          s"maxMult=${stats.getLong(0)} t=${System.nanoTime()}")
+          s"multBound=$multBound t=${System.nanoTime()}")
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("group_id"))

@@ -154,4 +154,35 @@ class KernelPropertySpec extends AnyFunSuite {
           else s.sliding(n).toSet)
     }))
   }
+
+  /** Packing 16 bits per code unit is injective for n ≤ 4, so the packed
+    * set must be exactly the string shingle set mapped through the
+    * packing — the equivalence the ngramJaccardPairs long fast path
+    * rides on. */
+  test("packedShingles is the string shingle set under char16 packing") {
+    def pack(g: String): Long = g.foldLeft(0L)((v, c) => (v << 16) | c)
+    assert(holds(Prop.forAll(textGen, Gen.choose(2, 4)) { (s, n) =>
+      val arr = graft.functions.ShingleOps
+        .packedShingles(UTF8String.fromString(s), n)
+      val out = (0 until arr.numElements()).map(arr.getLong)
+      out.distinct == out &&
+        out.toSet == (if (s.length < n) Set.empty[Long]
+          else s.sliding(n).map(pack).toSet)
+    }))
+  }
+
+  test("intersectCountLong equals the set-intersection size") {
+    assert(holds(Prop.forAll(textGen, textGen) { (a, b) =>
+      val pa = graft.functions.ShingleOps
+        .packedShingles(UTF8String.fromString(a), 3)
+      val pb = graft.functions.ShingleOps
+        .packedShingles(UTF8String.fromString(b), 3)
+      val want =
+        (if (a.length < 3) Set.empty[String] else a.sliding(3).toSet)
+          .intersect(
+            if (b.length < 3) Set.empty[String] else b.sliding(3).toSet)
+          .size
+      graft.functions.ArraySetOps.intersectCountLong(pa, pb) == want
+    }))
+  }
 }
