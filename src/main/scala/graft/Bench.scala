@@ -98,6 +98,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing floors post-shuffle partitions at 1 MB, which
+      // serializes every compute-heavy stage above a small shuffle onto
+      // one core (guide §2: partition count must track parallelism, not
+      // a byte constant). 64 KB only binds when shuffle bytes per core
+      // are under 1 MB — small-shuffle-on-many-cores, exactly where
+      // keeping cores busy beats the per-partition floor; at scale the
+      // bytes/parallelism target dominates and this floor never binds.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
