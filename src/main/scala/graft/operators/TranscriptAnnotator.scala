@@ -190,9 +190,18 @@ object TranscriptAnnotator {
     val nearStop = col("exon_idx") =!= col("n_exons") &&
       col("fstop") - 10 <= col("pos") && col("fstop") + 10 >= varStop
 
+    // ONE exchange for both the aggregation and the CDS-cache
+    // co-location: hash(tr_id) partitioning satisfies the groupBy's
+    // ClusteredDistribution(var_id, tr_id) (a subset of the grouping
+    // keys co-locates every group), so the aggregate plans with no
+    // second exchange and the mapPartitions below inherits tr_id
+    // co-location directly — the previous shape exchanged the
+    // annotation stream twice (hash(var_id, tr_id) for the aggregate,
+    // then hash(tr_id) for the cache), guide §2.4.
     val grouped = vtf
       .withColumn("t_start", after5s)
       .withColumn("t_stop", afters3)
+      .repartition(col("tr_id"))
       .groupBy("var_id", "tr_id")
       .agg(
         first("chr").as("chr"), first("pos").as("pos"),
@@ -212,9 +221,10 @@ object TranscriptAnnotator {
           .as("exons"))
 
     val g = genome
-    // co-locate rows of the same transcript so the per-partition CDS cache
-    // rebuilds each transcript's reference sequence once, not per variant
-    grouped.repartition(col("tr_id")).as[VarTr].mapPartitions { it =>
+    // rows of the same transcript are already co-located (the
+    // repartition above), so the per-partition CDS cache rebuilds each
+    // transcript's reference sequence once, not per variant
+    grouped.as[VarTr].mapPartitions { it =>
       val cdsCache = scala.collection.mutable.HashMap.empty[Long, String]
       it.map(annotateOne(_, g, cdsCache))
     }
