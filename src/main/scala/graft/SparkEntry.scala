@@ -200,6 +200,18 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
       blockCol = docBlockCol, n = 3, minJaccard = 0.2)
 
+  /** Both orientations of an undirected near-dup pair frame in ONE
+    * pass: union(select(a,b), select(b,a)) embeds the pairs subtree
+    * TWICE in the plan, and only the exchanges below it are reused —
+    * the verify-side join + intersect kernel re-ran per child (guide
+    * §2.4 "remove shuffles/passes outright"). explode duplicates each
+    * row after it is computed, so the derivation runs once. */
+  private def bothDirs(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   /** Synthetic per-(site, sample) genotype dosage cells from lineitem,
     * shared by ldSitePairs and mendel_errors: gt derives from
     * (partkey, suppkey), NOT the (orderkey, linenumber) pair that
@@ -1400,14 +1412,21 @@ object SparkEntry {
       // Both input derivations are already graded individually
       // (dedup_minhash_pairs / dedup_ngram_jaccard); integers + two
       // rounded divisions.
+      // ONE full-outer pass computes all three counts: the old shape
+      // read each derivation twice (hits join + its own count agg) and
+      // re-ran the verify/signature compute per reference (guide §2.4).
+      // Both sides are unique per (id_a, id_b) by construction (pair
+      // join output / candidates end in distinct), so flag sums over
+      // the full-outer join equal the standalone counts exactly.
       val truth = docJaccardPairs(s, dir).select("id_a", "id_b")
+        .withColumn("t", lit(1L))
       val cand = Dedup.minhashCandidates(Tables.documents(s, dir),
         "doc_id", "text", numHashes = 16, rowsPerBand = 4,
-        shingleLen = 3).select("id_a", "id_b")
-      val hits = truth.join(cand, Seq("id_a", "id_b"))
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        shingleLen = 3).select("id_a", "id_b").withColumn("c", lit(1L))
+      truth.join(cand, Seq("id_a", "id_b"), "full_outer")
+        .agg(coalesce(sum("t"), lit(0L)).as("n_truth"),
+          coalesce(sum("c"), lit(0L)).as("n_cand"),
+          coalesce(sum(col("t") * col("c")), lit(0L)).as("n_hits"))
         .select(col("n_truth"), col("n_cand"), col("n_hits"),
           round(lit(10000.0) * col("n_hits") / col("n_truth"))
             .cast("long").as("recall4"),
@@ -2866,9 +2885,10 @@ object SparkEntry {
       // degree distribution of the confirmed near-dup graph — the graph
       // shape audit run before trusting connected components (a heavy
       // tail predicts mega-components)
-      val pairs = docJaccardPairs(s, dir)
-      pairs.select(col("id_a").as("id"))
-        .union(pairs.select(col("id_b").as("id")))
+      // one explode pass over the pair derivation, not a union whose
+      // two children re-run the verify-side compute (guide §2.4)
+      docJaccardPairs(s, dir)
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
     }),
@@ -2950,10 +2970,8 @@ object SparkEntry {
       // frame both directions); per-edge scaled-integer contributions
       // make the propagation order-free, so the oracle chains the SAME
       // two iterations in SQL and the doubles match bit for bit
-      val pairs = docJaccardPairs(s, dir)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      TopK.ranked(Graphs.pagerank(edges, "src", "dst", iterations = 2),
+      TopK.ranked(Graphs.pagerank(bothDirs(docJaccardPairs(s, dir)),
+          "src", "dst", iterations = 2),
           20, col("pr").desc, col("id").asc)
         .select("rank", "id", "pr")
     }),
@@ -2963,10 +2981,8 @@ object SparkEntry {
       // (count desc, label asc) tie order) over the undirected near-dup
       // graph; integer-only, so the oracle chains the same rounds;
       // output = top-20 communities by size
-      val pairs = docJaccardPairs(s, dir)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val labels = Graphs.labelPropagation(edges, "src", "dst",
+      val labels = Graphs.labelPropagation(
+        bothDirs(docJaccardPairs(s, dir)), "src", "dst",
         iterations = 3)
       TopK.ranked(labels.groupBy("label")
           .agg(count(lit(1)).as("n_members")),
@@ -2981,10 +2997,11 @@ object SparkEntry {
       // a near-dup graph warns the clusters are chains): the
       // all-integer rational form (4m·Σe_c − Σd_c²)/(4m²), one double
       // division (Graphs.modularity)
-      val pairs = docJaccardPairs(s, dir)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val labels = Graphs.labelPropagation(edges, "src", "dst",
+      // pairs feeds BOTH the LPA rounds and the modularity audit —
+      // materialize once so the near-dup derivation runs once, not
+      // once per consumer (guide §2.4; the PairGraph discipline)
+      val pairs = Graphs.materialize(docJaccardPairs(s, dir))
+      val labels = Graphs.labelPropagation(bothDirs(pairs), "src", "dst",
         iterations = 3)
       Graphs.modularity(pairs, "id_a", "id_b", labels)
     }),
@@ -3049,13 +3066,11 @@ object SparkEntry {
       // alone cannot catch two offsetting membership errors). Frontier
       // shrinks as the ball saturates — each round joins only the
       // NEWLY-reached set against the edges (Graphs.bfsHops).
-      val pairs = docJaccardPairs(s, dir)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       val seeds = Tables.documents(s, dir)
         .filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("id"))
-      Graphs.bfsHops(edges, "src", "dst", seeds, rounds = 3)
+      Graphs.bfsHops(bothDirs(docJaccardPairs(s, dir)), "src", "dst",
+          seeds, rounds = 3)
         .groupBy("hop").agg(count(lit(1)).as("n_nodes"),
           sum("id").as("sum_id"))
     }),
@@ -3099,11 +3114,7 @@ object SparkEntry {
     "graph_kcore_peel" -> ((s, dir) => {
       // 3 rounds of 2-core peeling over the near-dup graph — the
       // dense-core screen next to graph_triangles' cohesion census
-      val pairs = docJaccardPairs(s, dir)
-      Graphs.kcorePeel(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .union(pairs.select(col("id_b").as("src"),
-            col("id_a").as("dst"))),
+      Graphs.kcorePeel(bothDirs(docJaccardPairs(s, dir)),
         "src", "dst", k = 2, rounds = 3)
     }),
 
@@ -3385,11 +3396,15 @@ object SparkEntry {
       // (window-bounded candidates), prune = one distinct + one
       // anti-join against the variance-filtered site frame; kept-set
       // sum(pos) checksum, not just a count (the bfsHops rule)
-      val conflicts = ldSitePairs(s, dir)
+      // the bin-join pair frame feeds conflicts AND the site frame
+      // (itself read twice: anti-join probe + n_sites rollup) — three
+      // plan references, so materialize the aggregate once (guide §2.4)
+      val ld = Graphs.materialize(ldSitePairs(s, dir))
+      val conflicts = ld
         .filter(PopGen.ldR2e4(col("n"), col("s1"), col("s2"),
           col("s11"), col("s22"), col("s12")) > 2000)
         .select(col("chr"), col("pos2").as("pos")).distinct()
-      val sites = ldSitePairs(s, dir)
+      val sites = ld
         .select(col("chr"), explode(array(col("pos1"), col("pos2")))
           .as("pos")).distinct()
       sites.join(conflicts, Seq("chr", "pos"), "left_anti")
@@ -4234,10 +4249,10 @@ object SparkEntry {
       // φ(c) = cut/min(vol, 2m−vol), low φ = well-separated, φ → 1 =
       // mostly boundary (Graphs.conductance; NULL when the complement
       // has zero volume)
-      val pairs = docJaccardPairs(s, dir)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val labels = Graphs.labelPropagation(edges, "src", "dst",
+      // pairs feeds BOTH the LPA rounds and the conductance audit —
+      // materialize once (the graph_modularity treatment)
+      val pairs = Graphs.materialize(docJaccardPairs(s, dir))
+      val labels = Graphs.labelPropagation(bothDirs(pairs), "src", "dst",
         iterations = 3)
       Graphs.conductance(pairs, "id_a", "id_b", labels)
     }),

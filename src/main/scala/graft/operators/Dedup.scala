@@ -375,9 +375,16 @@ object Dedup {
     // no distinct(): min-label propagation is idempotent under duplicate
     // edges (min of a multiset ignores multiplicity), the input pair list
     // is already unique per (a,b), and the dedup shuffle was a whole
-    // extra exchange+job before the first round
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // extra exchange+job before the first round.
+    // Both directions via ONE explode pass, not union(select, select):
+    // a union's two children each embed the full `pairs` subtree, and
+    // when `pairs` is an expensive derivation (the LSH-verified near-dup
+    // join) only the exchanges below it are reused — the verify-side
+    // join + intersect kernel ran twice per checkpoint (guide §2.4).
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // no checkpoint on the seed labels: the frame is a scan+project
     // (cheap to recompute the 2-3 times round 1's plan references it)
